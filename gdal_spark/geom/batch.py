@@ -1,0 +1,167 @@
+"""Columnar geometry batch: ragged coordinate arrays + offsets.
+
+The in-task analog of OGR's feature geometry (ogr/ogr_geometry.h) but
+columnar, mirroring how the reference's own Arrow stream flattens
+geometries to WKB binary columns (ogrlayerarrow.cpp). A GeomBatch
+holds N geometries of the flat 2D types:
+
+  POINT, LINESTRING, POLYGON, MULTIPOINT, MULTILINESTRING, MULTIPOLYGON
+
+as one (total_vertices, 2) float64 coords array plus three offset
+layers (geometry -> parts -> rings -> coords). Empty/NULL geometries
+are represented with zero parts and flagged in `is_null` / `is_empty`
+(distinct states, matching OGR's NULL-vs-EMPTY distinction that the
+spatial filter treats identically as "fail": ogrlayer.cpp:4004).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import IntEnum
+
+import numpy as np
+
+
+class GeomType(IntEnum):
+    """Flat 2D WKB geometry type codes (ogr/ogr_core.h:422-470)."""
+
+    UNKNOWN = 0
+    POINT = 1
+    LINESTRING = 2
+    POLYGON = 3
+    MULTIPOINT = 4
+    MULTILINESTRING = 5
+    MULTIPOLYGON = 6
+    GEOMETRYCOLLECTION = 7  # parsed but algebra is out of scope v1
+
+
+@dataclass
+class GeomBatch:
+    """N geometries, columnar.
+
+    Layout (all int64 offsets, exclusive-end convention like Arrow):
+      geom_part_off : (N+1,)  geometry i owns parts [g[i], g[i+1])
+      part_ring_off : (P+1,)  part j owns rings    [p[j], p[j+1])
+      ring_coord_off: (R+1,)  ring k owns coords   [r[k], r[k+1])
+      coords        : (C, 2) float64
+
+    For POINT/LINESTRING/MULTIPOINT parts have exactly one "ring"
+    holding the coordinate run. POLYGON parts hold 1+ rings (first
+    exterior, rest holes — even-odd rule makes orientation irrelevant
+    for containment, alg/llrasterize.cpp:105).
+    """
+
+    types: np.ndarray  # (N,) uint8 GeomType
+    geom_part_off: np.ndarray
+    part_ring_off: np.ndarray
+    ring_coord_off: np.ndarray
+    coords: np.ndarray
+    is_null: np.ndarray = field(default=None)  # (N,) bool
+
+    def __post_init__(self) -> None:
+        if self.is_null is None:
+            self.is_null = np.zeros(len(self.types), dtype=bool)
+
+    def __len__(self) -> int:
+        return len(self.types)
+
+    @property
+    def is_empty(self) -> np.ndarray:
+        """EMPTY (zero parts) or NULL."""
+        return (self.geom_part_off[1:] == self.geom_part_off[:-1]) | self.is_null
+
+    def envelopes(self) -> np.ndarray:
+        """(N, 4) [minx, miny, maxx, maxy]; NaN for empty/null.
+
+        Reference: OGRLayer precomputes envelopes for filter stage 2
+        (ogrlayer.cpp:4025 getEnvelope).
+        """
+        n = len(self)
+        env = np.full((n, 4), np.nan)
+        if len(self.coords) == 0:
+            return env
+        # coords per geometry: expand geometry id per coordinate, then
+        # segmented min/max via np.minimum/maximum.reduceat.
+        first_ring = self.part_ring_off[self.geom_part_off]  # (N+1,) ring idx
+        coord_start = self.ring_coord_off[first_ring]  # (N+1,) coord idx
+        starts, ends = coord_start[:-1], coord_start[1:]
+        nonempty = ends > starts
+        if not nonempty.any():
+            return env
+        s = starts[nonempty]
+        env[nonempty, 0] = np.minimum.reduceat(self.coords[:, 0], s)
+        env[nonempty, 1] = np.minimum.reduceat(self.coords[:, 1], s)
+        env[nonempty, 2] = np.maximum.reduceat(self.coords[:, 0], s)
+        env[nonempty, 3] = np.maximum.reduceat(self.coords[:, 1], s)
+        env[self.is_null] = np.nan
+        return env
+
+    def geometry(self, i: int) -> tuple[GeomType, list[list[np.ndarray]]]:
+        """Materialize geometry i as [part -> [ring -> (k,2) coords]]."""
+        parts = []
+        for j in range(self.geom_part_off[i], self.geom_part_off[i + 1]):
+            rings = []
+            for k in range(self.part_ring_off[j], self.part_ring_off[j + 1]):
+                rings.append(self.coords[self.ring_coord_off[k] : self.ring_coord_off[k + 1]])
+            parts.append(rings)
+        return GeomType(self.types[i]), parts
+
+    def polygon_rings(self, i: int) -> list[np.ndarray]:
+        """All rings of a (multi)polygon geometry i, flattened across
+        parts — sufficient for even-odd containment."""
+        rings = []
+        for j in range(self.geom_part_off[i], self.geom_part_off[i + 1]):
+            for k in range(self.part_ring_off[j], self.part_ring_off[j + 1]):
+                rings.append(self.coords[self.ring_coord_off[k] : self.ring_coord_off[k + 1]])
+        return rings
+
+
+class GeomBatchBuilder:
+    """Incremental builder used by the WKT/WKB parsers."""
+
+    def __init__(self) -> None:
+        self.types: list[int] = []
+        self.geom_part_off = [0]
+        self.part_ring_off = [0]
+        self.ring_coord_off = [0]
+        self.coord_chunks: list[np.ndarray] = []
+        self._ncoords = 0
+        self.is_null: list[bool] = []
+
+    def add_null(self) -> None:
+        self.types.append(GeomType.UNKNOWN)
+        self.geom_part_off.append(self.geom_part_off[-1])
+        self.is_null.append(True)
+
+    def add_empty(self, gtype: GeomType) -> None:
+        self.types.append(gtype)
+        self.geom_part_off.append(self.geom_part_off[-1])
+        self.is_null.append(False)
+
+    def add(self, gtype: GeomType, parts: list[list[np.ndarray]]) -> None:
+        """parts: [part -> [ring -> (k,2) array]]."""
+        self.types.append(gtype)
+        for rings in parts:
+            for ring in rings:
+                ring = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+                self.coord_chunks.append(ring)
+                self._ncoords += len(ring)
+                self.ring_coord_off.append(self._ncoords)
+            self.part_ring_off.append(len(self.ring_coord_off) - 1)
+        self.geom_part_off.append(len(self.part_ring_off) - 1)
+        self.is_null.append(False)
+
+    def finish(self) -> GeomBatch:
+        coords = (
+            np.concatenate(self.coord_chunks, axis=0)
+            if self.coord_chunks
+            else np.empty((0, 2), dtype=np.float64)
+        )
+        return GeomBatch(
+            types=np.asarray(self.types, dtype=np.uint8),
+            geom_part_off=np.asarray(self.geom_part_off, dtype=np.int64),
+            part_ring_off=np.asarray(self.part_ring_off, dtype=np.int64),
+            ring_coord_off=np.asarray(self.ring_coord_off, dtype=np.int64),
+            coords=coords,
+            is_null=np.asarray(self.is_null, dtype=bool),
+        )

@@ -1,0 +1,190 @@
+"""Map projections in vectorized numpy (no PROJ available).
+
+Implements from the published Snyder "Map Projections — A Working
+Manual" (USGS PP 1395) series: Transverse Mercator forward/inverse
+(covers the UTM CRSs used by the reference fixtures, e.g. EPSG:26711
+= UTM 11N / NAD27 / Clarke 1866 — byte.tif's CRS) and Spherical
+(Web) Mercator EPSG:3857.
+
+Semantic role = OGRCoordinateTransformation point transform
+(/root/reference/ogr/ogrct.cpp): plain vectorized coordinate math.
+Known accepted deviation: no NAD27->WGS84 datum shift (PROJ uses
+NADCON grids; ~tens of meters). Tile KEYS at the fixture zooms are
+unaffected (tile z11 is ~19.5 km) — FIXTURES.md F3 treats the tile-key
+set as the hard gate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class Ellipsoid:
+    a: float
+    b: float
+
+    @property
+    def e2(self) -> float:
+        return 1.0 - (self.b / self.a) ** 2
+
+    @property
+    def ep2(self) -> float:
+        return self.e2 / (1.0 - self.e2)
+
+
+CLARKE_1866 = Ellipsoid(a=6378206.4, b=6356583.8)
+WGS84 = Ellipsoid(a=6378137.0, b=6378137.0 * (1 - 1 / 298.257223563))
+GRS80 = Ellipsoid(a=6378137.0, b=6378137.0 * (1 - 1 / 298.257222101))
+
+
+@dataclass(frozen=True)
+class TransverseMercator:
+    """Snyder eqs 8-9..8-13 (forward), 8-57..8-62 (inverse)."""
+
+    ellipsoid: Ellipsoid
+    lon0_deg: float
+    k0: float = 0.9996
+    false_easting: float = 500_000.0
+    false_northing: float = 0.0
+
+    def _m(self, lat: np.ndarray) -> np.ndarray:
+        e2 = self.ellipsoid.e2
+        a = self.ellipsoid.a
+        e4, e6 = e2 * e2, e2 * e2 * e2
+        return a * (
+            (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * lat
+            - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * lat)
+            + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * lat)
+            - (35 * e6 / 3072) * np.sin(6 * lat)
+        )
+
+    def forward(self, lon_deg, lat_deg):
+        """(lon, lat) degrees -> (easting, northing)."""
+        e2 = self.ellipsoid.e2
+        ep2 = self.ellipsoid.ep2
+        a, k0 = self.ellipsoid.a, self.k0
+        lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        dlon = np.radians(np.asarray(lon_deg, dtype=np.float64) - self.lon0_deg)
+        sin_lat, cos_lat, tan_lat = np.sin(lat), np.cos(lat), np.tan(lat)
+        N = a / np.sqrt(1 - e2 * sin_lat**2)
+        T = tan_lat**2
+        C = ep2 * cos_lat**2
+        A = dlon * cos_lat
+        M = self._m(lat)
+        M0 = self._m(np.float64(0.0))
+        x = k0 * N * (
+            A
+            + (1 - T + C) * A**3 / 6
+            + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * A**5 / 120
+        ) + self.false_easting
+        y = k0 * (
+            M
+            - M0
+            + N
+            * tan_lat
+            * (
+                A**2 / 2
+                + (5 - T + 9 * C + 4 * C**2) * A**4 / 24
+                + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * A**6 / 720
+            )
+        ) + self.false_northing
+        return x, y
+
+    def inverse(self, x, y):
+        """(easting, northing) -> (lon, lat) degrees."""
+        e2 = self.ellipsoid.e2
+        ep2 = self.ellipsoid.ep2
+        a, k0 = self.ellipsoid.a, self.k0
+        x = np.asarray(x, dtype=np.float64) - self.false_easting
+        y = np.asarray(y, dtype=np.float64) - self.false_northing
+        e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
+        M = self._m(np.float64(0.0)) + y / k0
+        mu = M / (a * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256))
+        lat1 = (
+            mu
+            + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+            + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+            + (151 * e1**3 / 96) * np.sin(6 * mu)
+            + (1097 * e1**4 / 512) * np.sin(8 * mu)
+        )
+        sin1, cos1, tan1 = np.sin(lat1), np.cos(lat1), np.tan(lat1)
+        C1 = ep2 * cos1**2
+        T1 = tan1**2
+        N1 = a / np.sqrt(1 - e2 * sin1**2)
+        R1 = a * (1 - e2) / (1 - e2 * sin1**2) ** 1.5
+        D = x / (N1 * k0)
+        lat = lat1 - (N1 * tan1 / R1) * (
+            D**2 / 2
+            - (5 + 3 * T1 + 10 * C1 - 4 * C1**2 - 9 * ep2) * D**4 / 24
+            + (61 + 90 * T1 + 298 * C1 + 45 * T1**2 - 252 * ep2 - 3 * C1**2) * D**6 / 720
+        )
+        lon = (
+            D
+            - (1 + 2 * T1 + C1) * D**3 / 6
+            + (5 - 2 * C1 + 28 * T1 - 3 * C1**2 + 8 * ep2 + 24 * T1**2) * D**5 / 120
+        ) / cos1
+        return np.degrees(lon) + self.lon0_deg, np.degrees(lat)
+
+
+def utm(zone: int, ellipsoid: Ellipsoid = WGS84) -> TransverseMercator:
+    return TransverseMercator(ellipsoid=ellipsoid, lon0_deg=zone * 6 - 183)
+
+
+# EPSG:26711 = NAD27 / UTM zone 11N (byte.tif's CRS)
+EPSG_26711 = utm(11, CLARKE_1866)
+# EPSG:32611 = WGS84 / UTM zone 11N
+EPSG_32611 = utm(11, WGS84)
+
+WEB_MERCATOR_RADIUS = 6378137.0
+WEB_MERCATOR_EXTENT = 20037508.342789244  # pi * R
+
+
+def lonlat_to_webmercator(lon_deg, lat_deg):
+    lon = np.asarray(lon_deg, dtype=np.float64)
+    lat = np.asarray(lat_deg, dtype=np.float64)
+    x = WEB_MERCATOR_RADIUS * np.radians(lon)
+    y = WEB_MERCATOR_RADIUS * np.log(np.tan(np.pi / 4 + np.radians(lat) / 2))
+    return x, y
+
+
+def webmercator_to_lonlat(x, y):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.degrees(x / WEB_MERCATOR_RADIUS)
+    lat = np.degrees(2 * np.arctan(np.exp(y / WEB_MERCATOR_RADIUS)) - np.pi / 2)
+    return lon, lat
+
+
+class Pipeline:
+    """Composed transform, the GDALGenImgProjTransform analog
+    (alg/gdaltransformer.cpp:1392): src CRS -> lon/lat -> dst CRS."""
+
+    def __init__(self, src=None, dst=None) -> None:
+        self.src = src  # None = lon/lat
+        self.dst = dst
+
+    def forward(self, x, y):
+        if self.src is not None:
+            x, y = self.src.inverse(x, y)  # to lon/lat
+        if self.dst is None:
+            return x, y
+        if isinstance(self.dst, TransverseMercator):
+            return self.dst.forward(x, y)
+        if self.dst == "webmercator":
+            return lonlat_to_webmercator(x, y)
+        raise ValueError(f"unknown dst {self.dst}")
+
+    def inverse(self, x, y):
+        if self.dst is not None:
+            if isinstance(self.dst, TransverseMercator):
+                x, y = self.dst.inverse(x, y)
+            elif self.dst == "webmercator":
+                x, y = webmercator_to_lonlat(x, y)
+            else:
+                raise ValueError(f"unknown dst {self.dst}")
+        if self.src is None:
+            return x, y
+        return self.src.forward(x, y)

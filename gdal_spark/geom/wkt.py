@@ -1,0 +1,165 @@
+"""WKT parser/writer, semantics of OGRGeometryFactory::createFromWkt.
+
+Reference: /root/reference/ogr/ogrgeometryfactory.cpp:~420 (createFromWkt)
+and the per-class importFromWkt readers. Matching behaviors:
+  - case-insensitive type keyword; optional Z/M/ZM tokens (extra
+    dimensions parsed then dropped — engine is 2D v1, the reference's
+    wkbFlatten analog, ogr_core.h:573);
+  - "EMPTY" produces an empty geometry of the declared type;
+  - MULTIPOINT accepts both "MULTIPOINT (1 2, 3 4)" and
+    "MULTIPOINT ((1 2), (3 4))" forms (ogrmultipoint.cpp);
+  - invalid text is reported as an error, not silently dropped
+    (FIXTURES.md F1: invalid rows routed to an error column).
+
+Parsing is per-string (strings are inherently ragged) but all number
+conversion uses np.fromstring and the output is a columnar GeomBatch;
+downstream math is fully vectorized.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from gdal_spark.geom.batch import GeomBatch, GeomBatchBuilder, GeomType
+
+_TYPE_RE = re.compile(
+    r"^\s*([A-Za-z]+)\s*(Z|M|ZM)?\s*(EMPTY|\(.*\))\s*$", re.IGNORECASE | re.DOTALL
+)
+_NORM_RE = re.compile(r"\s*([(),])\s*")
+
+_TYPE_BY_NAME = {
+    "POINT": GeomType.POINT,
+    "LINESTRING": GeomType.LINESTRING,
+    "POLYGON": GeomType.POLYGON,
+    "MULTIPOINT": GeomType.MULTIPOINT,
+    "MULTILINESTRING": GeomType.MULTILINESTRING,
+    "MULTIPOLYGON": GeomType.MULTIPOLYGON,
+}
+
+
+class WktError(ValueError):
+    pass
+
+
+def _coords(text: str, ndim: int) -> np.ndarray:
+    """Parse 'x1 y1[ z1],x2 y2[ z2],...' -> (k, 2) float64."""
+    arr = np.fromstring(text.replace(",", " "), sep=" ")
+    if arr.size == 0 or arr.size % ndim != 0:
+        raise WktError(f"bad coordinate run: {text[:40]!r}")
+    return arr.reshape(-1, ndim)[:, :2].copy()
+
+
+def _detect_ndim(body: str, declared: str | None) -> int:
+    if declared:
+        return 2 + len(declared)
+    # count numbers in the first coordinate tuple
+    first = re.split(r"[,)]", body.lstrip("("), maxsplit=1)[0]
+    n = len(first.split())
+    if n not in (2, 3, 4):
+        raise WktError(f"bad coordinate dimension in {first!r}")
+    return n
+
+
+def _parse_one(s: str, builder: GeomBatchBuilder) -> None:
+    m = _TYPE_RE.match(s)
+    if not m:
+        raise WktError(f"unparseable WKT: {s[:60]!r}")
+    name = m.group(1).upper()
+    gtype = _TYPE_BY_NAME.get(name)
+    if gtype is None:
+        raise WktError(f"unsupported geometry type: {name}")
+    body = m.group(3)
+    if body.upper() == "EMPTY":
+        builder.add_empty(gtype)
+        return
+    body = _NORM_RE.sub(r"\1", body)
+    ndim = _detect_ndim(body, m.group(2).upper() if m.group(2) else None)
+
+    if gtype == GeomType.POINT:
+        builder.add(gtype, [[_coords(body[1:-1], ndim)]])
+    elif gtype == GeomType.LINESTRING:
+        builder.add(gtype, [[_coords(body[1:-1], ndim)]])
+    elif gtype == GeomType.POLYGON:
+        rings = [_coords(r, ndim) for r in body[2:-2].split("),(")]
+        builder.add(gtype, [rings])
+    elif gtype == GeomType.MULTIPOINT:
+        flat = body.replace("(", "").replace(")", "")
+        pts = _coords(flat, ndim)
+        builder.add(gtype, [[pts[i : i + 1]] for i in range(len(pts))])
+    elif gtype == GeomType.MULTILINESTRING:
+        lines = [_coords(r, ndim) for r in body[2:-2].split("),(")]
+        builder.add(gtype, [[ln] for ln in lines])
+    elif gtype == GeomType.MULTIPOLYGON:
+        polys = body[3:-3].split(")),((")
+        parts = []
+        for poly in polys:
+            parts.append([_coords(r, ndim) for r in poly.split("),(")])
+        builder.add(gtype, parts)
+    else:  # pragma: no cover
+        raise WktError(f"unhandled type {name}")
+
+
+def parse_wkt(strings, return_errors: bool = False):
+    """Parse an iterable of WKT strings (None allowed) into a GeomBatch.
+
+    With return_errors=True also returns a list[str|None] of parse
+    errors; erroring rows become NULL geometries (never dropped).
+    """
+    builder = GeomBatchBuilder()
+    errors: list[str | None] = []
+    for s in strings:
+        if s is None or (isinstance(s, float) and np.isnan(s)):
+            builder.add_null()
+            errors.append(None)
+            continue
+        try:
+            _parse_one(s, builder)
+            errors.append(None)
+        except WktError as exc:
+            # route to error column, keep row (FIXTURES.md F1)
+            if len(builder.types) < len(errors) + 1:
+                builder.add_null()
+            errors.append(str(exc))
+    batch = builder.finish()
+    if return_errors:
+        return batch, errors
+    return batch
+
+
+def _fmt(coords: np.ndarray) -> str:
+    return ",".join(f"{x:.15g} {y:.15g}" for x, y in coords)
+
+
+def to_wkt(batch: GeomBatch) -> list:
+    """GeomBatch -> list of WKT strings (None for null geometries)."""
+    out: list[str | None] = []
+    for i in range(len(batch)):
+        if batch.is_null[i]:
+            out.append(None)
+            continue
+        gtype, parts = batch.geometry(i)
+        name = gtype.name
+        if not parts:
+            out.append(f"{name} EMPTY")
+            continue
+        if gtype == GeomType.POINT:
+            out.append(f"POINT ({_fmt(parts[0][0])})")
+        elif gtype == GeomType.LINESTRING:
+            out.append(f"LINESTRING ({_fmt(parts[0][0])})")
+        elif gtype == GeomType.POLYGON:
+            rings = ",".join(f"({_fmt(r)})" for r in parts[0])
+            out.append(f"POLYGON ({rings})")
+        elif gtype == GeomType.MULTIPOINT:
+            pts = ",".join(f"({_fmt(p[0])})" for p in parts)
+            out.append(f"MULTIPOINT ({pts})")
+        elif gtype == GeomType.MULTILINESTRING:
+            lines = ",".join(f"({_fmt(p[0])})" for p in parts)
+            out.append(f"MULTILINESTRING ({lines})")
+        elif gtype == GeomType.MULTIPOLYGON:
+            polys = ",".join("(" + ",".join(f"({_fmt(r)})" for r in rings) + ")" for rings in parts)
+            out.append(f"MULTIPOLYGON ({polys})")
+        else:
+            out.append(f"{name} EMPTY")
+    return out
