@@ -1,0 +1,276 @@
+"""Spatial extraction, filter, and broadcast R-tree join operators.
+
+The engine's minimum end-to-end slice (SURVEY.md §7 phase 2):
+
+  docs (doc_id, spans)                        [Iceberg/Parquet scan]
+    -> extract_geom       : first kind='geom' span -> wkt + envelope
+                            columns + parse-error column (JVM-side
+                            span filtering; Arrow UDF only for parse)
+    -> cell keys          : Grid.cell_col_sql / hilbert_cell_udf
+    -> spatial_filter_*   : OGR FilterGeometry cascade
+                            (ogrlayer.cpp:4004) — envelope stages as
+                            Catalyst column predicates (pushed to the
+                            parquet scan when envelopes are
+                            materialized), exact stage in an Arrow UDF
+    -> spatial_join       : docs x broadcast(zones) intersects join
+                            via packed Hilbert R-tree probe + exact
+                            ray-cast verify; optional OGR first-match
+                            (ogr_gensql.cpp:1515-1546: lowest
+                            secondary FID wins, 1:1 never 1:N)
+
+Span-sequence invariant: none of these operators touch the spans
+column — it rides through shuffles as an opaque array<struct>, whose
+element order Spark preserves natively (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gdal_spark.geom.batch import GeomBatch, GeomType
+from gdal_spark.geom.predicates import (
+    filter_geometry_batch,
+    geometry_intersects_rings,
+    points_in_edges,
+    rings_to_edges,
+)
+from gdal_spark.geom.rtree import PackedRTree
+from gdal_spark.geom.wkt import parse_wkt
+
+ENVELOPE_SCHEMA = StructType(
+    [
+        StructField("minx", DoubleType()),
+        StructField("miny", DoubleType()),
+        StructField("maxx", DoubleType()),
+        StructField("maxy", DoubleType()),
+        StructField("geom_type", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+@F.pandas_udf(ENVELOPE_SCHEMA)
+def envelope_udf(wkt: pd.Series) -> pd.DataFrame:
+    """WKT -> envelope struct; invalid WKT lands in .error (F1 rule)."""
+    batch, errors = parse_wkt(wkt, return_errors=True)
+    env = batch.envelopes()
+    return pd.DataFrame(
+        {
+            "minx": env[:, 0],
+            "miny": env[:, 1],
+            "maxx": env[:, 2],
+            "maxy": env[:, 3],
+            "geom_type": batch.types.astype(np.int64),
+            "error": pd.array(errors, dtype=object),
+        }
+    )
+
+
+def extract_geom(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Pull the first kind='geom' span's WKT + envelope columns.
+
+    Span filtering stays JVM-side (Catalyst higher-order functions);
+    only WKT parsing crosses into Arrow. Matches the reference's
+    geometry-column access pattern: geometry is one column of the
+    feature, never a row explosion (ogr/ogrfeature.cpp)."""
+    geom_span = F.filter(F.col(spans_col), lambda s: s["kind"] == F.lit("geom"))
+    # try_element_at: docs with NO geom span get wkt=NULL (not an error)
+    df = df.withColumn("wkt", F.try_element_at(geom_span, F.lit(1))["text"])
+    df = df.withColumn("_env", envelope_udf(F.col("wkt")))
+    return df.select(
+        "*",
+        F.col("_env.minx").alias("env_minx"),
+        F.col("_env.miny").alias("env_miny"),
+        F.col("_env.maxx").alias("env_maxx"),
+        F.col("_env.maxy").alias("env_maxy"),
+        F.col("_env.error").alias("geom_error"),
+    ).drop("_env")
+
+
+def _filter_rings_from_wkt(filter_wkt: str) -> list[np.ndarray]:
+    batch = parse_wkt([filter_wkt])
+    return batch.polygon_rings(0)
+
+
+def spatial_filter(
+    df: DataFrame,
+    filter_wkt: str,
+    exact: bool = True,
+    wkt_col: str = "wkt",
+    use_envelope_cols: bool = True,
+) -> DataFrame:
+    """ogr2ogr -spat semantics (OGRLayer::FilterGeometry cascade).
+
+    Stage 1 (envelope reject) runs as plain column predicates when
+    extract_geom's envelope columns are present — Catalyst pushes them
+    into the parquet scan (PushedFilters), the distributed analog of
+    GeoParquet bbox row-group skipping (ogrparquetlayer.cpp:333-471).
+    The exact stage evaluates the full cascade in an Arrow UDF on the
+    survivors only. exact=False reproduces the reference's no-GEOS
+    envelope-only behavior (test_ogr2ogr.py:77-94, 4-vs-5 split)."""
+    rings = _filter_rings_from_wkt(filter_wkt)
+    fminx = min(float(r[:, 0].min()) for r in rings)
+    fminy = min(float(r[:, 1].min()) for r in rings)
+    fmaxx = max(float(r[:, 0].max()) for r in rings)
+    fmaxy = max(float(r[:, 1].max()) for r in rings)
+
+    if use_envelope_cols and "env_minx" in df.columns:
+        df = df.filter(
+            (F.col("env_maxx") >= fminx)
+            & (F.col("env_maxy") >= fminy)
+            & (F.col("env_minx") <= fmaxx)
+            & (F.col("env_miny") <= fmaxy)
+        )
+
+    @F.pandas_udf(BooleanType())
+    def _cascade(wkt: pd.Series) -> pd.Series:
+        batch = parse_wkt(wkt)
+        return pd.Series(filter_geometry_batch(batch, rings, exact=exact))
+
+    return df.filter(_cascade(F.col(wkt_col)))
+
+
+class ZoneIndex:
+    """Driver-built broadcastable polygon set: envelopes + rings +
+    packed Hilbert R-tree (the FlatGeobuf-style static index,
+    packedrtree.h:78). Pickles cleanly into a Spark broadcast."""
+
+    def __init__(self, fids: np.ndarray, wkts: list[str]) -> None:
+        self.fids = np.asarray(fids, dtype=np.int64)
+        batch = parse_wkt(wkts)
+        self.rings: list[list[np.ndarray]] = [batch.polygon_rings(i) for i in range(len(batch))]
+        self.edges = [rings_to_edges(r) for r in self.rings]
+        self.envs = batch.envelopes()
+        self.tree = PackedRTree(np.nan_to_num(self.envs, nan=0.0))
+        self.types = batch.types
+
+    @classmethod
+    def from_df(cls, zones: DataFrame, fid_col: str = "fid", wkt_col: str = "wkt") -> "ZoneIndex":
+        pdf = zones.select(fid_col, wkt_col).toPandas()
+        return cls(pdf[fid_col].to_numpy(), pdf[wkt_col].tolist())
+
+    def probe_points(self, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Exact intersects of N points vs the zone set.
+        Returns (point_idx, zone_pos) pairs after ray-cast verify."""
+        pi, zi = self.tree.query_points(px, py)
+        if pi.size == 0:
+            return pi, zi
+        keep = np.zeros(pi.size, dtype=bool)
+        # group candidate pairs by zone -> one vectorized ray cast per zone
+        order = np.argsort(zi, kind="stable")
+        pi, zi = pi[order], zi[order]
+        bounds = np.flatnonzero(np.diff(zi)) + 1
+        for s, e in zip(np.concatenate([[0], bounds]), np.concatenate([bounds, [zi.size]])):
+            z = zi[s]
+            keep[s:e] = points_in_edges(px[pi[s:e]], py[pi[s:e]], self.edges[z])
+        return pi[keep], zi[keep]
+
+    def probe_batch(self, batch: GeomBatch) -> tuple[np.ndarray, np.ndarray]:
+        """Exact intersects of a mixed geometry batch vs the zone set.
+        Point rows go through the vectorized path; other rows probe the
+        R-tree by envelope then verify pairwise."""
+        n = len(batch)
+        envs = batch.envelopes()
+        is_pt = (batch.types == GeomType.POINT) & ~batch.is_empty
+        out_d: list[np.ndarray] = []
+        out_z: list[np.ndarray] = []
+        pt_idx = np.flatnonzero(is_pt)
+        if pt_idx.size:
+            first_ring = batch.part_ring_off[batch.geom_part_off[pt_idx]]
+            cidx = batch.ring_coord_off[first_ring]
+            pi, zi = self.probe_points(batch.coords[cidx, 0], batch.coords[cidx, 1])
+            out_d.append(pt_idx[pi])
+            out_z.append(zi)
+        for i in np.flatnonzero(~is_pt & ~batch.is_empty):
+            if np.isnan(envs[i, 0]):
+                continue
+            cand = self.tree.query_rect(*envs[i])
+            if cand.size == 0:
+                continue
+            gtype, parts = batch.geometry(i)
+            hits = [z for z in cand if geometry_intersects_rings(GeomType(gtype), parts, self.rings[z], self.edges[z])]
+            if hits:
+                out_d.append(np.full(len(hits), i, dtype=np.int64))
+                out_z.append(np.asarray(hits, dtype=np.int64))
+        if not out_d:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        return np.concatenate(out_d), np.concatenate(out_z)
+
+
+def spatial_join(
+    docs: DataFrame,
+    zones: DataFrame,
+    wkt_col: str = "wkt",
+    fid_col: str = "fid",
+    zone_wkt_col: str = "wkt",
+    first_match: bool = False,
+    how: str = "inner",
+) -> DataFrame:
+    """Broadcast spatial join: docs rows x zones whose polygon
+    intersects the doc geometry (exact, GEOS-equivalent).
+
+    zones is the SMALL side by contract (ogr2ogr method-layer /
+    OGR SQL secondary-table role). The polygon set is indexed once on
+    the driver and shipped as one broadcast; each Arrow batch of docs
+    probes it in numpy — no shuffle of the big side at all, which is
+    the whole game at 10^12 docs.
+
+    first_match=True reproduces OGR SQL JOIN semantics exactly: one
+    output row per doc, matched to the LOWEST zone fid
+    (ogr_gensql.cpp:1515-1546 takes the first feature in secondary FID
+    order, 1:1 never 1:N). how='left' null-extends unmatched docs.
+    """
+    spark = docs.sparkSession
+    zidx = ZoneIndex.from_df(zones, fid_col=fid_col, wkt_col=zone_wkt_col)
+    bc = spark.sparkContext.broadcast(zidx)
+
+    out_schema = StructType(docs.schema.fields + [StructField("zone_fid", LongType())])
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        zi: ZoneIndex = bc.value
+        for pdf in batches:
+            batch = parse_wkt(pdf[wkt_col])
+            di, zpos = zi.probe_batch(batch)
+            if first_match and di.size:
+                # lowest secondary fid per doc row
+                fids = zi.fids[zpos]
+                order = np.lexsort((fids, di))
+                di, fids = di[order], fids[order]
+                keep = np.concatenate([[True], di[1:] != di[:-1]])
+                di, fids = di[keep], fids[keep]
+            else:
+                fids = zi.fids[zpos]
+            matched = pdf.iloc[di].copy()
+            matched["zone_fid"] = pd.array(fids, dtype="Int64")
+            if how == "left":
+                unmatched_mask = np.ones(len(pdf), dtype=bool)
+                unmatched_mask[np.unique(di)] = False
+                un = pdf.iloc[unmatched_mask].copy()
+                un["zone_fid"] = pd.array([None] * len(un), dtype="Int64")
+                matched = pd.concat([matched, un], ignore_index=True)
+            yield matched
+
+    return docs.mapInPandas(_probe, out_schema)
+
+
+def attach_zone_attrs(joined: DataFrame, zones: DataFrame, fid_col: str = "fid", prefix: str = "zone_") -> DataFrame:
+    """Attach zone attributes post-join via a Catalyst broadcast
+    equi-join on fid (the reference prefixes colliding names with
+    input_/method_, ogrlayer.cpp:5200-5230 — we prefix zone attrs)."""
+    z = zones
+    for c in z.columns:
+        if c != fid_col:
+            z = z.withColumnRenamed(c, f"{prefix}{c}")
+    return joined.join(F.broadcast(z), joined["zone_fid"] == z[fid_col], "left").drop(fid_col)

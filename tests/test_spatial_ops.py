@@ -1,0 +1,152 @@
+"""Spark spatial operator tests (minimum slice, SURVEY.md §7 phase 2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.datagen import ZONE_WKTS, docs_table, zones_table
+from gdal_spark.geom.batch import GeomType
+from gdal_spark.geom.predicates import geometry_intersects_rings
+from gdal_spark.geom.wkt import parse_wkt
+from gdal_spark.operators.cells import BYTE20_GRID
+from gdal_spark.operators.spatial import (
+    attach_zone_attrs,
+    extract_geom,
+    spatial_filter,
+    spatial_join,
+)
+
+N = 500
+
+RECT = "POLYGON ((440800 3750300,440800 3750800,441300 3750800,441300 3750300,440800 3750300))"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = extract_geom(docs_table(spark, n=N)).cache()
+    df.count()
+    return df
+
+
+class TestExtract:
+    def test_error_routing(self, docs):
+        # id 999 % 1000 pattern: with N=500 no invalid rows; force some
+        errs = docs.filter(F.col("geom_error").isNotNull()).count()
+        assert errs == 0
+        bad = extract_geom(
+            docs.sparkSession.createDataFrame(
+                [("d", [{"kind": "geom", "text": "POINT (BROKEN", "media_ref": "", "offset": 0}])],
+                "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+            )
+        )
+        row = bad.collect()[0]
+        assert row.geom_error is not None
+        assert row.wkt == "POINT (BROKEN"  # row preserved, not dropped
+
+    def test_span_sequence_invariant_through_shuffle(self, docs):
+        violations = (
+            docs.repartition(8)
+            .select(F.expr("exists(transform(spans,(s,i)-> s.offset = i), b -> NOT b)").alias("bad"))
+            .filter("bad")
+            .count()
+        )
+        assert violations == 0
+
+    def test_envelope_matches_kernel(self, docs):
+        pdf = docs.select("wkt", "env_minx", "env_maxy").limit(50).toPandas()
+        batch = parse_wkt(pdf["wkt"])
+        env = batch.envelopes()
+        assert np.allclose(pdf["env_minx"], env[:, 0])
+        assert np.allclose(pdf["env_maxy"], env[:, 3])
+
+
+class TestSpatialFilter:
+    def test_exact_vs_envelope_monotone(self, docs):
+        nf = spatial_filter(docs, RECT, exact=True).count()
+        ne = spatial_filter(docs, RECT, exact=False).count()
+        assert 0 < nf <= ne
+
+    def test_matches_kernel_oracle(self, docs):
+        from gdal_spark.geom.predicates import filter_geometry_batch
+
+        pdf = docs.select("doc_id", "wkt").toPandas()
+        batch = parse_wkt(pdf["wkt"])
+        rings = parse_wkt([RECT]).polygon_rings(0)
+        expected = set(pdf["doc_id"][filter_geometry_batch(batch, rings, exact=True)])
+        got = {r.doc_id for r in spatial_filter(docs, RECT, exact=True).select("doc_id").collect()}
+        assert got == expected
+
+
+class TestSpatialJoin:
+    def _oracle(self, pdf):
+        batch = parse_wkt(pdf["wkt"])
+        zrings = [parse_wkt([w]).polygon_rings(0) for w in ZONE_WKTS]
+        pairs = set()
+        for i in range(len(batch)):
+            gt, parts = batch.geometry(i)
+            for z in range(10):
+                if geometry_intersects_rings(GeomType(gt), parts, zrings[z]):
+                    pairs.add((pdf["doc_id"].iloc[i], z))
+        return pairs
+
+    def test_join_matches_bruteforce(self, docs, spark):
+        zones = zones_table(spark)
+        got = {(r.doc_id, r.zone_fid) for r in spatial_join(docs, zones).collect()}
+        assert got == self._oracle(docs.select("doc_id", "wkt").toPandas())
+
+    def test_first_match_lowest_fid(self, docs, spark):
+        zones = zones_table(spark)
+        fm = {r.doc_id: r.zone_fid for r in spatial_join(docs, zones, first_match=True).collect()}
+        oracle = {}
+        for d, z in sorted(self._oracle(docs.select("doc_id", "wkt").toPandas())):
+            oracle.setdefault(d, z)
+        assert fm == oracle
+
+    def test_left_join_preserves_all_docs(self, docs, spark):
+        zones = zones_table(spark)
+        j = spatial_join(docs, zones, first_match=True, how="left")
+        assert j.count() == docs.count()
+        assert j.filter(F.col("zone_fid").isNull()).count() > 0
+
+    def test_lshape_and_hole_zones(self, spark):
+        """Envelope-hits-but-exact-misses (L-shape zone 8) and
+        point-inside-hole (zone 9) must NOT join."""
+        rows = [
+            ("in_L_void", "POINT (441300 3751250)"),  # inside L env, in the void
+            ("in_L_arm", "POINT (441100 3751200)"),  # inside left arm
+            ("in_hole", "POINT (440950 3750530)"),  # inside zone 9's hole
+            ("in_ring", "POINT (440870 3750490)"),  # inside zone 9's solid ring
+        ]
+        docs = spark.createDataFrame(rows, "doc_id string, wkt string")
+        got = {(r.doc_id, r.zone_fid) for r in spatial_join(docs, zones_table(spark)).collect()}
+        assert got == {("in_L_arm", 8), ("in_ring", 9)}
+
+    def test_attach_attrs(self, docs, spark):
+        zones = zones_table(spark)
+        j = attach_zone_attrs(spatial_join(docs, zones, first_match=True), zones)
+        row = j.filter(F.col("zone_fid") == 0).select("zone_eas_id").first()
+        assert row.zone_eas_id == 168
+
+
+class TestCells:
+    def test_sql_cell_matches_numpy(self, docs):
+        pdf = (
+            docs.filter("geom_error is null")
+            .withColumn("cell", F.expr(BYTE20_GRID.cell_col_sql("env_minx", "env_miny")))
+            .select("env_minx", "env_miny", "cell")
+            .toPandas()
+        )
+        expected = BYTE20_GRID.cell_id(pdf["env_minx"].to_numpy(), pdf["env_miny"].to_numpy(), "row")
+        assert (pdf["cell"].to_numpy() == expected).all()
+
+    def test_hilbert_udf(self, docs):
+        pdf = (
+            docs.filter("geom_error is null")
+            .withColumn("h", BYTE20_GRID.hilbert_cell_udf()(F.col("env_minx"), F.col("env_miny")))
+            .select("env_minx", "env_miny", "h")
+            .toPandas()
+        )
+        expected = BYTE20_GRID.cell_id(pdf["env_minx"].to_numpy(), pdf["env_miny"].to_numpy(), "hilbert")
+        assert (pdf["h"].to_numpy() == expected).all()
