@@ -1,0 +1,154 @@
+"""Benchmark entry point (driver-run per round).
+
+Runs the headline pipelines at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit": "sec",
+"queries": {name: sec}, "sf", ...extras}.
+
+The BASELINE.json metric is spatial-join + tiling throughput in
+docs/sec over the interleaved-doc table. The driver-provided docs
+parquet at sf0.1 is only 5k rows, far too small to measure a
+distributed join, so the geospatial pipelines run over a
+datagen-generated interleaved docs table of $SPARK_GRAFT_BENCH_DOCS
+rows (default 2,000,000; pure JVM-side generation — spark.range +
+Catalyst expressions, no driver data movement). Derived docs/sec for
+the headline join is reported as "docs_per_sec".
+
+Scaling-efficiency evidence (north rule: >=0.8 from N to 4N
+executors) is produced by tools/scaling.py, which re-runs this file
+at local[8] vs local[32]; see BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gdal_spark.datagen import docs_table, zones_table  # noqa: E402
+from gdal_spark.operators.raster import RasterSpec, checksum_col, rasterize  # noqa: E402
+from gdal_spark.operators.spatial import extract_geom, spatial_join  # noqa: E402
+from gdal_spark.operators.tiles import overview_level, tile_keys_for_envelopes  # noqa: E402
+from gdal_spark.queries import (  # noqa: E402
+    TILE_N,
+    TILE_TLX,
+    TILE_TLY,
+    TILE_W,
+    q_dedup_exact,
+    q_embed_topk,
+    q_knn_centers,
+    q_summary_lineitem,
+    q_token_stats,
+    q_window_topk_events,
+)
+from gdal_spark.session import get_spark  # noqa: E402
+
+# a 1024x1024 1-unit grid over the byte20 world (4x4 full 256-tiles,
+# so the pyramid path gets whole tiles): meaningful burn work
+BENCH_SPEC = RasterSpec(
+    width=1024, height=1024, gt=(440720.0, 1.0, 0.0, 3751320.0, 0.0, -1.0),
+    dtype="int32", nbands=1, tile_size=256,
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("gdal_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        times[name] = round(time.time() - t0, 3)
+
+    # -- generated interleaved docs (the north-rule input shape) --
+    big = docs_table(spark, n=n_docs)
+    geom = extract_geom(big).select(
+        "_id", "wkt", "env_minx", "env_miny", "env_maxx", "env_maxy", "geom_error"
+    )
+    zones = zones_table(spark)
+
+    # warmup: spawn Python workers / broadcast once on a tiny input so
+    # timings measure engine throughput, not JVM+worker cold start
+    wgeom = extract_geom(docs_table(spark, n=2000)).select(
+        "_id", "wkt", "env_minx", "env_miny", "env_maxx", "env_maxy", "geom_error"
+    )
+    spatial_join(wgeom, zones).groupBy("zone_fid").count().collect()
+
+    # q1: headline — WKT extract + broadcast R-tree spatial join,
+    # aggregated per zone (forces full evaluation, tiny result)
+    timed(
+        "spatial_join",
+        lambda: spatial_join(geom, zones).groupBy("zone_fid").count().collect(),
+    )
+
+    # q2: tile-key explode (vector->tile partitioner, pure Catalyst)
+    timed(
+        "tile_keys",
+        lambda: tile_keys_for_envelopes(
+            geom.filter(F.col("geom_error").isNull()), TILE_TLX, TILE_TLY, TILE_W, TILE_N
+        )
+        .groupBy("tx", "ty")
+        .count()
+        .collect(),
+    )
+
+    # q3: distributed rasterize (ADD burn of all valid point docs into
+    # a 1200x1200 int32 grid) + distributed checksum
+    def _rasterize() -> None:
+        shapes = geom.filter(
+            F.col("geom_error").isNull() & (F.col("env_minx") == F.col("env_maxx"))
+        ).select(
+            F.col("_id").alias("fid"), "wkt", F.array(F.lit(1.0)).alias("burn_values")
+        )
+        tiles = rasterize(shapes, BENCH_SPEC, merge_alg="add")
+        checksum_col(tiles, BENCH_SPEC).collect()
+
+    timed("rasterize_checksum", _rasterize)
+
+    # q4: pyramid level from the burn (groupBy-of-4-children downsample)
+    def _pyramid() -> None:
+        shapes = geom.filter(
+            F.col("geom_error").isNull() & (F.col("env_minx") == F.col("env_maxx"))
+        ).select(F.col("_id").alias("fid"), "wkt", F.array(F.lit(1.0)).alias("burn_values"))
+        tiles = rasterize(shapes, BENCH_SPEC, merge_alg="add").withColumn("z", F.lit(2))
+        overview_level(tiles, resampling="average", tile_size=256).count()
+
+    timed("tile_pyramid", _pyramid)
+
+    # q5: grid-pruned kNN of 10 query centers against all docs
+    timed("knn_centers", lambda: q_knn_centers(spark, sf_dir).collect())
+
+    # -- driver tables at sf --
+    timed("summary_lineitem", lambda: q_summary_lineitem(spark, sf_dir).collect())
+    timed("window_topk_events", lambda: q_window_topk_events(spark, sf_dir).count())
+    timed("token_stats", lambda: q_token_stats(spark, sf_dir).collect())
+    timed("dedup_exact", lambda: q_dedup_exact(spark, sf_dir).count())
+    timed("embed_topk", lambda: q_embed_topk(spark, sf_dir).collect())
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "spatial-join + tiling pipeline wall time (see docs_per_sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "bench_docs": n_docs,
+        "docs_per_sec": round(n_docs / times["spatial_join"], 1),
+        "rasterize_docs_per_sec": round(n_docs / times["rasterize_checksum"], 1),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

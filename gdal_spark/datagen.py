@@ -120,10 +120,12 @@ def docs_table(spark: SparkSession, n: int | None = None, ids: DataFrame | None 
         named_struct('kind', s.kind, 'text', s.text, 'media_ref', s.media_ref,
                      'offset', cast(i as int)))
     """
+    extra = [F.col(c) for c in ids.columns if c != "id"]
     return ids.select(
         F.format_string("doc_%08d", F.col("id")).alias("doc_id"),
         F.expr(spans).alias("spans"),
         F.col("id").alias("_id"),  # kept for tests/bench joins; drop for pure F1 shape
+        *extra,
     )
 
 

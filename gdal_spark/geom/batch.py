@@ -138,6 +138,23 @@ class GeomBatchBuilder:
         self.geom_part_off.append(self.geom_part_off[-1])
         self.is_null.append(False)
 
+    def add_points_run(self, xs: np.ndarray, ys: np.ndarray) -> None:
+        """Bulk-append k POINT geometries (the vectorized fast path —
+        point-heavy batches never touch per-row Python)."""
+        k = len(xs)
+        if k == 0:
+            return
+        self.types.extend([GeomType.POINT] * k)
+        self.coord_chunks.append(np.column_stack([np.asarray(xs, np.float64), np.asarray(ys, np.float64)]))
+        c0 = self._ncoords
+        self._ncoords += k
+        self.ring_coord_off.extend(range(c0 + 1, c0 + k + 1))
+        nr = len(self.ring_coord_off) - 1  # total rings now
+        self.part_ring_off.extend(range(nr - k + 1, nr + 1))
+        np_ = len(self.part_ring_off) - 1
+        self.geom_part_off.extend(range(np_ - k + 1, np_ + 1))
+        self.is_null.extend([False] * k)
+
     def add(self, gtype: GeomType, parts: list[list[np.ndarray]]) -> None:
         """parts: [part -> [ring -> (k,2) array]]."""
         self.types.append(gtype)

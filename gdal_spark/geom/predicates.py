@@ -67,16 +67,20 @@ def line_to_edges(coords: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarra
 # containment
 
 
-def points_in_edges(px: np.ndarray, py: np.ndarray, edges) -> np.ndarray:
+def points_in_edges(px: np.ndarray, py: np.ndarray, edges, boundary: bool = True) -> np.ndarray:
     """Even-odd ray cast of N points against an edge table.
 
     Crossing rule matches the reference scanline rule
     (alg/llrasterize.cpp:41-45): edge crosses the horizontal ray iff
     (y1 <= py < y2) or (y2 <= py < y1) — half-open so shared vertices
     count once — and the intersection x is strictly right of px.
-    Points exactly ON an edge follow parity (boundary not guaranteed;
-    callers needing ON-boundary=inside must pre-test, documented
-    deviation vs GEOS Intersects).
+
+    boundary=True (default) additionally accepts points exactly ON an
+    edge, making the result GEOS-Intersects-equivalent (closed sets —
+    ogrgeometry.cpp:575 Intersects is GEOS-backed; parity alone is
+    half-open on right/top edges). boundary=False keeps raw parity
+    (the rasterizer's pixel-center rule, where centers at .5 offsets
+    never hit integer edges).
     """
     x1, y1, x2, y2 = edges
     px = np.asarray(px, dtype=np.float64).reshape(-1, 1)
@@ -88,7 +92,17 @@ def points_in_edges(px: np.ndarray, py: np.ndarray, edges) -> np.ndarray:
     with np.errstate(divide="ignore", invalid="ignore"):
         xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
     hits = crosses & (xint > px)
-    return (hits.sum(axis=1) & 1).astype(bool)
+    inside = (hits.sum(axis=1) & 1).astype(bool)
+    if boundary:
+        on_edge = (
+            ((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) == 0)
+            & (np.minimum(x1, x2) <= px)
+            & (px <= np.maximum(x1, x2))
+            & (np.minimum(y1, y2) <= py)
+            & (py <= np.maximum(y1, y2))
+        )
+        inside |= on_edge.any(axis=1)
+    return inside
 
 
 def points_in_rings(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:

@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -414,7 +415,42 @@ def rasterize(
         pdf = pdf.sort_values("ord", kind="stable")
         arr = np.full((spec.nbands, h, w), spec.init)
         batch = parse_wkt(pdf["wkt"])
-        for i in range(len(batch)):
+
+        # vectorized POINT path (GDALdllImagePoint: floor to pixel,
+        # bounds check) — burn all single points per band in one
+        # bincount (ADD) / ordered fancy assignment (REPLACE; stable
+        # order makes the LAST write win, = feature order)
+        is_single_pt = (batch.types == GeomType.POINT) & ~batch.is_empty
+        # REPLACE with mixed shapes must stay strictly in feature
+        # order (a later polygon may overwrite an earlier point);
+        # ADD is order-free, all-point tiles are order-safe too.
+        if not (merge_alg == "add" or is_single_pt.all()):
+            is_single_pt[:] = False
+        pt_rows = np.flatnonzero(is_single_pt)
+        if pt_rows.size:
+            first_ring = batch.part_ring_off[batch.geom_part_off[pt_rows]]
+            cidx = batch.ring_coord_off[first_ring]
+            px, py = spec.world_to_pixel(batch.coords[cidx, 0], batch.coords[cidx, 1])
+            ok = (px >= 0) & (px < spec.width) & (py >= 0) & (py < spec.height)
+            lx = px.astype(np.int64) - ox
+            ly = py.astype(np.int64) - oy
+            ok &= (lx >= 0) & (lx < w) & (ly >= 0) & (ly < h)
+            sel = np.flatnonzero(ok)
+            if sel.size:
+                flat = ly[sel] * w + lx[sel]
+                burns = np.array(
+                    [[float(v) for v in s.split(",")] for s in pdf["burn"].iloc[pt_rows[sel]]],
+                    dtype=np.float64,
+                )
+                for b in range(spec.nbands):
+                    if merge_alg == "add":
+                        arr[b] += np.bincount(flat, weights=burns[:, b], minlength=h * w).reshape(h, w)
+                    else:
+                        a = arr[b].ravel()
+                        a[flat] = burns[:, b]  # stable order: last wins
+                        arr[b] = a.reshape(h, w)
+
+        for i in np.flatnonzero(~is_single_pt & ~batch.is_null):
             gtype, parts = batch.geometry(i)
             pparts = [
                 [np.column_stack(spec.world_to_pixel(r[:, 0], r[:, 1])) for r in rings]
@@ -502,3 +538,70 @@ def checksum_df(tiles: DataFrame, spec: RasterSpec, band: int = 1) -> int:
         .first()
     )
     return int(row.c)
+
+
+def checksum_col(tiles: DataFrame, spec: RasterSpec) -> DataFrame:
+    """Distributed checksum as a DataFrame: (band, checksum). Same
+    partial-per-tile + sum-mod-65536 plan as checksum_df, but lazy —
+    usable inside queries()/bench without a driver-side collect."""
+    ts = spec.tile_size
+    w = spec.width
+
+    @F.pandas_udf(LongType())
+    def _partial(ty: pd.Series, tx: pd.Series, h: pd.Series, wcol: pd.Series, dtype: pd.Series, payload: pd.Series) -> pd.Series:
+        out = []
+        for i in range(len(ty)):
+            t = np.frombuffer(payload.iloc[i], dtype=dtype.iloc[i]).reshape(h.iloc[i], wcol.iloc[i])
+            out.append(checksum_tile_partial(t, int(ty.iloc[i]) * ts, int(tx.iloc[i]) * ts, w))
+        return pd.Series(out, dtype="int64")
+
+    return (
+        tiles.select("band", _partial("ty", "tx", "h", "w", "dtype", "payload").alias("p"))
+        .groupBy("band")
+        .agg(F.pmod(F.sum("p"), F.lit(65536)).alias("checksum"))
+    )
+
+
+AS_FEATURES_SCHEMA = StructType(
+    [
+        StructField("band", IntegerType()),
+        StructField("py", IntegerType()),
+        StructField("px", IntegerType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def as_features(tiles: DataFrame, spec: RasterSpec, skip_value: float | None = None) -> DataFrame:
+    """Tiles -> one row per pixel (band, py, px, value) in GLOBAL
+    pixel coordinates — `gdal raster as-features` / pixel-info
+    (apps/gdalalg_raster_as_features.cpp). skip_value drops a
+    background value (sparse output; the common use for burn counts).
+
+    Decode + flatten happens inside one Arrow batch pass; no
+    driver-side materialization, output is pruned before the shuffle.
+    """
+    ts = spec.tile_size
+
+    def _explode(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                t = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w).astype(np.float64)
+                yy, xx = np.nonzero(t != skip_value) if skip_value is not None else np.unravel_index(np.arange(t.size), t.shape)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "band": np.full(yy.size, r.band, dtype=np.int32),
+                            "py": (yy + r.ty * ts).astype(np.int32),
+                            "px": (xx + r.tx * ts).astype(np.int32),
+                            "value": t[yy, xx],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+                {"band": pd.array([], dtype="int32"), "py": pd.array([], dtype="int32"),
+                 "px": pd.array([], dtype="int32"), "value": pd.array([], dtype="float64")}
+            )
+
+    return tiles.mapInPandas(_explode, AS_FEATURES_SCHEMA)

@@ -238,11 +238,16 @@ def spatial_join(
 
     out_schema = StructType(docs.schema.fields + [StructField("zone_fid", LongType())])
 
+    has_env = all(c in docs.columns for c in ("env_minx", "env_miny", "env_maxx", "env_maxy"))
+
     def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         zi: ZoneIndex = bc.value
         for pdf in batches:
-            batch = parse_wkt(pdf[wkt_col])
-            di, zpos = zi.probe_batch(batch)
+            if has_env:
+                di, zpos = _probe_with_env(zi, pdf, wkt_col)
+            else:
+                batch = parse_wkt(pdf[wkt_col])
+                di, zpos = zi.probe_batch(batch)
             if first_match and di.size:
                 # lowest secondary fid per doc row
                 fids = zi.fids[zpos]
@@ -263,6 +268,36 @@ def spatial_join(
             yield matched
 
     return docs.mapInPandas(_probe, out_schema)
+
+
+def _probe_with_env(zi: "ZoneIndex", pdf: pd.DataFrame, wkt_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Probe using precomputed envelope columns: POINT rows go through
+    the vectorized R-tree+ray-cast path with NO WKT parsing at all;
+    only non-point rows (typically a small minority) are parsed. This
+    keeps the 10^12-doc hot loop entirely in numpy."""
+    minx = pdf["env_minx"].to_numpy(dtype=np.float64)
+    miny = pdf["env_miny"].to_numpy(dtype=np.float64)
+    maxx = pdf["env_maxx"].to_numpy(dtype=np.float64)
+    maxy = pdf["env_maxy"].to_numpy(dtype=np.float64)
+    valid = ~np.isnan(minx)
+    is_pt = valid & (minx == maxx) & (miny == maxy) & pdf[wkt_col].str.startswith("POINT").fillna(False).to_numpy()
+    out_d: list[np.ndarray] = []
+    out_z: list[np.ndarray] = []
+    pt_idx = np.flatnonzero(is_pt)
+    if pt_idx.size:
+        pi, zpos = zi.probe_points(minx[pt_idx], miny[pt_idx])
+        out_d.append(pt_idx[pi])
+        out_z.append(zpos)
+    other_idx = np.flatnonzero(valid & ~is_pt)
+    if other_idx.size:
+        batch = parse_wkt(pdf[wkt_col].iloc[other_idx])
+        di, zpos = zi.probe_batch(batch)
+        out_d.append(other_idx[di])
+        out_z.append(zpos)
+    if not out_d:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    return np.concatenate(out_d), np.concatenate(out_z)
 
 
 def attach_zone_attrs(joined: DataFrame, zones: DataFrame, fid_col: str = "fid", prefix: str = "zone_") -> DataFrame:

@@ -96,6 +96,42 @@ class WebMercatorQuad:
         return ty if convention == "xyz" else self.matrix_size(z) - 1 - ty
 
 
+def tile_keys_for_envelopes(
+    df: DataFrame,
+    top_left_x: float,
+    top_left_y: float,
+    tile_world: float,
+    matrix_size: int,
+    minx_col: str = "env_minx",
+    miny_col: str = "env_miny",
+    maxx_col: str = "env_maxx",
+    maxy_col: str = "env_maxy",
+) -> DataFrame:
+    """Explode rows to their covering (tx, ty) tile keys — the
+    GetTileIndices math (gdalalg_raster_tile.cpp:435-509) as pure
+    Catalyst expressions: floor((coord-origin)/tile_world + 1e-3)
+    clamped to [0, n-1], y measured from the TOP row (top_left_y).
+
+    This is the vector->tile partitioner: at scale the output is the
+    shuffle key (repartition by (tx,ty)) that co-locates every
+    geometry with its tile task. JVM-side only — no Python crossing,
+    so it whole-stage-codegens into the scan."""
+    n1 = matrix_size - 1
+    tw = float(tile_world)
+
+    def _clamp(e):
+        return F.least(F.greatest(e.cast("int"), F.lit(0)), F.lit(n1))
+
+    tx0 = _clamp(F.floor((F.col(minx_col) - top_left_x) / tw + TILE_EPSILON))
+    tx1 = _clamp(F.floor((F.col(maxx_col) - top_left_x) / tw + TILE_EPSILON))
+    ty0 = _clamp(F.floor((top_left_y - F.col(maxy_col)) / tw + TILE_EPSILON))
+    ty1 = _clamp(F.floor((top_left_y - F.col(miny_col)) / tw + TILE_EPSILON))
+    return (
+        df.withColumn("tx", F.explode(F.sequence(tx0, tx1)))
+        .withColumn("ty", F.explode(F.sequence(ty0, ty1)))
+    )
+
+
 # ---------------------------------------------------------------------------
 # warp kernels (numpy, exact reference index math)
 

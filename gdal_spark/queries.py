@@ -1,0 +1,641 @@
+"""Driver-facing query battery: every entry pairs a Spark-side
+operator pipeline with a DuckDB-runnable ANSI-SQL oracle over the
+same /root/testdata parquet tables.
+
+Design contract (see __spark_entry__.py):
+  * QUERIES[name](spark, sf_dir) -> DataFrame, built from the ENGINE's
+    operators (extract_geom / spatial_join / rasterize / knn / ...),
+    never from the oracle arithmetic.
+  * ORACLES[name] = SQL string that DuckDB evaluates on views named
+    region nation customer supplier part orders lineitem events
+    documents embeddings.
+  * Column names and types must match pairwise; every aggregate or
+    computed column is aliased identically on both sides. Doubles
+    that are COMPUTED (sums/avgs) are converted to exact integer
+    cents before aggregation so cross-engine fp summation order
+    cannot flip the value hash; doubles that are PICKED (min/max of
+    stored values) pass through unchanged.
+
+The geospatial queries run over the interleaved-span docs table
+(BASELINE.json input_hint) derived deterministically from
+documents.doc_id via datagen.docs_table; the oracle re-derives the
+geometry with the same integer arithmetic (datagen.geom_cols_sql) —
+both sides compute on bit-identical integers, so the compare is
+exact. Geometry semantics on the engine side go through the real WKT
+parse -> envelope -> cascade/R-tree pipeline (SURVEY.md §2.2-2.3),
+matching GEOS closed-set Intersects (ogrgeometry.cpp:575).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from gdal_spark.datagen import ZONE_EAS, ZONE_WKTS, docs_table, geom_cols_sql, zones_table
+from gdal_spark.fixtures import BYTE20_SPEC
+from gdal_spark.operators.knn import knn_broadcast
+from gdal_spark.operators.raster import as_features, checksum_col, rasterize
+from gdal_spark.operators.spatial import extract_geom, spatial_filter, spatial_join
+from gdal_spark.operators.tiles import tile_keys_for_envelopes
+
+# ---------------------------------------------------------------------------
+# shared fixtures
+
+SPAT_RECT = (440800, 3750300, 441300, 3750800)  # FIXTURES.md F2 query rect
+SPAT_RECT_WKT = (
+    "POLYGON ((440800 3750300,440800 3750800,441300 3750800,441300 3750300,440800 3750300))"
+)
+
+# local tile matrix over the byte20 world: 8x8 tiles of 150 world units
+TILE_TLX, TILE_TLY, TILE_W, TILE_N = 440720.0, 3751320.0, 150.0, 8
+
+
+def _zone_env(fid: int) -> tuple[int, int, int, int]:
+    body = ZONE_WKTS[fid].replace("POLYGON ((", "").replace("))", "").replace("),(", ",")
+    nums = [int(float(t)) for t in body.replace(",", " ").split()]
+    xs, ys = nums[0::2], nums[1::2]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def _overlap(minx, miny, maxx, maxy) -> str:
+    """Closed-set intersects of the doc square [gx±half]x[gy±half]
+    (points: half=0) with an axis-parallel rectangle — exact for
+    these shapes, equals GEOS Intersects."""
+    return (
+        f"(gx + half >= {minx} AND gx - half <= {maxx} "
+        f"AND gy + half >= {miny} AND gy - half <= {maxy})"
+    )
+
+
+def zone_intersects_sql(fid: int) -> str:
+    """Exact intersects(doc_geom, zone fid) as SQL over docs_g cols."""
+    if fid < 8:
+        return _overlap(*_zone_env(fid))
+    if fid == 8:  # L-shape = union of two closed rects (exact cover)
+        return f"({_overlap(441050, 3751050, 441150, 3751300)} OR {_overlap(441050, 3751050, 441450, 3751150)})"
+    # fid 9: rect with hole — intersects outer unless the doc square is
+    # strictly inside the hole's OPEN interior (touching the interior
+    # ring still intersects: boundary belongs to the polygon).
+    inside_hole = "(gx - half > 440900 AND gx + half < 441000 AND gy - half > 3750500 AND gy + half < 3750560)"
+    return f"({_overlap(440850, 3750480, 441050, 3750580)} AND NOT {inside_hole})"
+
+
+def docs_g_cte() -> str:
+    """DuckDB CTE body: per-doc derived geometry columns (the same
+    integer arithmetic datagen evaluates in Spark)."""
+    c = geom_cols_sql("doc_id")
+    return (
+        f"SELECT doc_id, n_chars, {c['gx']} AS gx, {c['gy']} AS gy, "
+        f"{c['half']} AS half, {c['valid']} AS valid, {c['is_poly']} AS is_poly "
+        f"FROM documents"
+    )
+
+
+def _zone_match_sql() -> str:
+    """UNION ALL of exact doc-x-zone intersect pairs (all 10 zones)."""
+    parts = [
+        f"SELECT doc_id, {fid} AS zone_fid, {ZONE_EAS[fid]} AS eas_id FROM g "
+        f"WHERE valid AND {zone_intersects_sql(fid)}"
+        for fid in range(10)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# inputs
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interleaved-span docs table (input_hint shape) keyed off
+    the driver's documents.doc_id, carrying n_chars for zonal stats."""
+    ids = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "n_chars")
+    return docs_table(spark, ids=ids)
+
+
+NARROW_COLS = ["_id", "wkt", "env_minx", "env_miny", "env_maxx", "env_maxy", "geom_error"]
+
+
+def docs_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow geometry projection: the heavy spans column is pruned
+    BEFORE any mapInPandas operator (mapInPandas ships every input
+    column through Arrow — carrying array<struct> spans through the
+    probe would dominate the exchange)."""
+    return extract_geom(docs(spark, sf_dir)).select(*NARROW_COLS, "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# geospatial queries
+
+
+def q_envelopes(spark, sf_dir):
+    g = docs_geom(spark, sf_dir)
+    return g.filter(F.col("geom_error").isNull() & F.col("wkt").isNotNull()).select(
+        F.col("_id").alias("doc_id"),
+        F.col("env_minx").cast("bigint").alias("minx"),
+        F.col("env_miny").cast("bigint").alias("miny"),
+        F.col("env_maxx").cast("bigint").alias("maxx"),
+        F.col("env_maxy").cast("bigint").alias("maxy"),
+    )
+
+
+def q_spatial_filter_rect(spark, sf_dir):
+    g = docs_geom(spark, sf_dir)
+    return spatial_filter(g, SPAT_RECT_WKT).select(F.col("_id").alias("doc_id"))
+
+
+def q_spatial_filter_lshape(spark, sf_dir):
+    g = docs_geom(spark, sf_dir)
+    return spatial_filter(g, ZONE_WKTS[8]).select(F.col("_id").alias("doc_id"))
+
+
+def q_spatial_join(spark, sf_dir):
+    g = docs_geom(spark, sf_dir)
+    j = spatial_join(g, zones_table(spark))
+    eas = F.element_at(F.array(*[F.lit(e) for e in ZONE_EAS]), F.col("zone_fid").cast("int") + 1)
+    return j.select(
+        F.col("_id").alias("doc_id"),
+        F.col("zone_fid").cast("bigint").alias("zone_fid"),
+        eas.cast("bigint").alias("eas_id"),
+    )
+
+
+def q_spatial_join_first(spark, sf_dir):
+    g = docs_geom(spark, sf_dir)
+    j = spatial_join(g, zones_table(spark), first_match=True, how="left")
+    return j.select(F.col("_id").alias("doc_id"), F.col("zone_fid").cast("bigint").alias("zone_fid"))
+
+
+def q_spatial_antijoin(spark, sf_dir):
+    g = docs_geom(spark, sf_dir).filter(F.col("geom_error").isNull())
+    j = spatial_join(g, zones_table(spark), first_match=True, how="left")
+    return j.filter(F.col("zone_fid").isNull()).select(F.col("_id").alias("doc_id"))
+
+
+def q_zonal_stats(spark, sf_dir):
+    g = docs_geom(spark, sf_dir)
+    j = spatial_join(g, zones_table(spark))
+    return (
+        j.groupBy(F.col("zone_fid").cast("bigint").alias("zone_fid"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("_id").alias("min_doc"),
+        )
+    )
+
+
+def q_knn_centers(spark, sf_dir):
+    g = docs_geom(spark, sf_dir)
+    pts = g.filter(
+        F.col("geom_error").isNull() & (F.col("env_minx") == F.col("env_maxx"))
+    ).select(
+        F.col("_id").alias("id"),
+        F.col("env_minx").alias("x"),
+        F.col("env_miny").alias("y"),
+    )
+    centers = []
+    for fid in range(10):
+        minx, miny, maxx, maxy = _zone_env(fid)
+        centers.append((fid, (minx + maxx) / 2.0, (miny + maxy) / 2.0))
+    out = knn_broadcast(pts, centers, k=5)
+    return out.select(
+        F.col("qid").alias("fid"),
+        F.col("nid").alias("doc_id"),
+        F.col("d2").cast("bigint").alias("d2"),
+    )
+
+
+def q_tile_keys(spark, sf_dir):
+    g = docs_geom(spark, sf_dir).filter(F.col("geom_error").isNull())
+    t = tile_keys_for_envelopes(g, TILE_TLX, TILE_TLY, TILE_W, TILE_N)
+    return t.select(
+        F.col("_id").alias("doc_id"),
+        F.col("tx").cast("bigint").alias("tx"),
+        F.col("ty").cast("bigint").alias("ty"),
+    )
+
+
+def _point_burn_tiles(spark, sf_dir):
+    g = docs_geom(spark, sf_dir)
+    shapes = g.filter(
+        F.col("geom_error").isNull() & (F.col("env_minx") == F.col("env_maxx"))
+    ).select(
+        F.col("_id").alias("fid"),
+        "wkt",
+        F.array(F.lit(1.0)).alias("burn_values"),
+    )
+    return rasterize(shapes, BYTE20_SPEC, merge_alg="add")
+
+
+def q_rasterize_points(spark, sf_dir):
+    pix = as_features(_point_burn_tiles(spark, sf_dir), BYTE20_SPEC, skip_value=0.0)
+    return pix.filter(F.col("band") == 1).select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("value").cast("bigint").alias("v"),
+    )
+
+
+def q_raster_checksum(spark, sf_dir):
+    cs = checksum_col(_point_burn_tiles(spark, sf_dir), BYTE20_SPEC)
+    return cs.select(F.col("band").cast("bigint").alias("band"), F.col("checksum").cast("bigint").alias("checksum"))
+
+
+def q_media_refs(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    media = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media"))
+    return d.filter(F.size(media) > 0).select(
+        F.col("_id").alias("doc_id"),
+        F.element_at(media, 1)["media_ref"].alias("media_ref"),
+    )
+
+
+def q_span_kinds(spark, sf_dir):
+    d = docs(spark, sf_dir).repartition(32, "doc_id")  # force a shuffle
+    return d.select(
+        F.col("_id").alias("doc_id"),
+        F.concat_ws(",", F.transform(F.col("spans"), lambda s: s["kind"])).alias("kinds"),
+        F.size("spans").cast("bigint").alias("n_spans"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational / OGR SQL semantics
+
+
+def q_summary_lineitem(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 10)
+    return li.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("sum_price_cents"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+def q_distinct_priorities(spark, sf_dir):
+    return load(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+
+
+def q_like_ilike(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").like("%red%").alias("like_red"),
+        F.col("p_name").ilike("%RED%").alias("ilike_red"),
+    )
+
+
+def q_substr_tail(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    # OGR SUBSTR negative start counts from the end
+    # (doc/source/user/ogr_sql_dialect.rst:166-169); Spark substring
+    # has the same negative-start convention natively.
+    return s.select("s_suppkey", F.expr("substring(s_name, -6, 6)").alias("tail6"))
+
+
+def q_first_match_sql_join(spark, sf_dir):
+    """OGR SQL JOIN: exactly the FIRST matching secondary feature in
+    FID order (ogr_gensql.cpp:1515-1546), 1:1 never 1:N."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    first = o.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return c.join(first, c["c_custkey"] == first["o_custkey"], "left").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+def q_order_limit_offset(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .offset(5)
+        .limit(10)
+    )
+
+
+def q_union_all(spark, sf_dir):
+    n = load(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
+    r = load(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
+    return n.unionAll(r)
+
+
+def q_agg_events(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+    )
+
+
+def q_window_topk_events(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: text + dedup + embeddings
+
+
+def q_token_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks.cast("bigint")).alias("sum_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5")).agg(
+        F.min("doc_id").alias("kept_doc_id"),
+        F.count(F.lit(1)).alias("dup_n"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    n_the = (F.length(padded) - F.length(F.regexp_replace(padded, " the ", ""))) / 5
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.select(
+        "doc_id",
+        toks.cast("bigint").alias("n_tokens"),
+        n_the.cast("bigint").alias("n_the"),
+        (F.col("n_chars") - F.length("text")).cast("bigint").alias("chars_delta"),
+    )
+
+
+def q_embed_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    qn = math.sqrt(sum(v * v for v in qvec))
+    qarr = F.array(*[F.lit(v) for v in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qarr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = emb.select("vec_id", (dot / (nrm * F.lit(qn))).alias("cs"))
+    w = Window.orderBy(F.desc("cs"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("vec_id", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+QUERIES = {
+    "envelopes": q_envelopes,
+    "spatial_filter_rect": q_spatial_filter_rect,
+    "spatial_filter_lshape": q_spatial_filter_lshape,
+    "spatial_join": q_spatial_join,
+    "spatial_join_first": q_spatial_join_first,
+    "spatial_antijoin": q_spatial_antijoin,
+    "zonal_stats": q_zonal_stats,
+    "knn_centers": q_knn_centers,
+    "tile_keys": q_tile_keys,
+    "rasterize_points": q_rasterize_points,
+    "raster_checksum": q_raster_checksum,
+    "media_refs": q_media_refs,
+    "span_kinds": q_span_kinds,
+    "summary_lineitem": q_summary_lineitem,
+    "distinct_priorities": q_distinct_priorities,
+    "like_ilike": q_like_ilike,
+    "substr_tail": q_substr_tail,
+    "first_match_sql_join": q_first_match_sql_join,
+    "order_limit_offset": q_order_limit_offset,
+    "union_all": q_union_all,
+    "agg_events": q_agg_events,
+    "window_topk_events": q_window_topk_events,
+    "token_stats": q_token_stats,
+    "dedup_exact": q_dedup_exact,
+    "text_quality": q_text_quality,
+    "embed_topk": q_embed_topk,
+}
+
+
+def _o_envelopes() -> str:
+    return (
+        f"WITH g AS ({docs_g_cte()}) SELECT doc_id, "
+        "CAST(gx - half AS BIGINT) AS minx, CAST(gy - half AS BIGINT) AS miny, "
+        "CAST(gx + half AS BIGINT) AS maxx, CAST(gy + half AS BIGINT) AS maxy "
+        "FROM g WHERE valid"
+    )
+
+
+def _o_spatial_filter_rect() -> str:
+    minx, miny, maxx, maxy = SPAT_RECT
+    return (
+        f"WITH g AS ({docs_g_cte()}) SELECT doc_id FROM g "
+        f"WHERE valid AND {_overlap(minx, miny, maxx, maxy)}"
+    )
+
+
+def _o_spatial_filter_lshape() -> str:
+    return (
+        f"WITH g AS ({docs_g_cte()}) SELECT doc_id FROM g "
+        f"WHERE valid AND {zone_intersects_sql(8)}"
+    )
+
+
+def _o_spatial_join() -> str:
+    return f"WITH g AS ({docs_g_cte()}) SELECT * FROM ({_zone_match_sql()})"
+
+
+def _o_spatial_join_first() -> str:
+    return (
+        f"WITH g AS ({docs_g_cte()}), m AS ({_zone_match_sql()}) "
+        "SELECT g.doc_id, MIN(m.zone_fid) AS zone_fid "
+        "FROM g LEFT JOIN m ON g.doc_id = m.doc_id GROUP BY g.doc_id"
+    )
+
+
+def _o_spatial_antijoin() -> str:
+    conds = " OR ".join(zone_intersects_sql(fid) for fid in range(10))
+    return (
+        f"WITH g AS ({docs_g_cte()}) SELECT doc_id FROM g "
+        f"WHERE valid AND NOT ({conds})"
+    )
+
+
+def _o_zonal_stats() -> str:
+    return (
+        f"WITH g AS ({docs_g_cte()}), m AS ({_zone_match_sql()}) "
+        "SELECT m.zone_fid, COUNT(*) AS n_docs, SUM(g.n_chars) AS sum_chars, "
+        "MIN(g.doc_id) AS min_doc FROM m JOIN g ON m.doc_id = g.doc_id "
+        "GROUP BY m.zone_fid"
+    )
+
+
+def _o_knn_centers() -> str:
+    rows = []
+    for fid in range(10):
+        minx, miny, maxx, maxy = _zone_env(fid)
+        rows.append(f"({fid}, {(minx + maxx) // 2}, {(miny + maxy) // 2})")
+    centers = "(VALUES " + ", ".join(rows) + ") AS c(fid, cx, cy)"
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        f"d AS (SELECT c.fid, g.doc_id, (g.gx - c.cx) * (g.gx - c.cx) + (g.gy - c.cy) * (g.gy - c.cy) AS d2 "
+        f"FROM {centers} CROSS JOIN g WHERE g.valid AND NOT g.is_poly), "
+        "r AS (SELECT fid, doc_id, d2, row_number() OVER (PARTITION BY fid ORDER BY d2, doc_id) AS rn FROM d) "
+        "SELECT CAST(fid AS BIGINT) AS fid, doc_id, CAST(d2 AS BIGINT) AS d2 FROM r WHERE rn <= 5"
+    )
+
+
+def _o_tile_keys() -> str:
+    def clampi(expr: str) -> str:
+        return f"LEAST(GREATEST(CAST(floor({expr}) AS BIGINT), 0), {TILE_N - 1})"
+
+    tx0 = clampi(f"((gx - half) - {TILE_TLX}) / {TILE_W} + 0.001")
+    tx1 = clampi(f"((gx + half) - {TILE_TLX}) / {TILE_W} + 0.001")
+    ty0 = clampi(f"({TILE_TLY} - (gy + half)) / {TILE_W} + 0.001")
+    ty1 = clampi(f"({TILE_TLY} - (gy - half)) / {TILE_W} + 0.001")
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        f"e AS (SELECT doc_id, {tx0} AS tx0, {tx1} AS tx1, {ty0} AS ty0, {ty1} AS ty1 FROM g WHERE valid), "
+        "x AS (SELECT doc_id, ty0, ty1, unnest(generate_series(tx0, tx1)) AS tx FROM e) "
+        "SELECT doc_id, tx, unnest(generate_series(ty0, ty1)) AS ty FROM x"
+    )
+
+
+def _pix_cte() -> str:
+    """Point-burn pixel counts on the byte20 20x20 grid (uint8 clamp):
+    pixel = floor of the inverse geotransform, bounds-checked, one
+    count per point (gv_rasterize point path, GDALdllImagePoint)."""
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "p AS (SELECT CAST(floor((gx - 440720) / 60.0) AS BIGINT) AS px, "
+        "CAST(floor((3751320 - gy) / 60.0) AS BIGINT) AS py "
+        "FROM g WHERE valid AND NOT is_poly), "
+        "pix AS (SELECT py, px, LEAST(COUNT(*), 255) AS v FROM p "
+        "WHERE px BETWEEN 0 AND 19 AND py BETWEEN 0 AND 19 GROUP BY py, px)"
+    )
+
+
+def _o_rasterize_points() -> str:
+    return f"{_pix_cte()} SELECT py, px, v FROM pix"
+
+
+def _o_raster_checksum() -> str:
+    primes = "[7,11,13,17,19,23,29,31,37,41,43]"
+    return (
+        f"{_pix_cte()} SELECT CAST(1 AS BIGINT) AS band, "
+        f"CAST(SUM(v % ({primes})[((py * 20 + px) % 11) + 1]) % 65536 AS BIGINT) AS checksum FROM pix"
+    )
+
+
+def _o_media_refs() -> str:
+    return (
+        "SELECT doc_id, 'fake://media/' || CAST((doc_id * 2654435761) % 100000 AS VARCHAR) || '.jpg' AS media_ref "
+        "FROM documents WHERE doc_id % 3 = 0"
+    )
+
+
+def _o_span_kinds() -> str:
+    return (
+        "SELECT doc_id, "
+        "'text' || CASE WHEN doc_id % 3 = 0 THEN ',media' ELSE '' END || ',geom' "
+        "|| CASE WHEN doc_id % 2 = 0 THEN ',text' ELSE '' END AS kinds, "
+        "CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_spans "
+        "FROM documents"
+    )
+
+
+ORACLES = {
+    "envelopes": _o_envelopes(),
+    "spatial_filter_rect": _o_spatial_filter_rect(),
+    "spatial_filter_lshape": _o_spatial_filter_lshape(),
+    "spatial_join": _o_spatial_join(),
+    "spatial_join_first": _o_spatial_join_first(),
+    "spatial_antijoin": _o_spatial_antijoin(),
+    "zonal_stats": _o_zonal_stats(),
+    "knn_centers": _o_knn_centers(),
+    "tile_keys": _o_tile_keys(),
+    "rasterize_points": _o_rasterize_points(),
+    "raster_checksum": _o_raster_checksum(),
+    "media_refs": _o_media_refs(),
+    "span_kinds": _o_span_kinds(),
+    "summary_lineitem": (
+        "SELECT COUNT(*) AS cnt, COUNT(DISTINCT l_returnflag) AS n_flags, "
+        "MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty, "
+        "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents, "
+        "MAX(l_shipdate) AS max_ship FROM lineitem WHERE l_quantity > 10"
+    ),
+    "distinct_priorities": "SELECT DISTINCT o_orderpriority FROM orders",
+    "like_ilike": (
+        "SELECT p_partkey, (p_name LIKE '%red%') AS like_red, "
+        "(p_name ILIKE '%RED%') AS ilike_red FROM part"
+    ),
+    "substr_tail": (
+        "SELECT s_suppkey, substr(s_name, length(s_name) - 5, 6) AS tail6 FROM supplier"
+    ),
+    "first_match_sql_join": (
+        "SELECT c.c_custkey, o.o_orderkey FROM customer c LEFT JOIN "
+        "(SELECT o_custkey, MIN(o_orderkey) AS o_orderkey FROM orders GROUP BY o_custkey) o "
+        "ON c.c_custkey = o.o_custkey"
+    ),
+    "order_limit_offset": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5"
+    ),
+    "union_all": "SELECT n_name AS name FROM nation UNION ALL SELECT r_name AS name FROM region",
+    "agg_events": (
+        "SELECT event_type, COUNT(*) AS n, "
+        "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents FROM events GROUP BY event_type"
+    ),
+    "window_topk_events": (
+        "SELECT user_id, event_id, CAST(rk AS BIGINT) AS rk FROM ("
+        "SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk "
+        "FROM events) WHERE rk <= 3"
+    ),
+    "token_stats": (
+        "SELECT lang, COUNT(*) AS n_docs, "
+        "SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)) AS sum_tokens, "
+        "SUM(n_chars) AS sum_chars FROM documents GROUP BY lang"
+    ),
+    "dedup_exact": (
+        "SELECT md5(text) AS text_md5, MIN(doc_id) AS kept_doc_id, COUNT(*) AS dup_n "
+        "FROM documents GROUP BY md5(text)"
+    ),
+    "text_quality": (
+        "SELECT doc_id, "
+        "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, "
+        "CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) AS n_the, "
+        "CAST(n_chars - length(text) AS BIGINT) AS chars_delta "
+        "FROM documents"
+    ),
+    "embed_topk": (
+        "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+        "s AS (SELECT vec_id, list_cosine_similarity(embedding, (SELECT qe FROM q)) AS cs FROM embeddings) "
+        "SELECT vec_id, CAST(row_number() OVER (ORDER BY cs DESC, vec_id) AS BIGINT) AS rank "
+        "FROM s ORDER BY cs DESC, vec_id LIMIT 10"
+    ),
+}
