@@ -48,10 +48,11 @@ from gdal_spark.queries import (  # noqa: E402
 )
 from gdal_spark.session import get_spark  # noqa: E402
 
-# a 1024x1024 1-unit grid over the byte20 world (4x4 full 256-tiles,
-# so the pyramid path gets whole tiles): meaningful burn work
+# a 4096x4096 grid over the full byte20 world (16x16 = 256 full
+# 256-tiles: enough tile tasks to exercise real parallelism; pixel
+# size 1200/4096 is exactly representable in binary)
 BENCH_SPEC = RasterSpec(
-    width=1024, height=1024, gt=(440720.0, 1.0, 0.0, 3751320.0, 0.0, -1.0),
+    width=4096, height=4096, gt=(440720.0, 1200.0 / 4096, 0.0, 3751320.0, 0.0, -1200.0 / 4096),
     dtype="int32", nbands=1, tile_size=256,
 )
 
@@ -71,7 +72,9 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
 
     # -- generated interleaved docs (the north-rule input shape) --
-    big = docs_table(spark, n=n_docs)
+    # fixed 128-way input partitioning: identical plans at every
+    # parallelism level (scaling runs compare executors, not plans)
+    big = docs_table(spark, n=n_docs, num_partitions=128)
     geom = extract_geom(big).select(
         "_id", "wkt", "env_minx", "env_miny", "env_maxx", "env_maxy", "geom_error"
     )

@@ -90,13 +90,20 @@ def geom_wkt_sql(id_expr: str) -> str:
     )
 
 
-def docs_table(spark: SparkSession, n: int | None = None, ids: DataFrame | None = None) -> DataFrame:
+def docs_table(
+    spark: SparkSession,
+    n: int | None = None,
+    ids: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """The F1 interleaved docs table, from spark.range(n) or a
-    caller-provided single-column `id` DataFrame."""
+    caller-provided single-column `id` DataFrame. num_partitions
+    fixes the task granularity (bench uses it so runs at different
+    cluster sizes execute the identical plan)."""
     if ids is None:
         if n is None:
             raise ValueError("need n or ids")
-        ids = spark.range(n)
+        ids = spark.range(0, n, 1, num_partitions) if num_partitions else spark.range(n)
     wkt = geom_wkt_sql("id")
     spans = f"""
       filter(array(

@@ -1,0 +1,175 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup, MinHash+LSH near-dup pairing, and SimHash signatures —
+all built from JVM-side Catalyst expressions (split / transform /
+aggregate / array_min / md5) so the hot path never crosses into
+Python, and all hashing is md5-derived so a SQL oracle can reproduce
+results bit-for-bit (Spark `conv(substr(md5(x),1,15),16,10)` ==
+DuckDB `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`).
+
+Scale notes (10^12 docs):
+  * signatures are fixed-width per doc -> shuffle-light;
+  * LSH candidate generation is a self-equi-join on (band, band_hash)
+    — Spark hash-partitions it; hot buckets (boilerplate dups) are
+    exactly the skew AQE skew-join handles;
+  * exact-verify runs only on candidate pairs (tiny vs N^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+N_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = 4
+SHINGLE_K = 3
+
+
+def hash64(col: Column, seed: int | str = 0) -> Column:
+    """Deterministic 60-bit hash of a string column (md5 prefix).
+    Oracle-equivalent: CAST('0x' || substr(md5(seed || ':' || x), 1, 15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col).cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def hash64_sql(expr: str, seed: int | str = 0) -> str:
+    """The DuckDB-side twin of hash64 (for oracle construction)."""
+    return f"CAST(concat('0x', substr(md5(concat('{seed}:', {expr})), 1, 15)) AS BIGINT)"
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def shingles_col(tokens: Column, k: int = SHINGLE_K) -> Column:
+    """k-token shingles (distinct); short docs collapse to one shingle."""
+    joined = F.array_join(tokens, " ")
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (k - 1)),
+        lambda i: F.array_join(F.slice(tokens, i, k), " "),
+    )
+    return F.array_distinct(F.when(F.size(tokens) < k, F.array(joined)).otherwise(windows))
+
+
+def _hasher(seed: int):
+    """One-arg lambda factory (a 2-param lambda would be treated by
+    Spark HOFs as (element, index) — the index would silently replace
+    the seed)."""
+    return lambda s: hash64(s, seed)
+
+
+def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
+    """Array of n_hashes min-hashes of the shingle set."""
+    return F.array(*[F.array_min(F.transform(shingles, _hasher(k))) for k in range(n_hashes)])
+
+
+def with_minhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "minhash", k: int = SHINGLE_K
+) -> DataFrame:
+    sh = shingles_col(tokens_col(F.col(text_col)), k)
+    return df.withColumn("_shingles", sh).withColumn(out_col, minhash_signature(F.col("_shingles")))
+
+
+def lsh_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    shingle_col: str = "_shingles",
+    threshold: float = 0.5,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs + exact Jaccard verification.
+
+    Classic banding: a pair becomes a candidate iff it agrees on ALL
+    rows of at least one band; candidates are then verified with the
+    exact Jaccard of the distinct shingle sets. Output:
+    (a, b, jaccard) with a < b, one row per pair (distinct across
+    bands). Deterministic end to end.
+    """
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws(",", *[F.element_at(sig_col, b * rows_per_band + r + 1) for r in range(rows_per_band)]).cast("binary")
+            )
+            for b in range(bands)
+        ]
+    )
+    e = sigs.select(
+        F.col(id_col).alias("_id_"),
+        F.col(shingle_col).alias("_sh_"),
+        F.posexplode(band_arr).alias("band", "bh"),
+    )
+    left = e.select(F.col("band"), F.col("bh"), F.col("_id_").alias("a"), F.col("_sh_").alias("sa"))
+    right = e.select(F.col("band"), F.col("bh"), F.col("_id_").alias("b"), F.col("_sh_").alias("sb"))
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .dropDuplicates(["a", "b"])
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text, keeping
+    the smallest id (deterministic winner)."""
+    return df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_md5")).agg(
+        F.min(id_col).alias("kept_id"), F.count(F.lit(1)).alias("dup_n")
+    )
+
+
+def simhash(tokens: Column, bits: int = 32, seed: int | str = "sim") -> Column:
+    """SimHash signature: per bit, the sign of sum over token hashes
+    of (+1 / -1); bit set iff the sum is >= 0. Pure Catalyst."""
+    h = F.transform(tokens, lambda t: hash64(t, seed))
+
+    def _bit_acc(b: int):
+        return lambda a, x: a + F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+    acc = []
+    for b in range(bits):
+        s = F.aggregate(h, F.lit(0).cast("long"), _bit_acc(b))
+        acc.append(F.when(s >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = acc[0]
+    for c in acc[1:]:
+        out = out + c
+    return out
+
+
+def simhash_sql(text_expr: str, bits: int = 32, seed: int | str = "sim") -> str:
+    """DuckDB twin of simhash() for oracle construction."""
+    h = f"list_transform(string_split_regex(trim({text_expr}), '\\s+'), t -> {hash64_sql('t', seed)})"
+    terms = []
+    for b in range(bits):
+        s = f"list_sum(list_transform({h}, x -> CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
+        terms.append(f"(CASE WHEN {s} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def hamming_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", sig_col: str = "simhash", max_dist: int = 3, bits: int = 32, chunks: int = 4
+) -> DataFrame:
+    """SimHash near-dup pairs: block on signature chunks (a pair within
+    hamming distance d < chunks must agree on >=1 chunk — pigeonhole),
+    then verify exact hamming distance via bit_count(xor)."""
+    w = bits // chunks
+    chunk_arr = F.array(
+        *[F.shiftright(F.col(sig_col), i * w).bitwiseAND(F.lit((1 << w) - 1)) for i in range(chunks)]
+    )
+    e = sigs.select(F.col(id_col).alias("_id_"), F.col(sig_col).alias("_sig_"), F.posexplode(chunk_arr).alias("ci", "cv"))
+    left = e.select("ci", "cv", F.col("_id_").alias("a"), F.col("_sig_").alias("siga"))
+    right = e.select("ci", "cv", F.col("_id_").alias("b"), F.col("_sig_").alias("sigb"))
+    cand = (
+        left.join(right, ["ci", "cv"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "siga", "sigb")
+        .dropDuplicates(["a", "b"])
+    )
+    dist = F.bit_count(F.col("siga").bitwiseXOR(F.col("sigb")))
+    return cand.withColumn("hamming", dist.cast("bigint")).filter(F.col("hamming") <= max_dist).select("a", "b", "hamming")

@@ -349,6 +349,7 @@ def rasterize(
     order_col: str | None = "fid",
     merge_alg: str = "replace",
     all_touched: bool = False,
+    salt: int | None = None,
 ) -> DataFrame:
     """Distributed gdal_rasterize: returns the tile table.
 
@@ -360,13 +361,25 @@ def rasterize(
     geometry never fans out beyond its envelope's tiles, the same
     work-partitioning as the reference's chunked burn
     (gdalrasterize.cpp:933) but across executors.
+
+    salt (ADD mode only; default 8 for ADD, off for REPLACE): skew
+    mitigation for hot tiles — shapes shuffle on (ty,tx,ord%salt),
+    partial float64 burns merge per tile by summation. ADD is
+    associative+commutative so the result is bit-identical to the
+    unsalted path (one final dtype round/clamp). REPLACE is
+    order-dependent and stays single-pass per tile.
     """
     ts = spec.tile_size
+    if salt is None:
+        salt = 8 if merge_alg == "add" else 0
+    if salt and merge_alg != "add":
+        raise ValueError("salting requires the associative ADD merge")
 
     explode_schema = StructType(
         [
             StructField("ty", IntegerType()),
             StructField("tx", IntegerType()),
+            StructField("salt", IntegerType()),
             StructField("wkt", StringType()),
             StructField("burn", StringType()),  # csv of per-band values
             StructField("ord", LongType()),
@@ -387,33 +400,55 @@ def rasterize(
             tx1 = np.clip(np.floor(pmaxx / ts), 0, spec.ntiles_x - 1).astype(np.int64)
             ty0 = np.clip(np.floor(pminy / ts), 0, spec.ntiles_y - 1).astype(np.int64)
             ty1 = np.clip(np.floor(pmaxy / ts), 0, spec.ntiles_y - 1).astype(np.int64)
-            out = {"ty": [], "tx": [], "wkt": [], "burn": [], "ord": []}
-            orders = pdf[order_col].to_numpy() if order_col else np.arange(len(pdf))
+            orders = pdf[order_col].to_numpy(dtype=np.int64) if order_col else np.arange(len(pdf), dtype=np.int64)
             burns = pdf[burn_col]
-            for i in range(len(pdf)):
-                if np.isnan(env[i, 0]):
-                    continue
-                # drop shapes fully outside the raster
-                if pmaxx[i] < 0 or pminx[i] >= spec.width or pmaxy[i] < 0 or pminy[i] >= spec.height:
-                    continue
-                bcsv = ",".join(str(float(v)) for v in burns.iloc[i])
-                for tyy in range(int(ty0[i]), int(ty1[i]) + 1):
-                    for txx in range(int(tx0[i]), int(tx1[i]) + 1):
-                        out["ty"].append(tyy)
-                        out["tx"].append(txx)
-                        out["wkt"].append(pdf[wkt_col].iloc[i])
-                        out["burn"].append(bcsv)
-                        out["ord"].append(int(orders[i]))
-            yield pd.DataFrame(out)
+            inside = ~np.isnan(env[:, 0]) & ~(
+                (pmaxx < 0) | (pminx >= spec.width) | (pmaxy < 0) | (pminy >= spec.height)
+            )
+            salts = (orders % salt).astype(np.int32) if salt else np.zeros(len(pdf), dtype=np.int32)
+            bcsv_all = burns.map(lambda v: ",".join(str(float(x)) for x in v))
+
+            # vectorized fast path: shapes covering exactly one tile
+            single = inside & (tx0 == tx1) & (ty0 == ty1)
+            frames = []
+            si = np.flatnonzero(single)
+            if si.size:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "ty": ty0[si].astype(np.int32),
+                            "tx": tx0[si].astype(np.int32),
+                            "salt": salts[si],
+                            "wkt": pdf[wkt_col].iloc[si].to_numpy(),
+                            "burn": bcsv_all.iloc[si].to_numpy(),
+                            "ord": orders[si],
+                        }
+                    )
+                )
+            multi = np.flatnonzero(inside & ~single)
+            if multi.size:
+                out = {"ty": [], "tx": [], "salt": [], "wkt": [], "burn": [], "ord": []}
+                for i in multi:
+                    for tyy in range(int(ty0[i]), int(ty1[i]) + 1):
+                        for txx in range(int(tx0[i]), int(tx1[i]) + 1):
+                            out["ty"].append(tyy)
+                            out["tx"].append(txx)
+                            out["salt"].append(int(salts[i]))
+                            out["wkt"].append(pdf[wkt_col].iloc[i])
+                            out["burn"].append(bcsv_all.iloc[i])
+                            out["ord"].append(int(orders[i]))
+                frames.append(pd.DataFrame(out))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     exploded = shapes.mapInPandas(_explode, explode_schema)
 
-    def _burn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        tyy, txx = int(key[0]), int(key[1])
-        h, w = spec.tile_shape(tyy, txx)
-        oy, ox = tyy * ts, txx * ts
+    def _accumulate(pdf: pd.DataFrame, h: int, w: int, oy: int, ox: int, base: float) -> np.ndarray:
+        """Burn all shapes of one (tile[, salt]) group into a float64
+        accumulator starting at `base` (spec.init for the single-pass
+        path, 0.0 for salted partials)."""
         pdf = pdf.sort_values("ord", kind="stable")
-        arr = np.full((spec.nbands, h, w), spec.init)
+        arr = np.full((spec.nbands, h, w), float(base))
         batch = parse_wkt(pdf["wkt"])
 
         # vectorized POINT path (GDALdllImagePoint: floor to pixel,
@@ -463,6 +498,13 @@ def rasterize(
                     arr[b][m] += bv[b]
                 else:
                     arr[b][m] = bv[b]
+        return arr
+
+    def _burn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tyy, txx = int(key[0]), int(key[1])
+        h, w = spec.tile_shape(tyy, txx)
+        oy, ox = tyy * ts, txx * ts
+        arr = _accumulate(pdf, h, w, oy, ox, base=spec.init)
         rows = []
         for b in range(spec.nbands):
             rows.append(
@@ -478,7 +520,52 @@ def rasterize(
             )
         return pd.DataFrame(rows)
 
-    return exploded.groupBy("ty", "tx").applyInPandas(_burn, TILE_SCHEMA)
+    if not salt:
+        return exploded.groupBy("ty", "tx").applyInPandas(_burn, TILE_SCHEMA)
+
+    # -- salted two-phase ADD: partial float64 burns per (tile, salt),
+    # then one merge per tile (sum is associative; dtype round/clamp
+    # happens exactly once, so results are bit-identical to unsalted)
+    def _burn_partial(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tyy, txx = int(key[0]), int(key[1])
+        h, w = spec.tile_shape(tyy, txx)
+        oy, ox = tyy * ts, txx * ts
+        arr = _accumulate(pdf, h, w, oy, ox, base=0.0)
+        rows = []
+        for b in range(spec.nbands):
+            a = arr[b].astype(np.float64)
+            idx = np.flatnonzero(a.ravel())
+            if idx.size * 12 < a.nbytes // 4:
+                # sparse COO partial: int32 flat indices + float64 vals
+                # (uniform tiles carry ~points x 12B instead of h*w*8B
+                # through the merge shuffle; only the hot tile is dense)
+                payload = idx.astype(np.int32).tobytes() + a.ravel()[idx].tobytes()
+                rows.append({"band": b + 1, "ty": tyy, "tx": txx, "h": h, "w": w,
+                             "dtype": "coo", "payload": payload})
+            else:
+                rows.append({"band": b + 1, "ty": tyy, "tx": txx, "h": h, "w": w,
+                             "dtype": "float64", "payload": a.tobytes()})
+        return pd.DataFrame(rows)
+
+    def _merge_partials(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        b, tyy, txx = int(key[0]), int(key[1]), int(key[2])
+        h, w = int(pdf["h"].iloc[0]), int(pdf["w"].iloc[0])
+        total = np.full(h * w, float(spec.init), dtype=np.float64)
+        for dt, p in zip(pdf["dtype"], pdf["payload"]):
+            if dt == "coo":
+                nnz = len(p) // 12
+                idx = np.frombuffer(p[: 4 * nnz], dtype=np.int32)
+                val = np.frombuffer(p[4 * nnz :], dtype=np.float64)
+                np.add.at(total, idx, val)
+            else:
+                total += np.frombuffer(p, dtype=np.float64)
+        return pd.DataFrame(
+            [{"band": b, "ty": tyy, "tx": txx, "h": h, "w": w,
+              "dtype": spec.dtype, "payload": copy_word(total.reshape(h, w), spec.dtype).tobytes()}]
+        )
+
+    partial = exploded.groupBy("ty", "tx", "salt").applyInPandas(_burn_partial, TILE_SCHEMA)
+    return partial.groupBy("band", "ty", "tx").applyInPandas(_merge_partials, TILE_SCHEMA)
 
 
 def materialize_full(tiles: DataFrame, spec: RasterSpec, band: int = 1) -> np.ndarray:

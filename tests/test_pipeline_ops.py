@@ -1,0 +1,173 @@
+"""Tests for the training-data pipeline operators: dedup (exact /
+MinHash-LSH / SimHash), text analysis (tokens, langid, winnowing),
+similarity search (brute force + hyperplane LSH), multimodal
+plumbing, and the lineage/resume snapshot machinery."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from gdal_spark.dedup import (
+    exact_dedup,
+    hamming_pairs,
+    lsh_pairs,
+    simhash,
+    tokens_col,
+    with_minhash,
+)
+from gdal_spark.media import extract_media_table, image_features, sample_frames
+from gdal_spark.metrics import anti_join_done, read_lineage, resume_done_keys, write_snapshot
+from gdal_spark.similarity import QUANT, ann_topk, cosine_topk, plane_sign
+from gdal_spark.text import lang_id, winnow_fingerprints
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(rows)])
+
+
+class TestDedup:
+    def test_exact_dedup(self, spark):
+        df = _docs(spark, ["a b c", "a b c", "x y", "a b c"])
+        out = {r.kept_id: r.dup_n for r in exact_dedup(df, id_col="doc_id").collect()}
+        assert out == {0: 3, 2: 1}
+
+    def test_minhash_finds_near_dup(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        near = base + " ok"  # one extra token -> high jaccard
+        far = "completely different words in this one nothing shared at all here"
+        df = _docs(spark, [base, near, far])
+        sigs = with_minhash(df, text_col="text")
+        pairs = lsh_pairs(sigs, id_col="doc_id", threshold=0.5).collect()
+        assert [(r.a, r.b) for r in pairs] == [(0, 1)]
+        assert pairs[0].jaccard > 0.7
+
+    def test_minhash_identical_docs_jaccard_1(self, spark):
+        df = _docs(spark, ["same text tokens here ok fine", "same text tokens here ok fine"])
+        pairs = lsh_pairs(with_minhash(df), id_col="doc_id", threshold=0.9).collect()
+        assert len(pairs) == 1 and pairs[0].jaccard == 1.0
+
+    def test_simhash_near_docs_close(self, spark):
+        base = " ".join(f"tok{i}" for i in range(40))
+        near = " ".join(f"tok{i}" for i in range(39))
+        far = " ".join(f"other{i}" for i in range(40))
+        df = _docs(spark, [base, near, far])
+        sigs = df.select("doc_id", simhash(tokens_col(F.col("text"))).alias("simhash"))
+        vals = {r.doc_id: r.simhash for r in sigs.collect()}
+        d_near = bin(vals[0] ^ vals[1]).count("1")
+        d_far = bin(vals[0] ^ vals[2]).count("1")
+        assert d_near < d_far
+
+    def test_hamming_pairs_blocking_is_lossless(self, spark):
+        # pairs within max_dist must be found despite chunk blocking
+        sigs = spark.createDataFrame(
+            [Row(doc_id=0, simhash=0b1010), Row(doc_id=1, simhash=0b1011), Row(doc_id=2, simhash=0xFFFF00)]
+        )
+        out = hamming_pairs(sigs, max_dist=3).collect()
+        assert [(r.a, r.b, r.hamming) for r in out] == [(0, 1, 1)]
+
+
+class TestText:
+    def test_winnow_matches_python_reference(self, spark):
+        text = "abcdefghijklmnopqrstuvwxyz0123456789"
+        k, w = 8, 4
+
+        def h(g):
+            return int(hashlib.md5(f"win:{g}".encode()).hexdigest()[:15], 16)
+
+        grams = [text[i : i + k] for i in range(len(text) - k + 1)]
+        hs = [h(g) for g in grams]
+        expected = sorted({min(hs[j : j + w]) for j in range(len(hs) - w + 1)})
+        df = _docs(spark, [text])
+        got = sorted(r.fp for r in winnow_fingerprints(df, id_col="doc_id").collect())
+        assert got == expected
+
+    def test_lang_id_markers(self, spark):
+        df = _docs(spark, ["the cat sat on the mat", "la casa de la abuela", "der hund und die katze"])
+        out = [r.pred_lang for r in df.select(lang_id(F.col("text")).alias("pred_lang")).collect()]
+        assert out == ["en", "es", "de"]
+
+
+class TestSimilarity:
+    def test_cosine_topk_matches_numpy(self, spark):
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(50, 8)).astype(np.float32)
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(v) for v in vecs[i]]) for i in range(50)]
+        )
+        q = vecs[3]
+        cs = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+        expected = list(np.lexsort((np.arange(50), -cs))[:5])
+        got = [r.vec_id for r in cosine_topk(df, [float(v) for v in q], 5).orderBy("rank").collect()]
+        assert got == expected
+
+    def test_ann_lsh_query_bucket_contains_query(self, spark):
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(size=(80, 8)).astype(np.float32)
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(v) for v in vecs[i]]) for i in range(80)]
+        )
+        q = [float(v) for v in vecs[5]]
+        got = ann_topk(df, q, k=3, dims=8, planes=2).orderBy("rank").collect()
+        assert got[0].vec_id == 5  # the query's own row shares its bucket
+
+    def test_plane_sign_deterministic(self):
+        assert plane_sign(0, 0) in (-1, 1)
+        assert plane_sign(0, 0) == plane_sign(0, 0)
+        assert QUANT == 1_000_000
+
+
+class TestMedia:
+    def test_image_features_shapes(self, spark):
+        from gdal_spark.datagen import docs_table
+
+        d = docs_table(spark, n=30)
+        feats = image_features(extract_media_table(d)).collect()
+        assert len(feats) == len([i for i in range(30) if i % 3 == 0])
+        for r in feats:
+            assert 16 <= r.width <= 32 and 16 <= r.height <= 32 and r.channels == 3
+            assert 0 <= r.mean_luma_x1000 <= 255_000
+
+    def test_features_deterministic(self, spark):
+        from gdal_spark.datagen import docs_table
+
+        d = docs_table(spark, n=12)
+        a = sorted((r.doc_id, r.phash) for r in image_features(extract_media_table(d)).collect())
+        b = sorted((r.doc_id, r.phash) for r in image_features(extract_media_table(d)).collect())
+        assert a == b
+
+    def test_sample_frames_explodes(self, spark):
+        from gdal_spark.datagen import docs_table
+
+        d = docs_table(spark, n=9)
+        frames = sample_frames(extract_media_table(d), every_n=4, n_frames=16).collect()
+        per_doc = {}
+        for r in frames:
+            per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+        assert all(sorted(v) == [0, 4, 8, 12] for v in per_doc.values())
+
+
+class TestSnapshots:
+    def test_write_read_lineage(self, spark, tmp_path):
+        df = spark.range(100).withColumn("k", F.col("id") % 7)
+        rec = write_snapshot(df, str(tmp_path / "snap"), "job1", inputs=["memory"], params={"n": 100})
+        assert rec["row_count"] == 100
+        assert read_lineage(str(tmp_path / "snap"))["job_id"] == "job1"
+
+    def test_resume_anti_join(self, spark, tmp_path):
+        path = str(tmp_path / "snap")
+        work = spark.range(50).select(F.col("id").alias("k"))
+        first = work.filter(F.col("k") < 20)
+        write_snapshot(first, path, "job2")
+        done = resume_done_keys(spark, path, ["k"])
+        rest = anti_join_done(work, done, ["k"])
+        assert sorted(r.k for r in rest.collect()) == list(range(20, 50))
+
+    def test_incomplete_snapshot_ignored(self, spark, tmp_path):
+        path = str(tmp_path / "snap")
+        spark.range(10).write.parquet(path)  # no lineage sidecar
+        assert resume_done_keys(spark, path, ["id"]) is None
