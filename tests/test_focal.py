@@ -1,0 +1,64 @@
+"""Focal/DEM operator tests: distributed halo exchange must equal the
+single-array kernel on byte20 exactly (same numpy math, so bit-equal
+across tile seams)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.fixtures import BYTE20, BYTE20_SPEC, byte20_tiles
+from gdal_spark.operators.focal import (
+    focal_apply_local,
+    focal_mean,
+    focal_mean_kernel,
+    hillshade,
+    hillshade_kernel,
+    horn_slope_kernel,
+    slope,
+)
+from gdal_spark.operators.raster import RasterSpec
+
+
+def _materialize(tiles, spec, dtype="float64"):
+    arr = np.zeros((spec.height, spec.width), dtype=np.float64)
+    for r in tiles.collect():
+        t = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)
+        arr[r.ty * spec.tile_size : r.ty * spec.tile_size + r.h,
+            r.tx * spec.tile_size : r.tx * spec.tile_size + r.w] = t
+    return arr
+
+
+class TestFocal:
+    def test_slope_matches_local_bitexact(self, spark):
+        tiles = byte20_tiles(spark)  # tile_size=16 -> 2x2 tiles, real seams
+        got = _materialize(slope(tiles, BYTE20_SPEC), BYTE20_SPEC)
+        want = focal_apply_local(BYTE20.astype(np.float64), horn_slope_kernel(60.0, 60.0))
+        np.testing.assert_array_equal(got, want)
+
+    def test_hillshade_matches_local(self, spark):
+        tiles = byte20_tiles(spark)
+        got = _materialize(hillshade(tiles, BYTE20_SPEC), BYTE20_SPEC)
+        want = focal_apply_local(BYTE20.astype(np.float64), hillshade_kernel(60.0, 60.0))
+        np.testing.assert_array_equal(got, want)
+        assert got.min() >= 1 and got.max() <= 255
+
+    def test_focal_mean_matches_local(self, spark):
+        tiles = byte20_tiles(spark)
+        got = _materialize(focal_mean(tiles, BYTE20_SPEC, size=3), BYTE20_SPEC)
+        want = focal_apply_local(BYTE20.astype(np.float64), focal_mean_kernel(3))
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_interior_slope_value_handchecked(self, spark):
+        # hand-compute Horn slope at (5,5) from the byte20 matrix
+        p = BYTE20.astype(np.float64)
+        a, b, c = p[4, 4], p[4, 5], p[4, 6]
+        d, f = p[5, 4], p[5, 6]
+        g, h, i = p[6, 4], p[6, 5], p[6, 6]
+        dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8 * 60.0)
+        dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8 * 60.0)
+        want = np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
+        tiles = byte20_tiles(spark)
+        got = _materialize(slope(tiles, BYTE20_SPEC), BYTE20_SPEC)[5, 5]
+        assert got == pytest.approx(want, abs=1e-12)

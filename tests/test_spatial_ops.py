@@ -150,3 +150,47 @@ class TestCells:
         )
         expected = BYTE20_GRID.cell_id(pdf["env_minx"].to_numpy(), pdf["env_miny"].to_numpy(), "hilbert")
         assert (pdf["h"].to_numpy() == expected).all()
+
+
+class TestClipToRect:
+    """ogr2ogr -clipsrc semantics (apps/ogr2ogr_lib.cpp:6969):
+    geometric intersection with a rect window, empty results dropped."""
+
+    def test_polygon_clipped_exact_wkt(self, spark):
+        from gdal_spark.operators.spatial import clip_to_rect
+
+        df = spark.createDataFrame(
+            [(1, "POLYGON ((0 0,0 10,10 10,10 0,0 0))")], "fid bigint, wkt string"
+        )
+        out = clip_to_rect(df, (5, 5, 20, 20)).collect()
+        assert len(out) == 1
+        from gdal_spark.geom.wkt import parse_wkt
+
+        env = parse_wkt([out[0].clip_wkt]).envelopes()[0]
+        assert tuple(env) == (5.0, 5.0, 10.0, 10.0)
+
+    def test_point_inside_kept_outside_dropped(self, spark):
+        from gdal_spark.operators.spatial import clip_to_rect
+
+        df = spark.createDataFrame(
+            [(1, "POINT (3 3)"), (2, "POINT (30 3)")], "fid bigint, wkt string"
+        )
+        out = clip_to_rect(df, (0, 0, 10, 10)).collect()
+        assert [r.fid for r in out] == [1]
+        assert out[0].clip_wkt == "POINT (3 3)"
+
+    def test_fully_inside_passthrough(self, spark):
+        from gdal_spark.operators.spatial import clip_to_rect
+
+        wkt = "POLYGON ((1 1,1 2,2 2,2 1,1 1))"
+        df = spark.createDataFrame([(1, wkt)], "fid bigint, wkt string")
+        out = clip_to_rect(df, (0, 0, 10, 10)).collect()
+        assert out[0].clip_wkt == wkt
+
+    def test_disjoint_all_dropped(self, spark):
+        from gdal_spark.operators.spatial import clip_to_rect
+
+        df = spark.createDataFrame(
+            [(1, "POLYGON ((0 0,0 1,1 1,1 0,0 0))")], "fid bigint, wkt string"
+        )
+        assert clip_to_rect(df, (5, 5, 6, 6)).count() == 0
