@@ -692,3 +692,53 @@ def as_features(tiles: DataFrame, spec: RasterSpec, skip_value: float | None = N
             )
 
     return tiles.mapInPandas(_explode, AS_FEATURES_SCHEMA)
+
+
+def mosaic(tile_tables: list[DataFrame], nodata: float = 0.0, method: str = "last") -> DataFrame:
+    """`gdal raster mosaic` (apps/gdalalg_raster_mosaic.cpp): compose
+    same-grid rasters; where sources overlap, the LAST source's
+    non-nodata pixel wins (VRT composition order). method='first'
+    flips the precedence (`gdal raster stack` keeps bands separate —
+    use union + band renumber for that).
+
+    Plan: union tile tables with a source index, one groupBy on the
+    tile key, per-tile numpy overlay in source order."""
+    tagged = []
+    for i, t in enumerate(tile_tables):
+        tagged.append(t.withColumn("_src", F.lit(i)))
+    allt = tagged[0]
+    for t in tagged[1:]:
+        allt = allt.unionByName(t)
+
+    def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_src", kind="stable")
+        if method == "first":
+            pdf = pdf.iloc[::-1]
+        out = None
+        for r in pdf.itertuples(index=False):
+            t = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)
+            if out is None:
+                out = t.copy()
+                meta = r
+            else:
+                m = t != nodata
+                out[m] = t[m]
+        return pd.DataFrame(
+            [{"band": int(key[0]), "ty": int(key[1]), "tx": int(key[2]),
+              "h": meta.h, "w": meta.w, "dtype": meta.dtype, "payload": out.tobytes()}]
+        )
+
+    return allt.groupBy("band", "ty", "tx").applyInPandas(_merge, TILE_SCHEMA)
+
+
+def stack(tile_tables: list[DataFrame]) -> DataFrame:
+    """`gdal raster stack`: each input becomes its own band (band
+    renumbering 1..N in input order)."""
+    out = None
+    offset = 0
+    for t in tile_tables:
+        nb = t.select(F.max("band")).first()[0] or 1
+        renum = t.withColumn("band", F.col("band") + F.lit(offset))
+        out = renum if out is None else out.unionByName(renum)
+        offset += nb
+    return out

@@ -879,3 +879,63 @@ def _o_clip_rect() -> str:
 
 QUERIES["clip_rect"] = q_clip_rect
 ORACLES["clip_rect"] = _o_clip_rect()
+
+
+def q_zonal_raster(spark, sf_dir):
+    """Raster zonal statistics (alg/zonal.cpp): byte20 pixel values
+    grouped by the rasterized zone covering each pixel center."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.zonal import rasterize_zones, zonal_stats_raster
+
+    values = byte20_tiles(spark)
+    ztiles = rasterize_zones(zones_table(spark), BYTE20_SPEC)
+    out = zonal_stats_raster(values, ztiles)
+    return out.select(
+        F.col("zone").cast("bigint").alias("zone"),
+        F.col("n_px").cast("bigint").alias("n_px"),
+        F.col("sum_v").cast("bigint").alias("sum_v"),
+        F.col("min_v").cast("bigint").alias("min_v"),
+        F.col("max_v").cast("bigint").alias("max_v"),
+    )
+
+
+def _o_zonal_raster() -> str:
+    from gdal_spark.fixtures import BYTE20
+
+    vals = ", ".join(
+        f"({py},{px},{int(BYTE20[py, px])})" for py in range(20) for px in range(20)
+    )
+    # zone fills decomposed to rects (positive covers; fid9's hole is
+    # a negative cover), using the exact llrasterize interval rule:
+    # px in [floor(x1+0.5), floor(x2+0.5)), scanline y+0.5 in [y1, y2)
+    pos = [(fid, *_zone_env(fid)) for fid in range(8)]
+    pos += [(8, 441050, 3751050, 441150, 3751300), (8, 441050, 3751050, 441450, 3751150)]
+    pos += [(9, 440850, 3750480, 441050, 3750580)]
+    neg = [(9, 440900, 3750500, 441000, 3750560)]
+
+    def fill(rects):
+        rows = ", ".join(f"({fid},{a},{b},{c},{d})" for fid, a, b, c, d in rects)
+        return (
+            f"SELECT fid, py, px FROM pixels p JOIN (VALUES {rows}) AS zr(fid, zminx, zminy, zmaxx, zmaxy) ON "
+            "p.px >= CAST(floor((zr.zminx - 440720) / 60.0 + 0.5) AS INT) "
+            "AND p.px < CAST(floor((zr.zmaxx - 440720) / 60.0 + 0.5) AS INT) "
+            # crossing rows [y_top, y_bottom) PLUS the llrasterize
+            # special case: a bottom horizontal edge exactly ON a
+            # scanline (y+0.5) is filled (GDALdllImageFilledPolygon
+            # dy1==dy2 right-to-left path)
+            "AND ((p.py + 0.5) >= (3751320 - zr.zmaxy) / 60.0) "
+            "AND ((p.py + 0.5) < (3751320 - zr.zminy) / 60.0 OR (p.py + 0.5) = (3751320 - zr.zminy) / 60.0)"
+        )
+
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {vals}) AS t(py, px, v)), "
+        f"zp AS ({fill(pos)} EXCEPT {fill(neg)}) "
+        "SELECT CAST(zp.fid AS BIGINT) AS zone, COUNT(*) AS n_px, "
+        "CAST(SUM(p.v) AS BIGINT) AS sum_v, CAST(MIN(p.v) AS BIGINT) AS min_v, "
+        "CAST(MAX(p.v) AS BIGINT) AS max_v "
+        "FROM zp JOIN pixels p ON zp.py = p.py AND zp.px = p.px GROUP BY zp.fid"
+    )
+
+
+QUERIES["zonal_raster"] = q_zonal_raster
+ORACLES["zonal_raster"] = _o_zonal_raster()
