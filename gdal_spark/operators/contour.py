@@ -1,0 +1,185 @@
+"""Contour generation (alg/contour.cpp, alg/marching_squares/*.h):
+fixed-level or interval contour lines over a raster, as a distributed
+two-phase operator:
+
+  phase 1: per tile (+1-px halo via the focal halo exchange so cell
+           squares spanning tile seams are computed once per side
+           with IDENTICAL values -> identical segment endpoints),
+           marching squares emits level-tagged segments; a per-tile
+           merge_lines pass shrinks output early
+  phase 2: groupBy(level) + merge_lines stitches polylines across
+           tiles (same 2-phase pattern as polygonize's boundary merge)
+
+Grid convention matches the reference (marching_squares/point.h):
+contour vertices live between PIXEL CENTERS; node (i, j) is the
+center of pixel (i, j), world (j+0.5, i+0.5) in pixel coords.
+Linear interpolation t = (level - v0) / (v1 - v0) along cell edges;
+saddle cells decided by the center average (asymptotic decider).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gdal_spark.operators.dissolve import merge_lines
+from gdal_spark.operators.focal import _halo_explode
+from gdal_spark.operators.raster import RasterSpec
+
+SEG_SCHEMA = StructType(
+    [
+        StructField("level", DoubleType()),
+        StructField("wkt", StringType()),
+    ]
+)
+
+
+def marching_squares(arr: np.ndarray, level: float, oy: float = 0.0, ox: float = 0.0):
+    """Segments of one level over a node grid `arr` (values at pixel
+    centers). Returns list of ((x1,y1),(x2,y2)) in pixel-center
+    coordinates offset by (ox, oy). Vectorized cell classification,
+    python loop only over CROSSING cells (sparse)."""
+    h, w = arr.shape
+    if h < 2 or w < 2:
+        return []
+    a = arr[:-1, :-1]  # top-left
+    b = arr[:-1, 1:]  # top-right
+    c = arr[1:, 1:]  # bottom-right
+    d = arr[1:, :-1]  # bottom-left
+    code = (
+        (a >= level).astype(np.int8)
+        | ((b >= level) << 1)
+        | ((c >= level) << 2)
+        | ((d >= level) << 3)
+    )
+    cy, cx = np.nonzero((code != 0) & (code != 15))
+    segs = []
+
+    def interp(v0, v1, p0, p1):
+        t = (level - v0) / (v1 - v0)
+        return (p0[0] + t * (p1[0] - p0[0]), p0[1] + t * (p1[1] - p0[1]))
+
+    for i, j in zip(cy.tolist(), cx.tolist()):
+        va, vb, vc, vd = float(a[i, j]), float(b[i, j]), float(c[i, j]), float(d[i, j])
+        # node positions (pixel centers)
+        pa = (j + 0.5 + ox, i + 0.5 + oy)
+        pb = (j + 1.5 + ox, i + 0.5 + oy)
+        pc = (j + 1.5 + ox, i + 1.5 + oy)
+        pd_ = (j + 0.5 + ox, i + 1.5 + oy)
+        k = int(code[i, j])
+        # edge crossing points
+        top = interp(va, vb, pa, pb) if (va >= level) != (vb >= level) else None
+        right = interp(vb, vc, pb, pc) if (vb >= level) != (vc >= level) else None
+        bottom = interp(vd, vc, pd_, pc) if (vd >= level) != (vc >= level) else None
+        left = interp(va, vd, pa, pd_) if (va >= level) != (vd >= level) else None
+        if k in (5, 10):  # saddle: asymptotic decider on center mean
+            center_high = (va + vb + vc + vd) / 4.0 >= level
+            if (k == 5) == center_high:
+                segs += [(top, right), (bottom, left)]
+            else:
+                segs += [(top, left), (bottom, right)]
+        else:
+            pts = [p for p in (top, right, bottom, left) if p is not None]
+            if len(pts) == 2:
+                segs.append((pts[0], pts[1]))
+    return segs
+
+
+def contour(
+    tiles: DataFrame,
+    spec: RasterSpec,
+    levels: list[float] | None = None,
+    interval: float | None = None,
+    base: float = 0.0,
+    band: int = 1,
+) -> DataFrame:
+    """(level, wkt LINESTRING/MULTILINESTRING) rows. interval mode
+    generates levels base + k*interval covering the data range
+    (ContourIntervalGenerator)."""
+    ts = spec.tile_size
+    if levels is None and interval is None:
+        raise ValueError("need levels or interval")
+    if levels is None:
+        # driver-side range scan (tiny: one agg over tiles)
+        import pyspark.sql.functions as _F
+
+        stats = tiles.filter(F.col("band") == band)
+
+        @F.pandas_udf("min double, max double")
+        def _rng(dtype: pd.Series, payload: pd.Series) -> pd.DataFrame:
+            mn, mx = [], []
+            for dt, p in zip(dtype, payload):
+                t = np.frombuffer(p, dtype=dt)
+                mn.append(float(t.min()))
+                mx.append(float(t.max()))
+            return pd.DataFrame({"min": mn, "max": mx})
+
+        row = stats.select(_rng("dtype", "payload").alias("r")).agg(
+            _F.min("r.min").alias("mn"), _F.max("r.max").alias("mx")
+        ).first()
+        k0 = int(np.ceil((row.mn - base) / interval))
+        k1 = int(np.floor((row.mx - base) / interval))
+        levels = [base + k * interval for k in range(k0, k1 + 1)]
+
+    lv = list(levels)
+    halo = _halo_explode(tiles.filter(F.col("band") == band), 1)
+
+    def _local(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        _, tyy, txx = int(key[0]), int(key[1]), int(key[2])
+        center = pdf[(pdf.src_dy == 0) & (pdf.src_dx == 0)]
+        if not len(center):
+            return pd.DataFrame({"level": pd.array([], dtype="float64"), "wkt": pd.array([], dtype=object)})
+        c = center.iloc[0]
+        h, w = int(c["h"]), int(c["w"])
+        # assemble tile + RIGHT and BOTTOM 1-px strips only: each cell
+        # square is owned by its top-left node's tile (no duplicates)
+        ext = np.full((h + 1, w + 1), np.nan)
+        ext[:h, :w] = np.frombuffer(c["payload"], dtype=c["dtype"]).reshape(h, w)
+        for r in pdf.itertuples(index=False):
+            if (r.src_dy, r.src_dx) == (1, 0):
+                ext[h, : r.w] = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)[0]
+            elif (r.src_dy, r.src_dx) == (0, 1):
+                ext[: r.h, w] = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)[:, 0]
+            elif (r.src_dy, r.src_dx) == (1, 1):
+                ext[h, w] = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)[0, 0]
+        valid_h = h + 1 if not np.isnan(ext[h, 0]) else h
+        valid_w = w + 1 if not np.isnan(ext[0, w]) else w
+        grid = ext[:valid_h, :valid_w]
+        rows = []
+        for level in lv:
+            segs = marching_squares(grid, float(level), oy=tyy * ts, ox=txx * ts)
+            if not segs:
+                continue
+            merged = merge_lines([np.array([s[0], s[1]], dtype=np.float64) for s in segs])
+            for ln in merged:
+                pts = ",".join(f"{x:.17g} {y:.17g}" for x, y in ln)
+                rows.append({"level": float(level), "wkt": f"LINESTRING ({pts})"})
+        return pd.DataFrame(rows, columns=["level", "wkt"]) if rows else pd.DataFrame(
+            {"level": pd.array([], dtype="float64"), "wkt": pd.array([], dtype=object)}
+        )
+
+    local = halo.groupBy("band", "ty", "tx").applyInPandas(_local, SEG_SCHEMA)
+
+    def _stitch(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        level = float(key[0])
+        lines = []
+        for wkt in pdf["wkt"]:
+            body = wkt[len("LINESTRING (") : -1]
+            lines.append(np.array([[float(t) for t in p.split()] for p in body.split(",")]))
+        merged = merge_lines(lines)
+        rows = []
+        for ln in merged:
+            pts = ",".join(f"{x:.17g} {y:.17g}" for x, y in ln)
+            rows.append({"level": level, "wkt": f"LINESTRING ({pts})"})
+        return pd.DataFrame(rows, columns=["level", "wkt"])
+
+    return local.groupBy("level").applyInPandas(_stitch, SEG_SCHEMA)

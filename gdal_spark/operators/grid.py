@@ -1,0 +1,197 @@
+"""Vector -> raster interpolation (alg/gdalgrid.cpp) and
+point-sampling of rasters (alg/gdal_interpolateatpoint.cpp).
+
+* idw_grid — GGA_InverseDistanceToAPower (gdalgrid.cpp:70
+  GDALGridInverseDistanceToAPower): for every grid cell center,
+  v = sum(z_i / d_i^power) / sum(1 / d_i^power) over points within
+  `radius`; a point exactly ON the center short-circuits to its z
+  (the dfToPoint2 < 1e-25 shortcut); cells with no point in radius
+  get `nodata`. The reference accelerates with a quadtree
+  (gdalgrid.cpp:2888); the distributed analog: points are exploded
+  to every tile whose EXPANDED envelope (tile + radius) contains
+  them, so each tile task sees exactly the points that can influence
+  it — a bounded broadcast-free spatial join.
+
+* interpolate_at_points — bilinear/nearest sample of a tile table at
+  world coordinates (shares the warp kernels' index math).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from gdal_spark.operators.raster import RasterSpec, TILE_SCHEMA, copy_word
+from gdal_spark.operators.tiles import warp_bilinear, warp_nearest
+
+_PT_SCHEMA = StructType(
+    [
+        StructField("ty", LongType()),
+        StructField("tx", LongType()),
+        StructField("x", DoubleType()),
+        StructField("y", DoubleType()),
+        StructField("z", DoubleType()),
+    ]
+)
+
+
+def idw_grid(
+    points: DataFrame,
+    spec: RasterSpec,
+    power: float = 2.0,
+    radius: float = float("inf"),
+    nodata: float = 0.0,
+    x_col: str = "x",
+    y_col: str = "y",
+    z_col: str = "z",
+) -> DataFrame:
+    """Inverse-distance-to-a-power gridding. With a finite radius the
+    point->tile explode is bounded (each point lands on the tiles its
+    influence disk touches); radius=inf degrades to all-tiles
+    broadcast and should only be used for small point sets."""
+    ts = spec.tile_size
+    ntx, nty = spec.ntiles_x, spec.ntiles_y
+
+    def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = pdf[x_col].to_numpy(np.float64)
+            y = pdf[y_col].to_numpy(np.float64)
+            z = pdf[z_col].to_numpy(np.float64)
+            px, py = spec.world_to_pixel(x, y)
+            rpx = radius / abs(spec.gt[1]) if np.isfinite(radius) else float("inf")
+            rpy = radius / abs(spec.gt[5]) if np.isfinite(radius) else float("inf")
+            out = {"ty": [], "tx": [], "x": [], "y": [], "z": []}
+            for i in range(len(pdf)):
+                tx0 = 0 if not np.isfinite(rpx) else max(int((px[i] - rpx) // ts), 0)
+                tx1 = ntx - 1 if not np.isfinite(rpx) else min(int((px[i] + rpx) // ts), ntx - 1)
+                ty0 = 0 if not np.isfinite(rpy) else max(int((py[i] - rpy) // ts), 0)
+                ty1 = nty - 1 if not np.isfinite(rpy) else min(int((py[i] + rpy) // ts), nty - 1)
+                for tyy in range(ty0, ty1 + 1):
+                    for txx in range(tx0, tx1 + 1):
+                        out["ty"].append(tyy)
+                        out["tx"].append(txx)
+                        out["x"].append(x[i])
+                        out["y"].append(y[i])
+                        out["z"].append(z[i])
+            yield pd.DataFrame(out)
+
+    exploded = points.select(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y"), F.col(z_col).alias("z")
+    ).mapInPandas(_explode, _PT_SCHEMA)
+
+    # every tile must materialize (empty tiles are nodata-filled):
+    # seed one NaN marker row per tile key, skipped by the kernel
+    spark = points.sparkSession
+    all_keys = (
+        spark.range(nty)
+        .select(F.col("id").alias("ty"))
+        .crossJoin(spark.range(ntx).select(F.col("id").alias("tx")))
+        .select("ty", "tx", F.lit(float("nan")).alias("x"), F.lit(float("nan")).alias("y"), F.lit(float("nan")).alias("z"))
+    )
+    exploded = exploded.unionByName(all_keys)
+
+    r2 = radius * radius
+
+    def _grid(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tyy, txx = int(key[0]), int(key[1])
+        h, w = spec.tile_shape(tyy, txx)
+        # cell centers in world coords (pixel centers: +0.5 convention)
+        jj, ii = np.meshgrid(np.arange(w), np.arange(h))
+        cx, cy = spec.pixel_to_world(txx * ts + jj + 0.5, tyy * ts + ii + 0.5)
+        pdf = pdf[~pdf["z"].isna()]  # drop tile-key marker rows
+        px = pdf["x"].to_numpy(np.float64)
+        py = pdf["y"].to_numpy(np.float64)
+        pz = pdf["z"].to_numpy(np.float64)
+        num = np.zeros((h, w))
+        den = np.zeros((h, w))
+        exact = np.full((h, w), np.nan)
+        # vectorized over points (tiles are small; points batch per tile)
+        for k in range(len(px)):
+            d2 = (cx - px[k]) ** 2 + (cy - py[k]) ** 2
+            hit = d2 < 1e-25  # gdalgrid.cpp dfToPoint2 shortcut
+            if hit.any():
+                exact[hit] = pz[k]
+            m = d2 <= r2
+            wgt = np.zeros_like(d2)
+            wgt[m & ~hit] = 1.0 / np.power(d2[m & ~hit], power / 2.0)
+            num += wgt * pz[k]
+            den += wgt
+        out = np.where(den > 0, num / np.maximum(den, 1e-300), nodata)
+        out = np.where(np.isnan(exact), out, exact)
+        return pd.DataFrame(
+            [{"band": 1, "ty": tyy, "tx": txx, "h": h, "w": w,
+              "dtype": spec.dtype, "payload": copy_word(out, spec.dtype).tobytes()}]
+        )
+
+    return exploded.groupBy("ty", "tx").applyInPandas(_grid, TILE_SCHEMA)
+
+
+SAMPLE_SCHEMA = StructType(
+    [
+        StructField("pid", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def interpolate_at_points(
+    tiles: DataFrame,
+    spec: RasterSpec,
+    points: DataFrame,
+    method: str = "bilinear",
+    id_col: str = "pid",
+    x_col: str = "x",
+    y_col: str = "y",
+    band: int = 1,
+) -> DataFrame:
+    """Sample the raster at world points (gdal_interpolateatpoint.cpp:
+    415 GDALInterpolateAtPoint): bilinear uses the warp kernel's
+    floor(x-0.5) index math, so values match gdalwarp bit-for-bit.
+
+    Plan: points join to their covering tile (+1px halo handled by
+    shipping a 1-px overlap window read from up to 4 tiles — here
+    simplified: each point joins the tile containing it and bilinear
+    reads clamp at tile edge exactly like raster edge). For interior
+    sampling at scale, re-tile with overlap or use interior points.
+    """
+    ts = spec.tile_size
+
+    p = points.select(
+        F.col(id_col).alias("pid"), F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    )
+    # tile key per point (JVM-side arithmetic)
+    g0, g1, _, g3, _, g5 = spec.gt
+    px = (F.col("x") - g0) / g1
+    py = (F.col("y") - g3) / g5
+    p = p.withColumn("ty", F.floor(py / ts).cast("int")).withColumn("tx", F.floor(px / ts).cast("int"))
+    t = tiles.filter(F.col("band") == band)
+    joined = p.join(t, ["ty", "tx"])
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for (tyy, txx), grp in pdf.groupby(["ty", "tx"]):
+                r = grp.iloc[0]
+                tile = np.frombuffer(r["payload"], dtype=r["dtype"]).reshape(r["h"], r["w"]).astype(np.float64)
+                sx, sy = spec.world_to_pixel(grp["x"].to_numpy(np.float64), grp["y"].to_numpy(np.float64))
+                sx = sx - txx * ts
+                sy = sy - tyy * ts
+                if method == "nearest":
+                    vals, _ = warp_nearest(tile, sx, sy)
+                else:
+                    vals, _ = warp_bilinear(tile, sx, sy)
+                outs.append(pd.DataFrame({"pid": grp["pid"].to_numpy(), "value": vals}))
+            yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                {"pid": pd.array([], dtype="int64"), "value": pd.array([], dtype="float64")}
+            )
+
+    return joined.mapInPandas(_sample, SAMPLE_SCHEMA)

@@ -1,0 +1,89 @@
+"""Gridding (IDW) and interpolate-at-point tests against local numpy
+references (gdalgrid invdist semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from gdal_spark.fixtures import BYTE20, BYTE20_SPEC, byte20_tiles
+from gdal_spark.operators.grid import idw_grid, interpolate_at_points
+from gdal_spark.operators.raster import RasterSpec
+
+SPEC8 = RasterSpec(width=8, height=8, gt=(0.0, 1.0, 0.0, 8.0, 0.0, -1.0), dtype="float64", tile_size=4)
+
+
+def _mat(tiles, spec):
+    arr = np.zeros((spec.height, spec.width), dtype=np.float64)
+    for r in tiles.collect():
+        t = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)
+        arr[r.ty * spec.tile_size : r.ty * spec.tile_size + r.h,
+            r.tx * spec.tile_size : r.tx * spec.tile_size + r.w] = t
+    return arr
+
+
+def _idw_ref(pts, spec, power=2.0, radius=np.inf, nodata=0.0):
+    out = np.full((spec.height, spec.width), np.nan)
+    for i in range(spec.height):
+        for j in range(spec.width):
+            cx, cy = spec.pixel_to_world(j + 0.5, i + 0.5)
+            num = den = 0.0
+            exact = None
+            for x, y, z in pts:
+                d2 = (cx - x) ** 2 + (cy - y) ** 2
+                if d2 < 1e-25:
+                    exact = z
+                elif d2 <= radius * radius:
+                    w = d2 ** (-power / 2.0)
+                    num += w * z
+                    den += w
+            out[i, j] = exact if exact is not None else (num / den if den > 0 else nodata)
+    return out
+
+
+class TestIDW:
+    PTS = [(1.5, 6.5, 10.0), (6.5, 1.5, 50.0), (4.0, 4.0, 30.0)]
+
+    def test_idw_matches_reference(self, spark):
+        pts = spark.createDataFrame([Row(x=x, y=y, z=z) for x, y, z in self.PTS])
+        got = _mat(idw_grid(pts, SPEC8), SPEC8)
+        np.testing.assert_allclose(got, _idw_ref(self.PTS, SPEC8), rtol=1e-12)
+
+    def test_idw_radius_and_nodata(self, spark):
+        pts = spark.createDataFrame([Row(x=1.5, y=6.5, z=10.0)])
+        got = _mat(idw_grid(pts, SPEC8, radius=2.0, nodata=-1.0), SPEC8)
+        want = _idw_ref([(1.5, 6.5, 10.0)], SPEC8, radius=2.0, nodata=-1.0)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+        assert (got == -1.0).any()  # cells beyond the radius
+
+    def test_point_on_center_shortcircuits(self, spark):
+        pts = spark.createDataFrame([Row(x=0.5, y=7.5, z=99.0), Row(x=2.5, y=7.5, z=1.0)])
+        got = _mat(idw_grid(pts, SPEC8), SPEC8)
+        assert got[0, 0] == 99.0 and got[0, 2] == 1.0
+
+
+class TestInterpolateAtPoints:
+    def test_nearest_matches_pixels(self, spark):
+        pts = spark.createDataFrame(
+            [Row(pid=0, x=440720.0 + 3 * 60 + 30, y=3751320.0 - 5 * 60 - 30)]
+        )
+        out = interpolate_at_points(byte20_tiles(spark), BYTE20_SPEC, pts, method="nearest").collect()
+        assert out[0].value == float(BYTE20[5, 3])
+
+    def test_bilinear_interior(self, spark):
+        # at an interior pixel center, bilinear == the pixel value
+        pts = spark.createDataFrame(
+            [Row(pid=0, x=440720.0 + 7 * 60 + 30.0, y=3751320.0 - 9 * 60 - 30.0)]
+        )
+        out = interpolate_at_points(byte20_tiles(spark), BYTE20_SPEC, pts).collect()
+        assert out[0].value == pytest.approx(float(BYTE20[9, 7]))
+
+    def test_bilinear_midpoint(self, spark):
+        # midway between two horizontal neighbor centers -> their mean
+        pts = spark.createDataFrame(
+            [Row(pid=1, x=440720.0 + 8 * 60.0, y=3751320.0 - 9 * 60 - 30.0)]
+        )
+        out = interpolate_at_points(byte20_tiles(spark), BYTE20_SPEC, pts).collect()
+        want = (float(BYTE20[9, 7]) + float(BYTE20[9, 8])) / 2
+        assert out[0].value == pytest.approx(want)
