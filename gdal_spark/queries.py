@@ -939,3 +939,63 @@ def _o_zonal_raster() -> str:
 
 QUERIES["zonal_raster"] = q_zonal_raster
 ORACLES["zonal_raster"] = _o_zonal_raster()
+
+
+def q_focal_sum(spark, sf_dir):
+    """3x3 focal sum over byte20 via the distributed halo exchange
+    (edge-replicated like gdaldem; pure-integer output)."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.focal import focal_apply
+    from gdal_spark.operators.raster import as_features
+
+    def k(p):
+        import numpy as _np
+
+        return (
+            p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+            + p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:]
+            + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+        )
+
+    tiles = focal_apply(byte20_tiles(spark), BYTE20_SPEC, k)
+    pix = as_features(tiles, BYTE20_SPEC)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("value").cast("bigint").alias("sum9"),
+    )
+
+
+def _o_focal_sum() -> str:
+    from gdal_spark.fixtures import BYTE20
+
+    vals = ", ".join(f"({py},{px},{int(BYTE20[py, px])})" for py in range(20) for px in range(20))
+    # 9-term sum with CLAMPED indices == edge replication
+    terms = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            terms.append(
+                "(SELECT v FROM pixels q WHERE q.py = LEAST(GREATEST(p.py + (" + str(dy) + "), 0), 19) "
+                "AND q.px = LEAST(GREATEST(p.px + (" + str(dx) + "), 0), 19))"
+            )
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {vals}) AS t(py, px, v)) "
+        f"SELECT CAST(p.py AS BIGINT) AS py, CAST(p.px AS BIGINT) AS px, "
+        f"CAST({' + '.join(terms)} AS BIGINT) AS sum9 FROM pixels p"
+    )
+
+
+QUERIES["focal_sum"] = q_focal_sum
+ORACLES["focal_sum"] = _o_focal_sum()
+
+
+def q_contour(spark, sf_dir):
+    """Contour lines over byte20 (rows-only: vertex floats are not
+    SQL-reproducible; exactness is covered by tests/test_contour.py)."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.contour import contour
+
+    return contour(byte20_tiles(spark), BYTE20_SPEC, interval=50.0)
+
+
+QUERIES["contour"] = q_contour

@@ -90,3 +90,47 @@ def write_stream_with_lineage(df: DataFrame, out_path: str, checkpoint: str, job
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
+
+
+def stream_exact_dedup(docs_stream: "DataFrame", text_col: str = "text", id_col: str = "doc_id", n_shards: int = 64):
+    """Stateful cross-batch exact dedup: the first doc with a given
+    text hash passes, later duplicates are dropped — across ALL
+    micro-batches, via the state store (applyInPandasWithState).
+
+    State layout: keyed by a hash shard (n_shards groups), each
+    holding the set of seen 60-bit text hashes. Sharding bounds
+    per-key state size and spreads the state store across executors;
+    at 10^12 docs use more shards + RocksDB state backend.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    hashed = docs_stream.withColumn(
+        "_h", F.conv(F.substring(F.md5(F.col(text_col).cast("binary")), 1, 15), 16, 10).cast("long")
+    ).withColumn("_shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int"))
+
+    from pyspark.sql.types import ArrayType
+
+    out_schema = StructType(
+        [StructField(f.name, f.dataType) for f in hashed.schema.fields if f.name != "_shard"]
+    )
+    state_schema = StructType([StructField("seen", ArrayType(LongType()))])
+
+    def _dedup(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            keep_rows = []
+            for i, h in enumerate(pdf["_h"]):
+                if int(h) not in seen:
+                    seen.add(int(h))
+                    keep_rows.append(i)
+            out = pdf.iloc[keep_rows].drop(columns=["_shard"])
+            if len(out):
+                yield out
+        state.update((list(seen),))
+
+    return hashed.groupBy("_shard").applyInPandasWithState(
+        _dedup, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -87,3 +87,49 @@ class TestStreamJoin:
         assert rec is not None
         n = spark.read.parquet(out).count()
         assert rec["row_count"] == n and n > 0
+
+
+class TestStatefulDedup:
+    def test_cross_batch_dedup(self, spark, tmp_path):
+        import os
+
+        from gdal_spark.streaming.ingest import stream_exact_dedup
+
+        # two files -> two micro-batches (maxFilesPerTrigger=1); the
+        # duplicate text in batch 2 must be dropped by the STATE, not
+        # by in-batch grouping
+        p = str(tmp_path / "in")
+        os.makedirs(p)
+        spark.createDataFrame(
+            [(0, "alpha beta"), (1, "gamma delta")], "doc_id bigint, text string"
+        ).coalesce(1).write.parquet(p + "/b1")
+        spark.createDataFrame(
+            [(2, "alpha beta"), (3, "epsilon zeta")], "doc_id bigint, text string"
+        ).coalesce(1).write.parquet(p + "/b2")
+        import shutil
+
+        flat = str(tmp_path / "flat")
+        os.makedirs(flat)
+        n = 0
+        for sub in ("b1", "b2"):
+            for f in sorted(os.listdir(p + "/" + sub)):
+                if f.endswith(".parquet"):
+                    shutil.copy(f"{p}/{sub}/{f}", f"{flat}/{n:02d}.parquet")
+                    n += 1
+        schema = spark.read.parquet(flat).schema
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(flat)
+        dedup = stream_exact_dedup(stream)
+        q = (
+            dedup.select("doc_id", "text")
+            .writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM dedup_stream").collect()
+        texts = sorted(r.text for r in rows)
+        assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
+        kept = {r.text: r.doc_id for r in rows}
+        assert kept["alpha beta"] == 0  # the FIRST batch's copy won
