@@ -388,3 +388,35 @@ def polygonize(
         .applyInPandas(_merge, POLY_SCHEMA)
     )
     return finals.unionByName(merged)
+
+
+def footprint(
+    tiles: DataFrame,
+    spec: RasterSpec,
+    nodata: float = 0.0,
+    connect: int = 4,
+    band: int = 1,
+) -> DataFrame:
+    """gdal_footprint (apps/gdal_footprint_lib.cpp): polygon outline
+    of the valid-data area = polygonize of the validity mask. Tiles
+    are mapped to a uint8 mask (1 = valid) in one Arrow pass, then the
+    standard 2-phase distributed polygonize runs with DN=1."""
+
+    def _mask(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.band != band:
+                    continue
+                t = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)
+                m = (t != nodata).astype(np.uint8)
+                rows.append(
+                    {"band": 1, "ty": r.ty, "tx": r.tx, "h": r.h, "w": r.w,
+                     "dtype": "uint8", "payload": m.tobytes()}
+                )
+            yield pd.DataFrame(rows, columns=["band", "ty", "tx", "h", "w", "dtype", "payload"])
+
+    from gdal_spark.operators.raster import TILE_SCHEMA
+
+    mask_tiles = tiles.mapInPandas(_mask, TILE_SCHEMA)
+    return polygonize(mask_tiles, spec, nodata=0.0, connect=connect, band=1)

@@ -87,3 +87,32 @@ class TestDistributed:
         got = polygonize(tiles, spec, nodata=POLYGONIZE_NODATA, connect=8).collect()
         local = polygonize_array(POLYGONIZE_GRID, POLYGONIZE_SPEC, nodata=POLYGONIZE_NODATA, connect=8)
         assert sorted((r.wkt, r.dn) for r in got) == sorted((d["wkt"], d["dn"]) for d in local)
+
+
+class TestFootprint:
+    def test_footprint_outlines_valid_area(self, spark):
+        """gdal_footprint: polygonize of the validity mask."""
+        import numpy as np
+
+        from gdal_spark.operators.polygonize import footprint
+        from gdal_spark.operators.raster import RasterSpec
+
+        arr = np.zeros((8, 8), dtype=np.uint8)
+        arr[2:6, 1:5] = 7  # one solid valid rectangle
+        spec = RasterSpec(width=8, height=8, gt=(0.0, 1.0, 0.0, 8.0, 0.0, -1.0), tile_size=4)
+        tiles = spark.createDataFrame(
+            [
+                (1, ty, tx, 4, 4, "uint8", arr[ty * 4 : ty * 4 + 4, tx * 4 : tx * 4 + 4].tobytes())
+                for ty in range(2)
+                for tx in range(2)
+            ],
+            "band int, ty int, tx int, h int, w int, dtype string, payload binary",
+        )
+        out = footprint(tiles, spec, nodata=0.0).collect()
+        assert len(out) == 1
+        assert out[0].dn == 1.0
+        # envelope of the footprint polygon == the valid rect in world
+        from gdal_spark.geom.wkt import parse_wkt
+
+        env = parse_wkt([out[0].wkt]).envelopes()[0]
+        assert tuple(env) == (1.0, 2.0, 5.0, 6.0)
