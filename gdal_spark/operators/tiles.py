@@ -180,7 +180,52 @@ def warp_bilinear(src: np.ndarray, sx: np.ndarray, sy: np.ndarray):
     return out, valid
 
 
-WARP_KERNELS = {"near": warp_nearest, "bilinear": warp_bilinear}
+def _cubic_weights(d: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """GWKCubicComputeWeights (gdalwarpkernel.cpp:3235-3244)."""
+    half = 0.5 * d
+    three = 3.0 * d
+    half2 = half * d
+    c0 = half * (-1 + d * (2 - d))
+    c1 = 1 + half2 * (-5 + three)
+    c2 = half * (1 + d * (4 - three))
+    c3 = half2 * (-1 + d)
+    return c0, c1, c2, c3
+
+
+def warp_cubic(src: np.ndarray, sx: np.ndarray, sy: np.ndarray):
+    """GWKCubicResample4Sample: 4x4 cubic convolution at
+    iSrc = int(srcX - 0.5), delta = srcX - 0.5 - iSrc; pixels whose
+    4x4 window leaves the source fall back to bilinear
+    (gdalwarpkernel.cpp:3282-3301)."""
+    h, w = src.shape
+    ix = (sx - 0.5).astype(np.int64)
+    iy = (sy - 0.5).astype(np.int64)
+    interior = (ix - 1 >= 0) & (ix + 2 < w) & (iy - 1 >= 0) & (iy + 2 < h)
+
+    out, valid = warp_bilinear(src, sx, sy)  # border (and fallback) path
+    if interior.any():
+        sxi = sx[interior]
+        syi = sy[interior]
+        ixi = ix[interior]
+        iyi = iy[interior]
+        dx = sxi - 0.5 - ixi
+        dy = syi - 0.5 - iyi
+        wx = _cubic_weights(dx)
+        wy = _cubic_weights(dy)
+        srcf = src.astype(np.float64)
+        rows = np.zeros((4, sxi.size))
+        for r in range(4):
+            acc = np.zeros(sxi.size)
+            for c in range(4):
+                acc += wx[c] * srcf[iyi + r - 1, ixi + c - 1]
+            rows[r] = acc
+        vals = sum(wy[r] * rows[r] for r in range(4))
+        out[interior] = vals
+        valid = valid | interior
+    return out, valid
+
+
+WARP_KERNELS = {"near": warp_nearest, "bilinear": warp_bilinear, "cubic": warp_cubic}
 
 
 # ---------------------------------------------------------------------------

@@ -999,3 +999,108 @@ def q_contour(spark, sf_dir):
 
 
 QUERIES["contour"] = q_contour
+
+
+def _byte20_vals_sql() -> str:
+    from gdal_spark.fixtures import BYTE20
+
+    return ", ".join(f"({py},{px},{int(BYTE20[py, px])})" for py in range(20) for px in range(20))
+
+
+def q_translate_crop(spark, sf_dir):
+    """gdal_translate -srcwin 3 2 10 12: pixel rows of the crop."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.raster import as_features
+    from gdal_spark.operators.translate import translate
+
+    out, dspec = translate(byte20_tiles(spark), BYTE20_SPEC, srcwin=(3, 2, 10, 12))
+    pix = as_features(out, dspec)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("value").cast("bigint").alias("v"),
+    )
+
+
+def _o_translate_crop() -> str:
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)) "
+        "SELECT CAST(py - 2 AS BIGINT) AS py, CAST(px - 3 AS BIGINT) AS px, CAST(v AS BIGINT) AS v "
+        "FROM pixels WHERE px BETWEEN 3 AND 12 AND py BETWEEN 2 AND 13"
+    )
+
+
+def q_translate_half(spark, sf_dir):
+    """gdal_translate -outsize 50% 50% nearest: src = int(0.5 + 2*i)
+    (overview.cpp:126) == byte20[2i, 2j]."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.raster import as_features
+    from gdal_spark.operators.translate import translate
+
+    out, dspec = translate(byte20_tiles(spark), BYTE20_SPEC, outsize=(10, 10))
+    pix = as_features(out, dspec)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("value").cast("bigint").alias("v"),
+    )
+
+
+def _o_translate_half() -> str:
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)) "
+        "SELECT CAST(py / 2 AS BIGINT) AS py, CAST(px / 2 AS BIGINT) AS px, CAST(v AS BIGINT) AS v "
+        "FROM pixels WHERE py % 2 = 0 AND px % 2 = 0"
+    )
+
+
+def q_polygonize_zones(spark, sf_dir):
+    """Polygonize of the rasterized zone raster: one polygon per zone
+    (zones are connected, disjoint); output = DN + world envelope of
+    each polygon."""
+    from gdal_spark.fixtures import BYTE20_SPEC
+    from gdal_spark.operators.polygonize import polygonize
+    from gdal_spark.operators.spatial import envelope_udf
+    from gdal_spark.operators.zonal import rasterize_zones
+
+    ztiles = rasterize_zones(zones_table(spark), BYTE20_SPEC)
+    polys = polygonize(ztiles, BYTE20_SPEC, nodata=0.0)
+    env = envelope_udf(F.col("wkt"))
+    return polys.withColumn("_e", env).select(
+        (F.col("dn").cast("bigint") - 1).alias("zone_fid"),
+        F.col("_e.minx").cast("bigint").alias("minx"),
+        F.col("_e.miny").cast("bigint").alias("miny"),
+        F.col("_e.maxx").cast("bigint").alias("maxx"),
+        F.col("_e.maxy").cast("bigint").alias("maxy"),
+    )
+
+
+def _o_polygonize_zones() -> str:
+    # reuse the zonal fill CTE: per zone, pixel bbox -> world envelope
+    zon = _o_zonal_raster()
+    fill_part = zon[zon.index("WITH") : zon.index("SELECT CAST(zp.fid")]
+    return (
+        f"{fill_part} "
+        "SELECT CAST(fid AS BIGINT) AS zone_fid, "
+        "CAST(440720 + MIN(px) * 60 AS BIGINT) AS minx, "
+        "CAST(3751320 - (MAX(py) + 1) * 60 AS BIGINT) AS miny, "
+        "CAST(440720 + (MAX(px) + 1) * 60 AS BIGINT) AS maxx, "
+        "CAST(3751320 - MIN(py) * 60 AS BIGINT) AS maxy "
+        "FROM zp GROUP BY fid"
+    )
+
+
+QUERIES.update(
+    {
+        "translate_crop": q_translate_crop,
+        "translate_half": q_translate_half,
+        "polygonize_zones": q_polygonize_zones,
+    }
+)
+ORACLES.update(
+    {
+        "translate_crop": _o_translate_crop(),
+        "translate_half": _o_translate_half(),
+        "polygonize_zones": _o_polygonize_zones(),
+    }
+)

@@ -182,3 +182,61 @@ class TestTiling:
         tms = WebMercatorQuad()
         assert tms.file_y(818, 11, "xyz") == 818
         assert tms.file_y(818, 11, "tms") == 2047 - 818
+
+
+class TestWarpCubic:
+    """GWKCubicResample4Sample semantics (gdalwarpkernel.cpp:3229+)."""
+
+    def test_identity_at_centers(self):
+        import numpy as np
+
+        from gdal_spark.fixtures import BYTE20
+        from gdal_spark.operators.tiles import warp_cubic
+
+        jj, ii = np.meshgrid(np.arange(20), np.arange(20))
+        vals, valid = warp_cubic(BYTE20, (jj + 0.5).ravel().astype(float), (ii + 0.5).ravel().astype(float))
+        assert valid.all()
+        # delta == 0 -> weights (0,1,0,0) -> exact passthrough
+        np.testing.assert_array_equal(vals.reshape(20, 20), BYTE20.astype(float))
+
+    def test_matches_direct_formula(self):
+        import numpy as np
+
+        from gdal_spark.fixtures import BYTE20
+        from gdal_spark.operators.tiles import warp_cubic
+
+        rng = np.random.default_rng(5)
+        sx = rng.uniform(2.0, 18.0, 200)
+        sy = rng.uniform(2.0, 18.0, 200)
+        vals, valid = warp_cubic(BYTE20, sx, sy)
+        assert valid.all()
+
+        def weights(d):
+            return (
+                0.5 * d * (-1 + d * (2 - d)),
+                1 + 0.5 * d * d * (-5 + 3 * d),
+                0.5 * d * (1 + d * (4 - 3 * d)),
+                0.5 * d * d * (-1 + d),
+            )
+
+        for k in range(200):
+            ix, iy = int(sx[k] - 0.5), int(sy[k] - 0.5)
+            wx = weights(sx[k] - 0.5 - ix)
+            wy = weights(sy[k] - 0.5 - iy)
+            want = sum(
+                wy[r] * sum(wx[c] * float(BYTE20[iy + r - 1, ix + c - 1]) for c in range(4))
+                for r in range(4)
+            )
+            assert abs(vals[k] - want) < 1e-9
+
+    def test_border_falls_back_to_bilinear(self):
+        import numpy as np
+
+        from gdal_spark.fixtures import BYTE20
+        from gdal_spark.operators.tiles import warp_bilinear, warp_cubic
+
+        sx = np.array([0.7, 19.4])
+        sy = np.array([0.6, 19.2])
+        cv, cvalid = warp_cubic(BYTE20, sx, sy)
+        bv, bvalid = warp_bilinear(BYTE20, sx, sy)
+        np.testing.assert_array_equal(cv, bv)
