@@ -1104,3 +1104,52 @@ ORACLES.update(
         "polygonize_zones": _o_polygonize_zones(),
     }
 )
+
+
+def q_proximity(spark, sf_dir):
+    """GDALComputeProximity over byte20: squared pixel distance to the
+    nearest bright pixel (v >= 200) — exact separable EDT via two
+    strip shuffles; squared output is pure-integer for the oracle."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.proximity import proximity
+    from gdal_spark.operators.raster import as_features
+
+    src = byte20_tiles(spark)
+
+    # target mask: v >= 200 (byte20 has a handful of bright pixels)
+    def _mask(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                t = _np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)
+                rows.append({"band": 1, "ty": r.ty, "tx": r.tx, "h": r.h, "w": r.w,
+                             "dtype": "uint8", "payload": (t >= 200).astype(_np.uint8).tobytes()})
+            yield _pd.DataFrame(rows, columns=["band", "ty", "tx", "h", "w", "dtype", "payload"])
+
+    from gdal_spark.operators.raster import TILE_SCHEMA
+
+    mask = src.mapInPandas(_mask, TILE_SCHEMA)
+    prox = proximity(mask, BYTE20_SPEC, squared=True, nodata=999999.0)
+    pix = as_features(prox, BYTE20_SPEC)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("value").cast("bigint").alias("d2"),
+    )
+
+
+def _o_proximity() -> str:
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)), "
+        "targets AS (SELECT py AS qy, px AS qx FROM pixels WHERE v >= 200) "
+        "SELECT CAST(p.py AS BIGINT) AS py, CAST(p.px AS BIGINT) AS px, "
+        "CAST(MIN((p.py - t.qy) * (p.py - t.qy) + (p.px - t.qx) * (p.px - t.qx)) AS BIGINT) AS d2 "
+        "FROM pixels p CROSS JOIN targets t GROUP BY p.py, p.px"
+    )
+
+
+QUERIES["proximity"] = q_proximity
+ORACLES["proximity"] = _o_proximity()
