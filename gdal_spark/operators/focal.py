@@ -245,3 +245,89 @@ def focal_mean(tiles: DataFrame, spec: RasterSpec, size: int = 3) -> DataFrame:
 
 def focal_apply_local(arr: np.ndarray, kernel, halo: int = 1) -> np.ndarray:
     return kernel(np.pad(arr.astype(np.float64), halo, mode="edge"))
+
+
+# -- remaining gdaldem kernels (apps/gdaldem_lib.cpp) -----------------------
+# window layout afWin[0..8] row-major: afWin[4] = center
+
+
+def aspect_kernel(angle_as_azimuth: bool = True, nodata: float = -9999.0):
+    """GDALAspectAlg (gdaldem_lib.cpp): dx/dy are UNnormalized
+    weighted sums (note afWin[5]/afWin[3]/afWin[7]/afWin[1] doubled),
+    aspect = atan2(dy, -dx); flat cells -> nodata; azimuth flip."""
+
+    def k(p: np.ndarray) -> np.ndarray:
+        a, b, c = p[:-2, :-2], p[:-2, 1:-1], p[:-2, 2:]
+        d, f = p[1:-1, :-2], p[1:-1, 2:]
+        g, h, i = p[2:, :-2], p[2:, 1:-1], p[2:, 2:]
+        dx = (c + f + f + i) - (a + d + d + g)
+        dy = (g + h + h + i) - (a + b + b + c)
+        asp = np.degrees(np.arctan2(dy, -dx))
+        if angle_as_azimuth:
+            asp = np.where(asp > 90.0, 450.0 - asp, 90.0 - asp)
+        asp = np.where((dx == 0) & (dy == 0), nodata, asp)
+        return asp
+
+    return k
+
+
+def tpi_kernel():
+    """GDALTPIAlg: center minus mean of the 8 neighbors."""
+
+    def k(p: np.ndarray) -> np.ndarray:
+        s = (
+            p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+            + p[1:-1, :-2] + p[1:-1, 2:]
+            + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+        )
+        return p[1:-1, 1:-1] - s * 0.125
+
+    return k
+
+
+def tri_kernel(alg: str = "Wilson"):
+    """GDALTRIAlgWilson: mean |neighbor - center|; Riley: sqrt of the
+    sum of squared differences."""
+
+    def k(p: np.ndarray) -> np.ndarray:
+        ctr = p[1:-1, 1:-1]
+        diffs = [
+            p[:-2, :-2] - ctr, p[:-2, 1:-1] - ctr, p[:-2, 2:] - ctr,
+            p[1:-1, :-2] - ctr, p[1:-1, 2:] - ctr,
+            p[2:, :-2] - ctr, p[2:, 1:-1] - ctr, p[2:, 2:] - ctr,
+        ]
+        if alg == "Riley":
+            return np.sqrt(sum(dd * dd for dd in diffs))
+        return sum(np.abs(dd) for dd in diffs) * 0.125
+
+    return k
+
+
+def roughness_kernel():
+    """GDALRoughnessAlg: max - min over the full 3x3 window."""
+
+    def k(p: np.ndarray) -> np.ndarray:
+        wins = [
+            p[:-2, :-2], p[:-2, 1:-1], p[:-2, 2:],
+            p[1:-1, :-2], p[1:-1, 1:-1], p[1:-1, 2:],
+            p[2:, :-2], p[2:, 1:-1], p[2:, 2:],
+        ]
+        return np.maximum.reduce(wins) - np.minimum.reduce(wins)
+
+    return k
+
+
+def aspect(tiles: DataFrame, spec: RasterSpec, angle_as_azimuth: bool = True) -> DataFrame:
+    return focal_apply(tiles, spec, aspect_kernel(angle_as_azimuth))
+
+
+def tpi(tiles: DataFrame, spec: RasterSpec) -> DataFrame:
+    return focal_apply(tiles, spec, tpi_kernel())
+
+
+def tri(tiles: DataFrame, spec: RasterSpec, alg: str = "Wilson") -> DataFrame:
+    return focal_apply(tiles, spec, tri_kernel(alg))
+
+
+def roughness(tiles: DataFrame, spec: RasterSpec) -> DataFrame:
+    return focal_apply(tiles, spec, roughness_kernel())

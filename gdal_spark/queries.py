@@ -1153,3 +1153,75 @@ def _o_proximity() -> str:
 
 QUERIES["proximity"] = q_proximity
 ORACLES["proximity"] = _o_proximity()
+
+
+def _layers(spark, sf_dir):
+    return {t: load(spark, sf_dir, t) for t in ("lineitem", "orders", "customer", "supplier")}
+
+
+def q_ogrsql_summary(spark, sf_dir):
+    """OGR SQL dialect end-to-end: summary record through the swq
+    parser + OGR semantics (SWQM_SUMMARY_RECORD)."""
+    from gdal_spark.ogr_sql import execute
+
+    df = execute(
+        spark,
+        "SELECT COUNT(*) AS cnt, MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q, "
+        "COUNT(DISTINCT l_returnflag) AS flags FROM lineitem WHERE l_quantity > 25",
+        _layers(spark, sf_dir),
+    )
+    return df.select(
+        F.col("cnt").cast("bigint"), "min_q", "max_q", F.col("flags").cast("bigint")
+    )
+
+
+def q_ogrsql_where_order(spark, sf_dir):
+    """Dialect: WHERE w/ BETWEEN + LIKE, ORDER BY ... LIMIT/OFFSET."""
+    from gdal_spark.ogr_sql import execute
+
+    return execute(
+        spark,
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice BETWEEN 1000 AND 50000 AND o_orderpriority LIKE '%HIGH' "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 3",
+        _layers(spark, sf_dir),
+    )
+
+
+def q_ogrsql_join(spark, sf_dir):
+    """Dialect: first-match LEFT JOIN (ogr_gensql.cpp:1515 1:1)."""
+    from gdal_spark.ogr_sql import execute
+
+    df = execute(
+        spark,
+        "SELECT c_custkey, o_orderkey FROM customer LEFT JOIN orders ON customer.c_custkey = orders.o_custkey",
+        _layers(spark, sf_dir),
+    )
+    return df
+
+
+ORACLES.update(
+    {
+        "ogrsql_summary": (
+            "SELECT COUNT(*) AS cnt, MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q, "
+            "COUNT(DISTINCT l_returnflag) AS flags FROM lineitem WHERE l_quantity > 25"
+        ),
+        "ogrsql_where_order": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "WHERE o_totalprice BETWEEN 1000 AND 50000 AND o_orderpriority LIKE '%HIGH' "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 3"
+        ),
+        "ogrsql_join": (
+            "SELECT c_custkey, o.o_orderkey FROM customer c LEFT JOIN "
+            "(SELECT o_custkey, MIN(o_orderkey) AS o_orderkey FROM orders GROUP BY o_custkey) o "
+            "ON c.c_custkey = o.o_custkey"
+        ),
+    }
+)
+QUERIES.update(
+    {
+        "ogrsql_summary": q_ogrsql_summary,
+        "ogrsql_where_order": q_ogrsql_where_order,
+        "ogrsql_join": q_ogrsql_join,
+    }
+)

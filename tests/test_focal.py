@@ -62,3 +62,40 @@ class TestFocal:
         tiles = byte20_tiles(spark)
         got = _materialize(slope(tiles, BYTE20_SPEC), BYTE20_SPEC)[5, 5]
         assert got == pytest.approx(want, abs=1e-12)
+
+
+class TestDemDerivatives:
+    """aspect/TPI/TRI/roughness (gdaldem_lib.cpp formulas)."""
+
+    def test_tpi_matches_local(self, spark):
+        from gdal_spark.operators.focal import tpi, tpi_kernel
+
+        got = _materialize(tpi(byte20_tiles(spark), BYTE20_SPEC), BYTE20_SPEC)
+        want = focal_apply_local(BYTE20.astype(np.float64), tpi_kernel())
+        np.testing.assert_array_equal(got, want)
+
+    def test_tri_wilson_and_riley(self, spark):
+        from gdal_spark.operators.focal import tri, tri_kernel
+
+        for alg in ("Wilson", "Riley"):
+            got = _materialize(tri(byte20_tiles(spark), BYTE20_SPEC, alg=alg), BYTE20_SPEC)
+            want = focal_apply_local(BYTE20.astype(np.float64), tri_kernel(alg))
+            np.testing.assert_array_equal(got, want)
+        assert (focal_apply_local(BYTE20.astype(np.float64), tri_kernel("Riley")) >= 0).all()
+
+    def test_roughness_matches_local(self, spark):
+        from gdal_spark.operators.focal import roughness, roughness_kernel
+
+        got = _materialize(roughness(byte20_tiles(spark), BYTE20_SPEC), BYTE20_SPEC)
+        want = focal_apply_local(BYTE20.astype(np.float64), roughness_kernel())
+        np.testing.assert_array_equal(got, want)
+        assert (got >= 0).all()
+
+    def test_aspect_handchecked(self, spark):
+        from gdal_spark.operators.focal import aspect, aspect_kernel
+
+        got = _materialize(aspect(byte20_tiles(spark), BYTE20_SPEC), BYTE20_SPEC)
+        want = focal_apply_local(BYTE20.astype(np.float64), aspect_kernel())
+        np.testing.assert_array_equal(got, want)
+        real = got[(got != -9999.0)]
+        assert ((real >= 0) & (real <= 360)).all()
