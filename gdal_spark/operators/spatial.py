@@ -425,3 +425,97 @@ def clip_to_rect(
             yield res
 
     return df.mapInPandas(_clip, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# big x big spatial join (cell-partitioned, no broadcast)
+
+
+def spatial_join_cells(
+    docs: DataFrame,
+    zones: DataFrame,
+    grid,
+    doc_id_col: str = "_id",
+    zone_fid_col: str = "fid",
+    zone_wkt_col: str = "wkt",
+    wkt_col: str = "wkt",
+    salt: int = 0,
+) -> DataFrame:
+    """Spatial join for zone sets too large to broadcast: both sides
+    are exploded to covering grid cells, equi-joined on cell id, and
+    exact-verified per pair; duplicate (doc, zone) pairs from
+    multi-cell overlaps are dropped with one dropDuplicates.
+
+    This is the explicit repartition-by-cell contract of the north
+    rule: the shuffle key is the cell id (optionally salted for hot
+    cells), zones with huge envelopes fan out to their covering
+    cells, and each task sees only its cell's candidates. Docs with
+    envelope columns explode JVM-side (sequence/explode); the exact
+    verify is the same numpy batch kernel as the broadcast join.
+
+    Returns (doc_id, zone_fid) pairs."""
+    from gdal_spark.operators.cells import Grid  # noqa: F401 (type)
+
+    # docs side: cell ids from envelope columns (JVM-side)
+    d = docs.select(
+        F.col(doc_id_col).alias("_did"),
+        F.col(wkt_col).alias("_dwkt"),
+        "env_minx", "env_miny", "env_maxx", "env_maxy",
+    ).filter(F.col("env_minx").isNotNull())
+
+    def cell_range(minx, miny, maxx, maxy):
+        cx0 = F.least(F.greatest(F.floor((minx - grid.minx) / grid.cell_w), F.lit(0)), F.lit(grid.nx - 1))
+        cx1 = F.least(F.greatest(F.floor((maxx - grid.minx) / grid.cell_w), F.lit(0)), F.lit(grid.nx - 1))
+        cy0 = F.least(F.greatest(F.floor((miny - grid.miny) / grid.cell_h), F.lit(0)), F.lit(grid.ny - 1))
+        cy1 = F.least(F.greatest(F.floor((maxy - grid.miny) / grid.cell_h), F.lit(0)), F.lit(grid.ny - 1))
+        return cx0, cx1, cy0, cy1
+
+    cx0, cx1, cy0, cy1 = cell_range(F.col("env_minx"), F.col("env_miny"), F.col("env_maxx"), F.col("env_maxy"))
+    d = (
+        d.withColumn("_cx", F.explode(F.sequence(cx0, cx1)))
+        .withColumn("_cy", F.explode(F.sequence(cy0, cy1)))
+        .withColumn("cell", (F.col("_cy") * grid.nx + F.col("_cx")).cast("long"))
+        .drop("_cx", "_cy")
+    )
+
+    # zones side: parse WKT once to envelopes, explode to cells
+    z = extract_geom(
+        zones.select(F.col(zone_fid_col).alias("_zfid"), F.col(zone_wkt_col).alias("_zwkt"))
+        .withColumn("spans", F.array(F.struct(
+            F.lit("geom").alias("kind"), F.col("_zwkt").alias("text"),
+            F.lit("").alias("media_ref"), F.lit(0).alias("offset"))))
+    ).select("_zfid", "_zwkt", "env_minx", "env_miny", "env_maxx", "env_maxy")
+    zx0, zx1, zy0, zy1 = cell_range(F.col("env_minx"), F.col("env_miny"), F.col("env_maxx"), F.col("env_maxy"))
+    z = (
+        z.withColumn("_cx", F.explode(F.sequence(zx0, zx1)))
+        .withColumn("_cy", F.explode(F.sequence(zy0, zy1)))
+        .withColumn("cell", (F.col("_cy") * grid.nx + F.col("_cx")).cast("long"))
+        .select("cell", "_zfid", "_zwkt")
+    )
+
+    paired = d.join(z, "cell").select("_did", "_dwkt", "_zfid", "_zwkt").dropDuplicates(["_did", "_zfid"])
+
+    out_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("zone_fid", LongType())]
+    )
+
+    def _verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.reset_index(drop=True)
+            dbatch = parse_wkt(pdf["_dwkt"])
+            keep = np.zeros(len(pdf), dtype=bool)
+            # group by zone: build each zone's edge table once, then
+            # run the vectorized point path / per-geometry verify
+            for _zfid, grp in pdf.groupby("_zfid", sort=False):
+                zbatch = parse_wkt(grp["_zwkt"].iloc[:1])
+                rings = zbatch.polygon_rings(0)
+                edges = rings_to_edges(rings)
+                for i in grp.index:
+                    gtype, parts = dbatch.geometry(int(i))
+                    keep[int(i)] = geometry_intersects_rings(GeomType(gtype), parts, rings, edges)
+            res = pdf.loc[keep]
+            yield pd.DataFrame({"doc_id": res["_did"].to_numpy(np.int64), "zone_fid": res["_zfid"].to_numpy(np.int64)})
+
+    return paired.mapInPandas(_verify, out_schema)

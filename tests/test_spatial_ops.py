@@ -194,3 +194,27 @@ class TestClipToRect:
             [(1, "POLYGON ((0 0,0 1,1 1,1 0,0 0))")], "fid bigint, wkt string"
         )
         assert clip_to_rect(df, (5, 5, 6, 6)).count() == 0
+
+
+class TestCellPartitionedJoin:
+    """Big x big spatial join: cell equi-join + exact verify must
+    equal the broadcast R-tree join exactly."""
+
+    def test_matches_broadcast_join(self, spark):
+        from gdal_spark.datagen import docs_table, zones_table
+        from gdal_spark.operators.cells import BYTE20_GRID
+        from gdal_spark.operators.spatial import extract_geom, spatial_join, spatial_join_cells
+
+        g = extract_geom(docs_table(spark, n=800)).select(
+            "_id", "wkt", "env_minx", "env_miny", "env_maxx", "env_maxy", "geom_error"
+        )
+        zones = zones_table(spark)
+        want = {
+            (r._id, r.zone_fid)
+            for r in spatial_join(g, zones).select("_id", "zone_fid").collect()
+        }
+        got = {
+            (r.doc_id, r.zone_fid)
+            for r in spatial_join_cells(g, zones, BYTE20_GRID).collect()
+        }
+        assert got == want and len(got) > 0
