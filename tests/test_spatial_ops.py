@@ -218,3 +218,30 @@ class TestCellPartitionedJoin:
             for r in spatial_join_cells(g, zones, BYTE20_GRID).collect()
         }
         assert got == want and len(got) > 0
+
+
+class TestSpanIntegrity:
+    """North-rule invariant: span sequence (kind, text, media_ref,
+    order) survives every shuffle."""
+
+    def test_survives_repartition_and_join(self, spark):
+        from gdal_spark.datagen import docs_table, zones_table
+        from gdal_spark.integrity import audit_span_integrity, offsets_are_sequential
+        from gdal_spark.operators.spatial import extract_geom, spatial_join
+
+        docs = docs_table(spark, n=400)
+        # a shuffle-heavy pipeline that carries spans all the way through
+        g = extract_geom(docs).repartition(16, "doc_id")
+        joined = spatial_join(g, zones_table(spark), first_match=True, how="left")
+        assert audit_span_integrity(docs, joined) == 0
+        assert joined.filter(~offsets_are_sequential()).count() == 0
+
+    def test_fingerprint_detects_reorder(self, spark):
+        from pyspark.sql import functions as F
+
+        from gdal_spark.datagen import docs_table
+        from gdal_spark.integrity import audit_span_integrity
+
+        docs = docs_table(spark, n=50)
+        tampered = docs.withColumn("spans", F.reverse("spans"))
+        assert audit_span_integrity(docs, tampered) == 50
