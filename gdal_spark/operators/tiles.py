@@ -225,7 +225,42 @@ def warp_cubic(src: np.ndarray, sx: np.ndarray, sy: np.ndarray):
     return out, valid
 
 
+def warp_average(src: np.ndarray, sxa, sya, sxb, syb, bounds=None):
+    """GRA_Average (GWKAverageOrMode): per dst pixel, the unweighted
+    mean of the src pixels inside the transformed footprint
+    [min(corner x), max(corner x)] x [same for y], windowed by the
+    reference's rule (gdalwarpkernel.cpp:6992-7006):
+      iMin = max(floor(min + 1e-10), 0)
+      iMax = min(ceil(max - 1e-10), size); if iMin == iMax: iMax += 1
+    Vectorized with an integral image (no per-pixel loops)."""
+    h, w = src.shape
+    # bounds: the TRUE raster rectangle in window-local coords (the
+    # assembled window may pad beyond the raster; GDAL clamps the
+    # footprint to [0, nSrcSize] of the real raster)
+    bx0, by0, bx1, by1 = bounds if bounds is not None else (0.0, 0.0, float(w), float(h))
+    EPS = 1e-10
+    xmin = np.minimum(sxa, sxb)
+    xmax = np.maximum(sxa, sxb)
+    ymin = np.minimum(sya, syb)
+    ymax = np.maximum(sya, syb)
+    ok = (xmax > bx0 - EPS) & (xmin < bx1 + EPS) & (ymax > by0 - EPS) & (ymin < by1 + EPS)
+    ix0 = np.maximum(np.floor(xmin + EPS), bx0).astype(np.int64)
+    ix1 = np.minimum(np.ceil(xmax - EPS), bx1).astype(np.int64)
+    ix1 = np.where((ix0 == ix1) & (ix1 < bx1), ix1 + 1, ix1)
+    iy0 = np.maximum(np.floor(ymin + EPS), by0).astype(np.int64)
+    iy1 = np.minimum(np.ceil(ymax - EPS), by1).astype(np.int64)
+    iy1 = np.where((iy0 == iy1) & (iy1 < by1), iy1 + 1, iy1)
+    ok &= (ix1 > ix0) & (iy1 > iy0)
+    ix0c, ix1c = np.clip(ix0, 0, w), np.clip(ix1, 0, w)
+    iy0c, iy1c = np.clip(iy0, 0, h), np.clip(iy1, 0, h)
+    c = np.pad(np.cumsum(np.cumsum(src.astype(np.float64), axis=0), axis=1), ((1, 0), (1, 0)))
+    s = c[iy1c, ix1c] - c[iy0c, ix1c] - c[iy1c, ix0c] + c[iy0c, ix0c]
+    n = np.maximum((iy1c - iy0c) * (ix1c - ix0c), 1)
+    return np.where(ok, s / n, 0.0), ok
+
+
 WARP_KERNELS = {"near": warp_nearest, "bilinear": warp_bilinear, "cubic": warp_cubic}
+AREA_KERNELS = {"average": warp_average}
 
 
 # ---------------------------------------------------------------------------
@@ -243,12 +278,17 @@ TILE_OUT_SCHEMA = StructType(
 )
 
 
-def _dst_pixel_src_coords(tms: WebMercatorQuad, z: int, tx: int, ty: int, pipeline: Pipeline, src_spec: RasterSpec):
-    """src pixel coords (sx, sy) of every dst pixel center of tile."""
+def _dst_pixel_src_coords(
+    tms: WebMercatorQuad, z: int, tx: int, ty: int, pipeline: Pipeline, src_spec: RasterSpec, offset: float = 0.5
+):
+    """src pixel coords (sx, sy) of every dst pixel of the tile, at
+    the given sub-pixel offset (0.5 = centers for point kernels;
+    0.0 / 1.0 = the corner pair the area kernels transform,
+    GWKAverageOrModeComputeSourceCoords padfX/padfX2)."""
     res = tms.resolution(z)
     ox, oy = tms.tile_origin(z, tx, ty)
-    xs = ox + (np.arange(tms.tile_size) + 0.5) * res
-    ys = oy - (np.arange(tms.tile_size) + 0.5) * res
+    xs = ox + (np.arange(tms.tile_size) + offset) * res
+    ys = oy - (np.arange(tms.tile_size) + offset) * res
     X, Y = np.meshgrid(xs, ys)
     wx, wy = pipeline.inverse(X.ravel(), Y.ravel())
     sx, sy = src_spec.world_to_pixel(wx, wy)
@@ -280,7 +320,10 @@ def raster_tile(
     sts = src_spec.tile_size
     nbands = src_spec.nbands
     alpha_band = nbands + 1
-    kernel = WARP_KERNELS[resampling]
+    kernel = WARP_KERNELS.get(resampling)
+    area_kernel = AREA_KERNELS.get(resampling)
+    if kernel is None and area_kernel is None:
+        raise ValueError(f"unknown resampling {resampling}")
 
     # source extent -> base-zoom dst tile range (driver-side planning,
     # the GDALSuggestedWarpOutput role: one transform of the corners)
@@ -375,9 +418,16 @@ def raster_tile(
             # window-local src pixel coords; pixels mapping into the full
             # src raster but outside this window cannot occur by
             # construction (window covers the tile's source footprint)
-            vals, valid = kernel(win, sx - wx0, sy - wy0)
-            # clip validity to the true raster bounds (window may pad)
-            gvalid = valid & (sx >= 0) & (sy >= 0) & (sx + 1e-10 <= src_spec.width) & (sy + 1e-10 <= src_spec.height)
+            if area_kernel is not None:
+                sxa, sya = _dst_pixel_src_coords(tms, z, txx, tyy, src_pipeline, src_spec, offset=0.0)
+                sxb, syb = _dst_pixel_src_coords(tms, z, txx, tyy, src_pipeline, src_spec, offset=1.0)
+                rb = (-wx0, -wy0, src_spec.width - wx0, src_spec.height - wy0)
+                vals, valid = area_kernel(win, sxa - wx0, sya - wy0, sxb - wx0, syb - wy0, bounds=rb)
+                gvalid = valid
+            else:
+                vals, valid = kernel(win, sx - wx0, sy - wy0)
+                # clip validity to the true raster bounds (window may pad)
+                gvalid = valid & (sx >= 0) & (sy >= 0) & (sx + 1e-10 <= src_spec.width) & (sy + 1e-10 <= src_spec.height)
             payload = copy_word(np.where(gvalid, vals, 0), src_spec.dtype)
             out_rows.append(
                 {"z": z, "tx": txx, "ty": tyy, "band": band, "dtype": src_spec.dtype, "payload": payload.tobytes()}

@@ -240,3 +240,80 @@ class TestWarpCubic:
         cv, cvalid = warp_cubic(BYTE20, sx, sy)
         bv, bvalid = warp_bilinear(BYTE20, sx, sy)
         np.testing.assert_array_equal(cv, bv)
+
+
+class TestWarpAverage:
+    """GRA_Average footprint window rule (gdalwarpkernel.cpp:6992+)."""
+
+    def test_matches_brute_force(self):
+        import numpy as np
+
+        from gdal_spark.fixtures import BYTE20
+        from gdal_spark.operators.tiles import warp_average
+
+        rng = np.random.default_rng(8)
+        sxa = rng.uniform(-1.0, 19.0, 150)
+        sya = rng.uniform(-1.0, 19.0, 150)
+        sxb = sxa + rng.uniform(0.3, 4.0, 150)
+        syb = sya + rng.uniform(0.3, 4.0, 150)
+        vals, ok = warp_average(BYTE20, sxa, sya, sxb, syb)
+        EPS = 1e-10
+        for k in range(150):
+            # GDAL's intersect pre-check (gdalwarpkernel.cpp:6996):
+            # a footprint outside [0, size] is invalid outright
+            if not (
+                max(sxa[k], sxb[k]) > -EPS and min(sxa[k], sxb[k]) < 20 + EPS
+                and max(sya[k], syb[k]) > -EPS and min(sya[k], syb[k]) < 20 + EPS
+            ):
+                assert not ok[k]
+                continue
+            ix0 = max(int(np.floor(min(sxa[k], sxb[k]) + EPS)), 0)
+            ix1 = min(int(np.ceil(max(sxa[k], sxb[k]) - EPS)), 20)
+            if ix0 == ix1 and ix1 < 20:
+                ix1 += 1
+            iy0 = max(int(np.floor(min(sya[k], syb[k]) + EPS)), 0)
+            iy1 = min(int(np.ceil(max(sya[k], syb[k]) - EPS)), 20)
+            if iy0 == iy1 and iy1 < 20:
+                iy1 += 1
+            if ix1 > ix0 and iy1 > iy0:
+                assert ok[k]
+                want = BYTE20[iy0:iy1, ix0:ix1].astype(float).mean()
+                assert abs(vals[k] - want) < 1e-9
+
+    def test_exact_2x2_downsample(self):
+        import numpy as np
+
+        from gdal_spark.operators.tiles import warp_average
+
+        src = np.arange(16, dtype=np.float64).reshape(4, 4)
+        # dst pixel k covers src [2k, 2k+2) in both axes
+        jj, ii = np.meshgrid(np.arange(2), np.arange(2))
+        sxa, sya = (jj * 2.0).ravel(), (ii * 2.0).ravel()
+        sxb, syb = (jj * 2.0 + 2.0).ravel(), (ii * 2.0 + 2.0).ravel()
+        vals, ok = warp_average(src, sxa, sya, sxb, syb)
+        want = np.array([[src[0:2, 0:2].mean(), src[0:2, 2:4].mean()],
+                         [src[2:4, 0:2].mean(), src[2:4, 2:4].mean()]]).ravel()
+        np.testing.assert_allclose(vals, want)
+        assert ok.all()
+
+
+class TestTileAverage:
+    def test_average_tiling_end_to_end(self, spark):
+        import numpy as np
+
+        from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+        from gdal_spark.geom.proj import EPSG_26711, Pipeline
+        from gdal_spark.operators.tiles import raster_tile
+
+        src = byte20_tiles(spark)
+        pipe = Pipeline(src=EPSG_26711, dst="webmercator")
+        tiles = raster_tile(src, BYTE20_SPEC, pipe, min_zoom=11, max_zoom=11, resampling="average").cache()
+        rows = tiles.collect()
+        assert {(r.z, r.tx, r.ty) for r in rows} == {(11, 354, 818)}
+        band = [r for r in rows if r.band == 1][0]
+        a = np.frombuffer(band.payload, dtype=band.dtype).reshape(256, 256)
+        # averaged values stay within the source range and cover the
+        # same footprint as nearest
+        cov = a > 0
+        assert 200 < cov.sum() < 1000
+        assert a[cov].min() >= 74 and a[cov].max() <= 255
