@@ -400,11 +400,13 @@ def q_embed_topk(spark, sf_dir):
         )
     )
     scored = emb.select("vec_id", (dot / (nrm * F.lit(qn))).alias("cs"))
+    # orderBy().limit = TakeOrderedAndProject (partial top-k per
+    # partition), NOT a global row_number window (which would shuffle
+    # every row to one partition); rank only the 10 survivors.
+    top = scored.orderBy(F.desc("cs"), F.asc("vec_id")).limit(10)
     w = Window.orderBy(F.desc("cs"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("vec_id", F.col("rank").cast("bigint").alias("rank"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "vec_id", F.col("rank").cast("bigint").alias("rank")
     )
 
 
@@ -489,7 +491,10 @@ def _o_spatial_antijoin() -> str:
 def _o_zonal_stats() -> str:
     return (
         f"WITH g AS ({docs_g_cte()}), m AS ({_zone_match_sql()}) "
-        "SELECT m.zone_fid, COUNT(*) AS n_docs, SUM(g.n_chars) AS sum_chars, "
+        # CAST: DuckDB SUM(BIGINT) yields HUGEINT whose value-hash
+        # canonicalization differs from Spark's long (round-1 driver
+        # hash artifact) — cast back to BIGINT on the oracle side.
+        "SELECT m.zone_fid, COUNT(*) AS n_docs, CAST(SUM(g.n_chars) AS BIGINT) AS sum_chars, "
         "MIN(g.doc_id) AS min_doc FROM m JOIN g ON m.doc_id = g.doc_id "
         "GROUP BY m.zone_fid"
     )
@@ -586,7 +591,7 @@ ORACLES = {
     "summary_lineitem": (
         "SELECT COUNT(*) AS cnt, COUNT(DISTINCT l_returnflag) AS n_flags, "
         "MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty, "
-        "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
         "MAX(l_shipdate) AS max_ship FROM lineitem WHERE l_quantity > 10"
     ),
     "distinct_priorities": "SELECT DISTINCT o_orderpriority FROM orders",
@@ -609,7 +614,7 @@ ORACLES = {
     "union_all": "SELECT n_name AS name FROM nation UNION ALL SELECT r_name AS name FROM region",
     "agg_events": (
         "SELECT event_type, COUNT(*) AS n, "
-        "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents FROM events GROUP BY event_type"
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents FROM events GROUP BY event_type"
     ),
     "window_topk_events": (
         "SELECT user_id, event_id, CAST(rk AS BIGINT) AS rk FROM ("
@@ -618,8 +623,8 @@ ORACLES = {
     ),
     "token_stats": (
         "SELECT lang, COUNT(*) AS n_docs, "
-        "SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)) AS sum_tokens, "
-        "SUM(n_chars) AS sum_chars FROM documents GROUP BY lang"
+        "CAST(SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)) AS BIGINT) AS sum_tokens, "
+        "CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY lang"
     ),
     "dedup_exact": (
         "SELECT md5(text) AS text_md5, MIN(doc_id) AS kept_doc_id, COUNT(*) AS dup_n "

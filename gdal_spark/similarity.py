@@ -56,15 +56,18 @@ def cosine_scores(df: DataFrame, qvec: Sequence[float], emb_col: str = "embeddin
 def cosine_topk(
     df: DataFrame, qvec: Sequence[float], k: int, id_col: str = "vec_id", emb_col: str = "embedding"
 ) -> DataFrame:
-    """Brute-force exact top-k: (id, rank). Catalyst compiles the
-    orderBy().limit(k) into TakeOrderedAndProject — per-partition
-    partial top-k, no full sort/shuffle of the scores."""
+    """Brute-force exact top-k: (id, rank). orderBy().limit(k) IS
+    Catalyst's TakeOrderedAndProject — each partition keeps a local
+    k-heap and only <=k rows per partition reach the driver-side merge;
+    no single-partition global sort. (Round-1 used row_number over an
+    unpartitioned Window, which shuffles EVERY scored row to one
+    partition — the fix is the plan-shape difference that matters at
+    10^12 rows.) Ranking then runs over the <=k surviving rows only."""
     scored = df.select(F.col(id_col), cosine_scores(df, qvec, emb_col).alias("cs"))
-    w = Window.orderBy(F.desc("cs"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, F.col("rank").cast("bigint").alias("rank"))
+    top = scored.orderBy(F.desc("cs"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("cs"), F.asc(id_col))  # <=k rows: trivial
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, F.col("rank").cast("bigint").alias("rank")
     )
 
 

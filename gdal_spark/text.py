@@ -35,31 +35,16 @@ def occurrences(text: Column, word: str) -> Column:
 
 
 def lang_id(text: Column) -> Column:
-    """argmax of marker-word scores, first-listed language wins ties."""
+    """argmax of marker-word scores, first-listed language wins ties
+    (deterministic fold-left: later lang replaces only on strictly
+    greater score)."""
     scores = [(lang, sum_scores(text, words)) for lang, words in LANG_MARKERS]
-    best = None
-    for lang, sc in scores:
-        cond = None
-        for other, osc in scores:
-            if other == lang:
-                continue
-            # strictly greater than every EARLIER lang, >= every later
-            c = sc > osc if _earlier(other, lang) else sc >= osc
-            cond = c if cond is None else (cond & c)
-        e = F.when(cond, F.lit(lang))
-        best = e if best is None else best.otherwise(F.lit(None)) if False else best
-    # simpler deterministic argmax: fold over langs keeping max
     expr = F.lit(LANG_MARKERS[0][0])
     cur = scores[0][1]
     for lang, sc in scores[1:]:
         expr = F.when(sc > cur, F.lit(lang)).otherwise(expr)
         cur = F.greatest(sc, cur)
     return expr
-
-
-def _earlier(a: str, b: str) -> bool:
-    order = [lang for lang, _ in LANG_MARKERS]
-    return order.index(a) < order.index(b)
 
 
 def sum_scores(text: Column, words: list[str]) -> Column:

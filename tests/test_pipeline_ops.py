@@ -120,6 +120,18 @@ class TestSimilarity:
         assert plane_sign(0, 0) == plane_sign(0, 0)
         assert QUANT == 1_000_000
 
+    def test_topk_plan_is_take_ordered(self, spark):
+        """The top-k must compile to TakeOrderedAndProject (per-partition
+        partial top-k), never a global-window single-partition sort of
+        all scored rows (the round-1 scale bug)."""
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(20, 8)).astype(np.float32)
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(v) for v in vecs[i]]) for i in range(20)]
+        )
+        plan = cosine_topk(df, [float(v) for v in vecs[0]], 5)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
 
 class TestMedia:
     def test_image_features_shapes(self, spark):
