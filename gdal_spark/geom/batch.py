@@ -96,6 +96,52 @@ class GeomBatch:
         env[self.is_null] = np.nan
         return env
 
+    def areas(self) -> np.ndarray:
+        """(N,) exact planar area (OGRGeometry::get_Area /
+        ogrsqlitesqlfunctions.cpp:636 ST_Area): per polygon part
+        |shoelace(exterior)| - sum |shoelace(holes)|, summed over parts;
+        0.0 for points/lines; NaN for null. Fully vectorized: one
+        shoelace pass over the flat coords + two reduceat folds.
+        """
+        n = len(self)
+        out = np.zeros(n, dtype=np.float64)
+        nrings = len(self.ring_coord_off) - 1
+        if nrings == 0 or len(self.coords) == 0:
+            out[self.is_null] = np.nan
+            return out
+        x, y = self.coords[:, 0], self.coords[:, 1]
+        # consecutive-pair cross terms; zero the last slot of each ring
+        # (rings are stored closed, so pair (last,first-of-next-ring)
+        # must not contribute)
+        c = np.zeros(len(x), dtype=np.float64)
+        c[:-1] = x[:-1] * y[1:] - x[1:] * y[:-1]
+        ring_ends = self.ring_coord_off[1:] - 1
+        starts = self.ring_coord_off[:-1]
+        nonempty = ring_ends >= starts
+        # zero the cross-ring pair, then close each ring explicitly
+        # (last->first term; 0 when the ring is stored closed)
+        e, s = ring_ends[nonempty], starts[nonempty]
+        c[e] = x[e] * y[s] - x[s] * y[e]
+        sums = np.add.reduceat(c, np.minimum(starts, len(c) - 1))
+        sums[~nonempty] = 0.0
+        ring_area = np.abs(sums) * 0.5  # (R,)
+        # ring role: first ring of its part = exterior (+), rest holes (-)
+        sign = -np.ones(nrings, dtype=np.float64)
+        first_of_part = self.part_ring_off[:-1]
+        sign[first_of_part[self.part_ring_off[:-1] < self.part_ring_off[1:]]] = 1.0
+        signed = ring_area * sign
+        # fold rings -> geometries (ring ranges per geometry are contiguous)
+        g_first_ring = self.part_ring_off[self.geom_part_off]  # (N+1,)
+        gs, ge = g_first_ring[:-1], g_first_ring[1:]
+        has_rings = ge > gs
+        if has_rings.any():
+            out[has_rings] = np.add.reduceat(signed, gs[has_rings])
+        # area only applies to polygon types; lines/points -> 0
+        is_poly = (self.types == GeomType.POLYGON) | (self.types == GeomType.MULTIPOLYGON)
+        out[~is_poly] = 0.0
+        out[self.is_null] = np.nan
+        return np.maximum(out, 0.0)
+
     def geometry(self, i: int) -> tuple[GeomType, list[list[np.ndarray]]]:
         """Materialize geometry i as [part -> [ring -> (k,2) coords]]."""
         parts = []

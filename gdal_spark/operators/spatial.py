@@ -78,6 +78,14 @@ def envelope_udf(wkt: pd.Series) -> pd.DataFrame:
     )
 
 
+@F.pandas_udf(DoubleType())
+def area_udf(wkt: pd.Series) -> pd.Series:
+    """Exact planar geometry area (OGRGeometry::get_Area semantics:
+    shoelace exterior minus holes, summed over parts —
+    ogrsqlitesqlfunctions.cpp:636 ST_Area). 0 for points/lines."""
+    return pd.Series(parse_wkt(wkt).areas())
+
+
 def extract_geom(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     """Pull the first kind='geom' span's WKT + envelope columns.
 

@@ -1160,6 +1160,109 @@ QUERIES["proximity"] = q_proximity
 ORACLES["proximity"] = _o_proximity()
 
 
+def _rect_piece_area(minx, miny, maxx, maxy) -> str:
+    """SQL: area of doc-square ∩ axis rect (0 when disjoint/touching)."""
+    return (
+        f"(GREATEST(0, LEAST(gx + half, {maxx}) - GREATEST(gx - half, {minx})) * "
+        f"GREATEST(0, LEAST(gy + half, {maxy}) - GREATEST(gy - half, {miny})))"
+    )
+
+
+def _zone_piece_area_sql(fid: int) -> str:
+    """Exact area of doc-square ∩ zone fid via rect arithmetic:
+    plain rect for 0-7; inclusion-exclusion for the L-shape (8);
+    outer-minus-hole for 9 (zones are pairwise disjoint)."""
+    if fid < 8:
+        return _rect_piece_area(*_zone_env(fid))
+    if fid == 8:
+        r1 = (441050, 3751050, 441150, 3751300)
+        r2 = (441050, 3751050, 441450, 3751150)
+        r12 = (441050, 3751050, 441150, 3751150)
+        return f"({_rect_piece_area(*r1)} + {_rect_piece_area(*r2)} - {_rect_piece_area(*r12)})"
+    outer = (440850, 3750480, 441050, 3750580)
+    hole = (440900, 3750500, 441000, 3750560)
+    return f"({_rect_piece_area(*outer)} - {_rect_piece_area(*hole)})"
+
+
+def _docs_for_overlay(spark, sf_dir):
+    g = docs_geom(spark, sf_dir).filter(
+        F.col("geom_error").isNull() & F.col("wkt").isNotNull()
+    )
+    return g.select(F.col("_id").alias("doc_id"), "wkt")
+
+
+def q_overlay_intersection(spark, sf_dir):
+    """Layer algebra Intersection (ogrlayer.cpp:5385): one piece per
+    intersecting (doc, zone) pair through the general snap-rounded
+    overlay kernel; output = exact piece area (KLDG=NO: zero-area
+    polygon-x-polygon contact is dropped; polygon-x-point pairs keep
+    the point, area 0)."""
+    from gdal_spark.operators.layer_algebra import layer_algebra
+    from gdal_spark.operators.spatial import area_udf
+
+    zones = zones_table(spark).withColumn("zfid", F.col("fid"))
+    out = layer_algebra(_docs_for_overlay(spark, sf_dir), zones, "intersection")
+    return out.select(
+        "doc_id",
+        F.col("zfid").cast("bigint").alias("zone_fid"),
+        F.round(area_udf(F.col("wkt"))).cast("bigint").alias("piece_area"),
+    )
+
+
+def q_overlay_identity(spark, sf_dir):
+    """Layer algebra Identity (ogrlayer.cpp:6770): intersection pieces
+    + per-doc leftovers (doc − union of matched zones, zone_fid NULL)."""
+    from gdal_spark.operators.layer_algebra import layer_algebra
+    from gdal_spark.operators.spatial import area_udf
+
+    zones = zones_table(spark).withColumn("zfid", F.col("fid"))
+    out = layer_algebra(_docs_for_overlay(spark, sf_dir), zones, "identity")
+    return out.select(
+        "doc_id",
+        F.col("zfid").cast("bigint").alias("zone_fid"),
+        F.round(area_udf(F.col("wkt"))).cast("bigint").alias("piece_area"),
+    )
+
+
+def _o_overlay_intersection() -> str:
+    parts = []
+    for fid in range(10):
+        area = _zone_piece_area_sql(fid)
+        parts.append(
+            f"SELECT doc_id, CAST({fid} AS BIGINT) AS zone_fid, "
+            f"CAST({area} AS BIGINT) AS piece_area FROM g WHERE valid AND "
+            f"((is_poly AND {area} > 0) OR ((NOT is_poly) AND {zone_intersects_sql(fid)}))"
+        )
+    return f"WITH g AS ({docs_g_cte()}) " + " UNION ALL ".join(parts)
+
+
+def _o_overlay_identity() -> str:
+    total = " + ".join(_zone_piece_area_sql(fid) for fid in range(10))
+    any_hit = " OR ".join(zone_intersects_sql(fid) for fid in range(10))
+    leftovers = (
+        "SELECT doc_id, CAST(NULL AS BIGINT) AS zone_fid, "
+        f"CAST((CASE WHEN is_poly THEN 4 * half * half ELSE 0 END) - ({total}) AS BIGINT) AS piece_area "
+        "FROM g WHERE valid AND ("
+        f"(is_poly AND (4 * half * half) - ({total}) > 0) "
+        f"OR ((NOT is_poly) AND NOT ({any_hit})))"
+    )
+    return f"{_o_overlay_intersection()} UNION ALL {leftovers}"
+
+
+QUERIES.update(
+    {
+        "overlay_intersection": q_overlay_intersection,
+        "overlay_identity": q_overlay_identity,
+    }
+)
+ORACLES.update(
+    {
+        "overlay_intersection": _o_overlay_intersection(),
+        "overlay_identity": _o_overlay_identity(),
+    }
+)
+
+
 def _layers(spark, sf_dir):
     return {t: load(spark, sf_dir, t) for t in ("lineitem", "orders", "customer", "supplier")}
 

@@ -1,0 +1,239 @@
+"""Layer algebra vs the reference test suite.
+
+Mirrors autotest/ogr/ogr_layer_algebra.py (fixtures A/B/D1/D2/pointInB,
+expected feature counts and geometries) and exercises the snap-rounded
+overlay kernel (gdal_spark/geom/overlay.py) directly on degenerate
+cases: shared edges, touching corners, holes, concavity, self-identity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from gdal_spark.geom.overlay import clip_line, overlay, region_area
+from gdal_spark.geom.wkt import parse_wkt
+from gdal_spark.operators.layer_algebra import layer_algebra
+
+
+def rect(x0, y0, x1, y1):
+    return [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)]
+
+
+def _geom_key(wkt: str):
+    """Orientation/rotation-insensitive geometry fingerprint:
+    (area round 6, envelope, vertex multiset)."""
+    b = parse_wkt([wkt])
+    env = b.envelopes()[0]
+    area = b.areas()[0]
+    verts = tuple(sorted(set(map(tuple, np.round(b.coords, 6).tolist()))))
+    return (round(float(area), 6), tuple(np.round(env, 6)), verts)
+
+
+# --- autotest fixture layers -------------------------------------------------
+
+A1 = "POLYGON((1 2, 1 3, 3 3, 3 2, 1 2))"
+A2 = "POLYGON((5 2, 5 3, 7 3, 7 2, 5 2))"
+B1 = "POLYGON((2 1, 2 4, 6 4, 6 1, 2 1))"
+D1 = "POLYGON((1 2, 1 3, 3 3, 3 2, 1 2))"
+D2 = "POLYGON((3 2, 3 3, 4 3, 4 2, 3 2))"
+
+
+@pytest.fixture()
+def layer_A(spark):
+    return spark.createDataFrame(
+        [
+            Row(A=1, same_in_both_layers=10, wkt=A1),
+            Row(A=2, same_in_both_layers=20, wkt=A2),
+        ]
+    )
+
+
+@pytest.fixture()
+def layer_B(spark):
+    return spark.createDataFrame([Row(fid=0, B="first", same_in_both_layers=30, wkt=B1)])
+
+
+@pytest.fixture()
+def layer_D(spark):
+    return spark.createDataFrame([Row(fid=0, wkt=D1), Row(fid=1, wkt=D2)])
+
+
+class TestKernel:
+    def test_intersection_rectangles(self):
+        r = overlay([rect(1, 2, 3, 3)], [rect(2, 1, 6, 4)], "and")
+        assert len(r) == 1
+        assert region_area(r) == pytest.approx(1.0)
+        shell = r[0][0]
+        assert set(map(tuple, shell.tolist())) == {(2, 2), (3, 2), (3, 3), (2, 3)}
+
+    def test_touching_rects_drop_lower_dim(self):
+        assert overlay([rect(1, 2, 3, 3)], [rect(3, 2, 4, 3)], "and") == []
+
+    def test_touching_rects_union_is_one_region(self):
+        r = overlay([rect(1, 2, 3, 3)], [rect(3, 2, 4, 3)], "or")
+        assert region_area(r) == pytest.approx(3.0)
+        assert len(r) == 1  # shared edge dissolved into one polygon
+
+    def test_corner_touching_union_two_shells(self):
+        r = overlay([rect(0, 0, 1, 1)], [rect(1, 1, 2, 2)], "or")
+        assert len(r) == 2
+        assert region_area(r) == pytest.approx(2.0)
+
+    def test_self_xor_empty(self):
+        assert overlay([rect(1, 2, 3, 3)], [rect(1, 2, 3, 3)], "xor") == []
+
+    def test_hole_production(self):
+        r = overlay([rect(0, 0, 10, 10)], [rect(4, 4, 6, 6)], "a_not_b")
+        assert len(r) == 1
+        shell, holes = r[0]
+        assert len(holes) == 1
+        assert region_area(r) == pytest.approx(96.0)
+
+    def test_hole_input(self):
+        donut = [
+            np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float),
+            np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], float),
+        ]
+        # intersect donut with a rect covering the hole: area excludes hole
+        r = overlay([donut], [rect(3, 3, 7, 7)], "and")
+        assert region_area(r) == pytest.approx(16 - 4)
+
+    def test_concave(self):
+        conc = [np.array([[0, 0], [4, 0], [4, 4], [2, 2], [0, 4], [0, 0]], float)]
+        r = overlay([conc], [rect(0, 2, 4, 4)], "and")
+        assert region_area(r) == pytest.approx(4.0)
+
+    def test_union_of_many_b(self):
+        # region B = union of overlapping features (not xor)
+        r = overlay([rect(0, 0, 4, 4)], [rect(1, 1, 3, 3), rect(2, 2, 3, 3)], "a_not_b")
+        assert region_area(r) == pytest.approx(16 - 4)
+
+    def test_fractional_crossing(self):
+        # non-grid intersection point: diamond vs square
+        diamond = [np.array([[2, 0], [4, 2], [2, 4], [0, 2], [2, 0]], float)]
+        r = overlay([diamond], [rect(0, 0, 2, 4)], "and")
+        assert region_area(r) == pytest.approx(4.0, abs=0.1)
+
+    def test_clip_line(self):
+        line = np.array([[-1, 5], [11, 5]], float)
+        inside = clip_line(line, [rect(0, 0, 10, 10)], True)
+        assert len(inside) == 1
+        np.testing.assert_allclose(inside[0], [[0, 5], [10, 5]])
+        outside = clip_line(line, [rect(0, 0, 10, 10)], False)
+        assert len(outside) == 2
+
+    def test_clip_line_through_hole(self):
+        donut = [
+            np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float),
+            np.array([[4, 0], [6, 0], [6, 10], [4, 10], [4, 0]], float),
+        ]
+        inside = clip_line(np.array([[-1, 5], [11, 5]], float), [donut], True)
+        assert len(inside) == 2
+        total = sum(abs(p[-1, 0] - p[0, 0]) for p in inside)
+        assert total == pytest.approx(8.0)
+
+
+class TestLayerAlgebra:
+    def test_intersection_1(self, spark, layer_A, layer_B):
+        """autotest test_algebra_intersection_1: exactly 2 rectangles,
+        schema A, input_same_in_both_layers, B, method_same_in_both_layers."""
+        out = layer_algebra(layer_A, layer_B, "intersection")
+        assert [c for c in out.columns] == [
+            "A", "input_same_in_both_layers", "B", "method_same_in_both_layers", "wkt",
+        ]
+        rows = {r["A"]: r for r in out.collect()}
+        assert len(rows) == 2
+        assert _geom_key(rows[1]["wkt"]) == _geom_key("POLYGON ((2 3,3 3,3 2,2 2,2 3))")
+        assert _geom_key(rows[2]["wkt"]) == _geom_key("POLYGON ((5 2,5 3,6 3,6 2,5 2))")
+        assert rows[1]["B"] == "first" and rows[2]["B"] == "first"
+        assert rows[1]["input_same_in_both_layers"] == 10
+        assert rows[1]["method_same_in_both_layers"] == 30
+
+    def test_intersection_promote_to_multi(self, spark, layer_A, layer_B):
+        out = layer_algebra(layer_A, layer_B, "intersection", promote_to_multi=True)
+        for r in out.collect():
+            assert r["wkt"].startswith("MULTIPOLYGON")
+
+    def test_intersection_self(self, spark, layer_D):
+        """test_algebra_intersection_3: D ∩ D == D (KLDG=NO)."""
+        inp = layer_D.select("wkt")
+        out = layer_algebra(inp, layer_D, "intersection")
+        got = sorted(_geom_key(r["wkt"]) for r in out.collect())
+        assert got == sorted(_geom_key(w) for w in (D1, D2))
+
+    def test_union_1(self, spark, layer_A, layer_B):
+        out = layer_algebra(layer_A, layer_B, "union")
+        rows = out.collect()
+        assert len(rows) == 5
+        areas = sorted(round(parse_wkt([r["wkt"]]).areas()[0], 6) for r in rows)
+        # pieces 1+1, A leftovers 1+1, B leftover 12-2=10
+        assert areas == [1.0, 1.0, 1.0, 1.0, 10.0]
+
+    def test_union_self(self, spark, layer_D):
+        out = layer_algebra(layer_D.select("wkt"), layer_D, "union")
+        got = sorted(_geom_key(r["wkt"]) for r in out.collect())
+        assert got == sorted(_geom_key(w) for w in (D1, D2))
+
+    def test_union_point_in_polygon(self, spark, layer_B):
+        """test_algebra_union_4: polygon ∪ point-inside -> 2 features."""
+        pts = spark.createDataFrame([Row(fid=0, wkt="POINT(3 3)")])
+        out = layer_algebra(layer_B.select("B", "wkt"), pts, "union")
+        wkts = sorted(r["wkt"] for r in out.collect())
+        assert len(wkts) == 2
+        assert any(w.startswith("POINT") for w in wkts)
+        assert any(w.startswith("POLYGON") for w in wkts)
+
+    def test_sym_difference(self, spark, layer_A, layer_B):
+        out = layer_algebra(layer_A, layer_B, "sym_difference")
+        rows = out.collect()
+        assert len(rows) == 3
+        areas = sorted(round(parse_wkt([r["wkt"]]).areas()[0], 6) for r in rows)
+        assert areas == [1.0, 1.0, 10.0]
+
+    def test_sym_difference_self_empty(self, spark, layer_D):
+        out = layer_algebra(layer_D.select("wkt"), layer_D, "sym_difference")
+        assert out.count() == 0
+
+    def test_identity(self, spark, layer_A, layer_B):
+        out = layer_algebra(layer_A, layer_B, "identity")
+        rows = out.collect()
+        assert len(rows) == 4
+
+    def test_identity_self(self, spark, layer_D):
+        out = layer_algebra(layer_D.select("wkt"), layer_D, "identity")
+        got = sorted(_geom_key(r["wkt"]) for r in out.collect())
+        assert got == sorted(_geom_key(w) for w in (D1, D2))
+
+    def test_update(self, spark, layer_A, layer_B):
+        out = layer_algebra(layer_A, layer_B, "update")
+        rows = out.collect()
+        assert len(rows) == 3
+
+    def test_update_self(self, spark, layer_D):
+        out = layer_algebra(layer_D.select("wkt"), layer_D, "update")
+        got = sorted(_geom_key(r["wkt"]) for r in out.collect())
+        assert got == sorted(_geom_key(w) for w in (D1, D2))
+
+    def test_clip(self, spark, layer_A, layer_B):
+        out = layer_algebra(layer_A, layer_B, "clip")
+        rows = out.collect()
+        assert len(rows) == 2
+        assert set(out.columns) == {"A", "same_in_both_layers", "wkt"}
+        areas = sorted(round(parse_wkt([r["wkt"]]).areas()[0], 6) for r in rows)
+        assert areas == [1.0, 1.0]
+
+    def test_erase(self, spark, layer_A, layer_B):
+        out = layer_algebra(layer_A, layer_B, "erase")
+        rows = out.collect()
+        assert len(rows) == 2
+        areas = sorted(round(parse_wkt([r["wkt"]]).areas()[0], 6) for r in rows)
+        assert areas == [1.0, 1.0]
+
+    def test_union_salted_equals_unsalted(self, spark, layer_A, layer_B):
+        a = layer_algebra(layer_A, layer_B, "union")
+        b = layer_algebra(layer_A, layer_B, "union", method_leftover_salt=4)
+        ka = sorted(_geom_key(r["wkt"]) for r in a.collect())
+        kb = sorted(_geom_key(r["wkt"]) for r in b.collect())
+        assert ka == kb
