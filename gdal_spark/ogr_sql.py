@@ -284,8 +284,12 @@ def compile_expr(node: Node, df: DataFrame) -> Column:
         name = node.value
         mapped = SPECIAL_FIELDS.get(name.upper(), name)
         if name.upper() == "OGR_GEOM_AREA":
-            # area of the doc square (engine envelope columns)
-            return (F.col("env_maxx") - F.col("env_minx")) * (F.col("env_maxy") - F.col("env_miny"))
+            # exact planar geometry area (ogrfeaturequery.cpp:37
+            # special field; shoelace exterior-minus-holes like
+            # OGRGeometry::get_Area — NOT the envelope area)
+            from gdal_spark.operators.st_funcs import st_area
+
+            return st_area(F.col("wkt"))
         return df[mapped] if mapped in df.columns else F.col(mapped)
     if node.op in ("AND", "OR"):
         a, b = (compile_expr(x, df) for x in node.args)

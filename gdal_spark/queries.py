@@ -1249,16 +1249,61 @@ def _o_overlay_identity() -> str:
     return f"{_o_overlay_intersection()} UNION ALL {leftovers}"
 
 
+def q_st_relations(spark, sf_dir):
+    """Exact geometry predicates Within/Touches/Overlaps per
+    intersecting (doc-square, zone) pair (ogrgeometry.cpp:6262,
+    :6082, :6409), evaluated by the area-based DE-9IM kernel."""
+    from gdal_spark.operators.st_funcs import st_overlaps, st_touches, st_within
+
+    g = docs_geom(spark, sf_dir).filter(
+        F.col("geom_error").isNull() & F.col("wkt").startswith("POLYGON")
+    )
+    j = spatial_join(g, zones_table(spark))
+    z = zones_table(spark).select("fid", F.col("wkt").alias("zwkt"))
+    j = j.join(F.broadcast(z), j["zone_fid"] == z["fid"])
+    return j.select(
+        F.col("_id").alias("doc_id"),
+        F.col("zone_fid").cast("bigint").alias("zone_fid"),
+        st_within(F.col("wkt"), F.col("zwkt")).alias("within_zone"),
+        st_touches(F.col("wkt"), F.col("zwkt")).alias("touches_zone"),
+        st_overlaps(F.col("wkt"), F.col("zwkt")).alias("overlaps_zone"),
+    )
+
+
+_ZONE_AREAS = {
+    **{fid: (lambda e: (e[2] - e[0]) * (e[3] - e[1]))(_zone_env(fid)) for fid in range(8)},
+    8: 100 * 250 + 400 * 100 - 100 * 100,
+    9: 200 * 100 - 100 * 60,
+}
+
+
+def _o_st_relations() -> str:
+    parts = []
+    for fid in range(10):
+        piece = _zone_piece_area_sql(fid)
+        doc_area = "(4 * half * half)"
+        parts.append(
+            f"SELECT doc_id, CAST({fid} AS BIGINT) AS zone_fid, "
+            f"({piece} = {doc_area}) AS within_zone, "
+            f"({piece} = 0) AS touches_zone, "
+            f"({piece} > 0 AND {piece} < {doc_area} AND {piece} < {_ZONE_AREAS[fid]}) AS overlaps_zone "
+            f"FROM g WHERE valid AND is_poly AND {zone_intersects_sql(fid)}"
+        )
+    return f"WITH g AS ({docs_g_cte()}) " + " UNION ALL ".join(parts)
+
+
 QUERIES.update(
     {
         "overlay_intersection": q_overlay_intersection,
         "overlay_identity": q_overlay_identity,
+        "st_relations": q_st_relations,
     }
 )
 ORACLES.update(
     {
         "overlay_intersection": _o_overlay_intersection(),
         "overlay_identity": _o_overlay_identity(),
+        "st_relations": _o_st_relations(),
     }
 )
 
