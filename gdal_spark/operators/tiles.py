@@ -259,8 +259,205 @@ def warp_average(src: np.ndarray, sxa, sya, sxb, syb, bounds=None):
     return np.where(ok, s / n, 0.0), ok
 
 
-WARP_KERNELS = {"near": warp_nearest, "bilinear": warp_bilinear, "cubic": warp_cubic}
-AREA_KERNELS = {"average": warp_average}
+def _cubic_spline_weight(v: np.ndarray) -> np.ndarray:
+    """CubicSplineKernel (alg/gdalresamplingkernels.h:45-61): cubic
+    B-spline via truncated powers, support (-2, 2)."""
+    xm1 = v - 1.0
+    xp1 = v + 1.0
+    xp2 = v + 2.0
+    a = np.where(xp2 > 0, xp2 * xp2 * xp2, 0.0)
+    b = np.where(xp1 > 0, xp1 * xp1 * xp1, 0.0)
+    c = np.where(v > 0, v * v * v, 0.0)
+    d = np.where(xm1 > 0, xm1 * xm1 * xm1, 0.0)
+    w = (a - 4.0 * b + 6.0 * c - 4.0 * d) / 6.0
+    return np.where(v > 2.0, 0.0, w)
+
+
+def _lanczos_weight(v: np.ndarray) -> np.ndarray:
+    """GWKLanczosSinc (gdalwarpkernel.cpp:3677): sinc(x)*sinc(x/3),
+    radius 3."""
+    x = np.asarray(v, dtype=np.float64)
+    out = np.ones_like(x)
+    nz = x != 0.0
+    pix = np.pi * x[nz]
+    out[nz] = np.sin(pix) * np.sin(pix / 3.0) / (pix * pix / 3.0)
+    return np.where(np.abs(x) >= 3.0, 0.0, out)
+
+
+def _make_filter_kernel(weight_fn, radius: int):
+    """Generic separable point-filter resampler (GWKResample,
+    gdalwarpkernel.cpp:4029-4160, scale >= 1 path): iSrc =
+    floor(src - 0.5), delta = src - 0.5 - iSrc; taps j in
+    [((r+1)%2) - r, r] clamped to the raster; weight w(j - delta);
+    result = sum(w*v) / sum(w) over in-bounds taps."""
+    filt_init = ((radius + 1) % 2) - radius
+
+    def kernel(src: np.ndarray, sx: np.ndarray, sy: np.ndarray):
+        h, w = src.shape
+        ix = np.floor(sx - 0.5).astype(np.int64)
+        iy = np.floor(sy - 0.5).astype(np.int64)
+        dx = sx - 0.5 - ix
+        dy = sy - 0.5 - iy
+        srcf = src.astype(np.float64)
+        acc = np.zeros(sx.shape)
+        wsum = np.zeros(sx.shape)
+        for j in range(filt_init, radius + 1):
+            wy = weight_fn(j - dy)
+            cy = iy + j
+            oky = (cy >= 0) & (cy < h)
+            cyc = np.clip(cy, 0, h - 1)
+            for i in range(filt_init, radius + 1):
+                wx = weight_fn(i - dx)
+                cx = ix + i
+                ok = oky & (cx >= 0) & (cx < w)
+                wt = np.where(ok, wy * wx, 0.0)
+                acc += wt * srcf[cyc, np.clip(cx, 0, w - 1)]
+                wsum += wt
+        valid = wsum >= 1e-6  # dfAccumulatorWeight guard (:4157)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = np.where(valid, acc / np.where(wsum == 0, 1.0, wsum), 0.0)
+        return out, valid
+
+    return kernel
+
+
+warp_cubicspline = _make_filter_kernel(_cubic_spline_weight, 2)
+warp_lanczos = _make_filter_kernel(_lanczos_weight, 3)
+
+
+def _footprint_windows(src_shape, sxa, sya, sxb, syb, bounds):
+    """The GWKAverageOrMode integer window rule
+    (gdalwarpkernel.cpp:6992-7006) shared by every area statistic:
+    iMin = max(floor(min + 1e-10), 0), iMax = min(ceil(max - 1e-10),
+    size), bumped to at least one pixel."""
+    h, w = src_shape
+    bx0, by0, bx1, by1 = bounds if bounds is not None else (0.0, 0.0, float(w), float(h))
+    EPS = 1e-10
+    xmin = np.minimum(sxa, sxb)
+    xmax = np.maximum(sxa, sxb)
+    ymin = np.minimum(sya, syb)
+    ymax = np.maximum(sya, syb)
+    ok = (xmax > bx0 - EPS) & (xmin < bx1 + EPS) & (ymax > by0 - EPS) & (ymin < by1 + EPS)
+    ix0 = np.maximum(np.floor(xmin + EPS), bx0).astype(np.int64)
+    ix1 = np.minimum(np.ceil(xmax - EPS), bx1).astype(np.int64)
+    ix1 = np.where((ix0 == ix1) & (ix1 < bx1), ix1 + 1, ix1)
+    iy0 = np.maximum(np.floor(ymin + EPS), by0).astype(np.int64)
+    iy1 = np.minimum(np.ceil(ymax - EPS), by1).astype(np.int64)
+    iy1 = np.where((iy0 == iy1) & (iy1 < by1), iy1 + 1, iy1)
+    ok &= (ix1 > ix0) & (iy1 > iy0)
+    return (
+        np.clip(ix0, 0, w), np.clip(ix1, 0, w), np.clip(iy0, 0, h), np.clip(iy1, 0, h), ok,
+    )
+
+
+def _mode_first(arr: np.ndarray) -> np.ndarray:
+    """(n, k) value rows -> per-row mode with the reference's FIRST tie
+    strategy (gdalwarper.h:121-126, gdalwarpkernel.cpp:8141-8161): the
+    winner is the value that first REACHES the final maximum count in
+    row-major scan order. Vectorized O(n*k^2)."""
+    n, k = arr.shape
+    eq = arr[:, :, None] == arr[:, None, :]  # (n, j, l): arr[j] == arr[l]
+    counts = eq.sum(axis=2)  # total count of arr[:, j]'s value
+    maxc = counts.max(axis=1)
+    tril = np.tril(np.ones((k, k), dtype=bool))
+    occ = (eq & tril).sum(axis=2)  # occurrence index of arr[:, j] at j
+    reach = (counts == maxc[:, None]) & (occ == maxc[:, None])
+    first_j = reach.argmax(axis=1)
+    return arr[np.arange(n), first_j]
+
+
+def make_window_stat_kernel(stat: str):
+    """Area-footprint statistic resamplers (GWKAverageOrModeThread
+    dispatch, gdalwarpkernel.cpp:7613-7692): min/max, mode (FIRST
+    ties), med/q1/q3 (sorted value at ceil(q*n - 1), :8339), rms.
+    Windows are grouped by (height, width) shape — per distinct shape
+    one numpy sliding-window gather, no per-pixel Python."""
+    quant = {"med": 0.5, "q1": 0.25, "q3": 0.75}.get(stat)
+
+    def kernel(src: np.ndarray, sxa, sya, sxb, syb, bounds=None):
+        ix0, ix1, iy0, iy1, ok = _footprint_windows(src.shape, sxa, sya, sxb, syb, bounds)
+        out = np.zeros(sxa.shape)
+        flat_ok = np.flatnonzero(ok)
+        if flat_ok.size == 0:
+            return out, ok
+        fx0, fx1 = ix0.ravel()[flat_ok], ix1.ravel()[flat_ok]
+        fy0, fy1 = iy0.ravel()[flat_ok], iy1.ravel()[flat_ok]
+        kw_ = fx1 - fx0
+        kh_ = fy1 - fy0
+        res = np.zeros(flat_ok.size)
+        srcf = src.astype(np.float64)
+        for (hh, ww_) in set(zip(kh_.tolist(), kw_.tolist())):
+            sel = (kh_ == hh) & (kw_ == ww_)
+            win = np.lib.stride_tricks.sliding_window_view(srcf, (hh, ww_))
+            arr = win[fy0[sel], fx0[sel]].reshape(-1, hh * ww_)
+            if stat == "min":
+                res[sel] = arr.min(axis=1)
+            elif stat == "max":
+                res[sel] = arr.max(axis=1)
+            elif stat == "rms":
+                res[sel] = np.sqrt(np.mean(arr * arr, axis=1))
+            elif stat == "mode":
+                res[sel] = _mode_first(arr.astype(np.int64))
+            else:  # med / q1 / q3
+                s = np.sort(arr, axis=1)
+                idx = int(np.ceil(quant * arr.shape[1] - 1))
+                res[sel] = s[:, max(idx, 0)]
+        out.ravel()[flat_ok] = res
+        return out.reshape(sxa.shape), ok
+
+    return kernel
+
+
+def warp_sum(src: np.ndarray, sxa, sya, sxb, syb, bounds=None):
+    """GRA_Sum (GWKSumPreservingThread, gdalwarpkernel.cpp:8680,
+    affine-no-rotation case): each source pixel's value is distributed
+    over dst pixels by fractional area overlap, so the global sum is
+    preserved. Separable closed form: the area-weighted box sum over
+    the fractional footprint equals the 2D cumulative integral of the
+    piecewise-constant pixel field sampled (bilinearly — it IS
+    bilinear between grid points) at the four footprint corners."""
+    h, w = src.shape
+    bx0, by0, bx1, by1 = bounds if bounds is not None else (0.0, 0.0, float(w), float(h))
+    xmin = np.clip(np.minimum(sxa, sxb), bx0, bx1)
+    xmax = np.clip(np.maximum(sxa, sxb), bx0, bx1)
+    ymin = np.clip(np.minimum(sya, syb), by0, by1)
+    ymax = np.clip(np.maximum(sya, syb), by0, by1)
+    ok = (xmax > xmin) & (ymax > ymin)
+    c = np.pad(np.cumsum(np.cumsum(src.astype(np.float64), axis=0), axis=1), ((1, 0), (1, 0)))
+
+    def S(x, y):
+        # bilinear sample of the cumulative integral at fractional coords
+        xi = np.clip(np.floor(x).astype(np.int64), 0, w - 1)
+        yi = np.clip(np.floor(y).astype(np.int64), 0, h - 1)
+        fx = x - xi
+        fy = y - yi
+        c00 = c[yi, xi]
+        c01 = c[yi, xi + 1]
+        c10 = c[yi + 1, xi]
+        c11 = c[yi + 1, xi + 1]
+        return (
+            c00 * (1 - fx) * (1 - fy)
+            + c01 * fx * (1 - fy)
+            + c10 * (1 - fx) * fy
+            + c11 * fx * fy
+        )
+
+    total = S(xmax, ymax) - S(xmin, ymax) - S(xmax, ymin) + S(xmin, ymin)
+    return np.where(ok, total, 0.0), ok
+
+
+WARP_KERNELS = {
+    "near": warp_nearest,
+    "bilinear": warp_bilinear,
+    "cubic": warp_cubic,
+    "cubicspline": warp_cubicspline,
+    "lanczos": warp_lanczos,
+}
+AREA_KERNELS = {
+    "average": warp_average,
+    "sum": warp_sum,
+    **{s: make_window_stat_kernel(s) for s in ("min", "max", "mode", "med", "q1", "q3", "rms")},
+}
 
 
 # ---------------------------------------------------------------------------
