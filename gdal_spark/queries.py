@@ -1160,6 +1160,78 @@ QUERIES["proximity"] = q_proximity
 ORACLES["proximity"] = _o_proximity()
 
 
+def q_fill_nodata(spark, sf_dir):
+    """GDALFillNodata (alg/rasterfill.cpp) on a striped byte20: rows
+    py%5==0 keep their value, everything else is quadrant-IDW filled
+    through the distributed halo kernel; x1000 for an integer oracle."""
+    import numpy as _np
+    import pandas as _pd
+
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.fill import fill_nodata
+    from gdal_spark.operators.raster import TILE_SCHEMA, as_features
+
+    NOD = 999.0
+
+    def _stripe(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                t = _np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w).astype(_np.float64)
+                oy = r.ty * BYTE20_SPEC.tile_size
+                for i in range(r.h):
+                    if (oy + i) % 5 != 0:
+                        t[i, :] = NOD
+                rows.append(
+                    {"band": 1, "ty": r.ty, "tx": r.tx, "h": r.h, "w": r.w,
+                     "dtype": "float64", "payload": t.tobytes()}
+                )
+            yield _pd.DataFrame(rows, columns=["band", "ty", "tx", "h", "w", "dtype", "payload"])
+
+    masked = byte20_tiles(spark).mapInPandas(_stripe, TILE_SCHEMA)
+    out = fill_nodata(masked, BYTE20_SPEC, nodata=NOD, max_search_dist=6.0)
+    pix = as_features(out, BYTE20_SPEC)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("bigint").alias("v1000"),
+    )
+
+
+def _o_fill_nodata() -> str:
+    """Stripe-fixture closed form: for a filled pixel the 4 quadrant
+    nearest candidates are (ya,px) d=da, (yb,px) d=db, (ya,pxr)
+    d=sqrt(dxr^2+da^2), (yb,pxr) d=sqrt(dxr^2+db^2) with pxr =
+    min(px+1,19) (right-edge column clamp) — verified against the
+    kernel; term order matches the TL,BL,TR,BR accumulation."""
+    v = "(SELECT CAST(q.v AS DOUBLE) FROM pixels q WHERE q.py = {y} AND q.px = {x})"
+    va0 = v.format(y="c.ya", x="c.px")
+    vb0 = v.format(y="c.yb", x="c.px")
+    va1 = v.format(y="c.ya", x="c.pxr")
+    vb1 = v.format(y="c.yb", x="c.pxr")
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)), "
+        "c AS (SELECT py, px, v, CAST(floor(py/5.0) AS BIGINT)*5 AS ya, CAST(floor(py/5.0) AS BIGINT)*5 + 5 AS yb, "
+        "py - CAST(floor(py/5.0) AS BIGINT)*5 AS da, CAST(floor(py/5.0) AS BIGINT)*5 + 5 - py AS db, "
+        "LEAST(px + 1, 19) AS pxr, LEAST(px + 1, 19) - px AS dxr, "
+        "(CAST(floor(py/5.0) AS BIGINT)*5 <= 10) AS has_b FROM pixels) "
+        "SELECT CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px, "
+        "CAST(CASE WHEN py % 5 = 0 THEN v * 1000 ELSE floor(1000 * ("
+        f"  ({va0} / da "
+        f"   + (CASE WHEN has_b THEN {vb0} / db ELSE 0 END) "
+        f"   + {va1} / sqrt(dxr*dxr + da*da) "
+        f"   + (CASE WHEN has_b THEN {vb1} / sqrt(dxr*dxr + db*db) ELSE 0 END)) "
+        "  / (1.0/da + (CASE WHEN has_b THEN 1.0/db ELSE 0 END) "
+        "     + 1.0/sqrt(dxr*dxr + da*da) "
+        "     + (CASE WHEN has_b THEN 1.0/sqrt(dxr*dxr + db*db) ELSE 0 END))"
+        ") + 0.5) END AS BIGINT) AS v1000 FROM c"
+    )
+
+
+QUERIES["fill_nodata"] = q_fill_nodata
+ORACLES["fill_nodata"] = _o_fill_nodata()
+
+
 def _rect_piece_area(minx, miny, maxx, maxy) -> str:
     """SQL: area of doc-square ∩ axis rect (0 when disjoint/touching)."""
     return (
