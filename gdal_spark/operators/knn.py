@@ -119,10 +119,21 @@ def knn_cell_pruned(
     join pattern).
 
     Correctness rule: a candidate set drawn from rings 0..r is final
-    iff kth_d2 <= (r * cell)^2, because any point outside ring r is at
-    least r*cell away. We over-fetch rings 0..R eagerly (R chosen so
-    most cells finish) and fall back to exact broadcast for stragglers
-    — at our fixture densities R=2 already covers k=8.
+    iff it holds k candidates with kth_d2 <= (r * cell)^2, because any
+    point outside ring r is at least r*cell away.
+
+    Physical plan (round-2 rewrite; round 1 over-fetched (2R+1)^2
+    cells per query and silently truncated under-filled queries):
+      phase 1  rings 0..1 (9 cells) — finishes almost every query at
+               uniform density
+      phase 2  rings 0..max_rings, only for queries phase 1 could not
+               certify (anti-join routing, fully lazy)
+      phase 3  exact knn_broadcast fallback for queries still
+               under-filled after max_rings (k-th neighbor beyond the
+               covered radius) — collects only those few query points.
+    Candidate cells are computed in 2D (cx, cy) with out-of-grid
+    offsets DROPPED — the round-1 1D qcell+dx+dy*nx arithmetic wrapped
+    across grid edges and produced spurious cross-raster candidates.
     """
     cw = min(grid.cell_w, grid.cell_h)
     p = points.select(
@@ -134,31 +145,71 @@ def knn_cell_pruned(
         F.col(qid_col).alias("qid"),
         F.col(x_col).alias("qx"),
         F.col(y_col).alias("qy"),
-    ).withColumn("qcell", _cell_expr(grid, "qx", "qy"))
+    )
 
-    # explode each query to its candidate cells (rings 0..max_rings)
-    offs = [
-        (dx, dy)
-        for dy in range(-max_rings, max_rings + 1)
-        for dx in range(-max_rings, max_rings + 1)
-    ]
-    off_df = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs])
-    qc = q.withColumn("_o", F.explode(off_df)).select(
-        "qid",
-        "qx",
-        "qy",
-        (F.col("qcell") + F.col("_o.dx") + F.col("_o.dy") * F.lit(grid.nx)).alias("cell"),
-    )
-    joined = qc.join(p, "cell").select(
-        "qid",
-        "nid",
-        ((F.col("px") - F.col("qx")) ** 2 + (F.col("py") - F.col("qy")) ** 2).alias("d2"),
-    )
-    # rings guarantee: keep only candidates within the covered radius
-    covered = (max_rings * cw) ** 2
-    joined = joined.filter(F.col("d2") <= F.lit(covered))
-    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("nid").asc())
-    return joined.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+    def ring_topk(qdf: DataFrame, rings: int) -> DataFrame:
+        """Top-k from cells within `rings` of the query cell, keeping
+        only distance-certified candidates (d2 <= (rings*cell)^2)."""
+        qcx = F.least(
+            F.greatest(F.floor((F.col("qx") - grid.minx) / grid.cell_w), F.lit(0)),
+            F.lit(grid.nx - 1),
+        )
+        qcy = F.least(
+            F.greatest(F.floor((F.col("qy") - grid.miny) / grid.cell_h), F.lit(0)),
+            F.lit(grid.ny - 1),
+        )
+        offs = [
+            (dx, dy)
+            for dy in range(-rings, rings + 1)
+            for dx in range(-rings, rings + 1)
+        ]
+        off_arr = F.array(
+            *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs]
+        )
+        qc = (
+            qdf.withColumn("_cx", qcx).withColumn("_cy", qcy)
+            .withColumn("_o", F.explode(off_arr))
+            .withColumn("cx", F.col("_cx") + F.col("_o.dx"))
+            .withColumn("cy", F.col("_cy") + F.col("_o.dy"))
+            .filter(
+                (F.col("cx") >= 0) & (F.col("cx") < grid.nx)
+                & (F.col("cy") >= 0) & (F.col("cy") < grid.ny)
+            )
+            .select("qid", "qx", "qy", (F.col("cy") * grid.nx + F.col("cx")).cast("long").alias("cell"))
+        )
+        joined = qc.join(p, "cell").select(
+            "qid",
+            "nid",
+            ((F.col("px") - F.col("qx")) ** 2 + (F.col("py") - F.col("qy")) ** 2).alias("d2"),
+        )
+        covered = float(rings * cw) ** 2
+        joined = joined.filter(F.col("d2") <= F.lit(covered))
+        w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("nid").asc())
+        return joined.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+    t1 = ring_topk(q, 1).persist()
+    done1 = t1.groupBy("qid").count().filter(F.col("count") >= k).select("qid")
+    pending1 = q.join(done1, "qid", "left_anti")
+    out1 = t1.join(done1, "qid", "left_semi")
+
+    t2 = ring_topk(pending1, max_rings).persist()
+    done2 = t2.groupBy("qid").count().filter(F.col("count") >= k).select("qid")
+    out2 = t2.join(done2, "qid", "left_semi")
+    pending2 = pending1.join(done2, "qid", "left_anti")
+
+    # phase 3: exact fallback for the stragglers (tiny by construction)
+    rows = pending2.collect()
+    result = out1.unionByName(out2)
+    if rows:
+        fb = knn_broadcast(
+            points.select(
+                F.col(id_col).alias("id"), F.col(x_col).alias("x"), F.col(y_col).alias("y")
+            ),
+            [(int(r["qid"]), float(r["qx"]), float(r["qy"])) for r in rows],
+            k,
+        )
+        result = result.unionByName(fb)
+    return result
 
 
 def _cell_expr(grid: Grid, x_col: str, y_col: str):

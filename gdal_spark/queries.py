@@ -724,11 +724,14 @@ def q_quality_signals(spark, sf_dir):
 
 
 def q_embed_ann_lsh(spark, sf_dir):
+    """Multi-probe hyperplane LSH: 8 planes (256 buckets), query
+    bucket + hamming-1 neighbors probed (9/256 of the corpus), exact
+    cosine re-rank on candidates via TakeOrderedAndProject."""
     from gdal_spark.similarity import ann_topk
 
     emb = load(spark, sf_dir, "embeddings")
     qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
-    return ann_topk(emb, qvec, k=5, dims=64, planes=4)
+    return ann_topk(emb, qvec, k=5, dims=64, planes=8, probe_hamming=1)
 
 
 def q_media_features(spark, sf_dir):
@@ -809,12 +812,15 @@ def _o_quality_signals() -> str:
 def _o_embed_ann_lsh() -> str:
     from gdal_spark.similarity import lsh_bucket_sql
 
+    # multi-probe = hamming radius 1 on the 8-bit bucket:
+    # bit_count(bucket XOR qbucket) <= 1 (the engine's IN-list of the
+    # query bucket + 8 bit-flips is the same set)
     return (
         "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
-        f"b AS (SELECT vec_id, embedding, {lsh_bucket_sql('embedding', 64, 4)} AS bucket FROM embeddings), "
-        f"qb AS (SELECT {lsh_bucket_sql('qe', 64, 4)} AS qbucket FROM q), "
+        f"b AS (SELECT vec_id, embedding, {lsh_bucket_sql('embedding', 64, 8)} AS bucket FROM embeddings), "
+        f"qb AS (SELECT {lsh_bucket_sql('qe', 64, 8)} AS qbucket FROM q), "
         "c AS (SELECT vec_id, list_cosine_similarity(embedding, (SELECT qe FROM q)) AS cs FROM b "
-        "WHERE bucket = (SELECT qbucket FROM qb)) "
+        "WHERE bit_count(xor(bucket, (SELECT qbucket FROM qb))) <= 1) "
         "SELECT vec_id, CAST(row_number() OVER (ORDER BY cs DESC, vec_id) AS BIGINT) AS rank "
         "FROM c ORDER BY cs DESC, vec_id LIMIT 5"
     )

@@ -98,26 +98,69 @@ def lsh_bucket_sql(emb_expr: str, dims: int, planes: int = 4) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def ann_topk(
-    df: DataFrame,
-    qvec: Sequence[float],
-    k: int,
-    dims: int,
-    planes: int = 4,
-    id_col: str = "vec_id",
-    emb_col: str = "embedding",
-) -> DataFrame:
-    """LSH-bucketed approximate top-k: probe only the query's bucket,
-    exact cosine re-rank inside it. The scale shape: the bucket
-    predicate prunes ~(1 - 2^-planes) of the corpus before any float
-    math; persisted bucket columns turn this into partition pruning."""
+def query_bits(qvec: Sequence[float], dims: int, planes: int) -> int:
+    """The query vector's LSH bucket (same integer arithmetic as
+    lsh_bucket)."""
     qbits = 0
     qq = [round(float(v) * QUANT) for v in qvec]
     for p in range(planes):
         dot = sum(plane_sign(p, i) * qq[i] for i in range(dims))
         if dot >= 0:
             qbits |= 1 << p
-    cand = df.withColumn("_bucket", lsh_bucket(emb_col, dims, planes)).filter(
-        F.col("_bucket") == qbits
+    return qbits
+
+
+def with_bucket(df: DataFrame, dims: int, planes: int = 16, emb_col: str = "embedding") -> DataFrame:
+    """Persist-ready bucket layout: adds the LSH bucket column and
+    repartitions by it. Written out partitionBy('lsh_bucket'), a probe
+    becomes PARTITION PRUNING — at 10^12 rows only probes/2^planes of
+    the corpus is even scanned (16-24 planes -> 2^-16..2^-24)."""
+    return df.withColumn("lsh_bucket", lsh_bucket(emb_col, dims, planes)).repartition(
+        F.col("lsh_bucket")
     )
+
+
+def probe_buckets(qbits: int, planes: int, hamming: int = 1) -> list[int]:
+    """Multi-probe bucket list: the query bucket plus every bucket
+    within the given hamming radius (radius 1 = flip each plane bit —
+    the classic multi-probe LSH recall recovery)."""
+    out = {qbits}
+    frontier = {qbits}
+    for _ in range(hamming):
+        nxt = set()
+        for b in frontier:
+            for p in range(planes):
+                nxt.add(b ^ (1 << p))
+        out |= nxt
+        frontier = nxt
+    return sorted(out)
+
+
+def ann_topk(
+    df: DataFrame,
+    qvec: Sequence[float],
+    k: int,
+    dims: int,
+    planes: int = 4,
+    probe_hamming: int = 0,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: probe the query's bucket (plus
+    hamming<=probe_hamming neighbor buckets for recall), exact cosine
+    re-rank on the candidates only.
+
+    Scale shape: the probe is an IN-list on the bucket column — with a
+    with_bucket()-persisted layout that is pure partition pruning
+    ((1+planes*probe_hamming)/2^planes of the corpus); the re-rank is
+    TakeOrderedAndProject over the pruned candidates. bucket_col names
+    a precomputed column; otherwise the bucket is computed on the fly
+    (full scan, still JVM-only arithmetic)."""
+    qbits = query_bits(qvec, dims, planes)
+    probes = probe_buckets(qbits, planes, probe_hamming)
+    if bucket_col is None:
+        df = df.withColumn("_bucket", lsh_bucket(emb_col, dims, planes))
+        bucket_col = "_bucket"
+    cand = df.filter(F.col(bucket_col).isin(probes))
     return cosine_topk(cand, qvec, k, id_col=id_col, emb_col=emb_col)

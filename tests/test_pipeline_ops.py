@@ -120,6 +120,48 @@ class TestSimilarity:
         assert plane_sign(0, 0) == plane_sign(0, 0)
         assert QUANT == 1_000_000
 
+    def test_ann_multiprobe_recall(self, spark):
+        """Clustered corpus: multi-probe LSH (8 planes, hamming-1)
+        must reach recall@10 >= 0.9 vs exact brute force."""
+        rng = np.random.default_rng(19)
+        centers = rng.normal(size=(20, 16))
+        vecs = np.concatenate(
+            [c + 0.02 * rng.normal(size=(10, 16)) for c in centers], axis=0
+        ).astype(np.float32)
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(v) for v in vecs[i]]) for i in range(len(vecs))]
+        )
+        q = vecs[5]  # member of cluster 0
+        cs = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+        exact = set(np.lexsort((np.arange(len(vecs)), -cs))[:10].tolist())
+        got = {
+            r.vec_id
+            for r in ann_topk(
+                df, [float(v) for v in q], k=10, dims=16, planes=8, probe_hamming=1
+            ).collect()
+        }
+        assert len(got & exact) / 10 >= 0.9
+
+    def test_with_bucket_layout(self, spark):
+        from gdal_spark.similarity import probe_buckets, query_bits, with_bucket
+
+        rng = np.random.default_rng(23)
+        vecs = rng.normal(size=(40, 8)).astype(np.float32)
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(v) for v in vecs[i]]) for i in range(40)]
+        )
+        b = with_bucket(df, dims=8, planes=8)
+        assert "lsh_bucket" in b.columns
+        # probing via the persisted column equals on-the-fly buckets
+        q = [float(v) for v in vecs[3]]
+        via_col = ann_topk(b, q, k=5, dims=8, planes=8, probe_hamming=1, bucket_col="lsh_bucket")
+        via_fly = ann_topk(df, q, k=5, dims=8, planes=8, probe_hamming=1)
+        assert [r.vec_id for r in via_col.orderBy("rank").collect()] == [
+            r.vec_id for r in via_fly.orderBy("rank").collect()
+        ]
+        # hamming-1 probe set has planes+1 buckets
+        assert len(probe_buckets(query_bits(q, 8, 8), 8, 1)) == 9
+
     def test_topk_plan_is_take_ordered(self, spark):
         """The top-k must compile to TakeOrderedAndProject (per-partition
         partial top-k), never a global-window single-partition sort of
