@@ -155,13 +155,17 @@ def interpolate_at_points(
 ) -> DataFrame:
     """Sample the raster at world points (gdal_interpolateatpoint.cpp:
     415 GDALInterpolateAtPoint): bilinear uses the warp kernel's
-    floor(x-0.5) index math, so values match gdalwarp bit-for-bit.
+    floor(x-0.5) index math — bit-identical to gdalwarp for points
+    whose 2x2 sample window lies inside one tile (i.e. more than half
+    a pixel from interior tile seams).
 
-    Plan: points join to their covering tile (+1px halo handled by
-    shipping a 1-px overlap window read from up to 4 tiles — here
-    simplified: each point joins the tile containing it and bilinear
-    reads clamp at tile edge exactly like raster edge). For interior
-    sampling at scale, re-tile with overlap or use interior points.
+    KNOWN DEVIATION at interior tile seams: each point joins only the
+    tile containing it and the bilinear read clamps at that tile's
+    edge, so samples within 0.5 px of a seam degrade to the clamped
+    neighbor exactly as if the seam were a raster edge. Exact seam
+    handling needs a 1-px overlap window shipped from the neighbor
+    tiles (the focal halo join); use that path when seam-adjacent
+    accuracy matters.
     """
     ts = spec.tile_size
 

@@ -390,12 +390,20 @@ def rasterize(
         for pdf in batches:
             batch = parse_wkt(pdf[wkt_col])
             env = batch.envelopes()
-            # world envelope corners -> pixel space (both diagonal corners;
-            # gt may flip axes)
-            px1, py1 = spec.world_to_pixel(env[:, 0], env[:, 1])
-            px2, py2 = spec.world_to_pixel(env[:, 2], env[:, 3])
-            pminx, pmaxx = np.minimum(px1, px2), np.maximum(px1, px2)
-            pminy, pmaxy = np.minimum(py1, py2), np.maximum(py1, py2)
+            # world envelope -> pixel-space bbox via ALL FOUR corners:
+            # with a rotated geotransform (gt[2]/gt[4] != 0) the two
+            # diagonal corners alone under-cover the pixel bbox and
+            # shapes could silently miss tiles
+            pxs, pys = zip(
+                *(
+                    spec.world_to_pixel(env[:, cx], env[:, cy])
+                    for cx, cy in ((0, 1), (0, 3), (2, 1), (2, 3))
+                )
+            )
+            pminx = np.minimum.reduce(pxs)
+            pmaxx = np.maximum.reduce(pxs)
+            pminy = np.minimum.reduce(pys)
+            pmaxy = np.maximum.reduce(pys)
             tx0 = np.clip(np.floor(pminx / ts), 0, spec.ntiles_x - 1).astype(np.int64)
             tx1 = np.clip(np.floor(pmaxx / ts), 0, spec.ntiles_x - 1).astype(np.int64)
             ty0 = np.clip(np.floor(pminy / ts), 0, spec.ntiles_y - 1).astype(np.int64)

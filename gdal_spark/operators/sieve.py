@@ -135,50 +135,69 @@ def sieve(
     — the same budget as the polygonize merge phase."""
     ts = spec.tile_size
 
-    # phase 1: summaries (collected; small by construction)
-    summaries = []
-    rows = tiles.filter(F.col("band") == band).collect()
-    tile_arrays: dict[tuple[int, int], np.ndarray] = {}
-    infos: dict[tuple[int, int], dict] = {}
-    for r in rows:
-        arr = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)
-        key = (int(r.ty), int(r.tx))
-        tile_arrays[key] = arr
-        mask = np.ones(arr.shape, dtype=bool) if nodata is None else (arr != nodata)
-        labels = label_components(arr, mask, connect)
-        lab = np.where(mask, labels, -1)
-        sizes = _sizes(labels)
-        # in-tile adjacency pairs (set of (a,b))
-        pairs = set()
-        la, lb = lab[:, :-1], lab[:, 1:]
-        m = (la != lb) & (la >= 0) & (lb >= 0)
-        pairs.update(zip(la[m].tolist(), lb[m].tolist()))
-        ua, ub = lab[:-1, :], lab[1:, :]
-        m = (ua != ub) & (ua >= 0) & (ub >= 0)
-        pairs.update(zip(ua[m].tolist(), ub[m].tolist()))
-        if connect == 8:
-            da, db = lab[:-1, :-1], lab[1:, 1:]
-            m = (da != db) & (da >= 0) & (db >= 0)
-            pairs.update(zip(da[m].tolist(), db[m].tolist()))
-            ea, eb = lab[:-1, 1:], lab[1:, :-1]
-            m = (ea != eb) & (ea >= 0) & (eb >= 0)
-            pairs.update(zip(ea[m].tolist(), eb[m].tolist()))
-        rep = np.zeros(len(sizes), dtype=arr.dtype)
-        seen = np.zeros(len(sizes), dtype=bool)
-        fl, fv = labels.ravel(), arr.ravel()
-        for i in range(fl.size):
-            if not seen[fl[i]]:
-                rep[fl[i]] = fv[i]
-                seen[fl[i]] = True
-        infos[key] = {
-            "sizes": sizes,
-            "rep": rep,
-            "pairs": pairs,
-            "top": (lab[0, :], arr[0, :]),
-            "bottom": (lab[-1, :], arr[-1, :]),
-            "left": (lab[:, 0], arr[:, 0]),
-            "right": (lab[:, -1], arr[:, -1]),
-        }
+    # phase 1: per-tile summaries computed IN EXECUTORS (mapInPandas);
+    # the driver collects only (sizes, reps, adjacency, boundary
+    # strips) — O(components + tile perimeters), never pixels. (The
+    # round-1 version collected full tiles and labeled them serially
+    # on the driver, contradicting this contract.)
+    import pickle
+
+    from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+
+    SUM_SCHEMA = StructType(
+        [
+            StructField("ty", IntegerType()),
+            StructField("tx", IntegerType()),
+            StructField("blob", BinaryType()),
+        ]
+    )
+
+    def _summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)
+                mask = np.ones(arr.shape, dtype=bool) if nodata is None else (arr != nodata)
+                labels = label_components(arr, mask, connect)
+                lab = np.where(mask, labels, -1)
+                sizes = _sizes(labels)
+                pairs = set()
+                la, lb = lab[:, :-1], lab[:, 1:]
+                m = (la != lb) & (la >= 0) & (lb >= 0)
+                pairs.update(zip(la[m].tolist(), lb[m].tolist()))
+                ua, ub = lab[:-1, :], lab[1:, :]
+                m = (ua != ub) & (ua >= 0) & (ub >= 0)
+                pairs.update(zip(ua[m].tolist(), ub[m].tolist()))
+                if connect == 8:
+                    da, db = lab[:-1, :-1], lab[1:, 1:]
+                    m = (da != db) & (da >= 0) & (db >= 0)
+                    pairs.update(zip(da[m].tolist(), db[m].tolist()))
+                    ea, eb = lab[:-1, 1:], lab[1:, :-1]
+                    m = (ea != eb) & (ea >= 0) & (eb >= 0)
+                    pairs.update(zip(ea[m].tolist(), eb[m].tolist()))
+                # representative value = first scan-order occurrence
+                fl, fv = labels.ravel(), arr.ravel()
+                uniq, first_idx = np.unique(fl, return_index=True)
+                rep = np.zeros(len(sizes), dtype=arr.dtype)
+                rep[uniq] = fv[first_idx]
+                info = {
+                    "sizes": sizes,
+                    "rep": rep,
+                    "pairs": pairs,
+                    "top": (lab[0, :], arr[0, :]),
+                    "bottom": (lab[-1, :], arr[-1, :]),
+                    "left": (lab[:, 0], arr[:, 0]),
+                    "right": (lab[:, -1], arr[:, -1]),
+                }
+                out.append({"ty": int(r.ty), "tx": int(r.tx), "blob": pickle.dumps(info)})
+            yield pd.DataFrame(out, columns=["ty", "tx", "blob"])
+
+    summary_rows = (
+        tiles.filter(F.col("band") == band).mapInPandas(_summarize, SUM_SCHEMA).collect()
+    )
+    infos: dict[tuple[int, int], dict] = {
+        (int(r.ty), int(r.tx)): pickle.loads(r.blob) for r in summary_rows
+    }
 
     # phase 2: global graph (driver)
     gid = {}

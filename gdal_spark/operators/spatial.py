@@ -427,7 +427,28 @@ def clip_to_rect(
                         b.add(GeomType.MULTIPOLYGON, new_parts)
                     keep_idx.append(i)
                     out_wkt.append(to_wkt(b.finish())[0])
-                # lines: out of scope v1 (reference linearizes; rare in fixtures)
+                elif gtype in (GeomType.LINESTRING, GeomType.MULTILINESTRING):
+                    # ogr2ogr -clipsrc on line layers
+                    # (ogr2ogr_lib.cpp:6969): split at the window
+                    # boundary, keep inside pieces (boundary-riding
+                    # parts count as inside — closed region)
+                    from gdal_spark.geom.overlay import clip_line
+
+                    rect_ring = np.array(
+                        [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy], [minx, miny]]
+                    )
+                    pieces: list[np.ndarray] = []
+                    for rings in parts:
+                        pieces.extend(clip_line(rings[0], [[rect_ring]], keep_inside=True))
+                    if not pieces:
+                        continue
+                    b = GeomBatchBuilder()
+                    if len(pieces) == 1:
+                        b.add(GeomType.LINESTRING, [[pieces[0]]])
+                    else:
+                        b.add(GeomType.MULTILINESTRING, [[ln] for ln in pieces])
+                    keep_idx.append(i)
+                    out_wkt.append(to_wkt(b.finish())[0])
             res = pdf.iloc[keep_idx].copy()
             res[out_col] = out_wkt
             yield res

@@ -1000,22 +1000,61 @@ QUERIES["focal_sum"] = q_focal_sum
 ORACLES["focal_sum"] = _o_focal_sum()
 
 
-def q_contour(spark, sf_dir):
-    """Contour lines over byte20 (rows-only: vertex floats are not
-    SQL-reproducible; exactness is covered by tests/test_contour.py)."""
-    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
-    from gdal_spark.operators.contour import contour
-
-    return contour(byte20_tiles(spark), BYTE20_SPEC, interval=50.0)
-
-
-QUERIES["contour"] = q_contour
-
-
 def _byte20_vals_sql() -> str:
     from gdal_spark.fixtures import BYTE20
 
     return ", ".join(f"({py},{px},{int(BYTE20[py, px])})" for py in range(20) for px in range(20))
+
+
+def q_contour(spark, sf_dir):
+    """Contour over byte20 (interval 50) reduced to the DISTINCT
+    quantized vertex set per level — SQL-oracle-exact because every
+    contour vertex is an edge crossing between adjacent pixel centers
+    (t = (level-v0)/(v1-v0), identical IEEE arithmetic both engines)
+    and the stitch phase never drops or adds vertices. Polyline
+    topology exactness is covered by tests/test_contour.py."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.contour import contour
+
+    lines = contour(byte20_tiles(spark), BYTE20_SPEC, interval=50.0)
+    pts = lines.select(
+        "level",
+        F.explode(
+            F.split(F.regexp_replace("wkt", r"LINESTRING \(|\)", ""), ",")
+        ).alias("pt"),
+    )
+    xy = F.split(F.col("pt"), " ")
+    return pts.select(
+        F.col("level").cast("bigint").alias("level"),
+        F.floor(xy.getItem(0).cast("double") * 1000 + 0.5).cast("bigint").alias("qx"),
+        F.floor(xy.getItem(1).cast("double") * 1000 + 0.5).cast("bigint").alias("qy"),
+    ).distinct()
+
+
+def _o_contour() -> str:
+    lvl_series = (
+        "SELECT 50.0 * k AS level FROM (SELECT unnest(generate_series("
+        "CAST(ceil((SELECT MIN(v) FROM pixels) / 50.0) AS BIGINT), "
+        "CAST(floor((SELECT MAX(v) FROM pixels) / 50.0) AS BIGINT))) AS k)"
+    )
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)), "
+        f"lv AS ({lvl_series}), "
+        "hc AS (SELECT level, p.px + 0.5 + (level - p.v) / (q.v - p.v) AS x, p.py + 0.5 AS y "
+        "FROM pixels p JOIN pixels q ON q.py = p.py AND q.px = p.px + 1 CROSS JOIN lv "
+        "WHERE (p.v >= level) != (q.v >= level)), "
+        "vc AS (SELECT level, p.px + 0.5 AS x, p.py + 0.5 + (level - p.v) / (q.v - p.v) AS y "
+        "FROM pixels p JOIN pixels q ON q.px = p.px AND q.py = p.py + 1 CROSS JOIN lv "
+        "WHERE (p.v >= level) != (q.v >= level)) "
+        "SELECT DISTINCT CAST(level AS BIGINT) AS level, "
+        "CAST(floor(x * 1000 + 0.5) AS BIGINT) AS qx, "
+        "CAST(floor(y * 1000 + 0.5) AS BIGINT) AS qy "
+        "FROM (SELECT * FROM hc UNION ALL SELECT * FROM vc)"
+    )
+
+
+QUERIES["contour"] = q_contour
+ORACLES["contour"] = _o_contour()
 
 
 def q_translate_crop(spark, sf_dir):

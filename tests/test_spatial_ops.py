@@ -195,6 +195,28 @@ class TestClipToRect:
         )
         assert clip_to_rect(df, (5, 5, 6, 6)).count() == 0
 
+    def test_line_clipped(self, spark):
+        """Line layers are clipped too (round-1 dropped them;
+        ogr2ogr_lib.cpp:6969 clips every geometry type)."""
+        from gdal_spark.geom.wkt import parse_wkt
+        from gdal_spark.operators.spatial import clip_to_rect
+
+        df = spark.createDataFrame(
+            [
+                (1, "LINESTRING (-5 5,15 5)"),  # crosses the window
+                (2, "LINESTRING (2 2,8 8)"),  # fully inside
+                (3, "LINESTRING (20 20,30 30)"),  # outside
+                (4, "LINESTRING (-5 5,15 5,15 20,-5 20)"),  # in-out-in? out after
+            ],
+            "fid bigint, wkt string",
+        )
+        out = {r.fid: r.clip_wkt for r in clip_to_rect(df, (0, 0, 10, 10)).collect()}
+        assert set(out) == {1, 2, 4}
+        e1 = parse_wkt([out[1]]).envelopes()[0]
+        assert tuple(e1) == (0.0, 5.0, 10.0, 5.0)
+        assert out[2] == "LINESTRING (2 2,8 8)"
+        assert out[4].startswith("LINESTRING")  # only the first crossing kept
+
 
 class TestCellPartitionedJoin:
     """Big x big spatial join: cell equi-join + exact verify must
