@@ -3,10 +3,11 @@
 `gdal vector dissolve` is PER-FEATURE GEOSLineMerge — 1:1, not a
 group union (apps/gdalalg_vector_dissolve.cpp:40-80): each feature's
 (multi)linestring has its touching pieces merged through degree-2
-nodes. The true group-dissolve (SQLite dialect ST_Union aggregate) is
-provided for envelopes (exact for our axis-parallel fixtures);
-general polygon union is out of scope v1 (needs a full overlay
-kernel).
+nodes. The true group-dissolve (SQLite dialect ST_Union aggregate)
+comes in two strengths: dissolve_envelopes (bounding envelopes, a
+pure min/max aggregate) and dissolve_union (EXACT polygon union per
+key via the snap-rounded overlay kernel, with two-level partial
+unions for skewed keys).
 """
 
 from __future__ import annotations
@@ -111,3 +112,41 @@ def dissolve_envelopes(df: DataFrame, key_cols: list[str]) -> DataFrame:
         F.max("env_maxy").alias("env_maxy"),
         F.count(F.lit(1)).alias("n_parts"),
     )
+
+
+def dissolve_union(
+    df: DataFrame, key_cols: list[str], wkt_col: str = "wkt", out_col: str = "union_wkt"
+) -> DataFrame:
+    """TRUE geometric group dissolve: per key, the exact polygon union
+    of all member geometries (the SQLite-dialect ST_Union aggregate
+    semantics) through the snap-rounded overlay kernel. Map-side
+    partial unions keep the shuffle payload to one geometry per
+    (key, input-partition) instead of every member row — the
+    associative-aggregate shape that survives skewed keys."""
+    from gdal_spark.geom.ops import unary_union
+    from gdal_spark.geom.wkt import parse_wkt as _parse
+
+    def _union_wkts(wkts: list) -> str | None:
+        from gdal_spark.operators.layer_algebra import _polys_to_wkt
+
+        b = _parse([w for w in wkts if w])
+        regions = [b.polygon_rings(i) for i in range(len(b)) if not b.is_null[i]]
+        if not regions:
+            return None
+        return _polys_to_wkt(unary_union(regions), promote=False)
+
+    from pyspark.sql.types import StringType as _St
+
+    @F.pandas_udf(_St())
+    def _partial(wkts: pd.Series) -> str:
+        return _union_wkts(wkts.tolist())
+
+    # two-level: partial union per partition (pandas GROUPED_AGG runs
+    # map-side partials automatically for associative exprs; here we
+    # group twice explicitly: (key, spark_partition) then key)
+    staged = (
+        df.withColumn("_p", F.spark_partition_id())
+        .groupBy(*key_cols, "_p")
+        .agg(_partial(F.col(wkt_col)).alias("_u"))
+    )
+    return staged.groupBy(*key_cols).agg(_partial(F.col("_u")).alias(out_col))

@@ -1277,6 +1277,48 @@ QUERIES["fill_nodata"] = q_fill_nodata
 ORACLES["fill_nodata"] = _o_fill_nodata()
 
 
+def q_geom_ops(spark, sf_dir):
+    """Geometry constructors end-to-end (ogrgeometry.cpp Centroid
+    :6526, ConvexHull :4449, Distance :3818): per doc square, the
+    centroid (== the generator point for squares), the convex hull
+    area (== the square area) and the exact distance to the F2 rect,
+    all through the real kernels — the oracle re-derives each from
+    rect arithmetic."""
+    from gdal_spark.operators.spatial import area_udf
+    from gdal_spark.operators.st_funcs import st_centroid, st_convex_hull, st_distance
+
+    g = docs_geom(spark, sf_dir).filter(
+        F.col("geom_error").isNull() & F.col("wkt").startswith("POLYGON")
+    )
+    c = st_centroid(F.col("wkt"))
+    return g.select(
+        F.col("_id").alias("doc_id"),
+        F.regexp_extract(c, r"POINT \(([-\d.e+]+) ", 1).cast("double").cast("bigint").alias("cx"),
+        F.regexp_extract(c, r" ([-\d.e+]+)\)", 1).cast("double").cast("bigint").alias("cy"),
+        F.round(area_udf(st_convex_hull(F.col("wkt")))).cast("bigint").alias("hull_area"),
+        F.floor(st_distance(F.col("wkt"), F.lit(SPAT_RECT_WKT)) * 1000 + 0.5)
+        .cast("bigint")
+        .alias("dist1000"),
+    )
+
+
+def _o_geom_ops() -> str:
+    rminx, rminy, rmaxx, rmaxy = SPAT_RECT
+    dx = f"GREATEST(0, {rminx} - (gx + half), (gx - half) - {rmaxx})"
+    dy = f"GREATEST(0, {rminy} - (gy + half), (gy - half) - {rmaxy})"
+    return (
+        f"WITH g AS ({docs_g_cte()}) SELECT doc_id, "
+        "CAST(gx AS BIGINT) AS cx, CAST(gy AS BIGINT) AS cy, "
+        "CAST(4 * half * half AS BIGINT) AS hull_area, "
+        f"CAST(floor(sqrt(CAST({dx} AS DOUBLE) * {dx} + CAST({dy} AS DOUBLE) * {dy}) * 1000 + 0.5) AS BIGINT) AS dist1000 "
+        "FROM g WHERE valid AND is_poly"
+    )
+
+
+QUERIES["geom_ops"] = q_geom_ops
+ORACLES["geom_ops"] = _o_geom_ops()
+
+
 def _rect_piece_area(minx, miny, maxx, maxy) -> str:
     """SQL: area of doc-square ∩ axis rect (0 when disjoint/touching)."""
     return (
