@@ -44,6 +44,49 @@ _PT_SCHEMA = StructType(
 )
 
 
+GRID_ALGOS = (
+    "invdist",  # GDALGridInverseDistanceToAPower (gdalgrid.cpp:70)
+    "nearest",  # GDALGridNearestNeighbor (gdalgrid.cpp:1155)
+    "average",  # GDALGridMovingAverage (gdalgrid.cpp:1010)
+    "minimum",  # GDALGridDataMetricMinimum (gdalgrid.cpp:1274)
+    "maximum",  # GDALGridDataMetricMaximum
+    "range",  # GDALGridDataMetricRange
+    "count",  # GDALGridDataMetricCount
+    "average_distance",  # GDALGridDataMetricAverageDistance
+)
+
+
+def grid_points(
+    points: DataFrame,
+    spec: RasterSpec,
+    algo: str = "invdist",
+    power: float = 2.0,
+    radius: float = float("inf"),
+    min_points: int = 0,
+    nodata: float = 0.0,
+    x_col: str = "x",
+    y_col: str = "y",
+    z_col: str = "z",
+) -> DataFrame:
+    """Vector->raster gridding, all GGA_* modes of alg/gdalgrid.cpp
+    except the TIN/linear family (needs Delaunay) and the rotated
+    search ellipse (circular radius only — documented deviation;
+    radius1==radius2, angle=0 is also the reference default).
+
+    Per-cell semantics per algo (gdal_alg.h:402-416):
+      invdist   sum(z/d^p)/sum(1/d^p) in radius; exact-hit shortcut
+      nearest   z of the nearest point in radius (ties: lowest
+                (x, y, z) — deterministic; the reference takes
+                quadtree encounter order)
+      average   mean z in radius, nodata when count < max(min_points,1)
+      minimum/maximum/range/count  data metrics over points in radius
+      average_distance  mean distance from the cell center
+    Distributed shape: identical to IDW — points explode to the tiles
+    their influence disk touches, one applyInPandas per tile.
+    """
+    return _grid_impl(points, spec, algo, power, radius, min_points, nodata, x_col, y_col, z_col)
+
+
 def idw_grid(
     points: DataFrame,
     spec: RasterSpec,
@@ -58,6 +101,23 @@ def idw_grid(
     point->tile explode is bounded (each point lands on the tiles its
     influence disk touches); radius=inf degrades to all-tiles
     broadcast and should only be used for small point sets."""
+    return _grid_impl(points, spec, "invdist", power, radius, 0, nodata, x_col, y_col, z_col)
+
+
+def _grid_impl(
+    points: DataFrame,
+    spec: RasterSpec,
+    algo: str,
+    power: float,
+    radius: float,
+    min_points: int,
+    nodata: float,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    if algo not in GRID_ALGOS:
+        raise ValueError(f"unknown grid algo {algo}")
     ts = spec.tile_size
     ntx, nty = spec.ntiles_x, spec.ntiles_y
 
@@ -108,25 +168,66 @@ def idw_grid(
         jj, ii = np.meshgrid(np.arange(w), np.arange(h))
         cx, cy = spec.pixel_to_world(txx * ts + jj + 0.5, tyy * ts + ii + 0.5)
         pdf = pdf[~pdf["z"].isna()]  # drop tile-key marker rows
+        # deterministic point order (the quadtree encounter order of the
+        # reference is replaced by (x, y, z) — affects nearest ties only)
+        pdf = pdf.sort_values(["x", "y", "z"])
         px = pdf["x"].to_numpy(np.float64)
         py = pdf["y"].to_numpy(np.float64)
         pz = pdf["z"].to_numpy(np.float64)
+
         num = np.zeros((h, w))
         den = np.zeros((h, w))
+        cnt = np.zeros((h, w), dtype=np.int64)
+        vmin = np.full((h, w), np.inf)
+        vmax = np.full((h, w), -np.inf)
+        dsum = np.zeros((h, w))
+        best_d2 = np.full((h, w), np.inf)
+        best_z = np.full((h, w), nodata)
         exact = np.full((h, w), np.nan)
-        # vectorized over points (tiles are small; points batch per tile)
         for k in range(len(px)):
             d2 = (cx - px[k]) ** 2 + (cy - py[k]) ** 2
-            hit = d2 < 1e-25  # gdalgrid.cpp dfToPoint2 shortcut
-            if hit.any():
-                exact[hit] = pz[k]
             m = d2 <= r2
-            wgt = np.zeros_like(d2)
-            wgt[m & ~hit] = 1.0 / np.power(d2[m & ~hit], power / 2.0)
-            num += wgt * pz[k]
-            den += wgt
-        out = np.where(den > 0, num / np.maximum(den, 1e-300), nodata)
-        out = np.where(np.isnan(exact), out, exact)
+            if algo == "invdist":
+                hit = d2 < 1e-25  # gdalgrid.cpp dfToPoint2 shortcut
+                if hit.any():
+                    exact[hit] = pz[k]
+                wgt = np.zeros_like(d2)
+                wgt[m & ~hit] = 1.0 / np.power(d2[m & ~hit], power / 2.0)
+                num += wgt * pz[k]
+                den += wgt
+            elif algo == "nearest":
+                better = m & (d2 < best_d2)
+                best_d2[better] = d2[better]
+                best_z[better] = pz[k]
+            else:
+                cnt += m
+                if algo == "average":
+                    num += np.where(m, pz[k], 0.0)
+                elif algo in ("minimum", "range"):
+                    vmin = np.where(m, np.minimum(vmin, pz[k]), vmin)
+                if algo in ("maximum", "range"):
+                    vmax = np.where(m, np.maximum(vmax, pz[k]), vmax)
+                if algo == "average_distance":
+                    dsum += np.where(m, np.sqrt(d2), 0.0)
+
+        need = max(min_points, 1)
+        if algo == "invdist":
+            out = np.where(den > 0, num / np.maximum(den, 1e-300), nodata)
+            out = np.where(np.isnan(exact), out, exact)
+        elif algo == "nearest":
+            out = np.where(np.isfinite(best_d2), best_z, nodata)
+        elif algo == "average":
+            out = np.where(cnt >= need, num / np.maximum(cnt, 1), nodata)
+        elif algo == "minimum":
+            out = np.where(cnt >= need, vmin, nodata)
+        elif algo == "maximum":
+            out = np.where(cnt >= need, vmax, nodata)
+        elif algo == "range":
+            out = np.where(cnt >= need, vmax - vmin, nodata)
+        elif algo == "count":
+            out = cnt.astype(np.float64)
+        else:  # average_distance
+            out = np.where(cnt >= need, dsum / np.maximum(cnt, 1), nodata)
         return pd.DataFrame(
             [{"band": 1, "ty": tyy, "tx": txx, "h": h, "w": w,
               "dtype": spec.dtype, "payload": copy_word(out, spec.dtype).tobytes()}]

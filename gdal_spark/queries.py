@@ -1319,6 +1319,67 @@ QUERIES["geom_ops"] = q_geom_ops
 ORACLES["geom_ops"] = _o_geom_ops()
 
 
+def q_grid_metrics(spark, sf_dir):
+    """Grid modes beyond IDW (alg/gdalgrid.cpp GGA_MetricCount /
+    GGA_MovingAverage / metrics): doc points gridded onto the byte20
+    matrix with a 90-unit search radius; per non-empty cell the point
+    count, moving average (x1000), min and max of n_chars."""
+    import dataclasses
+
+    from gdal_spark.fixtures import BYTE20_SPEC
+    from gdal_spark.operators.grid import grid_points
+    from gdal_spark.operators.raster import as_features
+
+    fspec = dataclasses.replace(BYTE20_SPEC, dtype="float64")
+    g = docs_geom(spark, sf_dir)
+    pts = g.filter(
+        F.col("geom_error").isNull() & (F.col("env_minx") == F.col("env_maxx"))
+    ).select(
+        F.col("env_minx").alias("x"), F.col("env_miny").alias("y"),
+        F.col("n_chars").cast("double").alias("z"),
+    )
+    R = 90.0
+
+    def pix(algo):
+        t = grid_points(pts, fspec, algo=algo, radius=R, nodata=-1.0)
+        p = as_features(t, fspec)
+        return p.select("py", "px", F.col("value").alias(algo))
+
+    out = (
+        pix("count")
+        .join(pix("average"), ["py", "px"])
+        .join(pix("minimum"), ["py", "px"])
+        .join(pix("maximum"), ["py", "px"])
+        .filter(F.col("count") > 0)
+    )
+    return out.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("count").cast("bigint").alias("n"),
+        F.floor(F.col("average") * 1000 + 0.5).cast("bigint").alias("avg1000"),
+        F.col("minimum").cast("bigint").alias("min_z"),
+        F.col("maximum").cast("bigint").alias("max_z"),
+    )
+
+
+def _o_grid_metrics() -> str:
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "p AS (SELECT gx, gy, n_chars FROM g WHERE valid AND NOT is_poly), "
+        "cells AS (SELECT py, px, 440720 + (px + 0.5) * 60 AS cx, 3751320 - (py + 0.5) * 60 AS cy "
+        "FROM (SELECT unnest(generate_series(0, 19)) AS py) CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS px)) "
+        "SELECT CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px, COUNT(*) AS n, "
+        "CAST(floor(1000.0 * SUM(p.n_chars) / COUNT(*) + 0.5) AS BIGINT) AS avg1000, "
+        "CAST(MIN(p.n_chars) AS BIGINT) AS min_z, CAST(MAX(p.n_chars) AS BIGINT) AS max_z "
+        "FROM cells JOIN p ON (cx - p.gx) * (cx - p.gx) + (cy - p.gy) * (cy - p.gy) <= 8100 "
+        "GROUP BY py, px"
+    )
+
+
+QUERIES["grid_metrics"] = q_grid_metrics
+ORACLES["grid_metrics"] = _o_grid_metrics()
+
+
 def _rect_piece_area(minx, miny, maxx, maxy) -> str:
     """SQL: area of doc-square ∩ axis rect (0 when disjoint/touching)."""
     return (

@@ -57,6 +57,48 @@ class TestIDW:
         np.testing.assert_allclose(got, want, rtol=1e-12)
         assert (got == -1.0).any()  # cells beyond the radius
 
+    def test_grid_modes_match_brute_force(self, spark):
+        """nearest / average / data metrics vs per-cell replicas
+        (alg/gdalgrid.cpp GGA_* semantics)."""
+        from gdal_spark.operators.grid import grid_points
+
+        rng = np.random.default_rng(5)
+        pts = [(float(x), float(y), float(z)) for x, y, z in
+               zip(rng.uniform(0, 8, 12), rng.uniform(0, 8, 12), rng.integers(1, 100, 12))]
+        df = spark.createDataFrame([Row(x=x, y=y, z=z) for x, y, z in pts])
+        R = 2.5
+
+        def brute(algo):
+            out = np.zeros((8, 8))
+            for i in range(8):
+                for j in range(8):
+                    cx, cy = SPEC8.pixel_to_world(j + 0.5, i + 0.5)
+                    sel = [(x, y, z, ((cx - x) ** 2 + (cy - y) ** 2) ** 0.5)
+                           for x, y, z in pts if (cx - x) ** 2 + (cy - y) ** 2 <= R * R]
+                    if not sel:
+                        out[i, j] = -1 if algo != "count" else 0
+                        continue
+                    zs = [z for _, _, z, _ in sel]
+                    if algo == "nearest":
+                        out[i, j] = min(sel, key=lambda t: (t[3], t[0], t[1], t[2]))[2]
+                    elif algo == "average":
+                        out[i, j] = sum(zs) / len(zs)
+                    elif algo == "minimum":
+                        out[i, j] = min(zs)
+                    elif algo == "maximum":
+                        out[i, j] = max(zs)
+                    elif algo == "range":
+                        out[i, j] = max(zs) - min(zs)
+                    elif algo == "count":
+                        out[i, j] = len(zs)
+                    else:
+                        out[i, j] = sum(d for *_, d in sel) / len(sel)
+            return out
+
+        for algo in ("nearest", "average", "minimum", "maximum", "range", "count", "average_distance"):
+            got = _mat(grid_points(df, SPEC8, algo=algo, radius=R, nodata=-1.0), SPEC8)
+            np.testing.assert_allclose(got, brute(algo), rtol=1e-9, err_msg=algo)
+
     def test_point_on_center_shortcircuits(self, spark):
         pts = spark.createDataFrame([Row(x=0.5, y=7.5, z=99.0), Row(x=2.5, y=7.5, z=1.0)])
         got = _mat(idw_grid(pts, SPEC8), SPEC8)
