@@ -129,8 +129,156 @@ class TransverseMercator:
         return np.degrees(lon) + self.lon0_deg, np.degrees(lat)
 
 
+@dataclass(frozen=True)
+class LambertConformalConic:
+    """Lambert Conformal Conic, 2 standard parallels, ellipsoidal
+    (Snyder PP 1395 eqs 15-1..15-11 forward, 15-9 + 7-9 inverse)."""
+
+    ellipsoid: Ellipsoid
+    lat1_deg: float
+    lat2_deg: float
+    lat0_deg: float
+    lon0_deg: float
+    false_easting: float = 0.0
+    false_northing: float = 0.0
+
+    def _m(self, lat):
+        e2 = self.ellipsoid.e2
+        s = np.sin(lat)
+        return np.cos(lat) / np.sqrt(1 - e2 * s * s)
+
+    def _t(self, lat):
+        e = np.sqrt(self.ellipsoid.e2)
+        s = np.sin(lat)
+        return np.tan(np.pi / 4 - lat / 2) / np.power((1 - e * s) / (1 + e * s), e / 2)
+
+    def _consts(self):
+        lat1 = np.radians(self.lat1_deg)
+        lat2 = np.radians(self.lat2_deg)
+        lat0 = np.radians(self.lat0_deg)
+        m1, m2 = self._m(lat1), self._m(lat2)
+        t0, t1, t2 = self._t(lat0), self._t(lat1), self._t(lat2)
+        if abs(self.lat1_deg - self.lat2_deg) < 1e-12:
+            n = np.sin(lat1)
+        else:
+            n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+        Fc = m1 / (n * np.power(t1, n))
+        rho0 = self.ellipsoid.a * Fc * np.power(t0, n)
+        return n, Fc, rho0
+
+    def forward(self, lon_deg, lat_deg):
+        lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+        lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        n, Fc, rho0 = self._consts()
+        rho = self.ellipsoid.a * Fc * np.power(self._t(lat), n)
+        theta = n * (lon - np.radians(self.lon0_deg))
+        x = rho * np.sin(theta) + self.false_easting
+        y = rho0 - rho * np.cos(theta) + self.false_northing
+        return x, y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.false_easting
+        y = np.asarray(y, dtype=np.float64) - self.false_northing
+        n, Fc, rho0 = self._consts()
+        e = np.sqrt(self.ellipsoid.e2)
+        rho = np.sign(n) * np.sqrt(x * x + (rho0 - y) ** 2)
+        theta = np.arctan2(np.sign(n) * x, np.sign(n) * (rho0 - y))
+        t = np.power(rho / (self.ellipsoid.a * Fc), 1.0 / n)
+        lat = np.pi / 2 - 2 * np.arctan(t)
+        for _ in range(8):  # Snyder eq 7-9 fixed point (converges fast)
+            s = np.sin(lat)
+            lat = np.pi / 2 - 2 * np.arctan(
+                t * np.power((1 - e * s) / (1 + e * s), e / 2)
+            )
+        lon = theta / n + np.radians(self.lon0_deg)
+        return np.degrees(lon), np.degrees(lat)
+
+
+@dataclass(frozen=True)
+class AlbersEqualArea:
+    """Albers Equal-Area Conic, 2 standard parallels, ellipsoidal
+    (Snyder PP 1395 eqs 14-1..14-12 forward, 14-19..14-21 + 3-16
+    inverse)."""
+
+    ellipsoid: Ellipsoid
+    lat1_deg: float
+    lat2_deg: float
+    lat0_deg: float
+    lon0_deg: float
+    false_easting: float = 0.0
+    false_northing: float = 0.0
+
+    def _m(self, lat):
+        e2 = self.ellipsoid.e2
+        s = np.sin(lat)
+        return np.cos(lat) / np.sqrt(1 - e2 * s * s)
+
+    def _q(self, lat):
+        e2 = self.ellipsoid.e2
+        e = np.sqrt(e2)
+        s = np.sin(lat)
+        return (1 - e2) * (
+            s / (1 - e2 * s * s) - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+
+    def _consts(self):
+        lat1 = np.radians(self.lat1_deg)
+        lat2 = np.radians(self.lat2_deg)
+        lat0 = np.radians(self.lat0_deg)
+        m1, m2 = self._m(lat1), self._m(lat2)
+        q0, q1, q2 = self._q(lat0), self._q(lat1), self._q(lat2)
+        if abs(self.lat1_deg - self.lat2_deg) < 1e-12:
+            n = np.sin(lat1)
+        else:
+            n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        C = m1 * m1 + n * q1
+        rho0 = self.ellipsoid.a * np.sqrt(C - n * q0) / n
+        return n, C, rho0
+
+    def forward(self, lon_deg, lat_deg):
+        lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+        lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        n, C, rho0 = self._consts()
+        rho = self.ellipsoid.a * np.sqrt(C - n * self._q(lat)) / n
+        theta = n * (lon - np.radians(self.lon0_deg))
+        x = rho * np.sin(theta) + self.false_easting
+        y = rho0 - rho * np.cos(theta) + self.false_northing
+        return x, y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.false_easting
+        y = np.asarray(y, dtype=np.float64) - self.false_northing
+        n, C, rho0 = self._consts()
+        e2 = self.ellipsoid.e2
+        e = np.sqrt(e2)
+        rho = np.sqrt(x * x + (rho0 - y) ** 2)
+        theta = np.arctan2(np.sign(n) * x, np.sign(n) * (rho0 - y))
+        q = (C - (rho * n / self.ellipsoid.a) ** 2) / n
+        lat = np.arcsin(np.clip(q / 2, -1, 1))
+        for _ in range(10):  # Snyder eq 3-16 Newton-ish fixed point
+            s = np.sin(lat)
+            lat = lat + ((1 - e2 * s * s) ** 2 / (2 * np.cos(lat))) * (
+                q / (1 - e2)
+                - s / (1 - e2 * s * s)
+                + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+            )
+        lon = theta / n + np.radians(self.lon0_deg)
+        return np.degrees(lon), np.degrees(lat)
+
+
 def utm(zone: int, ellipsoid: Ellipsoid = WGS84) -> TransverseMercator:
     return TransverseMercator(ellipsoid=ellipsoid, lon0_deg=zone * 6 - 183)
+
+
+# EPSG:5070 = NAD83 / Conus Albers
+EPSG_5070 = AlbersEqualArea(
+    ellipsoid=GRS80, lat1_deg=29.5, lat2_deg=45.5, lat0_deg=23.0, lon0_deg=-96.0
+)
+# EPSG:2154 = RGF93 / Lambert-93
+EPSG_2154 = LambertConformalConic(
+    ellipsoid=GRS80, lat1_deg=44.0, lat2_deg=49.0, lat0_deg=46.5, lon0_deg=3.0,
+    false_easting=700_000.0, false_northing=6_600_000.0,
+)
 
 
 # EPSG:26711 = NAD27 / UTM zone 11N (byte.tif's CRS)
@@ -171,18 +319,18 @@ class Pipeline:
             x, y = self.src.inverse(x, y)  # to lon/lat
         if self.dst is None:
             return x, y
-        if isinstance(self.dst, TransverseMercator):
-            return self.dst.forward(x, y)
         if self.dst == "webmercator":
             return lonlat_to_webmercator(x, y)
+        if hasattr(self.dst, "forward"):  # TM / LCC / Albers projection
+            return self.dst.forward(x, y)
         raise ValueError(f"unknown dst {self.dst}")
 
     def inverse(self, x, y):
         if self.dst is not None:
-            if isinstance(self.dst, TransverseMercator):
-                x, y = self.dst.inverse(x, y)
-            elif self.dst == "webmercator":
+            if self.dst == "webmercator":
                 x, y = webmercator_to_lonlat(x, y)
+            elif hasattr(self.dst, "inverse"):
+                x, y = self.dst.inverse(x, y)
             else:
                 raise ValueError(f"unknown dst {self.dst}")
         if self.src is None:

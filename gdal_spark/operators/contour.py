@@ -94,6 +94,136 @@ def marching_squares(arr: np.ndarray, level: float, oy: float = 0.0, ox: float =
     return segs
 
 
+def _clip_cell_by_value(pts: list, vals: list, level: float, keep_ge: bool):
+    """Sutherland-Hodgman-style clip of a value-tagged polygon by the
+    half-space v >= level (or v < level), inserting edge points at the
+    SAME linear interpolation as the marching-squares crossings."""
+    n = len(pts)
+    out_p: list = []
+    out_v: list = []
+    for i in range(n):
+        j = (i + 1) % n
+        v0, v1 = vals[i], vals[j]
+        cin = (v0 >= level) if keep_ge else (v0 < level)
+        nin = (v1 >= level) if keep_ge else (v1 < level)
+        if cin:
+            out_p.append(pts[i])
+            out_v.append(v0)
+        if cin != nin:
+            t = (level - v0) / (v1 - v0)
+            out_p.append(
+                (pts[i][0] + t * (pts[j][0] - pts[i][0]), pts[i][1] + t * (pts[j][1] - pts[i][1]))
+            )
+            out_v.append(level)
+    return out_p, out_v
+
+
+def contour_polygons(
+    tiles: DataFrame,
+    spec: RasterSpec,
+    interval: float,
+    base: float = 0.0,
+    band: int = 1,
+    dissolve: bool = True,
+) -> DataFrame:
+    """Contour POLYGONIZE mode (alg/contour.cpp polygonize flag /
+    GDALContourGenerateEx POLYGONIZE=YES): isoband polygons per level
+    interval [base+k*interval, base+(k+1)*interval). Band boundaries
+    use the identical edge interpolation as the contour lines, so the
+    bands tile the node-grid area exactly and their shared edges ARE
+    the iso lines.
+
+    Per cell (node square, same 1-px-halo ownership as contour) each
+    covering band clips the square by v>=lo then v<hi; dissolve=True
+    unions the pieces per band into one (multi)polygon feature
+    (lvl_min, lvl_max, wkt) like the reference's one-feature-per-band
+    output; dissolve=False returns the raw per-cell pieces (scale
+    path: pieces stay distributed)."""
+    halo = _halo_explode(tiles.filter(F.col("band") == band), 1)
+
+    PIECE_SCHEMA = StructType(
+        [
+            StructField("lvl_min", DoubleType()),
+            StructField("lvl_max", DoubleType()),
+            StructField("wkt", StringType()),
+        ]
+    )
+    ts = spec.tile_size
+
+    def _local(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        _, tyy, txx = int(key[0]), int(key[1]), int(key[2])
+        center = pdf[(pdf.src_dy == 0) & (pdf.src_dx == 0)]
+        if not len(center):
+            return pd.DataFrame(
+                {"lvl_min": pd.array([], dtype="float64"),
+                 "lvl_max": pd.array([], dtype="float64"),
+                 "wkt": pd.array([], dtype=object)}
+            )
+        c = center.iloc[0]
+        h, w = int(c["h"]), int(c["w"])
+        ext = np.full((h + 1, w + 1), np.nan)
+        ext[:h, :w] = np.frombuffer(c["payload"], dtype=c["dtype"]).reshape(h, w)
+        for r in pdf.itertuples(index=False):
+            if (r.src_dy, r.src_dx) == (1, 0):
+                ext[h, : r.w] = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)[0]
+            elif (r.src_dy, r.src_dx) == (0, 1):
+                ext[: r.h, w] = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)[:, 0]
+            elif (r.src_dy, r.src_dx) == (1, 1):
+                ext[h, w] = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)[0, 0]
+        vh = h + 1 if not np.isnan(ext[h, 0]) else h
+        vw = w + 1 if not np.isnan(ext[0, w]) else w
+        grid = ext[:vh, :vw]
+        rows = []
+        oy, ox = tyy * ts, txx * ts
+        for i in range(vh - 1):
+            for j in range(vw - 1):
+                vals4 = [grid[i, j], grid[i, j + 1], grid[i + 1, j + 1], grid[i + 1, j]]
+                pts4 = [
+                    (j + 0.5 + ox, i + 0.5 + oy),
+                    (j + 1.5 + ox, i + 0.5 + oy),
+                    (j + 1.5 + ox, i + 1.5 + oy),
+                    (j + 0.5 + ox, i + 1.5 + oy),
+                ]
+                # 4 center triangles: a linear field on a triangle
+                # crosses any level along its boundary at most twice,
+                # so the half-space clip is always a single valid
+                # polygon — no marching-squares saddle cases (the
+                # center value = corner mean IS the saddle decider)
+                vc = sum(vals4) / 4.0
+                pc = (j + 1.0 + ox, i + 1.0 + oy)
+                for t in range(4):
+                    tpts = [pts4[t], pts4[(t + 1) % 4], pc]
+                    tvals = [vals4[t], vals4[(t + 1) % 4], vc]
+                    vmin, vmax = min(tvals), max(tvals)
+                    k0 = int(np.floor((vmin - base) / interval))
+                    k1 = int(np.floor((vmax - base) / interval))
+                    for k in range(k0, k1 + 1):
+                        lo = base + k * interval
+                        hi = lo + interval
+                        p, v = _clip_cell_by_value(tpts, tvals, lo, keep_ge=True)
+                        if len(p) >= 3:
+                            p, v = _clip_cell_by_value(p, v, hi, keep_ge=False)
+                        if len(p) >= 3:
+                            body = ",".join(f"{x:.17g} {y:.17g}" for x, y in p)
+                            first = f"{p[0][0]:.17g} {p[0][1]:.17g}"
+                            rows.append(
+                                {"lvl_min": lo, "lvl_max": hi,
+                                 "wkt": f"POLYGON (({body},{first}))"}
+                            )
+        return pd.DataFrame(rows, columns=["lvl_min", "lvl_max", "wkt"]) if rows else pd.DataFrame(
+            {"lvl_min": pd.array([], dtype="float64"),
+             "lvl_max": pd.array([], dtype="float64"),
+             "wkt": pd.array([], dtype=object)}
+        )
+
+    pieces = halo.groupBy("band", "ty", "tx").applyInPandas(_local, PIECE_SCHEMA)
+    if not dissolve:
+        return pieces
+    from gdal_spark.operators.dissolve import dissolve_union
+
+    return dissolve_union(pieces, ["lvl_min", "lvl_max"], wkt_col="wkt", out_col="wkt")
+
+
 def contour(
     tiles: DataFrame,
     spec: RasterSpec,

@@ -129,7 +129,10 @@ def dissolve_union(
     def _union_wkts(wkts: list) -> str | None:
         from gdal_spark.operators.layer_algebra import _polys_to_wkt
 
-        b = _parse([w for w in wkts if w])
+        wkts = [w for w in wkts if w]
+        if not wkts:
+            return None
+        b = _parse(wkts)
         regions = [b.polygon_rings(i) for i in range(len(b)) if not b.is_null[i]]
         if not regions:
             return None

@@ -94,3 +94,64 @@ class TestContourDistributed:
         assert len(got) >= 1
         for _, ln in got:
             assert np.allclose(ln[:, 0], 7.5)
+
+
+class TestContourPolygons:
+    """Isoband polygonize mode (alg/contour.cpp polygonize flag)."""
+
+    def test_bands_tile_the_grid(self, spark):
+        from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+        from gdal_spark.geom.wkt import parse_wkt
+        from gdal_spark.operators.contour import contour_polygons
+
+        out = contour_polygons(byte20_tiles(spark), BYTE20_SPEC, interval=50.0).collect()
+        # one feature per band
+        bands = [(r.lvl_min, r.lvl_max) for r in out]
+        assert len(bands) == len(set(bands))
+        total = sum(float(parse_wkt([r.wkt]).areas()[0]) for r in out)
+        # node grid is 19x19 cells of unit (pixel) size
+        # rel 1e-3: band boundaries have fractional vertices that the
+        # union kernel snaps to its 1/64 grid
+        assert total == pytest.approx(19 * 19, rel=1e-3)
+
+    def test_flat_raster_single_band(self, spark):
+        import pandas as pd
+
+        from gdal_spark.operators.contour import contour_polygons
+        from gdal_spark.operators.raster import RasterSpec
+        from gdal_spark.geom.wkt import parse_wkt
+
+        spec = RasterSpec(width=8, height=8, gt=(0, 1, 0, 8, 0, -1), dtype="float64", tile_size=8)
+        arr = np.full((8, 8), 42.0)
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                [{"band": 1, "ty": 0, "tx": 0, "h": 8, "w": 8,
+                  "dtype": "float64", "payload": arr.tobytes()}]
+            )
+        )
+        out = contour_polygons(df, spec, interval=10.0).collect()
+        assert len(out) == 1
+        assert (out[0].lvl_min, out[0].lvl_max) == (40.0, 50.0)
+        assert parse_wkt([out[0].wkt]).areas()[0] == pytest.approx(49.0)
+
+    def test_band_edges_are_iso_lines(self, spark):
+        """A linear ramp: band boundaries land exactly on the
+        marching-squares crossing positions."""
+        import pandas as pd
+
+        from gdal_spark.operators.contour import contour_polygons
+        from gdal_spark.geom.wkt import parse_wkt
+        from gdal_spark.operators.raster import RasterSpec
+
+        spec = RasterSpec(width=6, height=2, gt=(0, 1, 0, 2, 0, -1), dtype="float64", tile_size=8)
+        arr = np.tile(np.arange(6, dtype=np.float64) * 10, (2, 1))  # 0..50 ramp
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                [{"band": 1, "ty": 0, "tx": 0, "h": 2, "w": 6,
+                  "dtype": "float64", "payload": arr.tobytes()}]
+            )
+        )
+        out = {(r.lvl_min): r.wkt for r in contour_polygons(df, spec, interval=25.0).collect()}
+        # band [25, 50) starts at x where v=25 -> between nodes 2,3 at x=3.0
+        env = parse_wkt([out[25.0]]).envelopes()[0]
+        assert env[0] == pytest.approx(3.0)

@@ -212,3 +212,83 @@ class TestProj:
         ty = np.floor((WEB_MERCATOR_EXTENT - y) / (res * 256) + 1e-3).astype(int)
         assert set(tx.tolist()) == {354}
         assert set(ty.tolist()) == {818}
+
+
+class TestConicProjections:
+    """LCC / Albers (Snyder ch. 14-15): round-trip closure, unit scale
+    on standard parallels (LCC), and exact area preservation (Albers)."""
+
+    def _geodesic_dist(self, ell, lon0, lat0, lon1, lat1):
+        # small-step ellipsoidal arc approx (sufficient for ~1km spans)
+        import math
+
+        latm = math.radians((lat0 + lat1) / 2)
+        e2 = ell.e2
+        M = ell.a * (1 - e2) / (1 - e2 * math.sin(latm) ** 2) ** 1.5
+        N = ell.a / math.sqrt(1 - e2 * math.sin(latm) ** 2)
+        dy = math.radians(lat1 - lat0) * M
+        dx = math.radians(lon1 - lon0) * N * math.cos(latm)
+        return math.hypot(dx, dy)
+
+    def test_lcc_roundtrip(self):
+        from gdal_spark.geom.proj import EPSG_2154
+
+        rng = np.random.default_rng(7)
+        lon = rng.uniform(-4, 9, 200)
+        lat = rng.uniform(41, 51, 200)
+        x, y = EPSG_2154.forward(lon, lat)
+        lon2, lat2 = EPSG_2154.inverse(x, y)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+        # Lambert-93 origin sanity: (3E, 46.5N) -> (700000, 6600000)
+        x0, y0 = EPSG_2154.forward(3.0, 46.5)
+        assert abs(float(x0) - 700000) < 1e-3 and abs(float(y0) - 6600000) < 1e-3
+
+    def test_lcc_unit_scale_on_standard_parallels(self):
+        from gdal_spark.geom.proj import EPSG_2154, GRS80
+
+        for latp in (44.0, 49.0):
+            lon0, lon1 = 2.0, 2.01
+            x0, y0 = EPSG_2154.forward(lon0, latp)
+            x1, y1 = EPSG_2154.forward(lon1, latp)
+            proj_d = float(np.hypot(x1 - x0, y1 - y0))
+            true_d = self._geodesic_dist(GRS80, lon0, latp, lon1, latp)
+            assert abs(proj_d / true_d - 1) < 1e-7
+        # off the standard parallels the scale departs from 1
+        x0, y0 = EPSG_2154.forward(2.0, 46.5)
+        x1, y1 = EPSG_2154.forward(2.01, 46.5)
+        k = float(np.hypot(x1 - x0, y1 - y0)) / self._geodesic_dist(GRS80, 2.0, 46.5, 2.01, 46.5)
+        assert k < 0.9995
+
+    def test_albers_roundtrip(self):
+        from gdal_spark.geom.proj import EPSG_5070
+
+        rng = np.random.default_rng(9)
+        lon = rng.uniform(-120, -75, 200)
+        lat = rng.uniform(25, 48, 200)
+        x, y = EPSG_5070.forward(lon, lat)
+        lon2, lat2 = EPSG_5070.inverse(x, y)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_albers_preserves_area(self):
+        from gdal_spark.geom.proj import EPSG_5070, GRS80
+        import math
+
+        # 0.1x0.1 degree quad at mid-latitude: projected area must equal
+        # the ellipsoidal area (authalic property) to high precision
+        lon, lat, d = -100.0, 40.0, 0.1
+        corners = [(lon, lat), (lon + d, lat), (lon + d, lat + d), (lon, lat + d)]
+        xy = [EPSG_5070.forward(c[0], c[1]) for c in corners]
+        px = [float(v[0]) for v in xy]
+        py = [float(v[1]) for v in xy]
+        proj_area = 0.5 * abs(
+            sum(px[i] * py[(i + 1) % 4] - px[(i + 1) % 4] * py[i] for i in range(4))
+        )
+        # ellipsoidal quad area via authalic q (Snyder 3-12): area =
+        # a^2 (1-e2)/2 * dlon_rad * (q(lat1)-q(lat0)) / (1-e2)... use
+        # A = a^2/2 * dlon * (q(top)-q(bot)) with q from the projection
+        q0 = EPSG_5070._q(math.radians(lat))
+        q1 = EPSG_5070._q(math.radians(lat + d))
+        true_area = GRS80.a ** 2 / 2 * math.radians(d) * (q1 - q0)
+        assert abs(proj_area / true_area - 1) < 1e-4
