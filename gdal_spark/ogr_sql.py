@@ -290,6 +290,15 @@ def compile_expr(node: Node, df: DataFrame) -> Column:
             from gdal_spark.operators.st_funcs import st_area
 
             return st_area(F.col("wkt"))
+        if name.upper() == "OGR_GEOMETRY":
+            # flat geometry type name usable in WHERE
+            # (ogrfeaturequery.cpp:37; e.g. OGR_GEOMETRY = 'POLYGON')
+            return F.regexp_extract(F.col("wkt"), r"^\s*([A-Za-z]+)", 1)
+        if name.upper() == "OGR_STYLE":
+            # style strings have no representation in the span model;
+            # every feature reports the no-style state (NULL), matching
+            # a styleless OGR layer
+            return F.lit(None).cast("string")
         return df[mapped] if mapped in df.columns else F.col(mapped)
     if node.op in ("AND", "OR"):
         a, b = (compile_expr(x, df) for x in node.args)

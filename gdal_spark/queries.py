@@ -1380,6 +1380,115 @@ QUERIES["grid_metrics"] = q_grid_metrics
 ORACLES["grid_metrics"] = _o_grid_metrics()
 
 
+def q_graph_components(spark, sf_dir):
+    """GNM ConnectedComponents (gnm/gnmgraph.cpp:427): nations chained
+    within their region -> one component per region, id = min key."""
+    from pyspark.sql import Window as _W
+
+    from gdal_spark.operators.graph import connected_components
+
+    n = load(spark, sf_dir, "nation")
+    w = _W.partitionBy("n_regionkey").orderBy("n_nationkey")
+    edges = (
+        n.withColumn("_prev", F.lag("n_nationkey").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("src"), F.col("n_nationkey").alias("dst"))
+    )
+    out = connected_components(edges)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
+def _o_graph_components() -> str:
+    return (
+        "SELECT CAST(n_nationkey AS BIGINT) AS node, "
+        "CAST(MIN(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT) AS component "
+        "FROM nation"
+    )
+
+
+def q_graph_shortest_ring(spark, sf_dir):
+    """GNM DijkstraShortestPath (gnm/gnmgraph.cpp:185) on a weighted
+    undirected ring over the 25 nations (edge i->(i+1)%25, weight
+    1 + i%7), source 0 — distributed Bellman-Ford; the oracle is the
+    ring's closed-form min(clockwise, counterclockwise) prefix sums."""
+    from gdal_spark.operators.graph import shortest_paths, symmetrize
+
+    n = load(spark, sf_dir, "nation")
+    edges = n.select(
+        F.col("n_nationkey").alias("src"),
+        ((F.col("n_nationkey") + 1) % 25).alias("dst"),
+        (1 + F.col("n_nationkey") % 7).cast("double").alias("weight"),
+    )
+    out = shortest_paths(symmetrize(edges), 0)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )
+
+
+def _o_graph_shortest_ring() -> str:
+    return (
+        "WITH w AS (SELECT n_nationkey AS k, 1 + (n_nationkey % 7) AS wt FROM nation), "
+        "p AS (SELECT k, SUM(wt) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pre FROM w), "
+        "t AS (SELECT SUM(wt) AS total FROM w) "
+        "SELECT CAST(k AS BIGINT) AS node, "
+        "CAST(LEAST(COALESCE(pre, 0), (SELECT total FROM t) - COALESCE(pre, 0)) AS BIGINT) AS dist FROM p"
+    )
+
+
+def q_embed_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: engineered near-dups
+    (vec_id+100000 with the last component zeroed) found via the
+    LSH-bucketed self-join + exact quantized-cosine verify (never
+    all-pairs)."""
+    from gdal_spark.similarity import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    dup = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CASE WHEN i = 63 THEN CAST(0.0 AS FLOAT) ELSE x END)"
+        ).alias("embedding"),
+    )
+    base = emb.select("vec_id", "embedding").unionByName(dup)
+    return embedding_near_dup_pairs(base, dims=64, threshold=0.9, planes=8)
+
+
+def _o_embed_near_dup() -> str:
+    from gdal_spark.similarity import lsh_bucket_sql, quant_cosine_sql
+
+    qc = quant_cosine_sql("l.embedding", "r.embedding", 64)
+    return (
+        "WITH dup AS (SELECT vec_id + 100000 AS vec_id, "
+        "list_transform(generate_series(1, 64), i -> CASE WHEN i = 64 THEN CAST(0 AS FLOAT) ELSE embedding[i] END) AS embedding "
+        "FROM embeddings), "
+        "base AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id, embedding FROM dup), "
+        f"b AS (SELECT vec_id, embedding, {lsh_bucket_sql('embedding', 64, 8)} AS bucket FROM base) "
+        f"SELECT l.vec_id AS a, r.vec_id AS b, CAST(floor({qc} * 1000) AS BIGINT) AS cos1000 "
+        "FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id "
+        f"WHERE {qc} >= 0.9"
+    )
+
+
+QUERIES.update(
+    {
+        "graph_components": q_graph_components,
+        "graph_shortest_ring": q_graph_shortest_ring,
+        "embed_near_dup": q_embed_near_dup,
+    }
+)
+ORACLES.update(
+    {
+        "graph_components": _o_graph_components(),
+        "graph_shortest_ring": _o_graph_shortest_ring(),
+        "embed_near_dup": _o_embed_near_dup(),
+    }
+)
+
+
 def _rect_piece_area(minx, miny, maxx, maxy) -> str:
     """SQL: area of doc-square ∩ axis rect (0 when disjoint/touching)."""
     return (

@@ -98,6 +98,61 @@ def lsh_bucket_sql(emb_expr: str, dims: int, planes: int = 4) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _quant_cosine(ea: Column, eb: Column) -> Column:
+    """Cross-engine-exact cosine: both vectors are integer-quantized
+    (round(v*1e6)) so the dot product and squared norms are EXACT
+    int64 values; the only float ops are two correctly-rounded sqrts
+    and one division — bit-identical in any IEEE engine regardless of
+    summation order."""
+    qa = F.transform(ea, lambda x: F.round(x.cast("double") * QUANT).cast("long"))
+    qb = F.transform(eb, lambda x: F.round(x.cast("double") * QUANT).cast("long"))
+    dot = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    na = F.aggregate(F.transform(qa, lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x)
+    nb = F.aggregate(F.transform(qb, lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x)
+    return dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+
+
+def quant_cosine_sql(ea: str, eb: str, dims: int) -> str:
+    """DuckDB twin of _quant_cosine (same exact integer arithmetic)."""
+    qa = f"list_transform({ea}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+    qb = f"list_transform({eb}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+    dot = f"list_sum(list_transform(generate_series(1, {dims}), i -> ({qa})[i] * ({qb})[i]))"
+    na = f"list_sum(list_transform({qa}, x -> x * x))"
+    nb = f"list_sum(list_transform({qb}, x -> x * x))"
+    return f"(CAST({dot} AS DOUBLE) / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))))"
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dims: int,
+    threshold: float = 0.9,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidate generation is a
+    SELF-EQUI-JOIN on the LSH bucket (bucketed, never all-pairs — the
+    same scale shape as the MinHash band join), exact quantized-cosine
+    verify on candidates only. Returns (a, b, cos1000) with a < b.
+
+    Recall: same-bucket candidates only (vectors within ~2 degrees of
+    a hyperplane may land in adjacent buckets; raise `planes` for
+    precision or union several plane families for recall — each family
+    is one more bucketed join, still never quadratic)."""
+    b = df.withColumn("_bucket", lsh_bucket(emb_col, dims, planes))
+    left = b.select(F.col(id_col).alias("a"), F.col(emb_col).alias("_ea"), "_bucket")
+    right = b.select(F.col(id_col).alias("b"), F.col(emb_col).alias("_eb"), "_bucket")
+    cand = left.join(right, "_bucket").filter(F.col("a") < F.col("b"))
+    cos = _quant_cosine(F.col("_ea"), F.col("_eb"))
+    return (
+        cand.withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select("a", "b", F.floor(F.col("_cos") * 1000).cast("bigint").alias("cos1000"))
+    )
+
+
 def query_bits(qvec: Sequence[float], dims: int, planes: int) -> int:
     """The query vector's LSH bucket (same integer arithmetic as
     lsh_bucket)."""

@@ -1,0 +1,65 @@
+"""Graph operator tests (gnm/gnmgraph.cpp semantics): connected
+components and single-source shortest paths vs hand-computed answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from gdal_spark.operators.graph import connected_components, shortest_paths, symmetrize
+
+
+class TestConnectedComponents:
+    def test_two_components(self, spark):
+        edges = spark.createDataFrame(
+            [Row(src=1, dst=2), Row(src=2, dst=3), Row(src=10, dst=11)]
+        )
+        out = {r.node: r.component for r in connected_components(edges).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_chain_converges(self, spark):
+        # long chain: needs several label-propagation rounds
+        edges = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(12)])
+        out = {r.node: r.component for r in connected_components(edges).collect()}
+        assert set(out.values()) == {0}
+        assert len(out) == 13
+
+
+class TestShortestPaths:
+    def test_weighted_diamond(self, spark):
+        #     1 --2-- 3
+        #  0 <          > 4      direct 0->4 weight 10
+        #     2 --1-- 2
+        edges = spark.createDataFrame(
+            [
+                Row(src=0, dst=1, weight=1.0),
+                Row(src=1, dst=3, weight=2.0),
+                Row(src=0, dst=2, weight=2.0),
+                Row(src=2, dst=3, weight=1.0),
+                Row(src=3, dst=4, weight=2.0),
+                Row(src=0, dst=4, weight=10.0),
+            ]
+        )
+        out = {r.node: r.dist for r in shortest_paths(edges, 0).collect()}
+        assert out == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0, 4: 5.0}
+
+    def test_unreachable_absent(self, spark):
+        edges = spark.createDataFrame([Row(src=0, dst=1, weight=1.0), Row(src=5, dst=6, weight=1.0)])
+        out = {r.node: r.dist for r in shortest_paths(edges, 0).collect()}
+        assert 5 not in out and 6 not in out
+        assert out == {0: 0.0, 1: 1.0}
+
+    def test_undirected_ring(self, spark):
+        # weighted ring 0-1-2-3-0; symmetrized; shortest wraps both ways
+        edges = symmetrize(
+            spark.createDataFrame(
+                [
+                    Row(src=0, dst=1, weight=1.0),
+                    Row(src=1, dst=2, weight=5.0),
+                    Row(src=2, dst=3, weight=1.0),
+                    Row(src=3, dst=0, weight=1.0),
+                ]
+            )
+        )
+        out = {r.node: r.dist for r in shortest_paths(edges, 0).collect()}
+        assert out == {0: 0.0, 1: 1.0, 2: 2.0, 3: 1.0}

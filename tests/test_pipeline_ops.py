@@ -225,3 +225,27 @@ class TestSnapshots:
         path = str(tmp_path / "snap")
         spark.range(10).write.parquet(path)  # no lineage sidecar
         assert resume_done_keys(spark, path, ["id"]) is None
+
+
+class TestEmbeddingNearDup:
+    def test_engineered_dups_found(self, spark):
+        from gdal_spark.similarity import embedding_near_dup_pairs
+
+        rng = np.random.default_rng(31)
+        vecs = rng.normal(size=(60, 16)).astype(np.float32)
+        rows = [Row(vec_id=i, embedding=[float(v) for v in vecs[i]]) for i in range(60)]
+        # near-dups: copy with tiny perturbation
+        rows += [
+            Row(vec_id=i + 1000, embedding=[float(v + 0.001) for v in vecs[i]])
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(rows)
+        pairs = {
+            (r.a, r.b)
+            for r in embedding_near_dup_pairs(df, dims=16, threshold=0.99, planes=6).collect()
+        }
+        # most engineered pairs share their bucket (tiny perturbation)
+        found = sum((i, i + 1000) in pairs for i in range(10))
+        assert found >= 8
+        # no spurious pairs among the random base vectors
+        assert not any(a < 1000 and b < 1000 for a, b in pairs)
