@@ -403,6 +403,14 @@ def _default_name(node: Node, idx: int) -> str:
 # SELECT executor
 
 
+def compile_where(expr_text: str, df: DataFrame) -> Column:
+    """Compile a bare OGR WHERE expression (SetAttributeFilter,
+    ogrlayer.cpp:752) to a Column with OGR null semantics — the -where
+    entry point for vector_translate."""
+    node = Parser(tokenize(expr_text)).expr()
+    return compile_expr(node, df)
+
+
 def execute(
     spark: SparkSession,
     sql: str,

@@ -1473,11 +1473,48 @@ def _o_embed_near_dup() -> str:
     )
 
 
+def q_vector_translate(spark, sf_dir):
+    """The ogr2ogr stage chain end-to-end (ogr2ogr_lib.cpp:6507):
+    -where on an attribute, -clipsrc to the F2 rect, exact clipped
+    area out — WHERE runs through the OGR SQL compiler, the clip
+    through the overlay kernel, in the reference stage order."""
+    from gdal_spark.operators.spatial import area_udf
+    from gdal_spark.operators.vector_translate import vector_translate
+
+    g = docs_geom(spark, sf_dir).filter(
+        F.col("geom_error").isNull() & F.col("wkt").startswith("POLYGON")
+    )
+    out = vector_translate(
+        g.select(F.col("_id").alias("doc_id"), "n_chars", "wkt"),
+        where="n_chars > 200",
+        clip_src=SPAT_RECT_WKT,
+        select=["doc_id"],
+    )
+    return out.select(
+        "doc_id", F.round(area_udf(F.col("wkt"))).cast("bigint").alias("clip_area")
+    )
+
+
+def _o_vector_translate() -> str:
+    minx, miny, maxx, maxy = SPAT_RECT
+    # (same arithmetic as _rect_piece_area, which is defined later in
+    # the module than this oracle's build time)
+    area = (
+        f"(GREATEST(0, LEAST(gx + half, {maxx}) - GREATEST(gx - half, {minx})) * "
+        f"GREATEST(0, LEAST(gy + half, {maxy}) - GREATEST(gy - half, {miny})))"
+    )
+    return (
+        f"WITH g AS ({docs_g_cte()}) SELECT doc_id, CAST({area} AS BIGINT) AS clip_area "
+        f"FROM g WHERE valid AND is_poly AND n_chars > 200 AND {area} > 0"
+    )
+
+
 QUERIES.update(
     {
         "graph_components": q_graph_components,
         "graph_shortest_ring": q_graph_shortest_ring,
         "embed_near_dup": q_embed_near_dup,
+        "vector_translate": q_vector_translate,
     }
 )
 ORACLES.update(
@@ -1485,6 +1522,7 @@ ORACLES.update(
         "graph_components": _o_graph_components(),
         "graph_shortest_ring": _o_graph_shortest_ring(),
         "embed_near_dup": _o_embed_near_dup(),
+        "vector_translate": _o_vector_translate(),
     }
 )
 
