@@ -859,6 +859,48 @@ ORACLES.update(
 )
 
 
+def q_media_dims(spark, sf_dir):
+    """The deterministic media decode-stub dimensions, cross-engine
+    verified: payload = utf8(sha256_hex(media_ref)), seed = first 8
+    bytes of md5(payload), h = 16 + seed%17, w = 16 + (seed>>8)%17 —
+    the oracle recomputes the md5 hex arithmetic in SQL (16 ≡ -1 mod
+    17 → alternating hex-digit sums). Proves the decode plumbing is
+    deterministic; luma/phash stay pytest-only (PCG64 not in SQL)."""
+    from gdal_spark.media import extract_media_table, image_features
+
+    d = docs(spark, sf_dir)
+    feats = image_features(extract_media_table(d))
+    # media-table doc_id is the string form ("doc_%08d"); the oracle
+    # keys on the numeric documents.doc_id
+    return feats.select(
+        F.regexp_extract("doc_id", r"(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("channels").cast("bigint").alias("channels"),
+    )
+
+
+def _o_media_dims() -> str:
+    def mod17(ndigits: int) -> str:
+        return (
+            "((((SELECT SUM((strpos('0123456789abcdef', substring(hx, i, 1)) - 1) * "
+            f"(CASE WHEN ({ndigits} - i) % 2 = 0 THEN 1 ELSE -1 END)) "
+            f"FROM generate_series(1, {ndigits}) AS t(i)) % 17) + 17) % 17)"
+        )
+
+    return (
+        "WITH m AS (SELECT doc_id, 'fake://media/' || CAST((doc_id * 2654435761) % 100000 AS VARCHAR) || '.jpg' AS ref "
+        "FROM documents WHERE doc_id % 3 = 0), "
+        "hx_t AS (SELECT doc_id, md5(sha256(ref)) AS hx FROM m) "
+        f"SELECT doc_id, CAST(16 + {mod17(14)} AS BIGINT) AS width, "
+        f"CAST(16 + {mod17(16)} AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels FROM hx_t"
+    )
+
+
+QUERIES["media_dims"] = q_media_dims
+ORACLES["media_dims"] = _o_media_dims()
+
+
 def q_clip_rect(spark, sf_dir):
     """Layer-algebra Clip (ogr2ogr -clipsrc): geometric clip to the
     F2 rect; output = envelope of each clipped geometry."""
