@@ -132,3 +132,42 @@ class TestUnionAll:
             {"zones": zones_df},
         ).collect()
         assert sorted(r.eas_id for r in out) == [158, 179]
+
+
+class TestDateLiterals:
+    """Date literal comparison in WHERE (OGRField date semantics,
+    ogr/ogrfeature.cpp OGRParseDate; swq typed comparison)."""
+
+    def test_date_where_and_minmax(self, spark):
+        import datetime
+
+        from gdal_spark.ogr_sql import execute
+
+        df = spark.createDataFrame(
+            [
+                (1, datetime.date(1995, 3, 1)),
+                (2, datetime.date(1996, 7, 15)),
+                (3, datetime.date(1997, 1, 2)),
+            ],
+            "id bigint, d date",
+        )
+        out = execute(spark, "SELECT id FROM t WHERE d > '1996-01-01'", {"t": df})
+        assert sorted(r.id for r in out.collect()) == [2, 3]
+        s = execute(
+            spark, "SELECT MIN(d) AS lo, MAX(d) AS hi FROM t WHERE d < '1997-01-01'", {"t": df}
+        ).collect()[0]
+        assert (s.lo, s.hi) == (datetime.date(1995, 3, 1), datetime.date(1996, 7, 15))
+
+    def test_date_between(self, spark):
+        import datetime
+
+        from gdal_spark.ogr_sql import execute
+
+        df = spark.createDataFrame(
+            [(1, datetime.date(1995, 3, 1)), (2, datetime.date(1996, 7, 15))],
+            "id bigint, d date",
+        )
+        out = execute(
+            spark, "SELECT id FROM t WHERE d BETWEEN '1995-01-01' AND '1995-12-31'", {"t": df}
+        )
+        assert [r.id for r in out.collect()] == [1]
