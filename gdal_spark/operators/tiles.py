@@ -552,30 +552,47 @@ def raster_tile(
     )
 
     def _src_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # 21 samples along each tile edge (gdaltransformer.cpp:342
+        # SuggestedWarpOutput sampling density)
         edge = np.linspace(0, ts, 21)
+        ex = np.concatenate([edge, edge, np.zeros(21), np.full(21, ts)])  # (84,)
+        ey = np.concatenate([np.zeros(21), np.full(21, ts), edge, edge])
+        pad = 2  # kernel support + rounding guard
         for pdf in batches:
+            if not len(pdf):
+                continue
+            # one batched inverse transform for ALL dst tiles: (N, 84)
+            # edge samples flattened (the round-1 per-tile iterrows loop
+            # called the projection N times)
+            z = pdf["z"].to_numpy(np.int64)
+            txs = pdf["tx"].to_numpy(np.int64)
+            tys = pdf["ty"].to_numpy(np.int64)
+            res = np.array([tms.resolution(int(v)) for v in z])
+            tlx, tly = tms.top_left
+            ox = tlx + txs * ts * res
+            oy = tly - tys * ts * res
+            X = (ox[:, None] + ex[None, :] * res[:, None]).ravel()
+            Y = (oy[:, None] - ey[None, :] * res[:, None]).ravel()
+            wx, wy = src_pipeline.inverse(X, Y)
+            sx, sy = src_spec.world_to_pixel(wx, wy)
+            sx = sx.reshape(len(pdf), -1)
+            sy = sy.reshape(len(pdf), -1)
+            tx0 = np.maximum(np.floor((sx.min(axis=1) - pad) / sts), 0).astype(np.int64)
+            tx1 = np.minimum(
+                np.floor((sx.max(axis=1) + pad) / sts), src_spec.ntiles_x - 1
+            ).astype(np.int64)
+            ty0 = np.maximum(np.floor((sy.min(axis=1) - pad) / sts), 0).astype(np.int64)
+            ty1 = np.minimum(
+                np.floor((sy.max(axis=1) + pad) / sts), src_spec.ntiles_y - 1
+            ).astype(np.int64)
+            ok = (tx1 >= tx0) & (ty1 >= ty0)
             rows = {"z": [], "tx": [], "ty": [], "sty": [], "stx": []}
-            for _, r in pdf.iterrows():
-                res = tms.resolution(int(r.z))
-                ox, oy = tms.tile_origin(int(r.z), int(r.tx), int(r.ty))
-                # 21 samples along each tile edge (gdaltransformer.cpp:342
-                # SuggestedWarpOutput sampling density)
-                ex = np.concatenate([edge, edge, np.zeros(21), np.full(21, ts)])
-                ey = np.concatenate([np.zeros(21), np.full(21, ts), edge, edge])
-                wx, wy = src_pipeline.inverse(ox + ex * res, oy - ey * res)
-                sx, sy = src_spec.world_to_pixel(wx, wy)
-                pad = 2  # kernel support + rounding guard
-                tx0 = max(int(np.floor((sx.min() - pad) / sts)), 0)
-                tx1 = min(int(np.floor((sx.max() + pad) / sts)), src_spec.ntiles_x - 1)
-                ty0 = max(int(np.floor((sy.min() - pad) / sts)), 0)
-                ty1 = min(int(np.floor((sy.max() + pad) / sts)), src_spec.ntiles_y - 1)
-                if tx1 < tx0 or ty1 < ty0:
-                    continue
-                for styy in range(ty0, ty1 + 1):
-                    for stxx in range(tx0, tx1 + 1):
-                        rows["z"].append(int(r.z))
-                        rows["tx"].append(int(r.tx))
-                        rows["ty"].append(int(r.ty))
+            for k in np.flatnonzero(ok):
+                for styy in range(ty0[k], ty1[k] + 1):
+                    for stxx in range(tx0[k], tx1[k] + 1):
+                        rows["z"].append(int(z[k]))
+                        rows["tx"].append(int(txs[k]))
+                        rows["ty"].append(int(tys[k]))
                         rows["sty"].append(styy)
                         rows["stx"].append(stxx)
             yield pd.DataFrame(rows)
