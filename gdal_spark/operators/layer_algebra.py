@@ -357,6 +357,108 @@ def union_method_leftovers(
     return g.mapInPandas(_diff, out_schema)
 
 
+def layer_algebra_cells(
+    input_df: DataFrame,
+    method_df: DataFrame,
+    grid,
+    op: str = "intersection",
+    id_col: str = "_id",
+    wkt_col: str = "wkt",
+    method_fid_col: str = "fid",
+    method_wkt_col: str = "wkt",
+    promote_to_multi: bool = False,
+) -> DataFrame:
+    """Layer algebra for method layers too large to broadcast: the
+    big x big scale path. Both sides explode to covering grid cells
+    (JVM-side from envelope columns), equi-join on the cell id (the
+    explicit repartition-by-cell contract — salt-able, AQE-skew-safe),
+    dedupe (input, method) pairs, then run the overlay kernel per
+    pair. op: intersection (pieces, one row per intersecting pair) or
+    erase (input minus the union of its matched method features).
+
+    Returns (doc_id, method_fid [intersection only], wkt). Attribute
+    attachment composes via ordinary joins on the ids afterward."""
+    from gdal_spark.operators.spatial import spatial_join_cells
+
+    if op not in ("intersection", "erase"):
+        raise ValueError(f"layer_algebra_cells supports intersection|erase, got {op}")
+
+    pairs = spatial_join_cells(
+        input_df, method_df, grid,
+        doc_id_col=id_col, zone_fid_col=method_fid_col,
+        zone_wkt_col=method_wkt_col, wkt_col=wkt_col,
+    )
+    # re-attach both geometries by id (cheap equi-joins; geometries did
+    # not ride through the dedupe shuffle)
+    d = input_df.select(F.col(id_col).alias("doc_id"), F.col(wkt_col).alias("_dwkt"))
+    m = method_df.select(
+        F.col(method_fid_col).alias("method_fid"), F.col(method_wkt_col).alias("_mwkt")
+    )
+    joined = (
+        pairs.withColumnRenamed("zone_fid", "method_fid")
+        .join(d, "doc_id")
+        .join(m, "method_fid")
+    )
+
+    if op == "intersection":
+        out_schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("method_fid", LongType()),
+                StructField("wkt", StringType()),
+            ]
+        )
+
+        def _pieces(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                db = parse_wkt(pdf["_dwkt"])
+                mb = parse_wkt(pdf["_mwkt"])
+                rows = []
+                for i in range(len(pdf)):
+                    w = _piece_wkt(db, i, [mb.polygon_rings(i)], "and", promote_to_multi)
+                    if w is not None:
+                        rows.append(
+                            {"doc_id": int(pdf["doc_id"].iloc[i]),
+                             "method_fid": int(pdf["method_fid"].iloc[i]), "wkt": w}
+                        )
+                yield pd.DataFrame(rows, columns=["doc_id", "method_fid", "wkt"])
+
+        return joined.mapInPandas(_pieces, out_schema)
+
+    # erase: input minus the union of its matched method features —
+    # group matched method geoms per doc (bounded by overlap degree),
+    # then one overlay per doc; unmatched docs pass through verbatim.
+    grouped = joined.groupBy("doc_id").agg(
+        F.first("_dwkt").alias("_dwkt"), F.collect_list("_mwkt").alias("_ms")
+    )
+    out_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("wkt", StringType())]
+    )
+
+    def _erase(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            db = parse_wkt(pdf["_dwkt"])
+            rows = []
+            for i in range(len(pdf)):
+                mb = parse_wkt(list(pdf["_ms"].iloc[i]))
+                regions = [mb.polygon_rings(k) for k in range(len(mb))]
+                w = _piece_wkt(db, i, regions, "a_not_b", promote_to_multi)
+                if w is not None:
+                    rows.append({"doc_id": int(pdf["doc_id"].iloc[i]), "wkt": w})
+            yield pd.DataFrame(rows, columns=["doc_id", "wkt"])
+
+    erased = grouped.mapInPandas(_erase, out_schema)
+    untouched = (
+        input_df.select(F.col(id_col).alias("doc_id"), F.col(wkt_col).alias("wkt"))
+        .join(grouped.select("doc_id"), "doc_id", "left_anti")
+    )
+    return erased.unionByName(untouched)
+
+
 def layer_algebra(
     input_df: DataFrame,
     method_df: DataFrame,

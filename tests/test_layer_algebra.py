@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from gdal_spark.geom.overlay import clip_line, overlay, region_area
 from gdal_spark.geom.wkt import parse_wkt
@@ -237,3 +237,77 @@ class TestLayerAlgebra:
         ka = sorted(_geom_key(r["wkt"]) for r in a.collect())
         kb = sorted(_geom_key(r["wkt"]) for r in b.collect())
         assert ka == kb
+
+
+class TestCellPartitioned:
+    """Big x big scale path: layer_algebra_cells must be set-equal to
+    the broadcast path on the same inputs."""
+
+    def _layers(self, spark, n=40, m=25, seed=13):
+        rng = np.random.default_rng(seed)
+
+        def mk(k, off):
+            rows = []
+            for i in range(k):
+                x = float(rng.uniform(0, 90))
+                y = float(rng.uniform(0, 90))
+                w = float(rng.uniform(2, 10))
+                rows.append((i + off, f"POLYGON (({x} {y},{x+w} {y},{x+w} {y+w},{x} {y+w},{x} {y}))"))
+            return rows
+
+        a = spark.createDataFrame(mk(n, 0), "_id bigint, wkt string")
+        b = spark.createDataFrame(mk(m, 0), "fid bigint, wkt string")
+        return a, b
+
+    def test_intersection_matches_broadcast(self, spark):
+        from gdal_spark.operators.cells import Grid
+        from gdal_spark.operators.layer_algebra import layer_algebra, layer_algebra_cells
+        from gdal_spark.operators.spatial import extract_geom
+
+        a, b = self._layers(spark)
+        grid = Grid(0, 0, 100, 100, nx=8, ny=8)
+        ae = extract_geom(
+            a.withColumn("spans", F.array(F.struct(
+                F.lit("geom").alias("kind"), F.col("wkt").alias("text"),
+                F.lit("").alias("media_ref"), F.lit(0).alias("offset"))))
+        ).select("_id", "wkt", "env_minx", "env_miny", "env_maxx", "env_maxy")
+        got = {
+            (r.doc_id, r.method_fid, _geom_key(r.wkt))
+            for r in layer_algebra_cells(ae, b, grid, "intersection").collect()
+        }
+        bcast = layer_algebra(
+            a.select(F.col("_id").alias("doc_id"), "wkt"), b, "intersection"
+        )
+        want = {
+            (r.doc_id, None, _geom_key(r.wkt)) for r in bcast.collect()
+        }
+        # broadcast path drops method_fid from output; compare on
+        # (doc_id, piece geometry) multiplicity instead
+        assert {(d, g) for d, _, g in got} == {(d, g) for d, _, g in want}
+        assert len(got) == len(want)
+
+    def test_erase_matches_broadcast(self, spark):
+        from pyspark.sql import functions as F2
+
+        from gdal_spark.operators.cells import Grid
+        from gdal_spark.operators.layer_algebra import layer_algebra, layer_algebra_cells
+        from gdal_spark.operators.spatial import extract_geom
+
+        a, b = self._layers(spark, n=30, m=15, seed=29)
+        grid = Grid(0, 0, 100, 100, nx=8, ny=8)
+        ae = extract_geom(
+            a.withColumn("spans", F2.array(F2.struct(
+                F2.lit("geom").alias("kind"), F2.col("wkt").alias("text"),
+                F2.lit("").alias("media_ref"), F2.lit(0).alias("offset"))))
+        ).select("_id", "wkt", "env_minx", "env_miny", "env_maxx", "env_maxy")
+        got = {
+            (r.doc_id, _geom_key(r.wkt))
+            for r in layer_algebra_cells(ae, b, grid, "erase").collect()
+        }
+        want = {
+            (r.doc_id, _geom_key(r.wkt))
+            for r in layer_algebra(
+                a.select(F2.col("_id").alias("doc_id"), "wkt"), b, "erase"
+            ).collect()
+        }
+        assert got == want
