@@ -1,0 +1,121 @@
+"""Line-of-sight tests vs a scalar replica of GDALIsLineOfSightVisible
+(alg/los.cpp): endpoint pre-checks, Bresenham path, distance-ratio z."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdal_spark.operators.los import line_of_sight
+from gdal_spark.operators.raster import RasterSpec, TILE_SCHEMA
+
+
+def _bres(x1, y1, x2, y2):
+    dx, incx = abs(x2 - x1), (1 if x2 >= x1 else -1)
+    dy, incy = abs(y2 - y1), (1 if y2 >= y1 else -1)
+    pts = []
+    x, y = x1, y1
+    if dx >= dy:
+        DY, DX = dy * 2, dx * 2
+        bal = DY - dx
+        while x != x2:
+            pts.append((x, y))
+            if bal >= 0:
+                y += incy
+                bal -= DX
+            bal += DY
+            x += incx
+        pts.append((x, y))
+    else:
+        DX, DY = dx * 2, dy * 2
+        bal = DX - dy
+        while y != y2:
+            pts.append((x, y))
+            if bal >= 0:
+                x += incx
+                bal -= DY
+            bal += DX
+            y += incy
+        pts.append((x, y))
+    return pts
+
+
+def _ref_los(dem, a, b):
+    """Scalar GDALIsLineOfSightVisible replica."""
+    xa, ya, za = a
+    xb, yb, zb = b
+    if za < dem[ya, xa]:
+        return False, xa, ya
+    if zb < dem[yb, xb]:
+        return False, xb, yb
+    if (xa, ya) == (xb, yb):
+        return True, -1, -1
+    denom = (xb - xa) ** 2 + (yb - ya) ** 2
+    for (x, y) in _bres(xa, ya, xb, yb):
+        ratio = math.sqrt(((x - xa) ** 2 + (y - ya) ** 2) / denom)
+        z = za + ratio * (zb - za)
+        if z < dem[y, x]:
+            return False, x, y
+    return True, -1, -1
+
+
+def _dem_tiles(spark, dem, spec):
+    rows = []
+    ts = spec.tile_size
+    for ty in range(spec.ntiles_y):
+        for tx in range(spec.ntiles_x):
+            t = dem[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts]
+            rows.append(
+                {"band": 1, "ty": ty, "tx": tx, "h": t.shape[0], "w": t.shape[1],
+                 "dtype": "float64", "payload": t.astype(np.float64).tobytes()}
+            )
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+SPEC = RasterSpec(width=24, height=24, gt=(0, 1, 0, 24, 0, -1), dtype="float64", tile_size=8)
+
+
+@pytest.fixture(scope="module")
+def dem():
+    rng = np.random.default_rng(17)
+    d = rng.uniform(0, 10, size=(24, 24))
+    d[10:14, 10:14] = 100.0  # a wall in the middle
+    return d
+
+
+class TestLineOfSight:
+    def test_clear_path_over_wall(self, spark, dem):
+        tiles = _dem_tiles(spark, dem, SPEC)
+        r = line_of_sight(tiles, SPEC, (2, 2, 200.0), (20, 20, 200.0))
+        assert r.visible is True and (r.ix, r.iy) == (-1, -1)
+
+    def test_wall_blocks(self, spark, dem):
+        tiles = _dem_tiles(spark, dem, SPEC)
+        a, b = (2, 2, 20.0), (20, 20, 20.0)
+        r = line_of_sight(tiles, SPEC, a, b)
+        want = _ref_los(dem, a, b)
+        assert (r.visible, r.ix, r.iy) == want
+        assert r.visible is False
+
+    def test_endpoint_below_terrain(self, spark, dem):
+        tiles = _dem_tiles(spark, dem, SPEC)
+        r = line_of_sight(tiles, SPEC, (12, 12, 5.0), (20, 20, 200.0))
+        assert (r.visible, r.ix, r.iy) == (False, 12, 12)
+
+    @pytest.mark.parametrize(
+        "a,b",
+        [
+            ((0, 5, 30.0), (23, 5, 30.0)),  # horizontal
+            ((7, 0, 30.0), (7, 23, 30.0)),  # vertical
+            ((0, 0, 15.0), (23, 9, 40.0)),  # shallow diagonal
+            ((3, 22, 40.0), (19, 1, 15.0)),  # steep reversed
+        ],
+    )
+    def test_matches_scalar_replica(self, spark, dem, a, b):
+        tiles = _dem_tiles(spark, dem, SPEC)
+        r = line_of_sight(tiles, SPEC, a, b)
+        want = _ref_los(dem, a, b)
+        assert (r.visible, r.ix, r.iy) == want
