@@ -120,13 +120,31 @@ def _node_edges(edges: np.ndarray) -> list[tuple]:
     x1, y1, x2, y2 = edges.T
     bminx, bmaxx = np.minimum(x1, x2), np.maximum(x1, x2)
     bminy, bmaxy = np.minimum(y1, y2), np.maximum(y1, y2)
-    # candidate pairs i<j with bbox overlap
-    ii, jj = np.triu_indices(n, k=1)
-    ok = (
-        (bminx[ii] <= bmaxx[jj]) & (bminx[jj] <= bmaxx[ii])
-        & (bminy[ii] <= bmaxy[jj]) & (bminy[jj] <= bmaxy[ii])
-    )
-    ii, jj = ii[ok], jj[ok]
+    # candidate pairs i<j with bbox overlap — generated block-wise so
+    # memory stays O(block^2), not O(n^2) (large coastline-style rings
+    # would otherwise materialize n(n-1)/2 indices at once)
+    BLK = 1024
+    ii_parts: list[np.ndarray] = []
+    jj_parts: list[np.ndarray] = []
+    for bi in range(0, n, BLK):
+        ei = min(bi + BLK, n)
+        for bj in range(bi, n, BLK):
+            ej = min(bj + BLK, n)
+            a = np.arange(bi, ei)
+            c = np.arange(bj, ej)
+            ok = (
+                (bminx[a][:, None] <= bmaxx[c][None, :])
+                & (bminx[c][None, :] <= bmaxx[a][:, None])
+                & (bminy[a][:, None] <= bmaxy[c][None, :])
+                & (bminy[c][None, :] <= bmaxy[a][:, None])
+            )
+            ai, cj = np.nonzero(ok)
+            gi, gj = a[ai], c[cj]
+            keep = gi < gj  # i < j only (diagonal blocks contain both orders)
+            ii_parts.append(gi[keep])
+            jj_parts.append(gj[keep])
+    ii = np.concatenate(ii_parts) if ii_parts else np.empty(0, dtype=np.int64)
+    jj = np.concatenate(jj_parts) if jj_parts else np.empty(0, dtype=np.int64)
 
     splits: list[list[tuple]] = [[] for _ in range(n)]
 
