@@ -182,3 +182,89 @@ def translate(
         )
 
     return pieces.groupBy("band", "dty", "dtx").applyInPandas(_assemble, TILE_SCHEMA), dspec
+
+
+def color_relief(
+    tiles: DataFrame,
+    spec: RasterSpec,
+    ramp: list[tuple],
+    mode: str = "interpolate",
+    band: int = 1,
+) -> DataFrame:
+    """gdaldem color-relief (apps/gdaldem_lib.cpp:1538
+    GDALColorReliefGetRGBA): value -> RGBA through a color ramp.
+
+    ramp: [(value, r, g, b[, a])] sorted ascending. Modes:
+      interpolate  linear between bracketing entries, channel =
+                   clamp(int(0.5 + before + ratio*(after-before)))
+      nearest      the closer entry (ties -> upper: the reference's
+                   strict `<` comparison)
+      exact        entry colors only; non-matching values -> 0,0,0,0
+    Values below/above the ramp clamp to the first/last entry
+    (interpolate + nearest). Output: 4 band rows (r,g,b,a uint8) per
+    input tile — the same tile keys, pure per-tile numpy.
+    """
+    import numpy as _np
+    import pandas as _pd
+
+    vals = _np.array([float(e[0]) for e in ramp])
+    cols = _np.array(
+        [[int(e[1]), int(e[2]), int(e[3]), int(e[4]) if len(e) > 4 else 255] for e in ramp],
+        dtype=_np.int64,
+    )
+
+    def _map(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.band != band:
+                    continue
+                v = _np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w).astype(_np.float64)
+                # i = first ramp index with vals[i] >= v  (reference
+                # bisection post-condition)
+                i = _np.searchsorted(vals, v, side="left")
+                below = i == 0
+                above = i == len(vals)
+                mid = ~below & ~above
+                out = _np.zeros((4, r.h, r.w), dtype=_np.int64)
+                if mode == "exact":
+                    hit = _np.zeros(v.shape, dtype=bool)
+                    ii = _np.clip(i, 0, len(vals) - 1)
+                    hit |= vals[ii] == v
+                    il = _np.clip(i - 1, 0, len(vals) - 1)
+                    hit_lower = (vals[il] == v) & ~hit
+                    for c in range(4):
+                        out[c] = _np.where(hit, cols[ii, c], 0)
+                        out[c] = _np.where(hit_lower, cols[il, c], out[c])
+                else:
+                    lo = _np.clip(i - 1, 0, len(vals) - 1)
+                    hi = _np.clip(i, 0, len(vals) - 1)
+                    exact_lo = mid & (vals[lo] == v)
+                    exact_hi = mid & (vals[hi] == v)
+                    if mode == "nearest":
+                        take_lo = (v - vals[lo]) < (vals[hi] - v)
+                        idx = _np.where(take_lo, lo, hi)
+                        idx = _np.where(below, 0, _np.where(above, len(vals) - 1, idx))
+                        for c in range(4):
+                            out[c] = cols[idx, c]
+                    else:  # interpolate
+                        with _np.errstate(invalid="ignore", divide="ignore"):
+                            ratio = _np.where(
+                                mid, (v - vals[lo]) / _np.where(vals[hi] == vals[lo], 1, vals[hi] - vals[lo]), 0.0
+                            )
+                        for c in range(4):
+                            interp = _np.clip(
+                                (0.5 + cols[lo, c] + ratio * (cols[hi, c] - cols[lo, c])).astype(_np.int64),
+                                0, 255,
+                            )
+                            ch = _np.where(below, cols[0, c], _np.where(above, cols[-1, c], interp))
+                            ch = _np.where(exact_lo, cols[lo, c], _np.where(exact_hi, cols[hi, c], ch))
+                            out[c] = ch
+                for c in range(4):
+                    rows.append(
+                        {"band": c + 1, "ty": r.ty, "tx": r.tx, "h": r.h, "w": r.w,
+                         "dtype": "uint8", "payload": out[c].astype(_np.uint8).tobytes()}
+                    )
+            yield _pd.DataFrame(rows, columns=["band", "ty", "tx", "h", "w", "dtype", "payload"])
+
+    return tiles.mapInPandas(_map, TILE_SCHEMA)

@@ -70,3 +70,59 @@ class TestTranslate:
         # force multi-tile dst (tile 8) and check seam correctness
         out, dspec = translate(byte20_tiles(spark), BYTE20_SPEC, dst_tile_size=8)
         np.testing.assert_array_equal(_materialize(out, dspec), BYTE20)
+
+
+class TestColorRelief:
+    """gdaldem color-relief (GDALColorReliefGetRGBA) vs a scalar
+    replica of the reference's bisection + clamp + lerp rules."""
+
+    RAMP = [(0, 0, 0, 255), (100, 0, 255, 0, 200), (200, 255, 0, 0)]
+
+    def _ref(self, v, mode):
+        vals = [e[0] for e in self.RAMP]
+        cols = [(e[1], e[2], e[3], e[4] if len(e) > 4 else 255) for e in self.RAMP]
+        import bisect
+
+        i = bisect.bisect_left(vals, v)
+        if i == 0:
+            return (0, 0, 0, 0) if (mode == "exact" and vals[0] != v) else cols[0]
+        if i == len(vals):
+            return (0, 0, 0, 0) if (mode == "exact" and vals[-1] != v) else cols[-1]
+        if vals[i - 1] == v:
+            return cols[i - 1]
+        if vals[i] == v:
+            return cols[i]
+        if mode == "exact":
+            return (0, 0, 0, 0)
+        if mode == "nearest":
+            idx = i - 1 if (v - vals[i - 1]) < (vals[i] - v) else i
+            return cols[idx]
+        t = (v - vals[i - 1]) / (vals[i] - vals[i - 1])
+        return tuple(
+            max(0, min(255, int(0.5 + cols[i - 1][c] + t * (cols[i][c] - cols[i - 1][c]))))
+            for c in range(4)
+        )
+
+    @pytest.mark.parametrize("mode", ["interpolate", "nearest", "exact"])
+    def test_matches_reference_rule(self, spark, mode):
+        import pandas as pd
+
+        from gdal_spark.operators.raster import RasterSpec
+        from gdal_spark.operators.translate import color_relief
+
+        vals = np.array([[0, 50, 100, 150], [200, 250, 17, 99]], dtype=np.float64)
+        spec = RasterSpec(width=4, height=2, gt=(0, 1, 0, 2, 0, -1), dtype="float64", tile_size=4)
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                [{"band": 1, "ty": 0, "tx": 0, "h": 2, "w": 4,
+                  "dtype": "float64", "payload": vals.tobytes()}]
+            )
+        )
+        out = {r.band: np.frombuffer(r.payload, dtype=r.dtype).reshape(2, 4)
+               for r in color_relief(df, spec, self.RAMP, mode=mode).collect()}
+        assert set(out) == {1, 2, 3, 4}
+        for y in range(2):
+            for x in range(4):
+                want = self._ref(vals[y, x], mode)
+                got = tuple(int(out[c + 1][y, x]) for c in range(4))
+                assert got == want, (mode, vals[y, x], got, want)
