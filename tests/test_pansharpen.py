@@ -1,0 +1,90 @@
+"""Weighted-Brovey pansharpen vs a whole-array scalar replica
+(alg/gdalpansharpen.cpp:521-560 semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdal_spark.operators.pansharpen import pansharpen
+from gdal_spark.operators.raster import RasterSpec
+from gdal_spark.operators.tiles import warp_cubic
+
+MS_SPEC = RasterSpec(width=8, height=8, gt=(0, 2, 0, 16, 0, -2), dtype="float64", tile_size=4)
+PAN_SPEC = RasterSpec(width=16, height=16, gt=(0, 1, 0, 16, 0, -1), dtype="float64", tile_size=8)
+
+
+def _tiles(spark, arrs, spec):
+    rows = []
+    ts = spec.tile_size
+    for band, a in enumerate(arrs, start=1):
+        for ty in range(spec.ntiles_y):
+            for tx in range(spec.ntiles_x):
+                t = a[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts]
+                rows.append(
+                    {"band": band, "ty": ty, "tx": tx, "h": t.shape[0], "w": t.shape[1],
+                     "dtype": "float64", "payload": t.astype(np.float64).tobytes()}
+                )
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def _mat(rows, spec, band):
+    out = np.zeros((spec.height, spec.width))
+    ts = spec.tile_size
+    for r in rows:
+        if r.band != band:
+            continue
+        t = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)
+        out[r.ty * ts : r.ty * ts + r.h, r.tx * ts : r.tx * ts + r.w] = t
+    return out
+
+
+class TestPansharpen:
+    def test_matches_whole_array_brovey(self, spark):
+        rng = np.random.default_rng(3)
+        ms = [rng.uniform(10, 200, size=(8, 8)) for _ in range(3)]
+        pan = rng.uniform(10, 200, size=(16, 16))
+        w = [0.3, 0.4, 0.3]
+
+        out = pansharpen(
+            _tiles(spark, [pan], PAN_SPEC), _tiles(spark, ms, MS_SPEC),
+            PAN_SPEC, MS_SPEC, weights=w,
+        ).collect()
+
+        # whole-array replica: cubic-upsample each band at pan centers,
+        # then the Brovey ratio
+        jj, ii = np.meshgrid(np.arange(16), np.arange(16))
+        sx = (jj + 0.5) * 0.5
+        sy = (ii + 0.5) * 0.5
+        ups = [warp_cubic(m, sx, sy)[0] for m in ms]
+        pseudo = sum(wi * u for wi, u in zip(w, ups))
+        factor = pan / pseudo
+        for b in range(3):
+            got = _mat(out, PAN_SPEC, b + 1)
+            np.testing.assert_allclose(got, ups[b] * factor, rtol=1e-12)
+
+    def test_constant_bands_identity(self, spark):
+        """If every band equals the pan and weights sum to 1, the
+        output equals the pan (factor = 1 everywhere)."""
+        c = np.full((8, 8), 100.0)
+        pan = np.full((16, 16), 100.0)
+        out = pansharpen(
+            _tiles(spark, [pan], PAN_SPEC), _tiles(spark, [c, c], MS_SPEC),
+            PAN_SPEC, MS_SPEC, weights=[0.5, 0.5],
+        ).collect()
+        np.testing.assert_allclose(_mat(out, PAN_SPEC, 1), pan)
+        np.testing.assert_allclose(_mat(out, PAN_SPEC, 2), pan)
+
+    def test_nodata_propagates(self, spark):
+        ms0 = np.full((8, 8), 50.0)
+        ms0[0, 0] = -9999.0
+        pan = np.full((16, 16), 100.0)
+        out = pansharpen(
+            _tiles(spark, [pan], PAN_SPEC), _tiles(spark, [ms0], MS_SPEC),
+            PAN_SPEC, MS_SPEC, weights=[1.0], nodata=-9999.0, resample="near",
+        ).collect()
+        got = _mat(out, PAN_SPEC, 1)
+        # the 2x2 pan block over the nodata ms pixel is nodata
+        assert (got[0:2, 0:2] == -9999.0).all()
+        assert (got[4:, 4:] != -9999.0).all()
