@@ -183,7 +183,7 @@ def centroid(geom: Geometry) -> tuple[float, float]:
                 sy += w * cy
         if sa != 0:
             return (sx / sa, sy / sa)
-    if geom.dim == 1 or (geom.dim == 2 and True):
+    if geom.dim in (1, 2):  # dim==2 reaches here only when total area is 0
         tot = 0.0
         sx = 0.0
         sy = 0.0

@@ -65,18 +65,32 @@ _OPS = {
 
 
 def _snap_frame(geoms_a: list[Geom], geoms_b: list[Geom]):
-    """Common translate+scale so both sides snap to one exact grid."""
+    """Common translate+scale so both sides snap to one exact grid.
+
+    The scale ADAPTS to the coordinate span: snapped magnitudes are
+    kept <= 2^25 so every cross product in the noding predicates stays
+    < 2^50 — exactly representable in float64. Small extents get the
+    full 1/2^SNAP_BITS grid; continent-scale extents (e.g. web-mercator
+    meters, span ~4e7) trade grid resolution for exactness instead of
+    silently breaking the integer invariant."""
     minx = math.inf
     miny = math.inf
+    maxx = -math.inf
+    maxy = -math.inf
     for side in (geoms_a, geoms_b):
         for rings in side:
             for r in rings:
                 if len(r):
                     minx = min(minx, float(np.min(r[:, 0])))
                     miny = min(miny, float(np.min(r[:, 1])))
+                    maxx = max(maxx, float(np.max(r[:, 0])))
+                    maxy = max(maxy, float(np.max(r[:, 1])))
     if not math.isfinite(minx):
         minx = miny = 0.0
-    scale = float(1 << SNAP_BITS)
+        maxx = maxy = 0.0
+    span = max(maxx - minx, maxy - miny, 1.0)
+    k = min(SNAP_BITS, int(math.floor(math.log2((1 << 25) / span))))
+    scale = float(2.0 ** k)
 
     def fwd(r: np.ndarray) -> np.ndarray:
         return np.round((r - (minx, miny)) * scale)
@@ -94,8 +108,9 @@ def _edges_of(geoms: list[Geom], fwd) -> tuple[np.ndarray, list]:
     chunks = []
     for rings in geoms:
         snapped = [fwd(np.asarray(r, dtype=np.float64).reshape(-1, 2)) for r in rings]
-        per_geom.append(rings_to_edges(snapped))
-        x1, y1, x2, y2 = rings_to_edges(snapped)
+        t = rings_to_edges(snapped)
+        per_geom.append(t)
+        x1, y1, x2, y2 = t
         if len(x1):
             chunks.append(np.column_stack([x1, y1, x2, y2]))
     e = np.concatenate(chunks, axis=0) if chunks else np.empty((0, 4))

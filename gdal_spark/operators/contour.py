@@ -195,6 +195,8 @@ def contour_polygons(
                     tpts = [pts4[t], pts4[(t + 1) % 4], pc]
                     tvals = [vals4[t], vals4[(t + 1) % 4], vc]
                     vmin, vmax = min(tvals), max(tvals)
+                    if not (np.isfinite(vmin) and np.isfinite(vmax)):
+                        continue  # NaN nodata cell: no bands emitted
                     k0 = int(np.floor((vmin - base) / interval))
                     k1 = int(np.floor((vmax - base) / interval))
                     for k in range(k0, k1 + 1):

@@ -161,6 +161,8 @@ def fill_nodata(
             f"({spec.tile_size}); one-ring halo exchange cannot cover it"
         )
     exploded = _halo_explode(tiles, halo)
+    # NaN nodata is a first-class convention: validity uses isnan then
+    # (NaN != NaN would otherwise mark every pixel valid silently)
 
     def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         band, tyy, txx = int(key[0]), int(key[1]), int(key[2])
@@ -190,8 +192,9 @@ def fill_nodata(
             th = min(target.shape[0], piece.shape[0])
             tw = min(target.shape[1], piece.shape[1])
             target[:th, :tw] = piece[:th, :tw]
+        vmask = ~np.isnan(padded) if math.isnan(nodata) else (padded != nodata)
         filled, _ = fill_nodata_array(
-            padded, padded != nodata, max_search_dist, nearest, smoothing_iterations
+            padded, vmask, max_search_dist, nearest, smoothing_iterations
         )
         out = filled[halo : halo + h, halo : halo + w]
         return pd.DataFrame(

@@ -225,7 +225,8 @@ def _grid_impl(
         elif algo == "range":
             out = np.where(cnt >= need, vmax - vmin, nodata)
         elif algo == "count":
-            out = cnt.astype(np.float64)
+            # GDALGridDataMetricCount also honors nMinPoints
+            out = np.where(cnt >= need, cnt.astype(np.float64), nodata) if min_points > 0 else cnt.astype(np.float64)
         else:  # average_distance
             out = np.where(cnt >= need, dsum / np.maximum(cnt, 1), nodata)
         return pd.DataFrame(

@@ -209,6 +209,11 @@ def knn_cell_pruned(
             k,
         )
         result = result.unionByName(fb)
+    # materialize (results are <= |Q|*k rows) so the phase caches can
+    # be released instead of leaking persisted partitions per call
+    result = result.localCheckpoint(eager=True)
+    t1.unpersist()
+    t2.unpersist()
     return result
 
 

@@ -163,6 +163,7 @@ def _pair_piece(batch, i: int, zidx, z: int, promote: bool) -> str | None:
     return _piece_wkt(batch, i, [zidx.rings[z]], "and", promote)
 
 
+_EMPTY_MARK = "__EMPTY__"  # salted-leftover sentinel: partial difference is empty
 _PAIRWISE = "pairwise"  # one piece per (x, y) pair (intersection-like)
 _LEFTOVER = "leftover"  # x minus union of matched ys
 _COMBINED = "combined"  # x clipped/erased against union of ALL matched ys
@@ -310,6 +311,9 @@ def union_method_leftovers(
     )
 
     def _diff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # salted mode MUST emit a marker for empty partials: the final
+        # stage intersects partials (y − ∪A = ∩_b (y − ∪A_b)), and a
+        # dropped empty factor would wrongly resurrect the leftover
         for pdf in batches:
             fids, wkts = [], []
             for r in pdf.itertuples(index=False):
@@ -321,6 +325,8 @@ def union_method_leftovers(
                     xb = parse_wkt(xs)
                     regions = [xb.polygon_rings(i) for i in range(len(xb))]
                     w = _piece_wkt(yb, 0, regions, "a_not_b", promote)
+                if w is None and salt > 1:
+                    w = _EMPTY_MARK
                 if w is not None:
                     fids.append(r.method_fid)
                     wkts.append(w)
@@ -336,8 +342,8 @@ def union_method_leftovers(
                 fids, wkts = [], []
                 for r in pdf.itertuples(index=False):
                     ps = list(r.ps)
-                    if not ps:
-                        continue
+                    if not ps or _EMPTY_MARK in ps:
+                        continue  # any empty factor -> empty leftover
                     b = parse_wkt(ps)
                     acc = [b.polygon_rings(0)]
                     w = ps[0]

@@ -266,9 +266,24 @@ def mvt_tiles(
                 rings_flat = [r for rings in parts for r in rings]
                 polys = overlay([rings_flat], [[rect]], "and")
                 rings_out = []
+
+                def oriented(ring_local: np.ndarray, exterior: bool) -> np.ndarray:
+                    # MVT 2.1 spec 4.3.3.3: in TILE coordinates (y down)
+                    # exterior rings must have POSITIVE surveyor's-
+                    # formula area, interior rings negative — the
+                    # to_local y-flip inverts world winding, so orient
+                    # by the tile-space signed area explicitly
+                    x, y = ring_local[:, 0], ring_local[:, 1]
+                    a2 = np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]) + (
+                        x[-1] * y[0] - x[0] * y[-1]
+                    )
+                    if (a2 > 0) != exterior:
+                        return ring_local[::-1]
+                    return ring_local
+
                 for shell, holes in polys:
-                    rings_out.append(to_local(shell))
-                    rings_out.extend(to_local(h) for h in holes)
+                    rings_out.append(oriented(to_local(shell), exterior=True))
+                    rings_out.extend(oriented(to_local(h), exterior=False) for h in holes)
                 if rings_out:
                     feats.append(
                         {"id": fid, "type": GEOM_POLYGON, "parts": rings_out, "attrs": attrs}

@@ -397,7 +397,10 @@ def make_window_stat_kernel(stat: str):
             elif stat == "rms":
                 res[sel] = np.sqrt(np.mean(arr * arr, axis=1))
             elif stat == "mode":
-                res[sel] = _mode_first(arr.astype(np.int64))
+                # raw values, not int-truncated: GDAL's integer-bin
+                # histogram path applies to integer band types only;
+                # float rasters keep distinct float values
+                res[sel] = _mode_first(arr)
             else:  # med / q1 / q3
                 s = np.sort(arr, axis=1)
                 idx = int(np.ceil(quant * arr.shape[1] - 1))

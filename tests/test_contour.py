@@ -155,3 +155,22 @@ class TestContourPolygons:
         # band [25, 50) starts at x where v=25 -> between nodes 2,3 at x=3.0
         env = parse_wkt([out[25.0]]).envelopes()[0]
         assert env[0] == pytest.approx(3.0)
+
+
+def test_contour_polygons_nan_cells_skipped(spark):
+    """NaN nodata pixels must not crash the isoband loop (round-2
+    review finding); their cells are simply not banded."""
+    import pandas as pd
+
+    from gdal_spark.operators.contour import contour_polygons
+    from gdal_spark.operators.raster import RasterSpec
+
+    spec = RasterSpec(width=4, height=4, gt=(0, 1, 0, 4, 0, -1), dtype="float64", tile_size=4)
+    a = np.full((4, 4), 42.0)
+    a[1, 1] = np.nan
+    df = spark.createDataFrame(
+        pd.DataFrame([{"band": 1, "ty": 0, "tx": 0, "h": 4, "w": 4,
+                       "dtype": "float64", "payload": a.tobytes()}])
+    )
+    out = contour_polygons(df, spec, interval=10.0).collect()
+    assert len(out) == 1  # the finite cells still band

@@ -10,6 +10,7 @@ import pytest
 
 from gdal_spark.fixtures import BYTE20, BYTE20_SPEC, byte20_tiles
 from gdal_spark.operators.fill import fill_nodata, fill_nodata_array
+from gdal_spark.operators.raster import RasterSpec
 
 
 class TestArrayKernel:
@@ -115,3 +116,24 @@ class TestDistributed:
     def test_halo_too_small_raises(self, spark):
         with pytest.raises(ValueError):
             fill_nodata(byte20_tiles(spark), BYTE20_SPEC, nodata=0, max_search_dist=99)
+
+
+class TestNanNodata:
+    def test_nan_nodata_fills(self, spark):
+        """nodata=NaN must fill (NaN != NaN would otherwise mark
+        everything valid; round-2 review finding)."""
+        import pandas as pd
+
+        from gdal_spark.operators.raster import TILE_SCHEMA
+
+        spec = RasterSpec(width=8, height=8, gt=(0, 1, 0, 8, 0, -1), dtype="float64", tile_size=8)
+        a = np.full((8, 8), np.nan)
+        a[0, :] = 7.0
+        df = spark.createDataFrame(
+            pd.DataFrame([{"band": 1, "ty": 0, "tx": 0, "h": 8, "w": 8,
+                           "dtype": "float64", "payload": a.tobytes()}])
+        )
+        out = fill_nodata(df, spec, nodata=float("nan"), max_search_dist=8.0).collect()[0]
+        t = np.frombuffer(out["payload"], dtype=out["dtype"]).reshape(8, 8)
+        assert np.isfinite(t).all()
+        np.testing.assert_allclose(t[1:, :], 7.0)

@@ -311,3 +311,28 @@ class TestCellPartitioned:
             ).collect()
         }
         assert got == want
+
+
+class TestSaltedLeftoverEmpty:
+    def test_fully_covered_method_feature_emits_no_leftover(self, spark):
+        """Salted union leftovers: a bucket whose partial difference is
+        EMPTY must veto the whole leftover (round-2 review finding —
+        dropping the empty factor resurrected covered features)."""
+        # method square fully covered by two input squares that will
+        # hash to different salt buckets (try several salts to be sure
+        # at least one splits them)
+        method = spark.createDataFrame([Row(fid=0, wkt="POLYGON ((0 0,4 0,4 4,0 4,0 0))")])
+        inputs = spark.createDataFrame(
+            [
+                Row(wkt="POLYGON ((-1 -1,5 -1,5 2,-1 2,-1 -1))"),   # covers lower half
+                Row(wkt="POLYGON ((-1 2,5 2,5 5,-1 5,-1 -1,-1 2))"
+                    .replace(",-1 -1", "")),                         # covers upper half
+            ]
+        )
+        for salt in (2, 3, 5):
+            out = layer_algebra(inputs, method, "union", method_leftover_salt=salt)
+            areas = [round(float(parse_wkt([r["wkt"]]).areas()[0]), 6) for r in out.collect()]
+            # no piece may reconstruct any part of the method square as
+            # a leftover: total area of union output = pieces (8+8) +
+            # input leftovers; method leftover must be ABSENT
+            assert not any(a == 16.0 for a in areas)

@@ -212,3 +212,33 @@ class TestSparkSink:
                     for x, y in seq:
                         assert -300 <= x <= 4396 and -300 <= y <= 4396
         assert total_feats >= 2
+
+
+class TestWinding:
+    def test_exterior_positive_interior_negative(self, spark):
+        """MVT 2.1 spec 4.3.3.3: exterior rings positive surveyor's
+        area in TILE coords (y down), holes negative."""
+        from gdal_spark.operators.tiles import WebMercatorQuad
+
+        tms = WebMercatorQuad()
+        donut = ("POLYGON ((0 0,4000000 0,4000000 4000000,0 4000000,0 0),"
+                 "(1000000 1000000,3000000 1000000,3000000 3000000,1000000 3000000,1000000 1000000))")
+        df = spark.createDataFrame([Row(_id=1, wkt=donut)])
+        out = mvt_tiles(df, tms, z=3, layer_name="w").collect()
+        assert out
+        found_shell = found_hole = False
+        for r in out:
+            for L in decode_tile(bytes(r.payload)):
+                for f in L["features"]:
+                    for seq in decode_geometry(f["geometry"], GEOM_POLYGON):
+                        x = np.array([p[0] for p in seq], float)
+                        y = np.array([p[1] for p in seq], float)
+                        a2 = np.sum(x[:-1] * y[1:] - x[1:] * y[:-1])
+                        if abs(a2) < 1:
+                            continue
+                        if a2 > 0:
+                            found_shell = True
+                        else:
+                            found_hole = True
+        assert found_shell  # every tile has a correctly-wound shell
+        assert found_hole  # the donut hole survives with negative area

@@ -170,3 +170,13 @@ def test_average_unchanged():
         win = _ref_window(SRC, xa[k], ya[k], xb[k], yb[k])
         if win is not None:
             assert out[k] == pytest.approx(win.mean(), rel=1e-12)
+
+
+def test_mode_keeps_float_values():
+    """Float rasters must not be int-truncated before the mode
+    (round-2 review finding): GDAL's integer-bin path is for integer
+    band types only."""
+    src = np.array([[1.5, 1.5], [2.7, 9.9]])
+    kernel = AREA_KERNELS["mode"]
+    out, ok = kernel(src, np.array([0.0]), np.array([0.0]), np.array([2.0]), np.array([2.0]))
+    assert ok[0] and out[0] == 1.5
