@@ -53,7 +53,103 @@ GRID_ALGOS = (
     "range",  # GDALGridDataMetricRange
     "count",  # GDALGridDataMetricCount
     "average_distance",  # GDALGridDataMetricAverageDistance
+    "linear",  # GDALGridLinear (gdalgrid.cpp:2594; Delaunay barycentric)
 )
+
+
+def _linear_grid(
+    points: DataFrame,
+    spec: RasterSpec,
+    radius: float,
+    nodata: float,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """GDALGridLinear (gdalgrid.cpp:2594): Delaunay triangulation of
+    the points (the reference uses qhull; here Bowyer-Watson), grid
+    value = barycentric interpolation inside the containing triangle;
+    outside the hull: nearest-point value when radius != 0 (within
+    radius; radius=inf -> always), else nodata.
+
+    The triangulation is computed ONCE on the driver (the gridding
+    point set is in-memory by contract, as in the reference) and
+    broadcast; each tile prefilters triangles by bbox and assigns its
+    cells vectorized per candidate triangle."""
+    from gdal_spark.geom.delaunay import delaunay
+
+    pdf = (
+        points.select(
+            F.col(x_col).alias("x"), F.col(y_col).alias("y"), F.col(z_col).alias("z")
+        )
+        .toPandas()
+        .sort_values(["x", "y", "z"])
+        .reset_index(drop=True)
+    )
+    coords = pdf[["x", "y"]].to_numpy(np.float64)
+    zs = pdf["z"].to_numpy(np.float64)
+    tris = delaunay(coords)
+    spark = points.sparkSession
+    bc = spark.sparkContext.broadcast((coords, zs, tris))
+    ts = spec.tile_size
+    r2 = radius * radius
+
+    keys = (
+        spark.range(spec.ntiles_y)
+        .select(F.col("id").cast("int").alias("ty"))
+        .crossJoin(spark.range(spec.ntiles_x).select(F.col("id").cast("int").alias("tx")))
+    )
+
+    def _tile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cs, zv, tr = bc.value
+        for kdf in batches:
+            rows = []
+            for kr in kdf.itertuples(index=False):
+                tyy, txx = int(kr.ty), int(kr.tx)
+                h, w = spec.tile_shape(tyy, txx)
+                jj, ii = np.meshgrid(np.arange(w), np.arange(h))
+                cx, cy = spec.pixel_to_world(txx * ts + jj + 0.5, tyy * ts + ii + 0.5)
+                out = np.full((h, w), np.nan)
+                bx0, bx1 = cx.min(), cx.max()
+                by0, by1 = cy.min(), cy.max()
+                for t in tr:
+                    v = cs[t]
+                    if v[:, 0].max() < bx0 or v[:, 0].min() > bx1:
+                        continue
+                    if v[:, 1].max() < by0 or v[:, 1].min() > by1:
+                        continue
+                    (x1, y1), (x2, y2), (x3, y3) = v
+                    det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+                    if det == 0:
+                        continue
+                    l1 = ((y2 - y3) * (cx - x3) + (x3 - x2) * (cy - y3)) / det
+                    l2 = ((y3 - y1) * (cx - x3) + (x1 - x3) * (cy - y3)) / det
+                    l3 = 1.0 - l1 - l2
+                    eps = -1e-12
+                    inside = (l1 >= eps) & (l2 >= eps) & (l3 >= eps) & np.isnan(out)
+                    if inside.any():
+                        out[inside] = (
+                            l1[inside] * zv[t[0]] + l2[inside] * zv[t[1]] + l3[inside] * zv[t[2]]
+                        )
+                missing = np.isnan(out)
+                if missing.any():
+                    if radius != 0 and len(cs):
+                        mx = cx[missing]
+                        my = cy[missing]
+                        d2 = (mx[:, None] - cs[None, :, 0]) ** 2 + (my[:, None] - cs[None, :, 1]) ** 2
+                        nearest = np.argmin(d2, axis=1)
+                        nd2 = d2[np.arange(len(nearest)), nearest]
+                        vals = np.where(nd2 <= r2, zv[nearest], nodata)
+                        out[missing] = vals
+                    else:
+                        out[missing] = nodata
+                rows.append(
+                    {"band": 1, "ty": tyy, "tx": txx, "h": h, "w": w,
+                     "dtype": spec.dtype, "payload": copy_word(out, spec.dtype).tobytes()}
+                )
+            yield pd.DataFrame(rows, columns=["band", "ty", "tx", "h", "w", "dtype", "payload"])
+
+    return keys.mapInPandas(_tile, TILE_SCHEMA)
 
 
 def grid_points(
@@ -69,9 +165,9 @@ def grid_points(
     z_col: str = "z",
 ) -> DataFrame:
     """Vector->raster gridding, all GGA_* modes of alg/gdalgrid.cpp
-    except the TIN/linear family (needs Delaunay) and the rotated
-    search ellipse (circular radius only — documented deviation;
-    radius1==radius2, angle=0 is also the reference default).
+    including linear (Delaunay barycentric); rotated search ellipse is
+    the one deviation (circular radius only; radius1==radius2, angle=0
+    is also the reference default).
 
     Per-cell semantics per algo (gdal_alg.h:402-416):
       invdist   sum(z/d^p)/sum(1/d^p) in radius; exact-hit shortcut
@@ -118,6 +214,8 @@ def _grid_impl(
 ) -> DataFrame:
     if algo not in GRID_ALGOS:
         raise ValueError(f"unknown grid algo {algo}")
+    if algo == "linear":
+        return _linear_grid(points, spec, radius, nodata, x_col, y_col, z_col)
     ts = spec.tile_size
     ntx, nty = spec.ntiles_x, spec.ntiles_y
 

@@ -129,3 +129,63 @@ class TestInterpolateAtPoints:
         out = interpolate_at_points(byte20_tiles(spark), BYTE20_SPEC, pts).collect()
         want = (float(BYTE20[9, 7]) + float(BYTE20[9, 8])) / 2
         assert out[0].value == pytest.approx(want)
+
+
+class TestDelaunayLinear:
+    def test_triangulation_empty_circumcircle_property(self):
+        """Delaunay invariant: no point strictly inside any triangle's
+        circumcircle."""
+        from gdal_spark.geom.delaunay import _circumcircle, delaunay
+
+        rng = np.random.default_rng(41)
+        pts = rng.uniform(0, 100, size=(40, 2))
+        tris = delaunay(pts)
+        assert len(tris) > 0
+        for t in tris:
+            ux, uy, r2 = _circumcircle(*pts[t[0]], *pts[t[1]], *pts[t[2]])
+            d2 = (pts[:, 0] - ux) ** 2 + (pts[:, 1] - uy) ** 2
+            inside = d2 < r2 * (1 - 1e-9)
+            inside[t] = False
+            assert not inside.any()
+
+    def test_collinear_degenerate(self):
+        from gdal_spark.geom.delaunay import delaunay
+
+        pts = np.array([[0, 0], [1, 1], [2, 2], [3, 3]], float)
+        assert len(delaunay(pts)) == 0
+
+    def test_linear_reproduces_plane(self, spark):
+        """Points sampled from z = 2x + 3y + 1: barycentric
+        interpolation inside the hull must reproduce the plane exactly
+        (triangulation-independent property)."""
+        from pyspark.sql import Row
+
+        from gdal_spark.operators.grid import grid_points
+
+        rng = np.random.default_rng(47)
+        xs = np.concatenate([rng.uniform(0, 8, 20), [0, 8, 0, 8]])
+        ys = np.concatenate([rng.uniform(0, 8, 20), [0, 0, 8, 8]])
+        zs = 2 * xs + 3 * ys + 1
+        df = spark.createDataFrame(
+            [Row(x=float(x), y=float(y), z=float(z)) for x, y, z in zip(xs, ys, zs)]
+        )
+        got = _mat(grid_points(df, SPEC8, algo="linear", radius=0, nodata=-1), SPEC8)
+        jj, ii = np.meshgrid(np.arange(8), np.arange(8))
+        cx, cy = SPEC8.pixel_to_world(jj + 0.5, ii + 0.5)
+        want = 2 * cx + 3 * cy + 1
+        # the corner points make the hull cover every cell center
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+
+    def test_outside_hull_nodata_vs_nearest(self, spark):
+        from pyspark.sql import Row
+
+        from gdal_spark.operators.grid import grid_points
+
+        # tight cluster in one corner: most cells outside the hull
+        pts = [Row(x=1.0, y=1.0, z=10.0), Row(x=2.0, y=1.0, z=20.0), Row(x=1.0, y=2.0, z=30.0)]
+        df = spark.createDataFrame(pts)
+        g0 = _mat(grid_points(df, SPEC8, algo="linear", radius=0, nodata=-1), SPEC8)
+        assert (g0 == -1).sum() > 40  # most cells nodata
+        ginf = _mat(grid_points(df, SPEC8, algo="linear", radius=float("inf"), nodata=-1), SPEC8)
+        assert (ginf == -1).sum() == 0  # nearest fallback everywhere
+        assert set(np.unique(ginf)) <= {10.0, 20.0, 30.0} | set(np.unique(g0[g0 != -1]))
