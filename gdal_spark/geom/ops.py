@@ -57,12 +57,25 @@ def make_valid(rings: list[np.ndarray]) -> list:
 
 
 def buffer(geom: Geometry, dist: float, quadrant_segments: int = 8) -> list:
-    """Positive round buffer as an exact union of convex pieces:
-    the geometry itself (polygons), one offset rectangle per edge and
-    one 4*quadrant_segments-gon disc per vertex. Negative distances
-    are not supported (raises)."""
+    """Round buffer as an exact union of convex pieces: the geometry
+    itself (polygons), one offset rectangle per edge and one
+    4*quadrant_segments-gon disc per vertex.
+
+    Negative distances (erosion, polygons only) use the morphology
+    identity erode(A, d) = A \\ buffer(boundary(A), d): the boundary
+    rings buffered as lines, subtracted through the overlay kernel —
+    exact along straight runs, arc-discretized at reflex corners like
+    GEOS's own offset curves."""
     if dist < 0:
-        raise NotImplementedError("negative buffer (erosion) not supported")
+        if geom.dim != 2:
+            return []  # eroding a point/line leaves nothing (GEOS: empty)
+        band = buffer(
+            Geometry(GeomType.MULTILINESTRING, [[r] for r in geom.rings()]),
+            -dist,
+            quadrant_segments,
+        )
+        band_regions = [[shell] + list(holes) for shell, holes in band]
+        return overlay([geom.rings()], band_regions, "a_not_b")
     if dist == 0:
         return overlay([geom.rings()], [], "or") if geom.dim == 2 else []
     nseg = 4 * quadrant_segments

@@ -79,9 +79,21 @@ class TestBuffer:
         corner = 0.5 * 32 * math.sin(2 * math.pi / 32)
         assert region_area(out) == pytest.approx(10 * 2 + corner, rel=1e-3)
 
-    def test_negative_raises(self):
-        with pytest.raises(NotImplementedError):
-            buffer(G("POINT(0 0)"), -1.0)
+    def test_negative_buffer_erodes(self):
+        out = buffer(G("POLYGON((0 0,10 0,10 10,0 10,0 0))"), -2.0)
+        assert len(out) == 1
+        assert region_area(out) == pytest.approx(36.0, rel=1e-3)
+        # erosion past the inradius -> empty
+        assert buffer(G("POLYGON((0 0,10 0,10 10,0 10,0 0))"), -5.5) == []
+        # donut: outer shrinks, hole grows
+        donut = G("POLYGON((0 0,12 0,12 12,0 12,0 0),(5 5,7 5,7 7,5 7,5 5))")
+        er = buffer(donut, -1.0)
+        # area = 10*10 - 4*4 (hole grows from 2x2 to 4x4)
+        assert region_area(er) == pytest.approx(100 - 16, rel=2e-2)
+
+    def test_negative_buffer_point_line_empty(self):
+        assert buffer(G("POINT(0 0)"), -1.0) == []
+        assert buffer(G("LINESTRING(0 0,5 0)"), -1.0) == []
 
 
 class TestHullSimplifyCentroid:
