@@ -522,7 +522,22 @@ def spatial_join_cells(
         .select("cell", "_zfid", "_zwkt")
     )
 
-    paired = d.join(z, "cell").select("_did", "_dwkt", "_zfid", "_zwkt").dropDuplicates(["_did", "_zfid"])
+    if salt > 1:
+        # hot-cell skew mitigation: the doc side takes a deterministic
+        # per-row salt, the (small-per-cell) zone side replicates across
+        # all salt values — the join key becomes (cell, salt) so a hot
+        # cell's candidates spread over `salt` tasks
+        d = d.withColumn("_salt", (F.abs(F.hash("_did")) % salt).cast("int"))
+        z = z.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(s).cast("int") for s in range(salt)]))
+        )
+        paired = (
+            d.join(z, ["cell", "_salt"])
+            .select("_did", "_dwkt", "_zfid", "_zwkt")
+            .dropDuplicates(["_did", "_zfid"])
+        )
+    else:
+        paired = d.join(z, "cell").select("_did", "_dwkt", "_zfid", "_zwkt").dropDuplicates(["_did", "_zfid"])
 
     out_schema = StructType(
         [StructField("doc_id", LongType()), StructField("zone_fid", LongType())]

@@ -267,3 +267,35 @@ class TestSpanIntegrity:
         docs = docs_table(spark, n=50)
         tampered = docs.withColumn("spans", F.reverse("spans"))
         assert audit_span_integrity(docs, tampered) == 50
+
+
+class TestCellJoinSalt:
+    def test_salted_equals_unsalted(self, spark):
+        """spatial_join_cells(salt=k) must return the identical pair
+        set (the salt only spreads hot cells across tasks)."""
+        import numpy as np
+        from pyspark.sql import functions as F2
+
+        from gdal_spark.operators.cells import Grid
+        from gdal_spark.operators.spatial import extract_geom, spatial_join_cells
+
+        rng = np.random.default_rng(8)
+        docs = spark.createDataFrame(
+            [(int(i), f"POINT ({rng.uniform(0,100):.3f} {rng.uniform(0,100):.3f})")
+             for i in range(200)],
+            "_id bigint, wkt string",
+        )
+        docs = extract_geom(
+            docs.withColumn("spans", F2.array(F2.struct(
+                F2.lit("geom").alias("kind"), F2.col("wkt").alias("text"),
+                F2.lit("").alias("media_ref"), F2.lit(0).alias("offset"))))
+        ).select("_id", "wkt", "env_minx", "env_miny", "env_maxx", "env_maxy")
+        zones = spark.createDataFrame(
+            [(0, "POLYGON ((10 10,60 10,60 60,10 60,10 10))"),
+             (1, "POLYGON ((50 50,95 50,95 95,50 95,50 50))")],
+            "fid bigint, wkt string",
+        )
+        grid = Grid(0, 0, 100, 100, nx=5, ny=5)
+        plain = {(r.doc_id, r.zone_fid) for r in spatial_join_cells(docs, zones, grid).collect()}
+        salted = {(r.doc_id, r.zone_fid) for r in spatial_join_cells(docs, zones, grid, salt=4).collect()}
+        assert plain == salted and len(plain) > 0
