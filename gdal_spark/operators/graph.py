@@ -73,6 +73,136 @@ def connected_components(
     return labels
 
 
+def shortest_path_tree(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(node, dist, parent) single-source shortest-path tree —
+    Bellman-Ford relaxation keeping the argmin predecessor (struct-min
+    per dst). parent is NULL at the source."""
+    e = edges.select(src, dst, weight)
+    node_t = e.schema[src].dataType.simpleString()
+    dist = e.sparkSession.createDataFrame(
+        [(source, 0.0, None)], f"node {node_t}, dist double, parent {node_t}"
+    )
+    for _ in range(max_iterations):
+        relax = (
+            e.join(dist, e[src] == dist["node"])
+            .select(
+                F.col(dst).alias("node"),
+                F.struct(
+                    (F.col("dist") + F.col(weight).cast("double")).alias("d"),
+                    F.col(src).alias("p"),
+                ).alias("cand"),
+            )
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        new = (
+            dist.join(relax, "node", "full")
+            .select(
+                "node",
+                F.when(
+                    F.col("cand").isNotNull()
+                    & (F.col("dist").isNull() | (F.col("cand.d") < F.col("dist"))),
+                    F.col("cand.d"),
+                ).otherwise(F.col("dist")).alias("dist"),
+                F.when(
+                    F.col("cand").isNotNull()
+                    & (F.col("dist").isNull() | (F.col("cand.d") < F.col("dist"))),
+                    F.col("cand.p"),
+                ).otherwise(F.col("parent")).alias("parent"),
+            )
+        )
+        new = new.localCheckpoint(eager=True)
+        improved = (
+            new.alias("n")
+            .join(dist.alias("o"), "node", "left")
+            .filter(F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist")))
+            .count()
+        )
+        dist = new
+        if improved == 0:
+            break
+    return dist
+
+
+def k_shortest_paths(
+    edges: DataFrame,
+    source,
+    target,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> list[tuple[float, list]]:
+    """K loopless shortest paths (GNMGraph::KShortestPaths,
+    gnm/gnmgraph.cpp:247) via Yen's algorithm: each spur computation is
+    one distributed shortest-path-tree run on a filtered edge view; the
+    driver holds only the k candidate paths (path reconstruction
+    collects the parent map — bounded by the reachable node count,
+    matching the reference's in-memory graph contract)."""
+
+    def spt_path(edge_df) -> tuple[float, list] | None:
+        tree = {r["node"]: (r["dist"], r["parent"]) for r in shortest_path_tree(
+            edge_df, source_local[0], src=src, dst=dst, weight=weight
+        ).collect()}
+        if target not in tree:
+            return None
+        path = [target]
+        while path[-1] != source_local[0]:
+            path.append(tree[path[-1]][1])
+        return tree[target][0], list(reversed(path))
+
+    source_local = [source]
+    first = spt_path(edges)
+    if first is None:
+        return []
+    A: list[tuple[float, list]] = [first]
+    B: list[tuple[float, list]] = []
+    for _ in range(1, k):
+        prev_path = A[-1][1]
+        for i in range(len(prev_path) - 1):
+            spur = prev_path[i]
+            root = prev_path[: i + 1]
+            # remove edges used by existing A-paths sharing this root,
+            # and all root nodes except the spur (loopless constraint)
+            banned_edges = {
+                (p[1][i], p[1][i + 1]) for p in A if len(p[1]) > i + 1 and p[1][: i + 1] == root
+            }
+            banned_nodes = set(root[:-1])
+            cond = ~F.col(src).isin(list(banned_nodes)) & ~F.col(dst).isin(list(banned_nodes))
+            for (u, v) in banned_edges:
+                cond = cond & ~((F.col(src) == u) & (F.col(dst) == v))
+            filtered = edges.filter(cond)
+            source_local[0] = spur
+            sp = spt_path(filtered)
+            source_local[0] = source
+            if sp is None:
+                continue
+            # root cost
+            root_cost = 0.0
+            for a, b in zip(root[:-1], root[1:]):
+                w = (
+                    edges.filter((F.col(src) == a) & (F.col(dst) == b))
+                    .agg(F.min(weight))
+                    .collect()[0][0]
+                )
+                root_cost += float(w)
+            cand = (root_cost + sp[0], root[:-1] + sp[1])
+            if cand not in B and cand[1] not in [p[1] for p in A]:
+                B.append(cand)
+        if not B:
+            break
+        B.sort(key=lambda t: (t[0], t[1]))
+        A.append(B.pop(0))
+    return A
+
+
 def shortest_paths(
     edges: DataFrame,
     source,

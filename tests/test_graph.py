@@ -63,3 +63,38 @@ class TestShortestPaths:
         )
         out = {r.node: r.dist for r in shortest_paths(edges, 0).collect()}
         assert out == {0: 0.0, 1: 1.0, 2: 2.0, 3: 1.0}
+
+
+class TestKShortestPaths:
+    def test_yen_on_classic_graph(self, spark):
+        """The standard Yen example graph: C->H with 3 distinct
+        loopless shortest paths of costs 5, 7, 8."""
+        from gdal_spark.operators.graph import k_shortest_paths
+
+        E = [
+            ("C", "D", 3.0), ("C", "E", 2.0), ("D", "F", 4.0),
+            ("E", "D", 1.0), ("E", "F", 2.0), ("E", "G", 3.0),
+            ("F", "G", 2.0), ("F", "H", 1.0), ("G", "H", 2.0),
+        ]
+        edges = spark.createDataFrame(E, "src string, dst string, weight double")
+        out = k_shortest_paths(edges, "C", "H", 3)
+        assert [round(c, 6) for c, _ in out] == [5.0, 7.0, 8.0]
+        assert out[0][1] == ["C", "E", "F", "H"]
+
+    def test_tree_parents_reconstruct(self, spark):
+        from gdal_spark.operators.graph import shortest_path_tree
+
+        edges = spark.createDataFrame(
+            [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0)], "src bigint, dst bigint, weight double"
+        )
+        t = {r.node: (r.dist, r.parent) for r in shortest_path_tree(edges, 0).collect()}
+        assert t[2] == (2.0, 1)
+        assert t[1] == (1.0, 0)
+        assert t[0][1] is None
+
+    def test_fewer_paths_than_k(self, spark):
+        from gdal_spark.operators.graph import k_shortest_paths
+
+        edges = spark.createDataFrame([("a", "b", 1.0)], "src string, dst string, weight double")
+        out = k_shortest_paths(edges, "a", "b", 5)
+        assert len(out) == 1 and out[0] == (1.0, ["a", "b"])
