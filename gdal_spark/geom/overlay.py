@@ -345,6 +345,33 @@ def overlay(geoms_a: list[Geom], geoms_b: list[Geom], op: str) -> list[Polygon]:
     return [(shell, hs) for shell, hs in polys]
 
 
+def boundary_contact(geoms_a: list[Geom], geoms_b: list[Geom]) -> list[np.ndarray]:
+    """Shared-boundary line contact between two regions whose interiors
+    do not meet there: the KEEP_LOWER_DIMENSION_GEOMETRIES=YES piece of
+    OGRLayer::Intersection for touching polygons (ogrlayer.cpp:5405 —
+    GEOS returns the shared LINESTRING). A segment is contact iff it
+    lies on BOTH boundaries and the A∩B region is empty on both of its
+    sides (so the boundary of a positive-area overlap is excluded).
+    Point-only contact (corner touches) is not reported. Returns
+    merged polylines in input coordinates."""
+    fwd, inv = _snap_frame(geoms_a, geoms_b)
+    ea, tables_a = _edges_of(geoms_a, fwd)
+    eb, tables_b = _edges_of(geoms_b, fwd)
+    if len(ea) == 0 or len(eb) == 0:
+        return []
+    segs = _node_edges(np.concatenate([ea, eb], axis=0))
+    if not segs:
+        return []
+    al, ar, bl, br = _label_segments(segs, tables_a, tables_b)
+    contact = (al != ar) & (bl != br) & ~(al & bl) & ~(ar & br)
+    from gdal_spark.operators.dissolve import merge_lines
+
+    lines = [
+        np.asarray(segs[k], dtype=np.float64) for k in np.flatnonzero(contact)
+    ]
+    return [inv(ln) for ln in merge_lines(lines)]
+
+
 def region_area(polys: list[Polygon]) -> float:
     """Planar area of an overlay result."""
     total = 0.0

@@ -131,12 +131,17 @@ _DIM = {
 }
 
 
-def _pair_piece(batch, i: int, zidx, z: int, promote: bool) -> str | None:
+def _pair_piece(
+    batch, i: int, zidx, z: int, promote: bool, keep_lower_dim: bool = False
+) -> str | None:
     """x ∩ y for one (input, method) pair, dimension-true: the piece has
     dim = min(dim x, dim y) (GEOS Intersection; the KLDG skip only
     applies when dims were EQUAL and the result degraded,
     ogrlayer.cpp:5405-5411 — poly ∩ point legitimately yields the
-    point, kept by Union, autotest test_algebra_union_4)."""
+    point, kept by Union, autotest test_algebra_union_4).
+    keep_lower_dim=True (KLDG=YES, the reference default for untyped
+    result layers) also emits the shared-boundary LINESTRING when two
+    polygons touch without overlapping."""
     ty = GeomType(zidx.types[z])
     tx = GeomType(batch.types[i])
     dx, dy = _DIM.get(tx), _DIM.get(ty)
@@ -160,7 +165,14 @@ def _pair_piece(batch, i: int, zidx, z: int, promote: bool) -> str | None:
         b = {tuple(p) for r in zidx.rings[z] for p in r}
         common = sorted(a & b)
         return _points_to_wkt(np.asarray(common, dtype=np.float64).reshape(-1, 2), promote)
-    return _piece_wkt(batch, i, [zidx.rings[z]], "and", promote)
+    w = _piece_wkt(batch, i, [zidx.rings[z]], "and", promote)
+    if w is None and keep_lower_dim and dx == 2 and dy == 2:
+        from gdal_spark.geom.overlay import boundary_contact
+
+        contact = boundary_contact([batch.polygon_rings(i)], [zidx.rings[z]])
+        if contact:
+            return _lines_to_wkt(contact, promote)
+    return w
 
 
 _EMPTY_MARK = "__EMPTY__"  # salted-leftover sentinel: partial difference is empty
@@ -183,6 +195,7 @@ def _input_side(
     op: str,
     promote: bool,
     emit_unmatched: bool,
+    keep_lower_dim: bool = False,
 ) -> DataFrame:
     """mapInPandas over the input layer emitting (input cols...,
     method_fid, piece wkt)."""
@@ -212,7 +225,7 @@ def _input_side(
                     if mode == _PAIRWISE:
                         for k in range(s, e):
                             z = int(zpos[k])
-                            w = _pair_piece(batch, i, zidx, z, promote)
+                            w = _pair_piece(batch, i, zidx, z, promote, keep_lower_dim)
                             if w is not None:
                                 rows_idx.append(i)
                                 fids.append(int(zidx.fids[z]))
@@ -474,6 +487,7 @@ def layer_algebra(
     method_fid_col: str = "fid",
     promote_to_multi: bool = False,
     method_leftover_salt: int = 0,
+    keep_lower_dimension: bool = False,
 ) -> DataFrame:
     """OGRLayer algebra over DataFrames. op: intersection | union |
     sym_difference | identity | update | clip | erase.
@@ -510,7 +524,10 @@ def layer_algebra(
         return df.select(*cols)
 
     if op == "intersection":
-        pieces = _input_side(input_df, bc, wkt_col, _PAIRWISE, "and", promote_to_multi, False)
+        pieces = _input_side(
+            input_df, bc, wkt_col, _PAIRWISE, "and", promote_to_multi, False,
+            keep_lower_dim=keep_lower_dimension,
+        )
         return finish_input_side(pieces, True).drop("method_fid")
 
     if op in ("clip",):

@@ -336,3 +336,25 @@ class TestSaltedLeftoverEmpty:
             # a leftover: total area of union output = pieces (8+8) +
             # input leftovers; method leftover must be ABSENT
             assert not any(a == 16.0 for a in areas)
+
+
+class TestKeepLowerDimension:
+    def test_touching_rects_emit_contact_line(self, spark):
+        """KLDG=YES (ogrlayer.cpp:5405): touching polygons intersect in
+        their shared boundary LINESTRING."""
+        a = spark.createDataFrame([Row(wkt="POLYGON ((1 2,3 2,3 3,1 3,1 2))")])
+        b = spark.createDataFrame([Row(fid=0, wkt="POLYGON ((3 2,4 2,4 3,3 3,3 2))")])
+        out_no = layer_algebra(a, b, "intersection")
+        assert out_no.count() == 0  # KLDG=NO default drops it
+        out_yes = layer_algebra(a, b, "intersection", keep_lower_dimension=True).collect()
+        assert len(out_yes) == 1
+        w = out_yes[0]["wkt"]
+        assert w.startswith("LINESTRING")
+        pts = {tuple(map(float, p.split())) for p in w[len("LINESTRING ("):-1].split(",")}
+        assert pts == {(3.0, 2.0), (3.0, 3.0)}
+
+    def test_overlapping_rects_still_polygon(self, spark):
+        a = spark.createDataFrame([Row(wkt="POLYGON ((0 0,4 0,4 4,0 4,0 0))")])
+        b = spark.createDataFrame([Row(fid=0, wkt="POLYGON ((2 2,6 2,6 6,2 6,2 2))")])
+        out = layer_algebra(a, b, "intersection", keep_lower_dimension=True).collect()
+        assert len(out) == 1 and out[0]["wkt"].startswith("POLYGON")
