@@ -119,3 +119,36 @@ class TestLineOfSight:
         r = line_of_sight(tiles, SPEC, a, b)
         want = _ref_los(dem, a, b)
         assert (r.visible, r.ix, r.iy) == want
+
+
+class TestViewshed:
+    def test_matches_per_cell_los(self, spark, dem):
+        """Viewshed == per-cell exact LOS replica (the R3 definition)."""
+        from gdal_spark.operators.viewshed import viewshed
+
+        tiles = _dem_tiles(spark, dem, SPEC)
+        obs = (2, 2)
+        oz = dem[2, 2] + 2.0
+        out = viewshed(tiles, SPEC, obs, observer_height=2.0).collect()
+        got = np.zeros((24, 24), dtype=np.uint8)
+        for r in out:
+            t = np.frombuffer(r["payload"], dtype=r["dtype"]).reshape(r["h"], r["w"])
+            got[r["ty"] * 8 : r["ty"] * 8 + r["h"], r["tx"] * 8 : r["tx"] * 8 + r["w"]] = t
+        for y in range(24):
+            for x in range(24):
+                want, _, _ = _ref_los(dem, (2, 2, oz), (x, y, dem[y, x]))
+                assert got[y, x] == (1 if want else 0), (x, y)
+
+    def test_wall_shadows(self, spark, dem):
+        from gdal_spark.operators.viewshed import viewshed
+
+        tiles = _dem_tiles(spark, dem, SPEC)
+        out = viewshed(tiles, SPEC, (2, 2), observer_height=2.0).collect()
+        got = np.zeros((24, 24), dtype=np.uint8)
+        for r in out:
+            t = np.frombuffer(r["payload"], dtype=r["dtype"]).reshape(r["h"], r["w"])
+            got[r["ty"] * 8 : r["ty"] * 8 + r["h"], r["tx"] * 8 : r["tx"] * 8 + r["w"]] = t
+        assert got[2, 2] == 1  # observer sees its own cell
+        # the 100-unit wall at [10:14,10:14] casts a shadow beyond it
+        assert got[10:14, 10:14].sum() >= 1  # wall tops visible
+        assert got[20:, 20:].sum() == 0  # far corner behind the wall hidden
