@@ -1,0 +1,294 @@
+"""Multidimensional arrays (the gcore/multidim model: Groups own
+N-dimensional Arrays with named Dimensions and attributes —
+gcore/multidim/gdalmultidim_array.cpp, gdalmultidim.cpp).
+
+Spark mapping: an MDArray is a CHUNKED table — one row per chunk,
+keyed by the per-dimension chunk index (the Zarr layout the reference
+itself reads); the payload is the packed numpy block. Operations:
+
+  slice_array   GDALMDArray::GetView range slicing ("[a:b, c:d, ...]")
+                — chunk-level pruning (only intersecting chunks move)
+                then an in-chunk crop; returns a new spec + table
+  as_classic    GDALMDArray::AsClassicDataset — a 2D (y_dim, x_dim)
+                slice with the other dims fixed becomes a classic
+                raster tile table consumable by every raster operator
+                in this engine
+  mdim_statistics  GDALMDArray::ComputeStatistics — distributive
+                min/max/mean/std via per-chunk partials
+
+Attributes/group metadata ride as plain dict fields on MDArraySpec
+(the reference stores them as typed attribute objects; our engine's
+schema registry role)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+MDCHUNK_SCHEMA = StructType(
+    [
+        StructField("chunk", ArrayType(IntegerType())),  # per-dim chunk idx
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class MDArraySpec:
+    """One array's registry entry (name, dims, chunking, attrs)."""
+
+    name: str
+    dims: tuple  # ((dim_name, size), ...)
+    chunks: tuple  # per-dim chunk sizes
+    dtype: str = "float64"
+    attrs: dict = field(default_factory=dict)
+
+    @property
+    def ndim(self) -> int:
+        return len(self.dims)
+
+    def nchunks(self, d: int) -> int:
+        return (self.dims[d][1] + self.chunks[d] - 1) // self.chunks[d]
+
+    def chunk_shape(self, key) -> tuple:
+        return tuple(
+            min(self.chunks[d], self.dims[d][1] - key[d] * self.chunks[d])
+            for d in range(self.ndim)
+        )
+
+
+def from_numpy(spark: SparkSession, arr: np.ndarray, spec: MDArraySpec) -> DataFrame:
+    """Chunk a local array into the table layout (test/ingest helper)."""
+    rows = []
+    ranges = [range(spec.nchunks(d)) for d in range(spec.ndim)]
+    import itertools
+
+    for key in itertools.product(*ranges):
+        sl = tuple(
+            slice(key[d] * spec.chunks[d], key[d] * spec.chunks[d] + spec.chunk_shape(key)[d])
+            for d in range(spec.ndim)
+        )
+        rows.append({"chunk": list(key), "payload": np.ascontiguousarray(arr[sl]).tobytes()})
+    return spark.createDataFrame(pd.DataFrame(rows), MDCHUNK_SCHEMA)
+
+
+def slice_array(
+    df: DataFrame, spec: MDArraySpec, ranges: list[tuple[int, int]]
+) -> tuple[DataFrame, MDArraySpec]:
+    """GetView range slicing: ranges = [(start, stop), ...] half-open
+    per dimension. Chunk pruning is a Catalyst filter on the chunk key
+    (only intersecting chunks are read); the crop runs per chunk."""
+    assert len(ranges) == spec.ndim
+    cond = F.lit(True)
+    for d, (a, b) in enumerate(ranges):
+        c0, c1 = a // spec.chunks[d], (b - 1) // spec.chunks[d]
+        cond = cond & (F.col("chunk")[d] >= c0) & (F.col("chunk")[d] <= c1)
+    pruned = df.filter(cond)
+    new_dims = tuple(
+        (spec.dims[d][0], ranges[d][1] - ranges[d][0]) for d in range(spec.ndim)
+    )
+    new_spec = MDArraySpec(spec.name, new_dims, spec.chunks, spec.dtype, dict(spec.attrs))
+
+    chunks = spec.chunks
+    dtype = spec.dtype
+    ndim = spec.ndim
+    dims = spec.dims
+
+    # cropped pieces do not align to the output chunk grid, so slicing
+    # is a RE-CHUNK: emit each piece split at new-chunk boundaries
+    # (keyed by the new chunk + local offset), then one groupBy(chunk)
+    # assembles the output blocks — a single bounded shuffle, the
+    # materializing read of the reference's lazy GetView
+    import itertools
+
+    PIECE = StructType(
+        [
+            StructField("chunk", ArrayType(IntegerType())),
+            StructField("off", ArrayType(IntegerType())),  # offset in chunk
+            StructField("shape", ArrayType(IntegerType())),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def _pieces(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                key = list(r.chunk)
+                shape = tuple(
+                    min(chunks[d], dims[d][1] - key[d] * chunks[d]) for d in range(ndim)
+                )
+                block = np.frombuffer(r.payload, dtype=dtype).reshape(shape)
+                crop_sl = []
+                new_off = []  # global offset of the crop in slice coords
+                ok = True
+                for d in range(ndim):
+                    g0 = key[d] * chunks[d]
+                    a, b = ranges[d]
+                    lo = max(a, g0) - g0
+                    hi = min(b, g0 + shape[d]) - g0
+                    if hi <= lo:
+                        ok = False
+                        break
+                    crop_sl.append(slice(lo, hi))
+                    new_off.append(g0 + lo - a)
+                if not ok:
+                    continue
+                crop = block[tuple(crop_sl)]
+                # split at output-chunk boundaries per dim
+                cuts = []
+                for d in range(ndim):
+                    o = new_off[d]
+                    e = o + crop.shape[d]
+                    bnds = [o]
+                    nb = (o // chunks[d] + 1) * chunks[d]
+                    while nb < e:
+                        bnds.append(nb)
+                        nb += chunks[d]
+                    bnds.append(e)
+                    cuts.append(list(zip(bnds[:-1], bnds[1:])))
+                for combo in itertools.product(*cuts):
+                    sl = tuple(
+                        slice(c[0] - new_off[d], c[1] - new_off[d]) for d, c in enumerate(combo)
+                    )
+                    sub = np.ascontiguousarray(crop[sl])
+                    rows.append(
+                        {
+                            "chunk": [c[0] // chunks[d] for d, c in enumerate(combo)],
+                            "off": [c[0] % chunks[d] for d, c in enumerate(combo)],
+                            "shape": list(sub.shape),
+                            "payload": sub.tobytes(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["chunk", "off", "shape", "payload"])
+
+    pieces = pruned.mapInPandas(_pieces, PIECE)
+    new_sizes = [r[1] - r[0] for r in ranges]
+
+    def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ck = [int(v) for v in key[0]]
+        shape = tuple(
+            min(chunks[d], new_sizes[d] - ck[d] * chunks[d]) for d in range(ndim)
+        )
+        out = np.zeros(shape, dtype=dtype)
+        for r in pdf.itertuples(index=False):
+            sl = tuple(
+                slice(int(o), int(o) + int(s)) for o, s in zip(r.off, r.shape)
+            )
+            out[sl] = np.frombuffer(r.payload, dtype=dtype).reshape([int(s) for s in r.shape])
+        return pd.DataFrame([{"chunk": ck, "payload": out.tobytes()}])
+
+    assembled = pieces.groupBy("chunk").applyInPandas(_assemble, MDCHUNK_SCHEMA)
+    return assembled, new_spec
+
+
+def as_classic(
+    df: DataFrame,
+    spec: MDArraySpec,
+    y_dim: str,
+    x_dim: str,
+    fixed: dict[str, int] | None = None,
+):
+    """AsClassicDataset: the (y_dim, x_dim) plane with every other
+    dimension fixed becomes a classic raster tile table (band=1,
+    ty/tx = the plane's chunk indices) + RasterSpec — directly
+    consumable by focal/translate/contour/etc."""
+    from gdal_spark.operators.raster import RasterSpec, TILE_SCHEMA
+
+    fixed = fixed or {}
+    names = [d[0] for d in spec.dims]
+    yi, xi = names.index(y_dim), names.index(x_dim)
+    for d, (nm, sz) in enumerate(spec.dims):
+        if d not in (yi, xi) and nm not in fixed:
+            raise ValueError(f"dimension {nm} must be fixed")
+    h, w = spec.dims[yi][1], spec.dims[xi][1]
+    rspec = RasterSpec(
+        width=w, height=h, gt=(0.0, 1.0, 0.0, float(h), 0.0, -1.0),
+        dtype=spec.dtype, tile_size=max(spec.chunks[yi], spec.chunks[xi]),
+    )
+    # chunk pruning on the fixed dims
+    cond = F.lit(True)
+    for nm, idx in fixed.items():
+        d = names.index(nm)
+        cond = cond & (F.col("chunk")[d] == idx // spec.chunks[d])
+    pruned = df.filter(cond)
+
+    chunks = spec.chunks
+    dims = spec.dims
+    dtype = spec.dtype
+    ndim = spec.ndim
+
+    def _plane(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                key = list(r.chunk)
+                shape = tuple(
+                    min(chunks[d], dims[d][1] - key[d] * chunks[d]) for d in range(ndim)
+                )
+                block = np.frombuffer(r.payload, dtype=dtype).reshape(shape)
+                sl = []
+                for d in range(ndim):
+                    if d == yi or d == xi:
+                        sl.append(slice(None))
+                    else:
+                        nm = dims[d][0]
+                        local = fixed[nm] - key[d] * chunks[d]
+                        if not (0 <= local < shape[d]):
+                            sl = None
+                            break
+                        sl.append(local)
+                if sl is None:
+                    continue
+                plane = block[tuple(sl)]
+                if yi > xi:
+                    plane = plane.T
+                plane = np.ascontiguousarray(plane)
+                rows.append(
+                    {"band": 1, "ty": int(key[yi]), "tx": int(key[xi]),
+                     "h": plane.shape[0], "w": plane.shape[1],
+                     "dtype": dtype, "payload": plane.tobytes()}
+                )
+            yield pd.DataFrame(rows, columns=["band", "ty", "tx", "h", "w", "dtype", "payload"])
+
+    return pruned.mapInPandas(_plane, TILE_SCHEMA), rspec
+
+
+def mdim_statistics(df: DataFrame, spec: MDArraySpec):
+    """ComputeStatistics via distributive per-chunk partials
+    (count, sum, sum-of-squares, min, max) -> (min, max, mean, std)."""
+    dtype = spec.dtype
+
+    @F.pandas_udf("n long, s double, s2 double, mn double, mx double")
+    def _part(payload: pd.Series) -> pd.DataFrame:
+        out = []
+        for p in payload:
+            a = np.frombuffer(p, dtype=dtype).astype(np.float64)
+            out.append(
+                {"n": a.size, "s": a.sum(), "s2": float((a * a).sum()),
+                 "mn": float(a.min()), "mx": float(a.max())}
+            )
+        return pd.DataFrame(out)
+
+    agg = (
+        df.select(_part("payload").alias("p"))
+        .agg(
+            F.sum("p.n").alias("n"), F.sum("p.s").alias("s"), F.sum("p.s2").alias("s2"),
+            F.min("p.mn").alias("mn"), F.max("p.mx").alias("mx"),
+        )
+        .collect()[0]
+    )
+    mean = agg["s"] / agg["n"]
+    var = max(agg["s2"] / agg["n"] - mean * mean, 0.0)
+    return {"min": agg["mn"], "max": agg["mx"], "mean": mean, "std": float(np.sqrt(var))}
