@@ -92,6 +92,12 @@ def docs_g_cte() -> str:
     )
 
 
+def _byte20_vals_sql() -> str:
+    from gdal_spark.fixtures import BYTE20
+
+    return ", ".join(f"({py},{px},{int(BYTE20[py, px])})" for py in range(20) for px in range(20))
+
+
 def _zone_match_sql() -> str:
     """UNION ALL of exact doc-x-zone intersect pairs (all 10 zones)."""
     parts = [
@@ -901,6 +907,56 @@ QUERIES["media_dims"] = q_media_dims
 ORACLES["media_dims"] = _o_media_dims()
 
 
+def q_viewshed(spark, sf_dir):
+    """Single-observer viewshed over byte20 (per-cell exact LOS,
+    alg/los.cpp semantics): observer at pixel (2,2) + 2 units. The
+    oracle re-walks every Bresenham path in SQL using the closed-form
+    recurrence y = yA + incy*floor((2*dy*i + dx)/(2*dx)) — the same
+    formula the distributed operator compiles to Catalyst."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.raster import as_features
+    from gdal_spark.operators.viewshed import viewshed
+
+    vs = viewshed(byte20_tiles(spark), BYTE20_SPEC, observer=(2, 2), observer_height=2.0)
+    pix = as_features(vs, BYTE20_SPEC)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("value").cast("bigint").alias("visible"),
+    )
+
+
+def _o_viewshed() -> str:
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)), "
+        "obs AS (SELECT 2 AS xa, 2 AS ya, "
+        "(SELECT CAST(v AS DOUBLE) FROM pixels WHERE py = 2 AND px = 2) + 2.0 AS za), "
+        "tgt AS (SELECT px AS xb, py AS yb, CAST(v AS DOUBLE) AS zb, "
+        "abs(px - 2) AS dx, abs(py - 2) AS dy, "
+        "CASE WHEN px >= 2 THEN 1 ELSE -1 END AS incx, "
+        "CASE WHEN py >= 2 THEN 1 ELSE -1 END AS incy FROM pixels), "
+        "steps AS (SELECT tgt.*, unnest(generate_series(0, GREATEST(dx, dy))) AS i FROM tgt), "
+        "pos AS (SELECT *, "
+        "CASE WHEN i = 0 THEN 2 WHEN dx >= dy THEN 2 + incx * i "
+        "ELSE 2 + incx * CAST(floor((2.0 * dx * i + dy) / (2 * dy)) AS BIGINT) END AS x, "
+        "CASE WHEN i = 0 THEN 2 WHEN dx >= dy THEN 2 + incy * CAST(floor((2.0 * dy * i + dx) / (2 * dx)) AS BIGINT) "
+        "ELSE 2 + incy * i END AS y FROM steps), "
+        "chk AS (SELECT pos.xb, pos.yb, p.v, "
+        "(SELECT za FROM obs) + (CASE WHEN pos.dx + pos.dy = 0 THEN 0.0 "
+        "ELSE sqrt(CAST((pos.x - 2) * (pos.x - 2) + (pos.y - 2) * (pos.y - 2) AS DOUBLE) "
+        "/ CAST((pos.xb - 2) * (pos.xb - 2) + (pos.yb - 2) * (pos.yb - 2) AS DOUBLE)) END) "
+        "* (pos.zb - (SELECT za FROM obs)) AS zlos "
+        "FROM pos JOIN pixels p ON p.px = pos.x AND p.py = pos.y) "
+        "SELECT CAST(yb AS BIGINT) AS py, CAST(xb AS BIGINT) AS px, "
+        "CAST(CASE WHEN MIN(zlos - v) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS visible "
+        "FROM chk GROUP BY yb, xb"
+    )
+
+
+QUERIES["viewshed"] = q_viewshed
+ORACLES["viewshed"] = _o_viewshed()
+
+
 def q_clip_rect(spark, sf_dir):
     """Layer-algebra Clip (ogr2ogr -clipsrc): geometric clip to the
     F2 rect; output = envelope of each clipped geometry."""
@@ -1040,12 +1096,6 @@ def _o_focal_sum() -> str:
 
 QUERIES["focal_sum"] = q_focal_sum
 ORACLES["focal_sum"] = _o_focal_sum()
-
-
-def _byte20_vals_sql() -> str:
-    from gdal_spark.fixtures import BYTE20
-
-    return ", ".join(f"({py},{px},{int(BYTE20[py, px])})" for py in range(20) for px in range(20))
 
 
 def q_contour(spark, sf_dir):
