@@ -177,7 +177,10 @@ def horn_slope_kernel(cellsize_x: float, cellsize_y: float, scale: float = 1.0, 
         g, h, i = p[2:, :-2], p[2:, 1:-1], p[2:, 2:]
         dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8 * cellsize_x * scale)
         dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8 * cellsize_y * scale)
-        slope = np.arctan(np.hypot(dzdx, dzdy))
+        # sqrt of the squared sum, NOT np.hypot: the reference computes
+        # atan(sqrt(x*x + y*y)) (GDALSlopeHornAlg) and the two can
+        # differ in the last ulp
+        slope = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
         return np.degrees(slope) if degrees else slope
 
     return k

@@ -957,6 +957,105 @@ QUERIES["viewshed"] = q_viewshed
 ORACLES["viewshed"] = _o_viewshed()
 
 
+def q_pansharpen(spark, sf_dir):
+    """Weighted-Brovey pansharpen end-to-end (gdalpansharpen.cpp:521):
+    both spectral bands = the 2x-nearest-downsampled byte20, pan =
+    byte20. pseudo_pan == the upsampled band, so factor*band == pan
+    for every output band — the identity the oracle checks per pixel
+    (proving the source-window join, nearest upsample at pan centers
+    and the ratio arithmetic agree cross-engine)."""
+    import dataclasses
+
+    import pandas as _pd
+
+    from gdal_spark.fixtures import BYTE20, BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.pansharpen import pansharpen
+    from gdal_spark.operators.raster import RasterSpec, as_features
+
+    ms_arr = BYTE20[::2, ::2]
+    ms_spec = RasterSpec(
+        width=10, height=10, gt=(440720.0, 120.0, 0.0, 3751320.0, 0.0, -120.0),
+        dtype="uint8", tile_size=8,
+    )
+    rows = []
+    for band in (1, 2):
+        for ty in range((10 + 7) // 8):
+            for tx in range((10 + 7) // 8):
+                t = ms_arr[ty * 8 : (ty + 1) * 8, tx * 8 : (tx + 1) * 8]
+                rows.append(
+                    {"band": band, "ty": ty, "tx": tx, "h": t.shape[0], "w": t.shape[1],
+                     "dtype": "uint8", "payload": t.tobytes()}
+                )
+    ms = spark.createDataFrame(_pd.DataFrame(rows))
+    out = pansharpen(
+        byte20_tiles(spark), ms, BYTE20_SPEC, ms_spec, weights=[0.25, 0.75],
+        bands=[1, 2], resample="near",
+    )
+    pix = as_features(out, BYTE20_SPEC)
+    return pix.select(
+        F.col("band").cast("bigint").alias("band"),
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("value").cast("bigint").alias("v"),
+    )
+
+
+def _o_pansharpen() -> str:
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)), "
+        "b AS (SELECT unnest(generate_series(1, 2)) AS band) "
+        "SELECT CAST(band AS BIGINT) AS band, CAST(py AS BIGINT) AS py, "
+        "CAST(px AS BIGINT) AS px, CAST(v AS BIGINT) AS v FROM b CROSS JOIN pixels"
+    )
+
+
+QUERIES["pansharpen"] = q_pansharpen
+ORACLES["pansharpen"] = _o_pansharpen()
+
+
+def q_dem_slope(spark, sf_dir):
+    """gdaldem slope (Horn) over byte20 through the distributed halo
+    exchange; x1000 quantized — the oracle recomputes the 3x3 weighted
+    central differences with clamped (edge-replicated) indices and the
+    identical atan(sqrt(...)) IEEE chain in SQL."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.focal import focal_apply, horn_slope_kernel
+    from gdal_spark.operators.raster import as_features
+
+    tiles = focal_apply(byte20_tiles(spark), BYTE20_SPEC, horn_slope_kernel(60.0, 60.0))
+    pix = as_features(tiles, BYTE20_SPEC)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("bigint").alias("slope1000"),
+    )
+
+
+def _o_dem_slope() -> str:
+    def nb(dy: int, dx: int) -> str:
+        return (
+            "(SELECT CAST(q.v AS DOUBLE) FROM pixels q "
+            f"WHERE q.py = LEAST(GREATEST(p.py + ({dy}), 0), 19) "
+            f"AND q.px = LEAST(GREATEST(p.px + ({dx}), 0), 19))"
+        )
+
+    a, b, c = nb(-1, -1), nb(-1, 0), nb(-1, 1)
+    d_, f = nb(0, -1), nb(0, 1)
+    g, h, i = nb(1, -1), nb(1, 0), nb(1, 1)
+    dzdx = f"((({c}) + 2 * ({f}) + ({i})) - (({a}) + 2 * ({d_}) + ({g}))) / 480.0"
+    dzdy = f"((({g}) + 2 * ({h}) + ({i})) - (({a}) + 2 * ({b}) + ({c}))) / 480.0"
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)) "
+        "SELECT CAST(p.py AS BIGINT) AS py, CAST(p.px AS BIGINT) AS px, "
+        f"CAST(floor(degrees(atan(sqrt(({dzdx}) * ({dzdx}) + ({dzdy}) * ({dzdy})))) * 1000 + 0.5) AS BIGINT) AS slope1000 "
+        "FROM pixels p"
+    )
+
+
+QUERIES["dem_slope"] = q_dem_slope
+ORACLES["dem_slope"] = _o_dem_slope()
+
+
 def q_clip_rect(spark, sf_dir):
     """Layer-algebra Clip (ogr2ogr -clipsrc): geometric clip to the
     F2 rect; output = envelope of each clipped geometry."""
