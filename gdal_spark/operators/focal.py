@@ -204,7 +204,7 @@ def hillshade_kernel(
         g, h, i = p[2:, :-2], p[2:, 1:-1], p[2:, 2:]
         dzdx = z_factor * ((c + 2 * f + i) - (a + 2 * d + g)) / (8 * cellsize_x)
         dzdy = z_factor * ((g + 2 * h + i) - (a + 2 * b + c)) / (8 * cellsize_y)
-        slope = np.arctan(np.hypot(dzdx, dzdy))
+        slope = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))  # sqrt form like the reference
         aspect = np.arctan2(dzdy, -dzdx)
         shade = np.sin(alt) * np.cos(slope) + np.cos(alt) * np.sin(slope) * np.cos(az - aspect)
         return np.clip(1.0 + 254.0 * np.maximum(shade, 0.0), 1, 255)

@@ -1936,3 +1936,121 @@ QUERIES.update(
         "ogrsql_join": q_ogrsql_join,
     }
 )
+
+
+def q_dem_hillshade(spark, sf_dir):
+    """gdaldem hillshade (Horn derivatives + lambertian shade, output
+    1..255) x1000 quantized; oracle = the identical IEEE chain in SQL."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.focal import focal_apply, hillshade_kernel
+    from gdal_spark.operators.raster import as_features
+
+    tiles = focal_apply(byte20_tiles(spark), BYTE20_SPEC, hillshade_kernel(60.0, 60.0))
+    pix = as_features(tiles, BYTE20_SPEC)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("bigint").alias("shade1000"),
+    )
+
+
+def _o_dem_hillshade() -> str:
+    def nb(dy: int, dx: int) -> str:
+        return (
+            "(SELECT CAST(q.v AS DOUBLE) FROM pixels q "
+            f"WHERE q.py = LEAST(GREATEST(p.py + ({dy}), 0), 19) "
+            f"AND q.px = LEAST(GREATEST(p.px + ({dx}), 0), 19))"
+        )
+
+    a, b, c = nb(-1, -1), nb(-1, 0), nb(-1, 1)
+    d_, f = nb(0, -1), nb(0, 1)
+    g, h, i = nb(1, -1), nb(1, 0), nb(1, 1)
+    dzdx = f"((({c}) + 2 * ({f}) + ({i})) - (({a}) + 2 * ({d_}) + ({g}))) / 480.0"
+    dzdy = f"((({g}) + 2 * ({h}) + ({i})) - (({a}) + 2 * ({b}) + ({c}))) / 480.0"
+    slope = f"atan(sqrt(({dzdx}) * ({dzdx}) + ({dzdy}) * ({dzdy})))"
+    aspect = f"atan2(({dzdy}), -({dzdx}))"
+    az = "radians(135.0)"  # radians(360 - 315 + 90)
+    alt = "radians(45.0)"
+    shade = (
+        f"(sin({alt}) * cos({slope}) + cos({alt}) * sin({slope}) * cos({az} - ({aspect})))"
+    )
+    val = f"LEAST(GREATEST(1.0 + 254.0 * GREATEST({shade}, 0.0), 1.0), 255.0)"
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)) "
+        "SELECT CAST(p.py AS BIGINT) AS py, CAST(p.px AS BIGINT) AS px, "
+        f"CAST(floor(({val}) * 1000 + 0.5) AS BIGINT) AS shade1000 FROM pixels p"
+    )
+
+
+QUERIES["dem_hillshade"] = q_dem_hillshade
+ORACLES["dem_hillshade"] = _o_dem_hillshade()
+
+
+def q_mosaic_lastwins(spark, sf_dir):
+    """gdal raster mosaic (gdalalg_raster_mosaic.cpp): later sources
+    overwrite where non-nodata. Source B covers rows py<10 with v+7
+    mod 256 (0 elsewhere = nodata); the oracle is the per-pixel CASE."""
+    import numpy as _np
+    import pandas as _pd
+
+    from gdal_spark.fixtures import BYTE20, BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.raster import as_features, mosaic
+
+    ts = BYTE20_SPEC.tile_size
+    rows = []
+    for ty in range(BYTE20_SPEC.ntiles_y):
+        for tx in range(BYTE20_SPEC.ntiles_x):
+            h, w = BYTE20_SPEC.tile_shape(ty, tx)
+            t = _np.zeros((h, w), dtype=_np.uint8)
+            for yy in range(h):
+                gy = ty * ts + yy
+                if gy < 10:
+                    seg = BYTE20[gy, tx * ts : tx * ts + w].astype(_np.int64)
+                    t[yy, :] = ((seg + 7) % 256).astype(_np.uint8)
+            rows.append(
+                {"band": 1, "ty": ty, "tx": tx, "h": h, "w": w,
+                 "dtype": "uint8", "payload": t.tobytes()}
+            )
+    b = spark.createDataFrame(_pd.DataFrame(rows))
+    out = mosaic([byte20_tiles(spark), b], nodata=0.0, method="last")
+    pix = as_features(out, BYTE20_SPEC)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("value").cast("bigint").alias("v"),
+    )
+
+
+def _o_mosaic_lastwins() -> str:
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)) "
+        "SELECT CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px, "
+        "CAST(CASE WHEN py < 10 AND (v + 7) % 256 != 0 THEN (v + 7) % 256 ELSE v END AS BIGINT) AS v "
+        "FROM pixels"
+    )
+
+
+QUERIES["mosaic_lastwins"] = q_mosaic_lastwins
+ORACLES["mosaic_lastwins"] = _o_mosaic_lastwins()
+
+
+def q_ogr_geometry_field(spark, sf_dir):
+    """The OGR_GEOMETRY special field (ogrfeaturequery.cpp:37) through
+    the OGR SQL dialect: filter by geometry type name."""
+    from gdal_spark.ogr_sql import execute
+
+    g = docs_geom(spark, sf_dir).filter(F.col("geom_error").isNull())
+    out = execute(
+        spark,
+        "SELECT doc_id FROM docs WHERE OGR_GEOMETRY = 'POLYGON'",
+        {"docs": g.withColumn("doc_id", F.col("_id"))},
+    )
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+
+
+def _o_ogr_geometry_field() -> str:
+    return f"WITH g AS ({docs_g_cte()}) SELECT doc_id FROM g WHERE valid AND is_poly"
+
+
+QUERIES["ogr_geometry_field"] = q_ogr_geometry_field
+ORACLES["ogr_geometry_field"] = _o_ogr_geometry_field()
