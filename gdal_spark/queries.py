@@ -2054,3 +2054,137 @@ def _o_ogr_geometry_field() -> str:
 
 QUERIES["ogr_geometry_field"] = q_ogr_geometry_field
 ORACLES["ogr_geometry_field"] = _o_ogr_geometry_field()
+
+
+def q_dem_derivatives(spark, sf_dir):
+    """The remaining gdaldem derivatives in one oracled battery:
+    aspect (azimuth convention + flat nodata), TPI, TRI (Wilson) and
+    roughness over byte20, integer-quantized."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.focal import (
+        aspect_kernel,
+        focal_apply,
+        roughness_kernel,
+        tpi_kernel,
+        tri_kernel,
+    )
+    from gdal_spark.operators.raster import as_features
+
+    src = byte20_tiles(spark)
+
+    def pix(kernel, name):
+        t = focal_apply(src, BYTE20_SPEC, kernel)
+        p = as_features(t, BYTE20_SPEC)
+        return p.select(
+            "py", "px", F.floor(F.col("value") * 1000 + 0.5).cast("bigint").alias(name)
+        )
+
+    out = (
+        pix(aspect_kernel(), "aspect1000")
+        .join(pix(tpi_kernel(), "tpi1000"), ["py", "px"])
+        .join(pix(tri_kernel(), "tri1000"), ["py", "px"])
+        .join(pix(roughness_kernel(), "rough1000"), ["py", "px"])
+    )
+    return out.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        "aspect1000", "tpi1000", "tri1000", "rough1000",
+    )
+
+
+def _o_dem_derivatives() -> str:
+    def nb(dy: int, dx: int) -> str:
+        return (
+            "(SELECT CAST(q.v AS DOUBLE) FROM pixels q "
+            f"WHERE q.py = LEAST(GREATEST(p.py + ({dy}), 0), 19) "
+            f"AND q.px = LEAST(GREATEST(p.px + ({dx}), 0), 19))"
+        )
+
+    a, b, c = nb(-1, -1), nb(-1, 0), nb(-1, 1)
+    d_, f = nb(0, -1), nb(0, 1)
+    g, h, i = nb(1, -1), nb(1, 0), nb(1, 1)
+    ctr = "CAST(p.v AS DOUBLE)"
+    dx = f"((({c}) + ({f}) + ({f}) + ({i})) - (({a}) + ({d_}) + ({d_}) + ({g})))"
+    dy = f"((({g}) + ({h}) + ({h}) + ({i})) - (({a}) + ({b}) + ({b}) + ({c})))"
+    raw = f"degrees(atan2(({dy}), -({dx})))"
+    azim = f"(CASE WHEN ({raw}) > 90.0 THEN 450.0 - ({raw}) ELSE 90.0 - ({raw}) END)"
+    aspect = f"(CASE WHEN ({dx}) = 0 AND ({dy}) = 0 THEN -9999.0 ELSE {azim} END)"
+    nbrs = [a, b, c, d_, f, g, h, i]
+    s8 = " + ".join(f"({n})" for n in nbrs)
+    tpi = f"({ctr} - ({s8}) * 0.125)"
+    tri = "(" + " + ".join(f"abs(({n}) - {ctr})" for n in nbrs) + ") * 0.125"
+    mx = f"GREATEST({', '.join(f'({n})' for n in nbrs)}, {ctr})"
+    mn = f"LEAST({', '.join(f'({n})' for n in nbrs)}, {ctr})"
+    rough = f"({mx} - {mn})"
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)) "
+        "SELECT CAST(p.py AS BIGINT) AS py, CAST(p.px AS BIGINT) AS px, "
+        f"CAST(floor(({aspect}) * 1000 + 0.5) AS BIGINT) AS aspect1000, "
+        f"CAST(floor(({tpi}) * 1000 + 0.5) AS BIGINT) AS tpi1000, "
+        f"CAST(floor(({tri}) * 1000 + 0.5) AS BIGINT) AS tri1000, "
+        f"CAST(floor(({rough}) * 1000 + 0.5) AS BIGINT) AS rough1000 "
+        "FROM pixels p"
+    )
+
+
+QUERIES["dem_derivatives"] = q_dem_derivatives
+ORACLES["dem_derivatives"] = _o_dem_derivatives()
+
+
+def q_interp_points(spark, sf_dir):
+    """GDALInterpolateAtPoint bilinear sampling at interior fractional
+    world points (seam-adjacent points excluded per the documented
+    deviation); oracle = the floor(p-0.5) 4-neighbor formula in SQL."""
+    from pyspark.sql import Row as _Row
+
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.grid import interpolate_at_points
+
+    pts = []
+    pid = 0
+    for py in range(2, 14, 3):
+        for px in range(2, 14, 3):
+            # fractional offsets inside one tile's interior window
+            pts.append(_Row(pid=pid, x=440720.0 + (px + 0.3) * 60.0, y=3751320.0 - (py + 0.7) * 60.0))
+            pid += 1
+    p = spark.createDataFrame(pts)
+    out = interpolate_at_points(byte20_tiles(spark), BYTE20_SPEC, p, method="bilinear")
+    return out.select(
+        F.col("pid").cast("bigint").alias("pid"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("bigint").alias("v1000"),
+    )
+
+
+def _o_interp_points() -> str:
+    # points at pixel coords (px+0.3, py+0.7): bilinear base
+    # ix=floor(px+0.3-0.5), ratio rx=1.5-(px+0.3-ix); same for y
+    rows = []
+    pid = 0
+    for py in range(2, 14, 3):
+        for px in range(2, 14, 3):
+            rows.append(f"({pid}, {px}, {py})")
+            pid += 1
+    vals = ", ".join(rows)
+
+    def v(dy, dx):
+        return (
+            "(SELECT CAST(q.v AS DOUBLE) FROM pixels q "
+            f"WHERE q.py = s.iy + ({dy}) AND q.px = s.ix + ({dx}))"
+        )
+
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)), "
+        f"pts AS (SELECT * FROM (VALUES {vals}) AS t(pid, px, py)), "
+        "s AS (SELECT pid, CAST(floor(px + 0.3 - 0.5) AS BIGINT) AS ix, "
+        "CAST(floor(py + 0.7 - 0.5) AS BIGINT) AS iy, "
+        "1.5 - (px + 0.3 - floor(px + 0.3 - 0.5)) AS rx, "
+        "1.5 - (py + 0.7 - floor(py + 0.7 - 0.5)) AS ry FROM pts) "
+        "SELECT CAST(pid AS BIGINT) AS pid, CAST(floor(("
+        f"  {v(0,0)} * rx * ry + {v(0,1)} * (1 - rx) * ry "
+        f"+ {v(1,0)} * rx * (1 - ry) + {v(1,1)} * (1 - rx) * (1 - ry)"
+        ") * 1000 + 0.5) AS BIGINT) AS v1000 FROM s"
+    )
+
+
+QUERIES["interp_points"] = q_interp_points
+ORACLES["interp_points"] = _o_interp_points()
