@@ -48,7 +48,7 @@ import numpy as np
 
 from gdal_spark.geom.predicates import points_in_edges, rings_to_edges
 
-SNAP_BITS = 6  # snap grid = 1/64 world unit
+MAX_SNAP_BITS = 40  # generous cap: grid <= 2^-40 of a world unit
 EPS_SIDE = 0.25  # side-probe offset, in snapped units (< half grid step)
 
 Ring = np.ndarray  # (k, 2) float64, closed (first == last)
@@ -67,12 +67,16 @@ _OPS = {
 def _snap_frame(geoms_a: list[Geom], geoms_b: list[Geom]):
     """Common translate+scale so both sides snap to one exact grid.
 
-    The scale ADAPTS to the coordinate span: snapped magnitudes are
-    kept <= 2^25 so every cross product in the noding predicates stays
-    < 2^50 — exactly representable in float64. Small extents get the
-    full 1/2^SNAP_BITS grid; continent-scale extents (e.g. web-mercator
-    meters, span ~4e7) trade grid resolution for exactness instead of
-    silently breaking the integer invariant."""
+    The scale ADAPTS to the coordinate span in BOTH directions:
+    snapped magnitudes are kept <= 2^25 so every cross product in the
+    noding predicates stays < 2^50 — exactly representable in float64.
+    The 2^25 exactness bound is the ONLY constraint: tiny extents
+    (e.g. 0.002-degree lon/lat features) get a correspondingly finer
+    grid instead of collapsing to a fixed 1/64-unit resolution, and
+    continent-scale extents (web-mercator meters, span ~4e7) trade
+    grid resolution for exactness instead of silently breaking the
+    integer invariant. Returns (fwd, inv, scale); scale is a power of
+    two so fwd/inv round-trip exactly in float64."""
     minx = math.inf
     miny = math.inf
     maxx = -math.inf
@@ -88,8 +92,10 @@ def _snap_frame(geoms_a: list[Geom], geoms_b: list[Geom]):
     if not math.isfinite(minx):
         minx = miny = 0.0
         maxx = maxy = 0.0
-    span = max(maxx - minx, maxy - miny, 1.0)
-    k = min(SNAP_BITS, int(math.floor(math.log2((1 << 25) / span))))
+    span = max(maxx - minx, maxy - miny)
+    if span <= 0.0:
+        span = 1.0  # degenerate (single point / empty): any grid works
+    k = min(MAX_SNAP_BITS, int(math.floor(math.log2((1 << 25) / span))))
     scale = float(2.0 ** k)
 
     def fwd(r: np.ndarray) -> np.ndarray:
@@ -98,7 +104,16 @@ def _snap_frame(geoms_a: list[Geom], geoms_b: list[Geom]):
     def inv(r: np.ndarray) -> np.ndarray:
         return r / scale + (minx, miny)
 
-    return fwd, inv
+    return fwd, inv, scale
+
+
+def snap_cell_area(geoms_a: list[Geom], geoms_b: list[Geom]) -> float:
+    """World-unit area of one snap-grid cell for the frame
+    _snap_frame picks for these inputs. Predicates that test overlay
+    areas against "zero" scale their epsilon by this (the smallest
+    representable positive area in the arrangement is half a cell)."""
+    _, _, scale = _snap_frame(geoms_a, geoms_b)
+    return 1.0 / (scale * scale)
 
 
 def _edges_of(geoms: list[Geom], fwd) -> tuple[np.ndarray, list]:
@@ -302,7 +317,7 @@ def overlay(geoms_a: list[Geom], geoms_b: list[Geom], op: str) -> list[Polygon]:
     Returns [(shell, holes)] in input coordinates; [] when empty.
     """
     f = _OPS[op]
-    fwd, inv = _snap_frame(geoms_a, geoms_b)
+    fwd, inv, _ = _snap_frame(geoms_a, geoms_b)
     ea, tables_a = _edges_of(geoms_a, fwd)
     eb, tables_b = _edges_of(geoms_b, fwd)
     all_edges = np.concatenate([ea, eb], axis=0) if len(ea) or len(eb) else np.empty((0, 4))
@@ -354,7 +369,7 @@ def boundary_contact(geoms_a: list[Geom], geoms_b: list[Geom]) -> list[np.ndarra
     sides (so the boundary of a positive-area overlap is excluded).
     Point-only contact (corner touches) is not reported. Returns
     merged polylines in input coordinates."""
-    fwd, inv = _snap_frame(geoms_a, geoms_b)
+    fwd, inv, _ = _snap_frame(geoms_a, geoms_b)
     ea, tables_a = _edges_of(geoms_a, fwd)
     eb, tables_b = _edges_of(geoms_b, fwd)
     if len(ea) == 0 or len(eb) == 0:
@@ -397,7 +412,7 @@ def clip_line(line: np.ndarray, geoms: list[Geom], keep_inside: bool = True) -> 
     line = np.asarray(line, dtype=np.float64).reshape(-1, 2)
     if len(line) < 2:
         return []
-    fwd, inv = _snap_frame([[line]], geoms)
+    fwd, inv, _ = _snap_frame([[line]], geoms)
     sl = fwd(line)
     tables = []
     chunks = []

@@ -35,7 +35,7 @@ from __future__ import annotations
 import numpy as np
 
 from gdal_spark.geom.batch import GeomBatch, GeomType
-from gdal_spark.geom.overlay import clip_line, overlay, region_area
+from gdal_spark.geom.overlay import clip_line, overlay, region_area, snap_cell_area
 from gdal_spark.geom.predicates import (
     edges_intersect_any,
     geometry_intersects_rings,
@@ -44,7 +44,13 @@ from gdal_spark.geom.predicates import (
     rings_to_edges,
 )
 
-_AREA_EPS = 1e-9
+def _area_eps(ra: list, rb: list) -> float:
+    """Area threshold below which an overlay result counts as empty,
+    scaled to the snap grid the kernel will use for this pair (a
+    genuine interior overlap occupies at least half a snap cell; a
+    quarter cell cleanly separates it from noise). Replaces a fixed
+    1e-9 that broke tiny lon/lat-extent features (ADVICE r2)."""
+    return 0.25 * snap_cell_area(ra, rb)
 
 _DIM = {
     GeomType.POINT: 0, GeomType.MULTIPOINT: 0,
@@ -234,9 +240,11 @@ def within(a: Geometry, b: Geometry) -> bool:
     if a.dim is None or b.dim is None or a.dim > b.dim:
         return False
     if a.dim == 2:  # poly in poly
+        ra, rb = a.region(), b.region()
+        eps = _area_eps(ra, rb)
         return (
-            region_area(overlay(a.region(), b.region(), "a_not_b")) <= _AREA_EPS
-            and region_area(overlay(a.region(), b.region(), "and")) > _AREA_EPS
+            region_area(overlay(ra, rb, "a_not_b")) <= eps
+            and region_area(overlay(ra, rb, "and")) > eps
         )
     if b.dim == 2:
         if a.dim == 0:
@@ -278,9 +286,10 @@ def touches(a: Geometry, b: Geometry) -> bool:
         a, b = b, a
     if b.dim == 2:
         if a.dim == 2:
+            ra, rb = a.region(), b.region()
             return (
                 intersects(a, b)
-                and region_area(overlay(a.region(), b.region(), "and")) <= _AREA_EPS
+                and region_area(overlay(ra, rb, "and")) <= _area_eps(ra, rb)
             )
         if a.dim == 0:
             p = a.points()
@@ -339,10 +348,11 @@ def overlaps(a: Geometry, b: Geometry) -> bool:
         return False
     if a.dim == 2:
         ra, rb = a.region(), b.region()
+        eps = _area_eps(ra, rb)
         return (
-            region_area(overlay(ra, rb, "and")) > _AREA_EPS
-            and region_area(overlay(ra, rb, "a_not_b")) > _AREA_EPS
-            and region_area(overlay(ra, rb, "b_not_a")) > _AREA_EPS
+            region_area(overlay(ra, rb, "and")) > eps
+            and region_area(overlay(ra, rb, "a_not_b")) > eps
+            and region_area(overlay(ra, rb, "b_not_a")) > eps
         )
     if a.dim == 0:
         sa = {tuple(p) for p in a.points()}
@@ -357,7 +367,8 @@ def equals(a: Geometry, b: Geometry) -> bool:
     if a.dim is None or b.dim is None or a.dim != b.dim:
         return False
     if a.dim == 2:
-        return region_area(overlay(a.region(), b.region(), "xor")) <= _AREA_EPS
+        ra, rb = a.region(), b.region()
+        return region_area(overlay(ra, rb, "xor")) <= _area_eps(ra, rb)
     if a.dim == 0:
         return {tuple(p) for p in a.points()} == {tuple(p) for p in b.points()}
     return within(a, b) and within(b, a)

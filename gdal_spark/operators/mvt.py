@@ -42,6 +42,8 @@ GEOM_POINT, GEOM_LINESTRING, GEOM_POLYGON = 1, 2, 3
 
 
 def _varint(n: int) -> bytes:
+    if n < 0:  # would loop forever on an arithmetic right shift
+        raise ValueError(f"varint requires a non-negative integer, got {n}")
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -137,7 +139,8 @@ def encode_layer(name: str, features: list[dict], extent: int = EXTENT) -> bytes
                 vals.append(v)
             tags += [key_idx[k], val_idx[vk]]
         body = b""
-        if f.get("id") is not None:
+        # spec: feature id is uint64 — skip (don't hang/crash on) negatives
+        if f.get("id") is not None and int(f["id"]) >= 0:
             body += _tag(1, 0) + _varint(int(f["id"]))
         if tags:
             body += _packed(2, tags)

@@ -118,6 +118,15 @@ def pansharpen(
         wy0, wx0 = mty0 * mts, mtx0 * mts
         wh = int((pieces["mty"].max() - mty0) * mts + pieces["h"].max())
         ww = int((pieces["mtx"].max() - mtx0) * mts + pieces["w"].max())
+        # valid MS data inside the window: never past the raster edge
+        # (partial bottom/right tiles leave zero-filled slack in the
+        # assembled rectangle; the reference clamps reads to raster
+        # bounds — crop to data and clamp sample coords so edge pixels
+        # replicate instead of blending zeros, ADVICE r2)
+        dh = min(wh, ms_spec.height - wy0)
+        dw = min(ww, ms_spec.width - wx0)
+        sxw = np.clip(sx - wx0, 0.0, dw - 1e-9)
+        syw = np.clip(sy - wy0, 0.0, dh - 1e-9)
         ups = {}
         for b in bands:
             win = np.zeros((wh, ww))
@@ -125,7 +134,7 @@ def pansharpen(
                 t = np.frombuffer(rr.payload, dtype=rr.dtype).reshape(rr.h, rr.w)
                 oy, ox = rr.mty * mts - wy0, rr.mtx * mts - wx0
                 win[oy : oy + rr.h, ox : ox + rr.w] = t
-            vals, _ = kernel(win, sx - wx0, sy - wy0)
+            vals, _ = kernel(win[:dh, :dw], sxw, syw)
             ups[b] = vals
         pseudo = np.zeros((ph, pw))
         valid = np.ones((ph, pw), dtype=bool)

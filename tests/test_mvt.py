@@ -185,6 +185,21 @@ class TestEncoder:
         cmds = encode_geometry(GEOM_LINESTRING, [line])
         assert decode_geometry(cmds, GEOM_LINESTRING) == [[(100, 100), (50, 80)]]
 
+    def test_negative_id_skipped_not_hang(self):
+        """ADVICE r2: a negative feature id used to make _varint spin
+        forever in the executor. Spec ids are uint64 — negatives are
+        dropped, the feature still encodes."""
+        from gdal_spark.operators.mvt import _varint
+
+        with pytest.raises(ValueError):
+            _varint(-1)
+        pts = np.array([[5, 5]])
+        layer = encode_layer("p", [{"id": -3, "type": GEOM_POINT, "parts": [pts], "attrs": {}}])
+        L = decode_tile(encode_tile([layer]))[0]
+        f = L["features"][0]
+        assert f.get("id") is None
+        assert decode_geometry(f["geometry"], GEOM_POINT) == [[(5, 5)]]
+
 
 class TestSparkSink:
     def test_tiles_encode_and_decode(self, spark):

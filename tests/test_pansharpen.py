@@ -76,6 +76,21 @@ class TestPansharpen:
         np.testing.assert_allclose(_mat(out, PAN_SPEC, 1), pan)
         np.testing.assert_allclose(_mat(out, PAN_SPEC, 2), pan)
 
+    def test_edge_clamp_partial_tiles(self, spark):
+        """Cubic upsampling at the raster's bottom/right edge must
+        edge-replicate, not blend the zero slack of partial assembled
+        windows (ADVICE r2): constant inputs stay constant everywhere,
+        including the last (partial) tile row/column."""
+        ms_spec = RasterSpec(width=10, height=10, gt=(0, 2, 0, 20, 0, -2), dtype="float64", tile_size=4)
+        pan_spec = RasterSpec(width=20, height=20, gt=(0, 1, 0, 20, 0, -1), dtype="float64", tile_size=8)
+        c = np.full((10, 10), 100.0)
+        pan = np.full((20, 20), 100.0)
+        out = pansharpen(
+            _tiles(spark, [pan], pan_spec), _tiles(spark, [c], ms_spec),
+            pan_spec, ms_spec, weights=[1.0], resample="cubic",
+        ).collect()
+        np.testing.assert_allclose(_mat(out, pan_spec, 1), pan)
+
     def test_nodata_propagates(self, spark):
         ms0 = np.full((8, 8), 50.0)
         ms0[0, 0] = -9999.0

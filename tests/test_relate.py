@@ -52,6 +52,43 @@ class TestReferenceCases:
         assert not overlaps(g2, g1)
 
 
+class TestTinyExtents:
+    """ADVICE r2 regressions: the snap grid must adapt to small
+    coordinate spans (lon/lat-scale features) instead of capping at a
+    fixed 1/64-unit resolution that collapses them to zero area."""
+
+    def test_within_tiny_nested_squares(self):
+        outer = G("POLYGON((10.000 50.000,10.002 50.000,10.002 50.002,10.000 50.002,10.000 50.000))")
+        inner = G(
+            "POLYGON((10.0005 50.0005,10.0015 50.0005,10.0015 50.0015,10.0005 50.0015,10.0005 50.0005))"
+        )
+        assert within(inner, outer)
+        assert contains(outer, inner)
+        assert not equals(inner, outer)
+
+    def test_equals_distant_tiny_squares_false(self):
+        a = G("POLYGON((0 0,0.002 0,0.002 0.002,0 0.002,0 0))")
+        b = G("POLYGON((100 100,100.002 100,100.002 100.002,100 100.002,100 100))")
+        assert not equals(a, b)
+        assert not intersects(a, b)
+
+    def test_tiny_overlap_and_touch(self):
+        a = G("POLYGON((0 0,0.004 0,0.004 0.004,0 0.004,0 0))")
+        b = G("POLYGON((0.002 0.002,0.006 0.002,0.006 0.006,0.002 0.006,0.002 0.002))")
+        c = G("POLYGON((0.004 0,0.008 0,0.008 0.004,0.004 0.004,0.004 0))")
+        assert overlaps(a, b) and not touches(a, b)
+        assert touches(a, c) and not overlaps(a, c)
+
+    def test_tiny_overlay_area(self):
+        from gdal_spark.geom.overlay import overlay, region_area
+
+        sq = lambda x0, y0, s: [[__import__("numpy").array(
+            [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]], dtype=float
+        )]]
+        inter = overlay(sq(0, 0, 0.004), sq(0.002, 0.002, 0.004), "and")
+        assert region_area(inter) == pytest.approx(0.002 * 0.002, rel=1e-6)
+
+
 class TestPolyPoly:
     def test_overlapping_rects(self):
         a = G("POLYGON((0 0,4 0,4 4,0 4,0 0))")
