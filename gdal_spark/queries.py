@@ -957,6 +957,60 @@ QUERIES["viewshed"] = q_viewshed
 ORACLES["viewshed"] = _o_viewshed()
 
 
+def q_viewshed_cumulative(spark, sf_dir):
+    """Cumulative viewshed (alg/viewshed/cumulative.cpp): observers on
+    a 10-px grid over byte20 (4 observers), output = per-cell count of
+    observers that see it. The oracle re-walks every (observer,
+    target) Bresenham path in SQL and sums the per-observer masks."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.raster import as_features
+    from gdal_spark.operators.viewshed import cumulative_viewshed
+
+    vs = cumulative_viewshed(
+        byte20_tiles(spark), BYTE20_SPEC, observer_spacing=10, observer_height=2.0
+    )
+    pix = as_features(vs, BYTE20_SPEC)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("value").cast("bigint").alias("seen_by"),
+    )
+
+
+def _o_viewshed_cumulative() -> str:
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)), "
+        "obs AS (SELECT o.xa, o.ya, CAST(p.v AS DOUBLE) + 2.0 AS za "
+        "FROM (VALUES (0, 0), (10, 0), (0, 10), (10, 10)) AS o(xa, ya) "
+        "JOIN pixels p ON p.px = o.xa AND p.py = o.ya), "
+        "tgt AS (SELECT o.xa, o.ya, o.za, px AS xb, py AS yb, CAST(v AS DOUBLE) AS zb, "
+        "abs(px - o.xa) AS dx, abs(py - o.ya) AS dy, "
+        "CASE WHEN px >= o.xa THEN 1 ELSE -1 END AS incx, "
+        "CASE WHEN py >= o.ya THEN 1 ELSE -1 END AS incy FROM pixels CROSS JOIN obs o), "
+        "steps AS (SELECT tgt.*, unnest(generate_series(0, GREATEST(dx, dy))) AS i FROM tgt), "
+        "pos AS (SELECT *, "
+        "CASE WHEN i = 0 THEN xa WHEN dx >= dy THEN xa + incx * i "
+        "ELSE xa + incx * CAST(floor((2.0 * dx * i + dy) / (2 * dy)) AS BIGINT) END AS x, "
+        "CASE WHEN i = 0 THEN ya WHEN dx >= dy THEN ya + incy * CAST(floor((2.0 * dy * i + dx) / (2 * dx)) AS BIGINT) "
+        "ELSE ya + incy * i END AS y FROM steps), "
+        "chk AS (SELECT pos.xa, pos.ya, pos.xb, pos.yb, p.v, "
+        "pos.za + (CASE WHEN pos.dx + pos.dy = 0 THEN 0.0 "
+        "ELSE sqrt(CAST((pos.x - pos.xa) * (pos.x - pos.xa) + (pos.y - pos.ya) * (pos.y - pos.ya) AS DOUBLE) "
+        "/ CAST((pos.xb - pos.xa) * (pos.xb - pos.xa) + (pos.yb - pos.ya) * (pos.yb - pos.ya) AS DOUBLE)) END) "
+        "* (pos.zb - pos.za) AS zlos "
+        "FROM pos JOIN pixels p ON p.px = pos.x AND p.py = pos.y), "
+        "per_obs AS (SELECT xa, ya, yb, xb, "
+        "CASE WHEN MIN(zlos - v) >= 0 THEN 1 ELSE 0 END AS vis "
+        "FROM chk GROUP BY xa, ya, yb, xb) "
+        "SELECT CAST(yb AS BIGINT) AS py, CAST(xb AS BIGINT) AS px, "
+        "CAST(SUM(vis) AS BIGINT) AS seen_by FROM per_obs GROUP BY yb, xb"
+    )
+
+
+QUERIES["viewshed_cumulative"] = q_viewshed_cumulative
+ORACLES["viewshed_cumulative"] = _o_viewshed_cumulative()
+
+
 def q_pansharpen(spark, sf_dir):
     """Weighted-Brovey pansharpen end-to-end (gdalpansharpen.cpp:521):
     both spectral bands = the 2x-nearest-downsampled byte20, pan =

@@ -139,6 +139,32 @@ class TestViewshed:
                 want, _, _ = _ref_los(dem, (2, 2, oz), (x, y, dem[y, x]))
                 assert got[y, x] == (1 if want else 0), (x, y)
 
+    def test_vectorized_kernel_exhaustive_parity(self):
+        """The chunked numpy LOS kernel is bit-identical to the scalar
+        Bresenham walk for EVERY cell, across octants, observer edge
+        positions, and negative target heights (pure numpy, no Spark)."""
+        from gdal_spark.operators.viewshed import _los_visible, visibility_of_targets
+
+        rng = np.random.default_rng(41)
+        d = rng.uniform(0, 12, size=(40, 40))
+        d[15:18, 20:23] = 90.0
+        d[30, 5] = 60.0
+        jj, ii = np.meshgrid(np.arange(40), np.arange(40))
+        gx, gy = jj.ravel(), ii.ravel()
+        for (ox, oy), th in [((5, 7), 0.0), ((39, 0), 0.0), ((20, 20), -1.5), ((0, 39), 3.0)]:
+            oz = d[oy, ox] + 2.0
+            got = visibility_of_targets(d, ox, oy, oz, gx, gy, th)
+            for k in range(len(gx)):
+                want = _los_visible(d, ox, oy, oz, int(gx[k]), int(gy[k]), d[gy[k], gx[k]] + th)
+                assert got[k] == (1 if want else 0), (ox, oy, int(gx[k]), int(gy[k]))
+
+    def test_vectorized_kernel_observer_below_terrain(self):
+        from gdal_spark.operators.viewshed import visibility_of_targets
+
+        d = np.full((8, 8), 10.0)
+        out = visibility_of_targets(d, 3, 3, 5.0, np.arange(8), np.zeros(8, dtype=int), 0.0)
+        assert out.sum() == 0
+
     def test_wall_shadows(self, spark, dem):
         from gdal_spark.operators.viewshed import viewshed
 
@@ -152,3 +178,31 @@ class TestViewshed:
         # the 100-unit wall at [10:14,10:14] casts a shadow beyond it
         assert got[10:14, 10:14].sum() >= 1  # wall tops visible
         assert got[20:, 20:].sum() == 0  # far corner behind the wall hidden
+
+
+class TestCumulativeViewshed:
+    def test_equals_sum_of_single_observer_masks(self, spark, dem):
+        """cumulative.cpp semantics: per-cell count of observers that
+        see it == the sum of the individual viewshed masks."""
+        from gdal_spark.operators.viewshed import cumulative_viewshed, viewshed
+
+        tiles = _dem_tiles(spark, dem, SPEC)
+        spacing = 12  # observers at x,y in {0, 12} -> 4 observers
+
+        def collect_mat(rows, dt):
+            m = np.zeros((24, 24), dtype=dt)
+            for r in rows:
+                t = np.frombuffer(r["payload"], dtype=r["dtype"]).reshape(r["h"], r["w"])
+                m[r["ty"] * 8 : r["ty"] * 8 + r["h"], r["tx"] * 8 : r["tx"] * 8 + r["w"]] = t
+            return m
+
+        got = collect_mat(
+            cumulative_viewshed(tiles, SPEC, spacing, observer_height=2.0).collect(), np.int32
+        )
+        want = np.zeros((24, 24), dtype=np.int32)
+        for oy in (0, 12):
+            for ox in (0, 12):
+                want += collect_mat(
+                    viewshed(tiles, SPEC, (ox, oy), observer_height=2.0).collect(), np.uint8
+                ).astype(np.int32)
+        np.testing.assert_array_equal(got, want)
