@@ -505,6 +505,9 @@ def raster_tile(
     overview_resampling: str = "average",
     tms: WebMercatorQuad | None = None,
     done_keys: DataFrame | None = None,
+    cutline=None,
+    cutline_blend_dist: float = 0.0,
+    cutline_all_touched: bool = False,
 ) -> DataFrame:
     """gdal raster tile: src tile table -> (z, tx, ty, band, payload)
     rows for zooms [min_zoom, max_zoom], plus an alpha band
@@ -513,6 +516,18 @@ def raster_tile(
     done_keys (z, tx, ty): --resume semantics — already-produced base
     tiles are anti-joined out before any work happens
     (gdalalg_raster_tile.cpp:675,1506). Overviews are rebuilt.
+
+    cutline: optional WKT (multi)polygon in SOURCE pixel coordinates
+    (the CUTLINE warp option, alg/gdalwarper.cpp:1132; masker
+    semantics alg/gdalcutline.cpp — see operators/cutline.py). Source
+    validity/density outside the cutline is 0; with
+    cutline_blend_dist > 0 a ramped density near the boundary. Output
+    values scale by the density resampled to the dst grid (the fresh
+    INIT_DEST=0 gdalwarp composition) and the alpha band carries
+    round(255 * density). Blend 0 + nearest is bit-exact vs the
+    reference's rasterized mask; fractional densities with non-nearest
+    kernels use density multiplication rather than the reference's
+    per-sample weight renormalization (documented deviation).
     """
     tms = tms or WebMercatorQuad()
     spark = src_tiles.sparkSession
@@ -524,6 +539,10 @@ def raster_tile(
     area_kernel = AREA_KERNELS.get(resampling)
     if kernel is None and area_kernel is None:
         raise ValueError(f"unknown resampling {resampling}")
+    if cutline is not None:
+        from gdal_spark.operators.cutline import parse_cutline
+
+        cutline = parse_cutline(cutline)
 
     # source extent -> base-zoom dst tile range (driver-side planning,
     # the GDALSuggestedWarpOutput role: one transform of the corners)
@@ -621,6 +640,23 @@ def raster_tile(
         wy0, wx0 = ty0 * sts, tx0 * sts
         wh = int((pdf["sty"].max() - ty0) * sts + pdf["sh"].max())
         ww = int((pdf["stx"].max() - tx0) * sts + pdf["sw"].max())
+        # cutline density over the source window, resampled to the dst
+        # grid with the matching kernel (gdalcutline.cpp masker)
+        dens = None
+        if cutline is not None:
+            from gdal_spark.operators.cutline import cutline_validity
+
+            cl = cutline_validity(
+                cutline, wx0, wy0, wh, ww, cutline_blend_dist, cutline_all_touched
+            ).astype(np.float64)
+            if area_kernel is not None:
+                csxa, csya = _dst_pixel_src_coords(tms, z, txx, tyy, src_pipeline, src_spec, offset=0.0)
+                csxb, csyb = _dst_pixel_src_coords(tms, z, txx, tyy, src_pipeline, src_spec, offset=1.0)
+                crb = (-wx0, -wy0, src_spec.width - wx0, src_spec.height - wy0)
+                dens, _ = warp_average(cl, csxa - wx0, csya - wy0, csxb - wx0, csyb - wy0, bounds=crb)
+            else:
+                csx, csy = _dst_pixel_src_coords(tms, z, txx, tyy, src_pipeline, src_spec)
+                dens, _ = kernel(cl, csx - wx0, csy - wy0)
         out_rows = []
         alpha = None
         for band in range(1, nbands + 1):
@@ -645,11 +681,18 @@ def raster_tile(
                 vals, valid = kernel(win, sx - wx0, sy - wy0)
                 # clip validity to the true raster bounds (window may pad)
                 gvalid = valid & (sx >= 0) & (sy >= 0) & (sx + 1e-10 <= src_spec.width) & (sy + 1e-10 <= src_spec.height)
+            if dens is not None:
+                vals = vals * dens
+                gvalid = gvalid & (dens > 0.0)
             payload = copy_word(np.where(gvalid, vals, 0), src_spec.dtype)
             out_rows.append(
                 {"z": z, "tx": txx, "ty": tyy, "band": band, "dtype": src_spec.dtype, "payload": payload.tobytes()}
             )
             alpha = gvalid if alpha is None else (alpha | gvalid)
+        if dens is None:
+            alpha_payload = alpha.astype(np.uint8) * 255
+        else:
+            alpha_payload = np.where(alpha, np.floor(255.0 * dens + 0.5), 0).astype(np.uint8)
         out_rows.append(
             {
                 "z": z,
@@ -657,7 +700,7 @@ def raster_tile(
                 "ty": tyy,
                 "band": alpha_band,
                 "dtype": "uint8",
-                "payload": (alpha.astype(np.uint8) * 255).tobytes(),
+                "payload": alpha_payload.tobytes(),
             }
         )
         return pd.DataFrame(out_rows)

@@ -1011,6 +1011,59 @@ QUERIES["viewshed_cumulative"] = q_viewshed_cumulative
 ORACLES["viewshed_cumulative"] = _o_viewshed_cumulative()
 
 
+_CUTLINE_PTS = [(3.3, 2.1), (16.7, 4.4), (14.2, 17.8), (9.5, 9.6), (4.1, 16.3)]
+
+
+def q_warp_cutline(spark, sf_dir):
+    """Warp cutline mask (alg/gdalcutline.cpp GDALWarpCutlineMaskerEx):
+    the non-convex fractional-coordinate cutline polygon rasterized
+    with the exact center rule (scanline at y+0.5, crossings rounded
+    floor(x+0.5), even-odd fill — llrasterize.cpp:41-45,193) as a
+    distributed tile table. The oracle replays the same rule in SQL
+    via crossing-count parity. raster_tile applies this mask to warp
+    output (tests/test_cutline.py pins the composition)."""
+    from gdal_spark.fixtures import BYTE20_SPEC
+    from gdal_spark.operators.cutline import cutline_mask_tiles
+    from gdal_spark.operators.raster import as_features
+
+    ring = ", ".join(f"{x} {y}" for x, y in _CUTLINE_PTS + [_CUTLINE_PTS[0]])
+    m = cutline_mask_tiles(spark, BYTE20_SPEC, f"POLYGON(({ring}))")
+    pix = as_features(m, BYTE20_SPEC)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("value").cast("bigint").alias("inside"),
+    )
+
+
+def _o_warp_cutline() -> str:
+    pts = _CUTLINE_PTS
+    edge_vals = ", ".join(
+        f"({pts[i][0]}, {pts[i][1]}, {pts[(i + 1) % len(pts)][0]}, {pts[(i + 1) % len(pts)][1]})"
+        for i in range(len(pts))
+    )
+    return (
+        f"WITH e(x1, y1, x2, y2) AS (VALUES {edge_vals}), "
+        "eo AS (SELECT CASE WHEN y1 <= y2 THEN x1 ELSE x2 END AS xa, "
+        "CASE WHEN y1 <= y2 THEN y1 ELSE y2 END AS ya, "
+        "CASE WHEN y1 <= y2 THEN x2 ELSE x1 END AS xb, "
+        "CASE WHEN y1 <= y2 THEN y2 ELSE y1 END AS yb FROM e WHERE y1 <> y2), "
+        "rows_ AS (SELECT unnest(generate_series(0, 19)) AS py), "
+        "cols_ AS (SELECT unnest(generate_series(0, 19)) AS px), "
+        "cr AS (SELECT py, CAST(floor((py + 0.5 - ya) * (xb - xa) / (yb - ya) + xa + 0.5) AS BIGINT) AS cx "
+        "FROM rows_ JOIN eo ON ya <= py + 0.5 AND py + 0.5 < yb), "
+        "cnt AS (SELECT r.py, c.px, "
+        "(SELECT COUNT(*) FROM cr WHERE cr.py = r.py AND cr.cx <= c.px) AS n "
+        "FROM rows_ r CROSS JOIN cols_ c) "
+        "SELECT CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px, "
+        "CAST(n % 2 AS BIGINT) AS inside FROM cnt"
+    )
+
+
+QUERIES["warp_cutline"] = q_warp_cutline
+ORACLES["warp_cutline"] = _o_warp_cutline()
+
+
 def q_pansharpen(spark, sf_dir):
     """Weighted-Brovey pansharpen end-to-end (gdalpansharpen.cpp:521):
     both spectral bands = the 2x-nearest-downsampled byte20, pan =
