@@ -38,6 +38,18 @@ _TYPE_BY_NAME = {
     "MULTIPOLYGON": GeomType.MULTIPOLYGON,
 }
 
+# Curve types linearize on parse (ogrgeometryfactory.cpp
+# curveToLineString / getLinearGeometry; see geom/curves.py) to their
+# linear counterparts — same as the reference's forceTo* behavior for
+# engines without native curve support.
+_CURVE_TARGET = {
+    "CIRCULARSTRING": GeomType.LINESTRING,
+    "COMPOUNDCURVE": GeomType.LINESTRING,
+    "CURVEPOLYGON": GeomType.POLYGON,
+    "MULTICURVE": GeomType.MULTILINESTRING,
+    "MULTISURFACE": GeomType.MULTIPOLYGON,
+}
+
 
 class WktError(ValueError):
     pass
@@ -62,20 +74,89 @@ def _detect_ndim(body: str, declared: str | None) -> int:
     return n
 
 
+def _split_top(inner: str) -> list[str]:
+    """Split a normalized '(..)' interior at top-level commas."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(inner):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(inner[start:i])
+            start = i + 1
+    parts.append(inner[start:])
+    return parts
+
+
+def _linearize_curve_line(comp: str, ndim: int) -> np.ndarray:
+    """One curve component (CIRCULARSTRING(..), COMPOUNDCURVE(..) or a
+    bare parenthesized coordinate run) -> stroked polyline."""
+    from gdal_spark.geom.curves import linearize_circularstring
+
+    u = comp.upper()
+    try:
+        if u.startswith("CIRCULARSTRING"):
+            return linearize_circularstring(_coords(comp[comp.index("(") + 1 : -1], ndim))
+        if u.startswith("COMPOUNDCURVE"):
+            segs = [
+                _linearize_curve_line(c, ndim)
+                for c in _split_top(comp[comp.index("(") + 1 : -1])
+            ]
+            out = [segs[0]]
+            for sgm in segs[1:]:
+                out.append(sgm[1:])  # components share endpoints
+            return np.concatenate(out, axis=0)
+        if comp.startswith("("):
+            return _coords(comp[1:-1], ndim)
+    except ValueError as exc:
+        raise WktError(str(exc)) from exc
+    raise WktError(f"bad curve component: {comp[:40]!r}")
+
+
 def _parse_one(s: str, builder: GeomBatchBuilder) -> None:
     m = _TYPE_RE.match(s)
     if not m:
         raise WktError(f"unparseable WKT: {s[:60]!r}")
     name = m.group(1).upper()
     gtype = _TYPE_BY_NAME.get(name)
-    if gtype is None:
+    curve_target = _CURVE_TARGET.get(name)
+    if gtype is None and curve_target is None:
         raise WktError(f"unsupported geometry type: {name}")
     body = m.group(3)
     if body.upper() == "EMPTY":
-        builder.add_empty(gtype)
+        builder.add_empty(gtype if gtype is not None else curve_target)
         return
     body = _NORM_RE.sub(r"\1", body)
-    ndim = _detect_ndim(body, m.group(2).upper() if m.group(2) else None)
+    ndim = _detect_ndim(
+        re.sub(r"[A-Za-z]+", "", body), m.group(2).upper() if m.group(2) else None
+    )
+
+    if curve_target is not None:
+        inner = body[1:-1]
+        if name == "CIRCULARSTRING":
+            builder.add(curve_target, [[_linearize_curve_line(name + body, ndim)]])
+        elif name == "COMPOUNDCURVE":
+            builder.add(curve_target, [[_linearize_curve_line(name + body, ndim)]])
+        elif name == "CURVEPOLYGON":
+            rings = [_linearize_curve_line(r, ndim) for r in _split_top(inner)]
+            builder.add(curve_target, [rings])
+        elif name == "MULTICURVE":
+            lines = [_linearize_curve_line(c, ndim) for c in _split_top(inner)]
+            builder.add(curve_target, [[ln] for ln in lines])
+        else:  # MULTISURFACE
+            parts = []
+            for comp in _split_top(inner):
+                u = comp.upper()
+                if u.startswith("CURVEPOLYGON"):
+                    rs = _split_top(comp[comp.index("(") + 1 : -1])
+                elif comp.startswith("("):
+                    rs = _split_top(comp[1:-1])
+                else:
+                    raise WktError(f"bad surface component: {comp[:40]!r}")
+                parts.append([_linearize_curve_line(r, ndim) for r in rs])
+            builder.add(curve_target, parts)
+        return
 
     if gtype == GeomType.POINT:
         builder.add(gtype, [[_coords(body[1:-1], ndim)]])

@@ -73,6 +73,39 @@ def st_length(wkt: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(DoubleType())
+def st_geodesic_area(wkt: pd.Series) -> pd.Series:
+    """ST_Area(geom, use_ellipsoid=1): WGS84 geodesic area
+    (ogrsqlitesqlfunctions.cpp:636 OGR2SQLITE_ST_GeodesicArea; lon/lat
+    EPSG:4326 assumed like the reference's no-SRID default). See
+    geom/geodesic.py for the authalic-excess formulation."""
+    from gdal_spark.geom.geodesic import geodesic_geometry_area
+
+    b = parse_wkt(wkt)
+    out = np.full(len(b), np.nan)
+    for i in range(len(b)):
+        if not b.is_null[i]:
+            gtype, parts = b.geometry(i)
+            out[i] = geodesic_geometry_area(gtype, parts)
+    return pd.Series(out)
+
+
+@F.pandas_udf(DoubleType())
+def st_geodesic_length(wkt: pd.Series) -> pd.Series:
+    """ST_Length(geom, use_ellipsoid=1): WGS84 geodesic length
+    (ogrsqlitesqlfunctions.cpp:681; Vincenty fixed-iteration inverse,
+    geom/geodesic.py)."""
+    from gdal_spark.geom.geodesic import geodesic_geometry_length
+
+    b = parse_wkt(wkt)
+    out = np.full(len(b), np.nan)
+    for i in range(len(b)):
+        if not b.is_null[i]:
+            gtype, parts = b.geometry(i)
+            out[i] = geodesic_geometry_length(gtype, parts)
+    return pd.Series(out)
+
+
 def _polys_wkt(polys: list) -> str | None:
     from gdal_spark.operators.layer_algebra import _polys_to_wkt
 
@@ -221,6 +254,10 @@ _ALL = {
     "ST_Equals": st_equals,
     "ST_Area": st_area,
     "ST_Length": st_length,
+    # use_ellipsoid=1 variants: SQL can't overload a pandas UDF by
+    # arity, so the 2-arg reference forms register under explicit names
+    "ST_GeodesicArea": st_geodesic_area,
+    "ST_GeodesicLength": st_geodesic_length,
 }
 
 

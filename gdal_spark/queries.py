@@ -1064,6 +1064,206 @@ QUERIES["warp_cutline"] = q_warp_cutline
 ORACLES["warp_cutline"] = _o_warp_cutline()
 
 
+# (cid, p0, p1, p2) single-arc CIRCULARSTRING fixtures: CW and CCW
+# arcs, an arbitrary oblique arc, a collinear degenerate, negatives
+_CURVE_FIXTURE = [
+    (1, (0.0, 0.0), (1.0, 1.0), (2.0, 0.0)),
+    (2, (0.0, 0.0), (1.0, -1.0), (2.0, 0.0)),
+    (3, (3.0, 1.0), (5.0, 4.0), (1.0, 6.0)),
+    (4, (0.0, 0.0), (2.0, 2.0), (4.0, 4.0)),
+    (5, (-5.0, 2.0), (-3.0, 1.0), (-1.0, 2.5)),
+    (6, (10.0, 10.0), (10.5, 12.0), (9.0, 13.0)),
+]
+
+
+def q_curve_envelopes(spark, sf_dir):
+    """Curve WKT linearization (ogrgeometryfactory.cpp
+    curveToLineString:6071 / GetCurveParameters:5809 / StrokeArc:5906,
+    4-degree default step): CIRCULARSTRINGs parse to stroked
+    linestrings whose envelopes extend beyond the control points. The
+    oracle replays the circumcenter + angular-stepping arithmetic in
+    SQL and aggregates the same vertex set; envelopes rounded to 9
+    decimals on both sides (libm ulp tolerance)."""
+    rows = [
+        (cid, f"CIRCULARSTRING ({p0[0]} {p0[1]},{p1[0]} {p1[1]},{p2[0]} {p2[1]})")
+        for cid, p0, p1, p2 in _CURVE_FIXTURE
+    ]
+    df = spark.createDataFrame(rows, "cid int, wkt string")
+    from gdal_spark.operators.spatial import envelope_udf
+
+    env = df.withColumn("_env", envelope_udf(F.col("wkt")))
+    return env.select(
+        F.col("cid").cast("bigint").alias("cid"),
+        F.round(F.col("_env.minx"), 9).alias("minx"),
+        F.round(F.col("_env.miny"), 9).alias("miny"),
+        F.round(F.col("_env.maxx"), 9).alias("maxx"),
+        F.round(F.col("_env.maxy"), 9).alias("maxy"),
+    )
+
+
+def _o_curve_envelopes() -> str:
+    vals = ", ".join(
+        f"({cid}, {p0[0]}, {p0[1]}, {p1[0]}, {p1[1]}, {p2[0]}, {p2[1]})"
+        for cid, p0, p1, p2 in _CURVE_FIXTURE
+    )
+    return (
+        f"WITH c(cid, x0, y0, x1, y1, x2, y2) AS (VALUES {vals}), "
+        "n AS (SELECT *, x1 - x0 AS dx01, y1 - y0 AS dy01, x2 - x1 AS dx12, y2 - y1 AS dy12 FROM c), "
+        "s AS (SELECT *, GREATEST(abs(dx01), abs(dy01), abs(dx12), abs(dy12)) AS sc FROM n), "
+        "d AS (SELECT *, (dx01 / sc) * (dy12 / sc) - (dx12 / sc) * (dy01 / sc) AS det FROM s), "
+        "g AS (SELECT *, "
+        "0.5 * sc * (((dx01 / sc) * ((x0 + x1) / sc) + (dy01 / sc) * ((y0 + y1) / sc)) * (dy12 / sc) "
+        "- ((dx12 / sc) * ((x1 + x2) / sc) + (dy12 / sc) * ((y1 + y2) / sc)) * (dy01 / sc)) / det AS cx, "
+        "0.5 * sc * (-((dx01 / sc) * ((x0 + x1) / sc) + (dy01 / sc) * ((y0 + y1) / sc)) * (dx12 / sc) "
+        "+ ((dx12 / sc) * ((x1 + x2) / sc) + (dy12 / sc) * ((y1 + y2) / sc)) * (dx01 / sc)) / det AS cy "
+        "FROM d WHERE abs(det) >= 1e-8), "
+        "a AS (SELECT *, atan2((y0 - cy) / sc, (x0 - cx) / sc) AS a0r, "
+        "atan2((y1 - cy) / sc, (x1 - cx) / sc) AS a1r, "
+        "atan2((y2 - cy) / sc, (x2 - cx) / sc) AS a2r, "
+        "sqrt((x0 - cx) * (x0 - cx) + (y0 - cy) * (y0 - cy)) AS r FROM g), "
+        "aa AS (SELECT *, CASE WHEN det < 0 THEN (CASE WHEN a1r > a0r THEN a1r - 2 * pi() ELSE a1r END) "
+        "ELSE (CASE WHEN a1r < a0r THEN a1r + 2 * pi() ELSE a1r END) END AS a1x FROM a), "
+        "ab AS (SELECT *, CASE WHEN det < 0 THEN (CASE WHEN a2r > a1x THEN a2r - 2 * pi() ELSE a2r END) "
+        "ELSE (CASE WHEN a2r < a1x THEN a2r + 2 * pi() ELSE a2r END) END AS a2x FROM aa), "
+        "st AS (SELECT *, GREATEST(4, CAST(floor(abs((a2x - a0r) / (pi() * 4.0 / 180.0)) + 0.5) AS INT)) AS nsteps FROM ab), "
+        "v AS (SELECT cid, cx + r * cos(a0r + i * (a2x - a0r) / nsteps) AS vx, "
+        "cy + r * sin(a0r + i * (a2x - a0r) / nsteps) AS vy "
+        "FROM st, (SELECT unnest(generate_series(1, 200)) AS i) iz WHERE i <= nsteps - 1), "
+        "pts AS (SELECT cid, x0 AS vx, y0 AS vy FROM c "
+        "UNION ALL SELECT cid, x2, y2 FROM c "
+        "UNION ALL SELECT cid, x1, y1 FROM d WHERE abs(det) < 1e-8 "
+        "UNION ALL SELECT cid, vx, vy FROM v) "
+        "SELECT CAST(cid AS BIGINT) AS cid, ROUND(MIN(vx), 9) AS minx, ROUND(MIN(vy), 9) AS miny, "
+        "ROUND(MAX(vx), 9) AS maxx, ROUND(MAX(vy), 9) AS maxy FROM pts GROUP BY cid"
+    )
+
+
+QUERIES["curve_envelopes"] = q_curve_envelopes
+ORACLES["curve_envelopes"] = _o_curve_envelopes()
+
+
+# (gid, kind, rings/lines as coordinate lists) — shared constants from
+# which BOTH the Spark WKT input and the SQL oracle edge tables derive
+_GEOD_FIXTURE = [
+    (1, "line", [[(0.0, 0.0), (1.0, 0.0)]]),  # equator arc (closed form a*dlon)
+    (2, "line", [[(7.0, 0.0), (7.0, 45.0)]]),  # meridian arc
+    (3, "line", [[(10.0, 45.0), (11.0, 46.0), (12.0, 45.5)]]),
+    (4, "poly", [[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]]),
+    (5, "poly", [
+        [(12.0, 40.0), (14.0, 40.0), (14.0, 42.0), (12.0, 42.0), (12.0, 40.0)],
+        [(12.5, 40.5), (13.0, 40.5), (13.0, 41.0), (12.5, 41.0), (12.5, 40.5)],
+    ]),
+    (6, "line", [[(-30.0, -10.0), (-28.0, -12.0)]]),
+]
+
+
+def _geod_wkt(kind, parts):
+    if kind == "line":
+        return "LINESTRING (" + ",".join(f"{x} {y}" for x, y in parts[0]) + ")"
+    rings = ",".join("(" + ",".join(f"{x} {y}" for x, y in r) + ")" for r in parts)
+    return f"POLYGON ({rings})"
+
+
+def q_geodesic_metrics(spark, sf_dir):
+    """ST_Length/ST_Area(use_ellipsoid=1)
+    (ogrsqlitesqlfunctions.cpp:636,681): WGS84 geodesic length
+    (Vincenty fixed-20-iteration inverse) and area (authalic-sphere
+    per-edge excess), geom/geodesic.py. The oracle replays the full
+    iteration chain and the authalic q-function in SQL; rounding (mm /
+    1e-3 km^2) absorbs libm ulp differences."""
+    from gdal_spark.operators.st_funcs import st_geodesic_area, st_geodesic_length
+
+    rows = [(gid, _geod_wkt(kind, parts)) for gid, kind, parts in _GEOD_FIXTURE]
+    df = spark.createDataFrame(rows, "gid int, wkt string")
+    return df.select(
+        F.col("gid").cast("bigint").alias("gid"),
+        F.round(st_geodesic_length(F.col("wkt")), 3).alias("len_m"),
+        F.round(st_geodesic_area(F.col("wkt")) / 1e6, 3).alias("area_km2"),
+    )
+
+
+def _o_geodesic_metrics() -> str:
+    from gdal_spark.geom.geodesic import _QP, AUTHALIC_RADIUS, WGS84_A, WGS84_B, WGS84_F, _E, _E2
+
+    f = repr(WGS84_F)
+    b = repr(WGS84_B)
+    up2 = repr((WGS84_A**2 - WGS84_B**2) / WGS84_B**2)
+    e1 = repr(_E)
+    e2 = repr(_E2)
+    qp = repr(_QP)
+    rq2 = repr(AUTHALIC_RADIUS**2)
+
+    # all consecutive vertex pairs (rings arrive closed in the fixture)
+    edges = []
+    for gid, kind, parts in _GEOD_FIXTURE:
+        for ridx, part in enumerate(parts):
+            for (x1, y1), (x2, y2) in zip(part[:-1], part[1:]):
+                edges.append(f"({gid}, {ridx}, {x1}, {y1}, {x2}, {y2})")
+    edge_vals = ", ".join(edges)
+    poly_ids = ", ".join(str(g) for g, k, _ in _GEOD_FIXTURE if k == "poly")
+
+    # one Vincenty lambda-update: intermediates from the incoming lam,
+    # then the update — numpy runs 20 compute rounds, the last reusing
+    # lam after 19 updates, so the chain has 19 update steps
+    def step(prev: str, name: str) -> str:
+        return (
+            f"{name} AS (SELECT gid, ring, eid, big_l, su1, cu1, su2, cu2, "
+            f"big_l + (1 - cc) * {f} * sa * (sig + cc * ss * (c2m + cc * cs * (-1 + 2*c2m*c2m))) AS lam "
+            f"FROM (SELECT *, {f}/16 * ca2 * (4 + {f} * (4 - 3*ca2)) AS cc "
+            "FROM (SELECT *, CASE WHEN ca2 = 0 THEN 0 ELSE cs - 2*su1*su2/ca2 END AS c2m "
+            "FROM (SELECT *, 1 - sa*sa AS ca2 "
+            "FROM (SELECT *, CASE WHEN ss = 0 THEN 0 ELSE cu1*cu2*sin(lam)/ss END AS sa, atan2(ss, cs) AS sig "
+            "FROM (SELECT *, sqrt((cu2*sin(lam))*(cu2*sin(lam)) + (cu1*su2 - su1*cu2*cos(lam))*(cu1*su2 - su1*cu2*cos(lam))) AS ss, "
+            f"su1*su2 + cu1*cu2*cos(lam) AS cs FROM {prev}))))))"
+        )
+
+    chain = ["it0 AS (SELECT gid, ring, eid, big_l, su1, cu1, su2, cu2, big_l AS lam FROM seg)"]
+    for k in range(1, 20):
+        chain.append(step(f"it{k-1}", f"it{k}"))
+    steps_sql = ", ".join(chain)
+
+    # authalic latitude xi(lat): q(sin(radians(lat)))/qp clipped, asin
+    def xi(col: str) -> str:
+        s = f"sin(radians({col}))"
+        q = (
+            f"((1 - {e2}) * ({s}/(1 - {e2}*{s}*{s}) "
+            f"+ (1/(2*{e1})) * ln((1 + {e1}*{s})/(1 - {e1}*{s}))))"
+        )
+        return f"asin(LEAST(1.0, GREATEST(-1.0, {q}/{qp})))"
+
+    return (
+        f"WITH e(gid, ring, x1, y1, x2, y2) AS (VALUES {edge_vals}), "
+        "seg AS (SELECT gid, ring, ROW_NUMBER() OVER () AS eid, radians(x2 - x1) AS big_l, "
+        f"sin(atan((1 - {f}) * tan(radians(y1)))) AS su1, cos(atan((1 - {f}) * tan(radians(y1)))) AS cu1, "
+        f"sin(atan((1 - {f}) * tan(radians(y2)))) AS su2, cos(atan((1 - {f}) * tan(radians(y2)))) AS cu2 FROM e), "
+        f"{steps_sql}, "
+        "fin AS (SELECT gid, CASE WHEN ss = 0 THEN 0 ELSE "
+        f"{b} * (1 + usq/16384 * (4096 + usq * (-768 + usq * (320 - 175*usq)))) * (sig - "
+        f"(usq/1024 * (256 + usq * (-128 + usq * (74 - 47*usq)))) * ss * (c2m + (usq/1024 * (256 + usq * (-128 + usq * (74 - 47*usq))))/4 * "
+        f"(cs * (-1 + 2*c2m*c2m) - (usq/1024 * (256 + usq * (-128 + usq * (74 - 47*usq))))/6 * c2m * (-3 + 4*ss*ss) * (-3 + 4*c2m*c2m)))) END AS s "
+        f"FROM (SELECT *, ca2 * {up2} AS usq "
+        "FROM (SELECT *, CASE WHEN ca2 = 0 THEN 0 ELSE cs - 2*su1*su2/ca2 END AS c2m "
+        "FROM (SELECT *, 1 - sa*sa AS ca2 "
+        "FROM (SELECT *, CASE WHEN ss = 0 THEN 0 ELSE cu1*cu2*sin(lam)/ss END AS sa, atan2(ss, cs) AS sig "
+        "FROM (SELECT *, sqrt((cu2*sin(lam))*(cu2*sin(lam)) + (cu1*su2 - su1*cu2*cos(lam))*(cu1*su2 - su1*cu2*cos(lam))) AS ss, "
+        "su1*su2 + cu1*cu2*cos(lam) AS cs FROM it19)))))), "
+        "lens AS (SELECT gid, SUM(s) AS len_m FROM fin GROUP BY gid), "
+        "ar AS (SELECT gid, ring, "
+        f"-({rq2}) * SUM(2 * atan2(tan(dlam/2) * (t1 + t2), 1 + t1*t2)) AS ring_area "
+        "FROM (SELECT gid, ring, atan2(sin(radians(x2 - x1)), cos(radians(x2 - x1))) AS dlam, "
+        f"tan({xi('y1')}/2) AS t1, tan({xi('y2')}/2) AS t2 FROM e WHERE gid IN ({poly_ids})) "
+        "GROUP BY gid, ring), "
+        "areas AS (SELECT gid, SUM(CASE WHEN ring = 0 THEN abs(ring_area) ELSE -abs(ring_area) END) AS area FROM ar GROUP BY gid) "
+        "SELECT CAST(l.gid AS BIGINT) AS gid, ROUND(l.len_m, 3) AS len_m, "
+        "ROUND(COALESCE(a.area, 0.0)/1e6, 3) AS area_km2 "
+        "FROM lens l LEFT JOIN areas a ON a.gid = l.gid"
+    )
+
+
+QUERIES["geodesic_metrics"] = q_geodesic_metrics
+ORACLES["geodesic_metrics"] = _o_geodesic_metrics()
+
+
 def q_pansharpen(spark, sf_dir):
     """Weighted-Brovey pansharpen end-to-end (gdalpansharpen.cpp:521):
     both spectral bands = the 2x-nearest-downsampled byte20, pan =
