@@ -86,6 +86,35 @@ def lsh_pairs(
     (a, b, jaccard) with a < b, one row per pair (distinct across
     bands). Deterministic end to end.
     """
+    cand = lsh_candidates(sigs, id_col, sig_col, bands, rows_per_band)
+    # shingles re-join by id AFTER candidate generation: the band-hash
+    # shuffle carries only (band, bh, id) — at 10^12 docs the shingle
+    # arrays (~document-sized) would otherwise ride through the
+    # heaviest exchange twice (round-2 verdict shuffle-diet item)
+    sh = sigs.select(F.col(id_col).alias("_sid_"), F.col(shingle_col).alias("_ssh_"))
+    cand = (
+        cand.join(sh.select(F.col("_sid_").alias("a"), F.col("_ssh_").alias("sa")), "a")
+        .join(sh.select(F.col("_sid_").alias("b"), F.col("_ssh_").alias("sb")), "b")
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Banding candidate pairs (a, b) with a < b — ids only. The
+    shingle payload deliberately never enters this subplan (see
+    lsh_pairs); tests assert the property on the plan."""
     band_arr = F.array(
         *[
             F.md5(
@@ -94,25 +123,14 @@ def lsh_pairs(
             for b in range(bands)
         ]
     )
-    e = sigs.select(
-        F.col(id_col).alias("_id_"),
-        F.col(shingle_col).alias("_sh_"),
-        F.posexplode(band_arr).alias("band", "bh"),
-    )
-    left = e.select(F.col("band"), F.col("bh"), F.col("_id_").alias("a"), F.col("_sh_").alias("sa"))
-    right = e.select(F.col("band"), F.col("bh"), F.col("_id_").alias("b"), F.col("_sh_").alias("sb"))
-    cand = (
+    e = sigs.select(F.col(id_col).alias("_id_"), F.posexplode(band_arr).alias("band", "bh"))
+    left = e.select(F.col("band"), F.col("bh"), F.col("_id_").alias("a"))
+    right = e.select(F.col("band"), F.col("bh"), F.col("_id_").alias("b"))
+    return (
         left.join(right, ["band", "bh"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sa", "sb")
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
-    )
-    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
-    union = F.size(F.array_union("sa", "sb")).cast("double")
-    return (
-        cand.withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
     )
 
 

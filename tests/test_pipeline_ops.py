@@ -51,6 +51,30 @@ class TestDedup:
         pairs = lsh_pairs(with_minhash(df), id_col="doc_id", threshold=0.9).collect()
         assert len(pairs) == 1 and pairs[0].jaccard == 1.0
 
+    def test_lsh_band_join_carries_ids_only(self, spark):
+        """Shuffle-diet property (round-2 verdict): the band-hash
+        self-join subplan must never reference the shingle arrays —
+        they re-join by id after candidate dedup."""
+        from gdal_spark.dedup import lsh_candidates
+
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        df = _docs(spark, [base, base + " ok", "unrelated words entirely here"])
+        sigs = with_minhash(df, text_col="text")
+        # materialize so the signature derivation doesn't appear in the
+        # plan; candidate generation must then prune _shingles entirely
+        mat = spark.createDataFrame(sigs.collect(), sigs.schema)
+        cand = lsh_candidates(mat, id_col="doc_id")
+        assert cand.columns == ["a", "b"]
+        plan = cand._jdf.queryExecution().optimizedPlan().toString()
+        # the source relation line lists the full schema; every Project
+        # (what actually flows into the join) must have pruned the
+        # shingle payload
+        project_lines = [ln for ln in plan.splitlines() if "Project" in ln]
+        assert project_lines and all("_shingles" not in ln for ln in project_lines)
+        # and the full pipeline still verifies with exact jaccard
+        pairs = lsh_pairs(sigs, id_col="doc_id", threshold=0.5).collect()
+        assert [(r.a, r.b) for r in pairs] == [(0, 1)]
+
     def test_simhash_near_docs_close(self, spark):
         base = " ".join(f"tok{i}" for i in range(40))
         near = " ".join(f"tok{i}" for i in range(39))
