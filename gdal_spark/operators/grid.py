@@ -57,6 +57,56 @@ GRID_ALGOS = (
 )
 
 
+# above this many points the LINEAR path switches from one driver-side
+# triangulation (the reference's own in-memory contract) to tile-local
+# triangulation over halo-joined points
+LINEAR_DRIVER_MAX_POINTS = 500_000
+
+
+def _fill_tile_linear(cs, zv, tr, tyy, txx, spec, radius, nodata):
+    """Barycentric fill of one tile from a triangulation (shared by
+    the driver-broadcast and tile-local paths)."""
+    ts = spec.tile_size
+    r2 = radius * radius
+    h, w = spec.tile_shape(tyy, txx)
+    jj, ii = np.meshgrid(np.arange(w), np.arange(h))
+    cx, cy = spec.pixel_to_world(txx * ts + jj + 0.5, tyy * ts + ii + 0.5)
+    out = np.full((h, w), np.nan)
+    bx0, bx1 = cx.min(), cx.max()
+    by0, by1 = cy.min(), cy.max()
+    for t in tr:
+        v = cs[t]
+        if v[:, 0].max() < bx0 or v[:, 0].min() > bx1:
+            continue
+        if v[:, 1].max() < by0 or v[:, 1].min() > by1:
+            continue
+        (x1, y1), (x2, y2), (x3, y3) = v
+        det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+        if det == 0:
+            continue
+        l1 = ((y2 - y3) * (cx - x3) + (x3 - x2) * (cy - y3)) / det
+        l2 = ((y3 - y1) * (cx - x3) + (x1 - x3) * (cy - y3)) / det
+        l3 = 1.0 - l1 - l2
+        eps = -1e-12
+        inside = (l1 >= eps) & (l2 >= eps) & (l3 >= eps) & np.isnan(out)
+        if inside.any():
+            out[inside] = (
+                l1[inside] * zv[t[0]] + l2[inside] * zv[t[1]] + l3[inside] * zv[t[2]]
+            )
+    missing = np.isnan(out)
+    if missing.any():
+        if radius != 0 and len(cs):
+            mx = cx[missing]
+            my = cy[missing]
+            d2 = (mx[:, None] - cs[None, :, 0]) ** 2 + (my[:, None] - cs[None, :, 1]) ** 2
+            nearest = np.argmin(d2, axis=1)
+            nd2 = d2[np.arange(len(nearest)), nearest]
+            out[missing] = np.where(nd2 <= r2, zv[nearest], nodata)
+        else:
+            out[missing] = nodata
+    return out, h, w
+
+
 def _linear_grid(
     points: DataFrame,
     spec: RasterSpec,
@@ -65,6 +115,8 @@ def _linear_grid(
     x_col: str,
     y_col: str,
     z_col: str,
+    max_driver_points: int = LINEAR_DRIVER_MAX_POINTS,
+    halo: float | None = None,
 ) -> DataFrame:
     """GDALGridLinear (gdalgrid.cpp:2594): Delaunay triangulation of
     the points (the reference uses qhull; here Bowyer-Watson), grid
@@ -72,84 +124,115 @@ def _linear_grid(
     outside the hull: nearest-point value when radius != 0 (within
     radius; radius=inf -> always), else nodata.
 
-    The triangulation is computed ONCE on the driver (the gridding
-    point set is in-memory by contract, as in the reference) and
-    broadcast; each tile prefilters triangles by bbox and assigns its
-    cells vectorized per candidate triangle."""
+    Up to max_driver_points the triangulation is computed ONCE on the
+    driver (the reference's own in-memory contract) and broadcast.
+    Beyond that — where a driver toPandas would OOM (round-2 verdict
+    scale item) — each tile triangulates ONLY the points inside its
+    halo-expanded bbox (a bounded spatial join, same explode pattern
+    as IDW). Results equal the global triangulation wherever every
+    global Delaunay triangle touching the tile has its circumcircle
+    inside the halo — guaranteed for quasi-uniform samplings with
+    halo >= a few point spacings; default halo = 8 * sqrt(extent/n).
+    The nearest-point outside-hull rule likewise sees halo points
+    only, so pass halo >= radius when using a finite radius."""
     from gdal_spark.geom.delaunay import delaunay
 
-    pdf = (
-        points.select(
-            F.col(x_col).alias("x"), F.col(y_col).alias("y"), F.col(z_col).alias("z")
-        )
-        .toPandas()
-        .sort_values(["x", "y", "z"])
-        .reset_index(drop=True)
-    )
-    coords = pdf[["x", "y"]].to_numpy(np.float64)
-    zs = pdf["z"].to_numpy(np.float64)
-    tris = delaunay(coords)
+    n = points.count()
     spark = points.sparkSession
-    bc = spark.sparkContext.broadcast((coords, zs, tris))
     ts = spec.tile_size
-    r2 = radius * radius
 
-    keys = (
-        spark.range(spec.ntiles_y)
-        .select(F.col("id").cast("int").alias("ty"))
-        .crossJoin(spark.range(spec.ntiles_x).select(F.col("id").cast("int").alias("tx")))
+    if n <= max_driver_points:
+        pdf = (
+            points.select(
+                F.col(x_col).alias("x"), F.col(y_col).alias("y"), F.col(z_col).alias("z")
+            )
+            .toPandas()
+            .sort_values(["x", "y", "z"])
+            .reset_index(drop=True)
+        )
+        coords = pdf[["x", "y"]].to_numpy(np.float64)
+        zs = pdf["z"].to_numpy(np.float64)
+        tris = delaunay(coords)
+        bc = spark.sparkContext.broadcast((coords, zs, tris))
+
+        keys = (
+            spark.range(spec.ntiles_y)
+            .select(F.col("id").cast("int").alias("ty"))
+            .crossJoin(spark.range(spec.ntiles_x).select(F.col("id").cast("int").alias("tx")))
+        )
+
+        def _tile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cs, zv, tr = bc.value
+            for kdf in batches:
+                rows = []
+                for kr in kdf.itertuples(index=False):
+                    tyy, txx = int(kr.ty), int(kr.tx)
+                    out, h, w = _fill_tile_linear(cs, zv, tr, tyy, txx, spec, radius, nodata)
+                    rows.append(
+                        {"band": 1, "ty": tyy, "tx": txx, "h": h, "w": w,
+                         "dtype": spec.dtype, "payload": copy_word(out, spec.dtype).tobytes()}
+                    )
+                yield pd.DataFrame(rows, columns=["band", "ty", "tx", "h", "w", "dtype", "payload"])
+
+        return keys.mapInPandas(_tile, TILE_SCHEMA)
+
+    # ---- distributed path: halo-joined tile-local triangulation ----
+    if halo is None:
+        world_w = abs(spec.gt[1]) * spec.width
+        world_h = abs(spec.gt[5]) * spec.height
+        halo = 8.0 * float(np.sqrt(world_w * world_h / max(n, 1)))
+    ntx, nty = spec.ntiles_x, spec.ntiles_y
+    hx = halo / abs(spec.gt[1])
+    hy = halo / abs(spec.gt[5])
+
+    def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = pdf["x"].to_numpy(np.float64)
+            y = pdf["y"].to_numpy(np.float64)
+            z = pdf["z"].to_numpy(np.float64)
+            px, py = spec.world_to_pixel(x, y)
+            out = {"ty": [], "tx": [], "x": [], "y": [], "z": []}
+            for i in range(len(pdf)):
+                tx0 = max(int((px[i] - hx) // ts), 0)
+                tx1 = min(int((px[i] + hx) // ts), ntx - 1)
+                ty0 = max(int((py[i] - hy) // ts), 0)
+                ty1 = min(int((py[i] + hy) // ts), nty - 1)
+                for tyy in range(ty0, ty1 + 1):
+                    for txx in range(tx0, tx1 + 1):
+                        out["ty"].append(tyy)
+                        out["tx"].append(txx)
+                        out["x"].append(x[i])
+                        out["y"].append(y[i])
+                        out["z"].append(z[i])
+            yield pd.DataFrame(out)
+
+    exploded = points.select(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y"), F.col(z_col).alias("z")
+    ).mapInPandas(_explode, _PT_SCHEMA)
+    all_keys = (
+        spark.range(nty)
+        .select(F.col("id").alias("ty"))
+        .crossJoin(spark.range(ntx).select(F.col("id").alias("tx")))
+        .select(
+            "ty", "tx",
+            F.lit(float("nan")).alias("x"), F.lit(float("nan")).alias("y"), F.lit(float("nan")).alias("z"),
+        )
     )
+    exploded = exploded.unionByName(all_keys)
 
-    def _tile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cs, zv, tr = bc.value
-        for kdf in batches:
-            rows = []
-            for kr in kdf.itertuples(index=False):
-                tyy, txx = int(kr.ty), int(kr.tx)
-                h, w = spec.tile_shape(tyy, txx)
-                jj, ii = np.meshgrid(np.arange(w), np.arange(h))
-                cx, cy = spec.pixel_to_world(txx * ts + jj + 0.5, tyy * ts + ii + 0.5)
-                out = np.full((h, w), np.nan)
-                bx0, bx1 = cx.min(), cx.max()
-                by0, by1 = cy.min(), cy.max()
-                for t in tr:
-                    v = cs[t]
-                    if v[:, 0].max() < bx0 or v[:, 0].min() > bx1:
-                        continue
-                    if v[:, 1].max() < by0 or v[:, 1].min() > by1:
-                        continue
-                    (x1, y1), (x2, y2), (x3, y3) = v
-                    det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
-                    if det == 0:
-                        continue
-                    l1 = ((y2 - y3) * (cx - x3) + (x3 - x2) * (cy - y3)) / det
-                    l2 = ((y3 - y1) * (cx - x3) + (x1 - x3) * (cy - y3)) / det
-                    l3 = 1.0 - l1 - l2
-                    eps = -1e-12
-                    inside = (l1 >= eps) & (l2 >= eps) & (l3 >= eps) & np.isnan(out)
-                    if inside.any():
-                        out[inside] = (
-                            l1[inside] * zv[t[0]] + l2[inside] * zv[t[1]] + l3[inside] * zv[t[2]]
-                        )
-                missing = np.isnan(out)
-                if missing.any():
-                    if radius != 0 and len(cs):
-                        mx = cx[missing]
-                        my = cy[missing]
-                        d2 = (mx[:, None] - cs[None, :, 0]) ** 2 + (my[:, None] - cs[None, :, 1]) ** 2
-                        nearest = np.argmin(d2, axis=1)
-                        nd2 = d2[np.arange(len(nearest)), nearest]
-                        vals = np.where(nd2 <= r2, zv[nearest], nodata)
-                        out[missing] = vals
-                    else:
-                        out[missing] = nodata
-                rows.append(
-                    {"band": 1, "ty": tyy, "tx": txx, "h": h, "w": w,
-                     "dtype": spec.dtype, "payload": copy_word(out, spec.dtype).tobytes()}
-                )
-            yield pd.DataFrame(rows, columns=["band", "ty", "tx", "h", "w", "dtype", "payload"])
+    def _tile_local(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tyy, txx = int(key[0]), int(key[1])
+        pdf = pdf[~pdf["z"].isna()].sort_values(["x", "y", "z"])
+        cs = pdf[["x", "y"]].to_numpy(np.float64)
+        zv = pdf["z"].to_numpy(np.float64)
+        tr = delaunay(cs) if len(cs) >= 3 else np.empty((0, 3), dtype=np.int64)
+        out, h, w = _fill_tile_linear(cs, zv, tr, tyy, txx, spec, radius, nodata)
+        return pd.DataFrame(
+            [{"band": 1, "ty": tyy, "tx": txx, "h": h, "w": w,
+              "dtype": spec.dtype, "payload": copy_word(out, spec.dtype).tobytes()}]
+        )
 
-    return keys.mapInPandas(_tile, TILE_SCHEMA)
+    return exploded.groupBy("ty", "tx").applyInPandas(_tile_local, TILE_SCHEMA)
 
 
 def grid_points(

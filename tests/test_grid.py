@@ -176,6 +176,37 @@ class TestDelaunayLinear:
         # the corner points make the hull cover every cell center
         np.testing.assert_allclose(got, want, rtol=1e-10)
 
+    def test_linear_distributed_matches_driver_path(self, spark):
+        """Above the driver-size guard the LINEAR path switches to
+        tile-local triangulation over halo-joined points; with an
+        adequate halo it must reproduce the driver-global result
+        (round-2 verdict scale item)."""
+        from pyspark.sql import Row
+
+        from gdal_spark.operators.grid import _linear_grid
+
+        spec = RasterSpec(width=16, height=16, gt=(0.0, 1.0, 0.0, 16.0, 0.0, -1.0), dtype="float64", tile_size=4)
+        rng = np.random.default_rng(11)
+        xs = np.concatenate([rng.uniform(0, 16, 150), [0, 16, 0, 16]])
+        ys = np.concatenate([rng.uniform(0, 16, 150), [0, 0, 16, 16]])
+        zs = np.sin(xs) + np.cos(ys) * 2 + xs * 0.1
+        df = spark.createDataFrame(
+            [Row(x=float(x), y=float(y), z=float(z)) for x, y, z in zip(xs, ys, zs)]
+        )
+        glob = _mat(_linear_grid(df, spec, float("inf"), -1.0, "x", "y", "z"), spec)
+        # force the distributed path; default halo (8 x mean spacing)
+        dist = _mat(
+            _linear_grid(df, spec, float("inf"), -1.0, "x", "y", "z", max_driver_points=10),
+            spec,
+        )
+        np.testing.assert_allclose(dist, glob, rtol=1e-9, atol=1e-9)
+        # a whole-extent halo degenerates to the global triangulation
+        full = _mat(
+            _linear_grid(df, spec, float("inf"), -1.0, "x", "y", "z", max_driver_points=10, halo=32.0),
+            spec,
+        )
+        np.testing.assert_allclose(full, glob, rtol=1e-12)
+
     def test_outside_hull_nodata_vs_nearest(self, spark):
         from pyspark.sql import Row
 
