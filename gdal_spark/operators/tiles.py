@@ -495,6 +495,88 @@ def _dst_pixel_src_coords(
     return sx.reshape(X.shape), sy.reshape(X.shape)
 
 
+def approx_scanline_coords(
+    tms: WebMercatorQuad,
+    z: int,
+    tx: int,
+    ty: int,
+    pipeline: Pipeline,
+    src_spec: RasterSpec,
+    max_error: float,
+    offset: float = 0.5,
+):
+    """Error-bounded approximation of the dst-pixel -> src-pixel
+    transform (GDALCreateApproxTransformer, gdaltransformer.cpp:3979;
+    GDALApproxTransform:4384 / ...Internal:4114): per dst scanline,
+    transform Start/Middle/End exactly; if the linear interpolation at
+    the middle is within max_error (Manhattan, src-pixel units) use the
+    endpoint slope for every point of the scanline (including the
+    middle — the reference overwrites it too), else subdivide. All
+    rows' SME triples go through ONE vectorized base call; only
+    rejected rows recurse. Structural deviation from the reference's
+    subdivision: halves split at the (exactly known) middle point —
+    one new exact point per level instead of the reference's three —
+    with the identical per-segment error rule.
+
+    Returns (sx, sy) src pixel coords, same contract as
+    _dst_pixel_src_coords. Opt-in: warp callers default to the exact
+    path (max_error 0) to keep nearest assignments bit-identical."""
+    ts = tms.tile_size
+    res = tms.resolution(z)
+    ox, oy = tms.tile_origin(z, tx, ty)
+    xs = ox + (np.arange(ts) + offset) * res
+    ys = oy - (np.arange(ts) + offset) * res
+    h = w = ts
+
+    def base(X, Y):
+        wx, wy = pipeline.inverse(np.asarray(X, dtype=np.float64), np.asarray(Y, dtype=np.float64))
+        return src_spec.world_to_pixel(wx, wy)
+
+    out_sx = np.empty((h, w))
+    out_sy = np.empty((h, w))
+    mid = (w - 1) // 2
+    sme_cols = np.array([0, mid, w - 1])
+    bx, by = base(np.tile(xs[sme_cols], h), np.repeat(ys, 3))
+    bx = bx.reshape(h, 3)
+    by = by.reshape(h, 3)
+    span = xs[-1] - xs[0]
+    dX = (bx[:, 2] - bx[:, 0]) / span
+    dY = (by[:, 2] - by[:, 0]) / span
+    xm = xs[mid] - xs[0]
+    err = np.abs(bx[:, 0] + dX * xm - bx[:, 1]) + np.abs(by[:, 0] + dY * xm - by[:, 1])
+    ok = err <= max_error
+    if ok.any():
+        dist = (xs - xs[0])[None, :]
+        out_sx[ok] = bx[ok, 0:1] + dX[ok, None] * dist
+        out_sy[ok] = by[ok, 0:1] + dY[ok, None] * dist
+
+    def segment(row, i0, i1, t0, t1):
+        n = i1 - i0 + 1
+        if n <= 5:
+            ex, ey = base(xs[i0 : i1 + 1], np.full(n, ys[row]))
+            out_sx[row, i0 : i1 + 1] = ex
+            out_sy[row, i0 : i1 + 1] = ey
+            return
+        m = i0 + (n - 1) // 2
+        tmx, tmy = base(xs[m : m + 1], ys[row : row + 1])
+        ddx = (t1[0] - t0[0]) / (xs[i1] - xs[i0])
+        ddy = (t1[1] - t0[1]) / (xs[i1] - xs[i0])
+        e = abs(t0[0] + ddx * (xs[m] - xs[i0]) - tmx[0]) + abs(
+            t0[1] + ddy * (xs[m] - xs[i0]) - tmy[0]
+        )
+        if e <= max_error:
+            d = xs[i0 : i1 + 1] - xs[i0]
+            out_sx[row, i0 : i1 + 1] = t0[0] + ddx * d
+            out_sy[row, i0 : i1 + 1] = t0[1] + ddy * d
+            return
+        segment(row, i0, m, t0, (tmx[0], tmy[0]))
+        segment(row, m, i1, (tmx[0], tmy[0]), t1)
+
+    for row in np.flatnonzero(~ok):
+        segment(row, 0, w - 1, (bx[row, 0], by[row, 0]), (bx[row, 2], by[row, 2]))
+    return out_sx, out_sy
+
+
 def raster_tile(
     src_tiles: DataFrame,
     src_spec: RasterSpec,
@@ -508,6 +590,7 @@ def raster_tile(
     cutline=None,
     cutline_blend_dist: float = 0.0,
     cutline_all_touched: bool = False,
+    approx_error: float = 0.0,
 ) -> DataFrame:
     """gdal raster tile: src tile table -> (z, tx, ty, band, payload)
     rows for zooms [min_zoom, max_zoom], plus an alpha band
@@ -528,6 +611,13 @@ def raster_tile(
     reference's rasterized mask; fractional densities with non-nearest
     kernels use density multiplication rather than the reference's
     per-sample weight renormalization (documented deviation).
+
+    approx_error: 0 (default) = exact per-pixel inverse transform
+    (nearest assignments bit-identical to the reference). > 0 enables
+    the error-bounded scanline approximator (approx_scanline_coords;
+    the reference's gdalwarp default is 0.125 px) for point-kernel
+    resamplings — the big constant-factor win at scale where the
+    inverse projection is the warp hot loop.
     """
     tms = tms or WebMercatorQuad()
     spark = src_tiles.sparkSession
@@ -633,7 +723,10 @@ def raster_tile(
 
     def _warp(key, pdf: pd.DataFrame) -> pd.DataFrame:
         z, txx, tyy = int(key[0]), int(key[1]), int(key[2])
-        sx, sy = _dst_pixel_src_coords(tms, z, txx, tyy, src_pipeline, src_spec)
+        if approx_error > 0.0:
+            sx, sy = approx_scanline_coords(tms, z, txx, tyy, src_pipeline, src_spec, approx_error)
+        else:
+            sx, sy = _dst_pixel_src_coords(tms, z, txx, tyy, src_pipeline, src_spec)
         # assemble the needed source window from the joined src tiles
         ty0 = int(pdf["sty"].min())
         tx0 = int(pdf["stx"].min())
