@@ -550,13 +550,24 @@ def spatial_join_cells(
             pdf = pdf.reset_index(drop=True)
             dbatch = parse_wkt(pdf["_dwkt"])
             keep = np.zeros(len(pdf), dtype=bool)
-            # group by zone: build each zone's edge table once, then
-            # run the vectorized point path / per-geometry verify
+            is_pt = (dbatch.types == GeomType.POINT) & ~dbatch.is_empty
+            # group by zone: build each zone's edge table once; the
+            # point-geometry majority goes through ONE vectorized ray
+            # cast per zone (same path as the broadcast join,
+            # probe_points), only non-point rows verify pairwise
             for _zfid, grp in pdf.groupby("_zfid", sort=False):
                 zbatch = parse_wkt(grp["_zwkt"].iloc[:1])
                 rings = zbatch.polygon_rings(0)
                 edges = rings_to_edges(rings)
-                for i in grp.index:
+                idx = grp.index.to_numpy()
+                pts = idx[is_pt[idx]]
+                if pts.size:
+                    first_ring = dbatch.part_ring_off[dbatch.geom_part_off[pts]]
+                    cidx = dbatch.ring_coord_off[first_ring]
+                    keep[pts] = points_in_edges(
+                        dbatch.coords[cidx, 0], dbatch.coords[cidx, 1], edges
+                    )
+                for i in idx[~is_pt[idx]]:
                     gtype, parts = dbatch.geometry(int(i))
                     keep[int(i)] = geometry_intersects_rings(GeomType(gtype), parts, rings, edges)
             res = pdf.loc[keep]
