@@ -1264,6 +1264,96 @@ QUERIES["geodesic_metrics"] = q_geodesic_metrics
 ORACLES["geodesic_metrics"] = _o_geodesic_metrics()
 
 
+def _rgb20_tiles(spark):
+    """3-band RGB derived from byte20: r = v, g = 255-v, b = 3v mod 256."""
+    import pandas as pd
+
+    from gdal_spark.fixtures import BYTE20, BYTE20_SPEC
+
+    r = BYTE20.astype("uint8")
+    g = (255 - BYTE20).astype("uint8")
+    b = ((BYTE20.astype("int64") * 3) % 256).astype("uint8")
+    ts = BYTE20_SPEC.tile_size
+    rows = []
+    for band, a in ((1, r), (2, g), (3, b)):
+        for ty in range(BYTE20_SPEC.ntiles_y):
+            for tx in range(BYTE20_SPEC.ntiles_x):
+                t = a[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts]
+                rows.append(
+                    {"band": band, "ty": ty, "tx": tx, "h": t.shape[0], "w": t.shape[1],
+                     "dtype": "uint8", "payload": t.tobytes()}
+                )
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def q_mediancut_hist(spark, sf_dir):
+    """Median-cut color histogram (alg/gdalmediancut.cpp:501-523): the
+    5-bit-per-channel color counts of the derived RGB — the
+    distributed half of GDALComputeMedianCutPCT, a pure Catalyst
+    groupBy. Oracle: the same >>3 quantization + GROUP BY in SQL."""
+    from gdal_spark.operators.dither import color_histogram
+
+    h = color_histogram(_rgb20_tiles(spark), bits=5)
+    return h.select(
+        F.col("r").cast("bigint").alias("r"),
+        F.col("g").cast("bigint").alias("g"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
+def _o_mediancut_hist() -> str:
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)) "
+        "SELECT CAST(v >> 3 AS BIGINT) AS r, CAST((255 - v) >> 3 AS BIGINT) AS g, "
+        "CAST(((v * 3) % 256) >> 3 AS BIGINT) AS b, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM pixels GROUP BY 1, 2, 3"
+    )
+
+
+QUERIES["mediancut_hist"] = q_mediancut_hist
+ORACLES["mediancut_hist"] = _o_mediancut_hist()
+
+
+def q_dither_indices(spark, sf_dir):
+    """RGB->PCT end to end on the exact-colors path
+    (gdalmediancut.cpp:547: <= nColors distinct colors at bits=8 ->
+    the palette IS the distinct color set, sorted here) followed by
+    GDALDitherRGB2PCT error diffusion (gdaldither.cpp) — with every
+    color in the palette all errors are zero, so each pixel's index is
+    the rank of its color among the sorted distinct triples, which the
+    oracle reproduces with DENSE_RANK."""
+    from gdal_spark.fixtures import BYTE20_SPEC
+    from gdal_spark.operators.dither import compute_median_cut_pct, dither_tiles
+    from gdal_spark.operators.raster import as_features
+
+    tiles = _rgb20_tiles(spark)
+    pal = compute_median_cut_pct(tiles, 256, bits=8)
+    out = dither_tiles(tiles, BYTE20_SPEC, pal)
+    pix = as_features(out, BYTE20_SPEC)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("value").cast("bigint").alias("idx"),
+    )
+
+
+def _o_dither_indices() -> str:
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)), "
+        "cols AS (SELECT py, px, v AS r, 255 - v AS g, (v * 3) % 256 AS b FROM pixels), "
+        "pal AS (SELECT r, g, b, DENSE_RANK() OVER (ORDER BY r, g, b) - 1 AS idx "
+        "FROM (SELECT DISTINCT r, g, b FROM cols)) "
+        "SELECT CAST(c.py AS BIGINT) AS py, CAST(c.px AS BIGINT) AS px, "
+        "CAST(p.idx AS BIGINT) AS idx FROM cols c JOIN pal p "
+        "ON p.r = c.r AND p.g = c.g AND p.b = c.b"
+    )
+
+
+QUERIES["dither_indices"] = q_dither_indices
+ORACLES["dither_indices"] = _o_dither_indices()
+
+
 def q_pansharpen(spark, sf_dir):
     """Weighted-Brovey pansharpen end-to-end (gdalpansharpen.cpp:521):
     both spectral bands = the 2x-nearest-downsampled byte20, pan =
