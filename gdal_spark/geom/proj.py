@@ -266,6 +266,161 @@ class AlbersEqualArea:
         return np.degrees(lon), np.degrees(lat)
 
 
+@dataclass(frozen=True)
+class PolarStereographic:
+    """Polar Stereographic variant B (standard parallel), ellipsoidal
+    (Snyder PP 1395 eqs 21-33..21-34 forward; 7-9 inverse iteration).
+    north = True for the north-pole aspect (EPSG:3413-style),
+    False for the south (EPSG:3031)."""
+
+    ellipsoid: Ellipsoid
+    lat_ts_deg: float
+    lon0_deg: float
+    north: bool = True
+    false_easting: float = 0.0
+    false_northing: float = 0.0
+
+    def _t(self, lat):
+        e = np.sqrt(self.ellipsoid.e2)
+        s = np.sin(lat)
+        return np.tan(np.pi / 4 - lat / 2) / np.power((1 - e * s) / (1 + e * s), e / 2)
+
+    def _consts(self):
+        latc = np.radians(abs(self.lat_ts_deg))
+        e2 = self.ellipsoid.e2
+        mc = np.cos(latc) / np.sqrt(1 - e2 * np.sin(latc) ** 2)
+        tc = self._t(latc)
+        return mc, tc
+
+    def forward(self, lon_deg, lat_deg):
+        sign = 1.0 if self.north else -1.0
+        lon = sign * np.radians(np.asarray(lon_deg, dtype=np.float64))
+        lat = sign * np.radians(np.asarray(lat_deg, dtype=np.float64))
+        lon0 = sign * np.radians(self.lon0_deg)
+        mc, tc = self._consts()
+        rho = self.ellipsoid.a * mc * self._t(lat) / tc
+        x = rho * np.sin(lon - lon0)
+        y = -rho * np.cos(lon - lon0)
+        return sign * x + self.false_easting, sign * y + self.false_northing
+
+    def inverse(self, x, y):
+        sign = 1.0 if self.north else -1.0
+        x = sign * (np.asarray(x, dtype=np.float64) - self.false_easting)
+        y = sign * (np.asarray(y, dtype=np.float64) - self.false_northing)
+        mc, tc = self._consts()
+        e = np.sqrt(self.ellipsoid.e2)
+        rho = np.sqrt(x * x + y * y)
+        t = rho * tc / (self.ellipsoid.a * mc)
+        lat = np.pi / 2 - 2 * np.arctan(t)
+        for _ in range(8):  # Snyder eq 7-9
+            s = np.sin(lat)
+            lat = np.pi / 2 - 2 * np.arctan(t * np.power((1 - e * s) / (1 + e * s), e / 2))
+        lon = sign * np.radians(self.lon0_deg) + np.arctan2(x, -y)
+        lon_deg = np.degrees(sign * lon)
+        lon_deg = ((lon_deg + 180.0) % 360.0) - 180.0  # normalize
+        return lon_deg, np.degrees(sign * lat)
+
+
+@dataclass(frozen=True)
+class LambertAzimuthalEqualArea:
+    """Oblique Lambert Azimuthal Equal-Area, ellipsoidal (Snyder
+    PP 1395 eqs 24-19..24-21 forward, 24-16..24-18 + 3-16 inverse;
+    EPSG:3035 Europe)."""
+
+    ellipsoid: Ellipsoid
+    lat0_deg: float
+    lon0_deg: float
+    false_easting: float = 0.0
+    false_northing: float = 0.0
+
+    def _q(self, lat):
+        e2 = self.ellipsoid.e2
+        e = np.sqrt(e2)
+        s = np.sin(lat)
+        return (1 - e2) * (
+            s / (1 - e2 * s * s) - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+
+    def _consts(self):
+        lat0 = np.radians(self.lat0_deg)
+        e2 = self.ellipsoid.e2
+        qp = self._q(np.float64(np.pi / 2))
+        q1 = self._q(lat0)
+        beta1 = np.arcsin(np.clip(q1 / qp, -1, 1))
+        rq = self.ellipsoid.a * np.sqrt(qp / 2)
+        m1 = np.cos(lat0) / np.sqrt(1 - e2 * np.sin(lat0) ** 2)
+        d = self.ellipsoid.a * m1 / (rq * np.cos(beta1))
+        return qp, beta1, rq, d
+
+    def forward(self, lon_deg, lat_deg):
+        lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+        lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        qp, b1, rq, d = self._consts()
+        beta = np.arcsin(np.clip(self._q(lat) / qp, -1, 1))
+        dl = lon - np.radians(self.lon0_deg)
+        b = rq * np.sqrt(
+            2.0 / (1 + np.sin(b1) * np.sin(beta) + np.cos(b1) * np.cos(beta) * np.cos(dl))
+        )
+        x = b * d * np.cos(beta) * np.sin(dl)
+        y = (b / d) * (np.cos(b1) * np.sin(beta) - np.sin(b1) * np.cos(beta) * np.cos(dl))
+        return x + self.false_easting, y + self.false_northing
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.false_easting
+        y = np.asarray(y, dtype=np.float64) - self.false_northing
+        qp, b1, rq, d = self._consts()
+        e2 = self.ellipsoid.e2
+        e = np.sqrt(e2)
+        rho = np.sqrt((x / d) ** 2 + (d * y) ** 2)
+        ce = 2 * np.arcsin(np.clip(rho / (2 * rq), -1, 1))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            q = qp * (
+                np.cos(ce) * np.sin(b1)
+                + np.where(rho == 0, 0.0, d * y * np.sin(ce) * np.cos(b1) / np.where(rho == 0, 1, rho))
+            )
+        lat = np.arcsin(np.clip(q / 2, -1, 1))
+        for _ in range(10):  # Snyder eq 3-16
+            s = np.sin(lat)
+            lat = lat + ((1 - e2 * s * s) ** 2 / (2 * np.cos(lat))) * (
+                q / (1 - e2)
+                - s / (1 - e2 * s * s)
+                + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+            )
+        lon = np.radians(self.lon0_deg) + np.arctan2(
+            x * np.sin(ce), d * rho * np.cos(b1) * np.cos(ce) - d * d * y * np.sin(b1) * np.sin(ce)
+        )
+        lat = np.where(rho == 0, np.radians(self.lat0_deg), lat)
+        lon = np.where(rho == 0, np.radians(self.lon0_deg), lon)
+        return np.degrees(lon), np.degrees(lat)
+
+
+@dataclass(frozen=True)
+class Sinusoidal:
+    """Spherical sinusoidal (Snyder eqs 30-1, 30-2) on the authalic
+    radius — the MODIS grid convention (R = 6371007.181)."""
+
+    radius: float = 6371007.181
+    lon0_deg: float = 0.0
+    false_easting: float = 0.0
+    false_northing: float = 0.0
+
+    def forward(self, lon_deg, lat_deg):
+        lon = np.radians(np.asarray(lon_deg, dtype=np.float64) - self.lon0_deg)
+        lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        return (
+            self.radius * lon * np.cos(lat) + self.false_easting,
+            self.radius * lat + self.false_northing,
+        )
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.false_easting
+        y = np.asarray(y, dtype=np.float64) - self.false_northing
+        lat = y / self.radius
+        with np.errstate(invalid="ignore", divide="ignore"):
+            lon = np.where(np.cos(lat) == 0, 0.0, x / (self.radius * np.cos(lat)))
+        return np.degrees(lon) + self.lon0_deg, np.degrees(lat)
+
+
 def utm(zone: int, ellipsoid: Ellipsoid = WGS84) -> TransverseMercator:
     return TransverseMercator(ellipsoid=ellipsoid, lon0_deg=zone * 6 - 183)
 
@@ -285,6 +440,17 @@ EPSG_2154 = LambertConformalConic(
 EPSG_26711 = utm(11, CLARKE_1866)
 # EPSG:32611 = WGS84 / UTM zone 11N
 EPSG_32611 = utm(11, WGS84)
+# EPSG:3031 = WGS84 / Antarctic Polar Stereographic
+EPSG_3031 = PolarStereographic(ellipsoid=WGS84, lat_ts_deg=-71.0, lon0_deg=0.0, north=False)
+# EPSG:3413 = WGS84 / NSIDC Sea Ice Polar Stereographic North
+EPSG_3413 = PolarStereographic(ellipsoid=WGS84, lat_ts_deg=70.0, lon0_deg=-45.0, north=True)
+# EPSG:3035 = ETRS89-extended / LAEA Europe
+EPSG_3035 = LambertAzimuthalEqualArea(
+    ellipsoid=GRS80, lat0_deg=52.0, lon0_deg=10.0,
+    false_easting=4_321_000.0, false_northing=3_210_000.0,
+)
+# MODIS sinusoidal grid (SR-ORG:6974 style)
+MODIS_SINUSOIDAL = Sinusoidal()
 
 WEB_MERCATOR_RADIUS = 6378137.0
 WEB_MERCATOR_EXTENT = 20037508.342789244  # pi * R
