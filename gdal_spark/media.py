@@ -54,15 +54,22 @@ IMAGE_FEATURES_SCHEMA = StructType(
 
 def _decode_image_stub(payload: bytes) -> np.ndarray:
     """Deterministic fake decoder: (h, w, 3) uint8 derived from the
-    payload hash. A real build replaces this with PIL/turbojpeg —
-    NotImplementedError would be raised for unknown containers."""
+    payload hash — pixel bytes come from an md5 counter chain so a SQL
+    oracle can replay them byte for byte (the round-2 PCG64 pixels
+    made media_features rows-only). A real build replaces this with
+    PIL/turbojpeg — NotImplementedError would be raised for unknown
+    containers."""
     if not payload:
         raise NotImplementedError("empty payload: no codec available in this container")
-    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
+    hx = hashlib.md5(payload).hexdigest()
+    seed = int(hx[:16], 16)
     h = 16 + seed % 17
     w = 16 + (seed >> 8) % 17
-    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    n = h * w * 3
+    buf = b"".join(
+        hashlib.md5(f"{hx}:{j}".encode()).digest() for j in range((n + 15) // 16)
+    )
+    return np.frombuffer(buf[:n], dtype=np.uint8).reshape(h, w, 3)
 
 
 def _resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -741,13 +741,71 @@ def q_embed_ann_lsh(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing (rows-only: decode is a container stub)."""
+    """Full multimodal decode->feature pass, cross-engine verified:
+    the stub decoder's pixels are an md5 counter chain (media.py), so
+    the oracle replays the dimensions, the 0.299/0.587/0.114 mean
+    luma, and the 8x8 average-phash bit for bit in SQL."""
     from gdal_spark.media import extract_media_table, image_features
 
     d = docs(spark, sf_dir)
     feats = image_features(extract_media_table(d))
     return feats.select(
-        F.col("doc_id"), "media_ref", "width", "height", "channels", "mean_luma_x1000", "phash"
+        F.regexp_extract("doc_id", r"(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.col("media_ref"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("channels").cast("bigint").alias("channels"),
+        F.col("mean_luma_x1000"),
+        F.col("phash"),
+    )
+
+
+def _o_media_features() -> str:
+    def mod17(ndigits: int) -> str:
+        return (
+            "((((SELECT SUM((strpos('0123456789abcdef', substring(hx, i, 1)) - 1) * "
+            f"(CASE WHEN ({ndigits} - i) % 2 = 0 THEN 1 ELSE -1 END)) "
+            f"FROM generate_series(1, {ndigits}) AS t(i)) % 17) + 17) % 17)"
+        )
+
+    def byte_at(p: str) -> str:
+        """Pixel byte at 0-based position p of the md5 chain."""
+        return (
+            f"CAST(concat('0x', substr(md5(concat(hx, ':', CAST(({p}) // 16 AS VARCHAR))), "
+            f"CAST((({p}) % 16) * 2 + 1 AS INT), 2)) AS BIGINT)"
+        )
+
+    luma = (
+        f"0.299 * {byte_at('3 * k')} + 0.587 * {byte_at('3 * k + 1')} "
+        f"+ 0.114 * {byte_at('3 * k + 2')}"
+    )
+    return (
+        "WITH m AS (SELECT doc_id, 'fake://media/' || CAST((doc_id * 2654435761) % 100000 AS VARCHAR) || '.jpg' AS ref "
+        "FROM documents WHERE doc_id % 3 = 0), "
+        "hx_t AS (SELECT doc_id, ref, md5(sha256(ref)) AS hx FROM m), "
+        f"dims AS (SELECT doc_id, ref, hx, CAST(16 + {mod17(14)} AS BIGINT) AS w, "
+        f"CAST(16 + {mod17(16)} AS BIGINT) AS h FROM hx_t), "
+        "pix AS (SELECT doc_id, ref, hx, w, h, "
+        "unnest(generate_series(0, CAST(w * h - 1 AS INT))) AS k FROM dims), "
+        f"lum AS (SELECT doc_id, k, {luma} AS luma FROM pix), "
+        "ml AS (SELECT doc_id, AVG(luma) AS mean_luma FROM lum GROUP BY doc_id), "
+        "grid AS (SELECT d.doc_id, ij.i, ij.j, "
+        "CAST(FLOOR(ij.i * (d.h / 8.0)) AS BIGINT) * d.w + CAST(FLOOR(ij.j * (d.w / 8.0)) AS BIGINT) AS k "
+        "FROM dims d CROSS JOIN (SELECT a.i, b.j FROM "
+        "(SELECT unnest(generate_series(0, 7)) AS i) a, "
+        "(SELECT unnest(generate_series(0, 7)) AS j) b) ij), "
+        "sm AS (SELECT g.doc_id, g.i, g.j, l.luma AS sl FROM grid g "
+        "JOIN lum l ON l.doc_id = g.doc_id AND l.k = g.k), "
+        "se AS (SELECT doc_id, AVG(sl) AS sv FROM sm GROUP BY doc_id), "
+        "ph AS (SELECT s.doc_id, SUM(CASE WHEN s.sl >= e.sv THEN "
+        "(CASE WHEN s.i * 8 + s.j = 63 THEN -9223372036854775808 "
+        "ELSE (CAST(1 AS BIGINT) << CAST(s.i * 8 + s.j AS INT)) END) ELSE 0 END) AS phash "
+        "FROM sm s JOIN se e ON e.doc_id = s.doc_id GROUP BY s.doc_id) "
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.ref AS media_ref, d.w AS width, "
+        "d.h AS height, CAST(3 AS BIGINT) AS channels, "
+        "CAST(FLOOR(m2.mean_luma * 1000) AS BIGINT) AS mean_luma_x1000, "
+        "CAST(p.phash AS BIGINT) AS phash "
+        "FROM dims d JOIN ml m2 ON m2.doc_id = d.doc_id JOIN ph p ON p.doc_id = d.doc_id"
     )
 
 
@@ -860,7 +918,8 @@ ORACLES.update(
         "lang_id": _o_lang_id(),
         "quality_signals": _o_quality_signals(),
         "embed_ann_lsh": _o_embed_ann_lsh(),
-        # media_features: rows-only (decode is a stubbed codec)
+        # r3: md5-chain stub pixels made the full feature pass oracled
+        "media_features": _o_media_features(),
     }
 )
 
@@ -871,7 +930,7 @@ def q_media_dims(spark, sf_dir):
     bytes of md5(payload), h = 16 + seed%17, w = 16 + (seed>>8)%17 —
     the oracle recomputes the md5 hex arithmetic in SQL (16 ≡ -1 mod
     17 → alternating hex-digit sums). Proves the decode plumbing is
-    deterministic; luma/phash stay pytest-only (PCG64 not in SQL)."""
+    deterministic; luma/phash are fully oracled too (media_features)."""
     from gdal_spark.media import extract_media_table, image_features
 
     d = docs(spark, sf_dir)
