@@ -4,13 +4,20 @@ point-sampling of rasters (alg/gdal_interpolateatpoint.cpp).
 * idw_grid — GGA_InverseDistanceToAPower (gdalgrid.cpp:70
   GDALGridInverseDistanceToAPower): for every grid cell center,
   v = sum(z_i / d_i^power) / sum(1 / d_i^power) over points within
-  `radius`; a point exactly ON the center short-circuits to its z
-  (the dfToPoint2 < 1e-25 shortcut); cells with no point in radius
-  get `nodata`. The reference accelerates with a quadtree
-  (gdalgrid.cpp:2888); the distributed analog: points are exploded
-  to every tile whose EXPANDED envelope (tile + radius) contains
-  them, so each tile task sees exactly the points that can influence
-  it — a bounded broadcast-free spatial join.
+  the search ellipse; a point exactly ON the center short-circuits
+  to its z (the dfR2 < 1e-13 shortcut, gdalgrid.cpp:164); cells
+  with no point in radius get `nodata`. The reference accelerates
+  with a quadtree (gdalgrid.cpp:2888); the distributed analog:
+  points are exploded to every tile whose EXPANDED envelope
+  (tile + search-ellipse bbox) contains them, so each tile task
+  sees exactly the points that can influence it — a bounded
+  broadcast-free spatial join.
+
+* Search ellipse (gdalgrid.cpp:124-160): all non-linear algorithms
+  accept (radius1, radius2, angle°). Point offsets are rotated by
+  -angle (dfRX*cos + dfRY*sin, dfRY*cos - dfRX*sin) and membership
+  is r2²·x'² + r1²·y'² <= r1²·r2²; the IDW weight still uses the
+  UNROTATED euclidean d² plus smoothing² (gdalgrid.cpp:144-146).
 
 * interpolate_at_points — bilinear/nearest sample of a tile table at
   world coordinates (shares the warp kernels' index math).
@@ -246,24 +253,34 @@ def grid_points(
     x_col: str = "x",
     y_col: str = "y",
     z_col: str = "z",
+    radius2: float | None = None,
+    angle: float = 0.0,
+    smoothing: float = 0.0,
+    max_points: int = 0,
 ) -> DataFrame:
     """Vector->raster gridding, all GGA_* modes of alg/gdalgrid.cpp
-    including linear (Delaunay barycentric); rotated search ellipse is
-    the one deviation (circular radius only; radius1==radius2, angle=0
-    is also the reference default).
+    including linear (Delaunay barycentric) and the full rotated
+    search ellipse (radius1=`radius`, `radius2`, `angle` in degrees
+    CCW — gdalgrid.cpp:124-160; radius2=None means circular).
 
     Per-cell semantics per algo (gdal_alg.h:402-416):
-      invdist   sum(z/d^p)/sum(1/d^p) in radius; exact-hit shortcut
-      nearest   z of the nearest point in radius (ties: lowest
+      invdist   sum(z/w)/sum(1/w) in ellipse with w = (d²+smoothing²)^(p/2);
+                exact-hit shortcut at d²+smoothing² < 1e-13
+                (gdalgrid.cpp:164); nodata when found < min_points;
+                max_points>0 stops after that many points (reference
+                takes quadtree encounter order; here the deterministic
+                (x, y, z) order)
+      nearest   z of the nearest point in ellipse (ties: lowest
                 (x, y, z) — deterministic; the reference takes
                 quadtree encounter order)
-      average   mean z in radius, nodata when count < max(min_points,1)
-      minimum/maximum/range/count  data metrics over points in radius
+      average   mean z in ellipse, nodata when count < max(min_points,1)
+      minimum/maximum/range/count  data metrics over points in ellipse
       average_distance  mean distance from the cell center
     Distributed shape: identical to IDW — points explode to the tiles
-    their influence disk touches, one applyInPandas per tile.
+    their influence-ellipse bbox touches, one applyInPandas per tile.
     """
-    return _grid_impl(points, spec, algo, power, radius, min_points, nodata, x_col, y_col, z_col)
+    return _grid_impl(points, spec, algo, power, radius, min_points, nodata, x_col, y_col, z_col,
+                      radius2=radius2, angle=angle, smoothing=smoothing, max_points=max_points)
 
 
 def idw_grid(
@@ -275,12 +292,31 @@ def idw_grid(
     x_col: str = "x",
     y_col: str = "y",
     z_col: str = "z",
+    radius2: float | None = None,
+    angle: float = 0.0,
+    smoothing: float = 0.0,
 ) -> DataFrame:
     """Inverse-distance-to-a-power gridding. With a finite radius the
     point->tile explode is bounded (each point lands on the tiles its
-    influence disk touches); radius=inf degrades to all-tiles
-    broadcast and should only be used for small point sets."""
-    return _grid_impl(points, spec, "invdist", power, radius, 0, nodata, x_col, y_col, z_col)
+    influence ellipse's bbox touches); radius=inf degrades to
+    all-tiles broadcast and should only be used for small point
+    sets."""
+    return _grid_impl(points, spec, "invdist", power, radius, 0, nodata, x_col, y_col, z_col,
+                      radius2=radius2, angle=angle, smoothing=smoothing)
+
+
+def _ellipse_bbox(radius: float, radius2: float | None, angle: float) -> tuple[float, float]:
+    """Half-extents (hx, hy) of the axis-aligned bbox of the search
+    ellipse: semi-axis r1 along direction (cosA, sinA), r2 along
+    (-sinA, cosA) — the bound used for the point->tile explode."""
+    r1 = radius
+    r2 = r1 if radius2 is None else radius2
+    if not (np.isfinite(r1) and np.isfinite(r2)):
+        return float("inf"), float("inf")
+    a = np.deg2rad(angle)
+    hx = float(np.hypot(r1 * np.cos(a), r2 * np.sin(a)))
+    hy = float(np.hypot(r1 * np.sin(a), r2 * np.cos(a)))
+    return hx, hy
 
 
 def _grid_impl(
@@ -294,6 +330,10 @@ def _grid_impl(
     x_col: str,
     y_col: str,
     z_col: str,
+    radius2: float | None = None,
+    angle: float = 0.0,
+    smoothing: float = 0.0,
+    max_points: int = 0,
 ) -> DataFrame:
     if algo not in GRID_ALGOS:
         raise ValueError(f"unknown grid algo {algo}")
@@ -302,14 +342,16 @@ def _grid_impl(
     ts = spec.tile_size
     ntx, nty = spec.ntiles_x, spec.ntiles_y
 
+    hx, hy = _ellipse_bbox(radius, radius2, angle)
+
     def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             x = pdf[x_col].to_numpy(np.float64)
             y = pdf[y_col].to_numpy(np.float64)
             z = pdf[z_col].to_numpy(np.float64)
             px, py = spec.world_to_pixel(x, y)
-            rpx = radius / abs(spec.gt[1]) if np.isfinite(radius) else float("inf")
-            rpy = radius / abs(spec.gt[5]) if np.isfinite(radius) else float("inf")
+            rpx = hx / abs(spec.gt[1]) if np.isfinite(hx) else float("inf")
+            rpy = hy / abs(spec.gt[5]) if np.isfinite(hy) else float("inf")
             out = {"ty": [], "tx": [], "x": [], "y": [], "z": []}
             for i in range(len(pdf)):
                 tx0 = 0 if not np.isfinite(rpx) else max(int((px[i] - rpx) // ts), 0)
@@ -340,7 +382,26 @@ def _grid_impl(
     )
     exploded = exploded.unionByName(all_keys)
 
-    r2 = radius * radius
+    r1 = radius
+    rr2 = r1 if radius2 is None else radius2
+    r1sq, r2sq, r12sq = r1 * r1, rr2 * rr2, (r1 * r1) * (rr2 * rr2)
+    ang = float(np.deg2rad(angle))
+    rotated = ang != 0.0
+    cosA, sinA = float(np.cos(ang)), float(np.sin(ang))
+    smooth2 = smoothing * smoothing
+
+    def _in_ellipse(dx: np.ndarray, dy: np.ndarray) -> np.ndarray:
+        # gdalgrid.cpp:148-159 — rotate the offset by -angle, then
+        # r2²·x'² + r1²·y'² <= r1²·r2²  (reduces to d² <= r² when
+        # circular; inf radius means everything qualifies)
+        if not (np.isfinite(r1sq) and np.isfinite(r2sq)):
+            return np.ones(dx.shape, dtype=bool)
+        if rotated:
+            rx = dx * cosA + dy * sinA
+            ry = dy * cosA - dx * sinA
+        else:
+            rx, ry = dx, dy
+        return r2sq * rx * rx + r1sq * ry * ry <= r12sq
 
     def _grid(key, pdf: pd.DataFrame) -> pd.DataFrame:
         tyy, txx = int(key[0]), int(key[1])
@@ -366,14 +427,26 @@ def _grid_impl(
         best_z = np.full((h, w), nodata)
         exact = np.full((h, w), np.nan)
         for k in range(len(px)):
-            d2 = (cx - px[k]) ** 2 + (cy - py[k]) ** 2
-            m = d2 <= r2
+            dx = px[k] - cx
+            dy = py[k] - cy
+            d2 = dx * dx + dy * dy
+            m = _in_ellipse(dx, dy)
             if algo == "invdist":
-                hit = d2 < 1e-25  # gdalgrid.cpp dfToPoint2 shortcut
+                # gdalgrid.cpp:143-176: dfR2 includes smoothing²; the
+                # exact-hit shortcut fires inside the ellipse at
+                # dfR2 < 1e-13; max_points>0 stops a cell after it has
+                # accepted max_points+1 in-ellipse points (the
+                # reference breaks AFTER accumulating — replicated)
+                r2w = d2 + smooth2
+                hit = m & (r2w < 1e-13)
                 if hit.any():
                     exact[hit] = pz[k]
+                acc = m & ~hit
+                if max_points > 0:
+                    acc &= cnt <= max_points
+                cnt += acc
                 wgt = np.zeros_like(d2)
-                wgt[m & ~hit] = 1.0 / np.power(d2[m & ~hit], power / 2.0)
+                wgt[acc] = 1.0 / np.power(r2w[acc], power / 2.0)
                 num += wgt * pz[k]
                 den += wgt
             elif algo == "nearest":
@@ -393,7 +466,8 @@ def _grid_impl(
 
         need = max(min_points, 1)
         if algo == "invdist":
-            out = np.where(den > 0, num / np.maximum(den, 1e-300), nodata)
+            ok = (den > 0) & (cnt >= min_points if min_points > 0 else True)
+            out = np.where(ok, num / np.maximum(den, 1e-300), nodata)
             out = np.where(np.isnan(exact), out, exact)
         elif algo == "nearest":
             out = np.where(np.isfinite(best_d2), best_z, nodata)

@@ -105,6 +105,96 @@ class TestIDW:
         assert got[0, 0] == 99.0 and got[0, 2] == 1.0
 
 
+class TestSearchEllipse:
+    """Rotated search ellipse + smoothing + min/max points
+    (gdalgrid.cpp:124-176 GDALGridInverseDistanceToAPower options)."""
+
+    PTS = [(1.1, 6.2, 10.0), (6.6, 1.4, 50.0), (4.0, 4.1, 30.0),
+           (2.2, 2.3, 5.0), (5.5, 6.0, 77.0), (3.1, 5.2, 12.0)]
+
+    @staticmethod
+    def _brute(pts, spec, algo, r1, r2, angle_deg, power=2.0, smoothing=0.0,
+               min_points=0, max_points=0, nodata=-1.0):
+        """Scalar replica of gdalgrid.cpp:141-189 (rotate offsets by
+        -angle; membership r2²x'²+r1²y'² <= r1²r2²; weight on
+        UNROTATED d²+smoothing²; break after n > max_points)."""
+        a = np.deg2rad(angle_deg)
+        ca, sa = np.cos(a), np.sin(a)
+        out = np.full((spec.height, spec.width), np.nan)
+        for i in range(spec.height):
+            for j in range(spec.width):
+                cx, cy = spec.pixel_to_world(j + 0.5, i + 0.5)
+                num = den = 0.0
+                n = 0
+                exact = None
+                sel = []
+                for x, y, z in sorted(pts):
+                    dx, dy = x - cx, y - cy
+                    rw2 = dx * dx + dy * dy + smoothing * smoothing
+                    rx = dx * ca + dy * sa
+                    ry = dy * ca - dx * sa
+                    if r2 * r2 * rx * rx + r1 * r1 * ry * ry <= (r1 * r1) * (r2 * r2):
+                        if rw2 < 1e-13:
+                            exact = z
+                            break
+                        num += z / rw2 ** (power / 2.0)
+                        den += 1.0 / rw2 ** (power / 2.0)
+                        n += 1
+                        sel.append((np.sqrt(dx * dx + dy * dy), z))
+                        if max_points > 0 and n > max_points:
+                            break
+                if algo == "invdist":
+                    if exact is not None:
+                        out[i, j] = exact
+                    elif den == 0 or (min_points > 0 and n < min_points):
+                        out[i, j] = nodata
+                    else:
+                        out[i, j] = num / den
+                elif algo == "count":
+                    out[i, j] = len(sel)
+                elif algo == "nearest":
+                    out[i, j] = min(sel)[1] if sel else nodata
+        return out
+
+    def test_rotated_ellipse_invdist(self, spark):
+        df = spark.createDataFrame([Row(x=x, y=y, z=z) for x, y, z in self.PTS])
+        got = _mat(idw_grid(df, SPEC8, radius=3.0, radius2=1.2, angle=30.0, nodata=-1.0), SPEC8)
+        want = self._brute(self.PTS, SPEC8, "invdist", 3.0, 1.2, 30.0)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+        # anisotropy is real: the circular result differs
+        circ = _mat(idw_grid(df, SPEC8, radius=3.0, nodata=-1.0), SPEC8)
+        assert not np.allclose(got, circ)
+
+    def test_ellipse_metrics_count(self, spark):
+        from gdal_spark.operators.grid import grid_points
+
+        df = spark.createDataFrame([Row(x=x, y=y, z=z) for x, y, z in self.PTS])
+        got = _mat(grid_points(df, SPEC8, algo="count", radius=2.5, radius2=1.0,
+                               angle=-45.0, nodata=0.0), SPEC8)
+        want = self._brute(self.PTS, SPEC8, "count", 2.5, 1.0, -45.0)
+        np.testing.assert_allclose(got, want)
+
+    def test_smoothing_weight(self, spark):
+        df = spark.createDataFrame([Row(x=x, y=y, z=z) for x, y, z in self.PTS])
+        got = _mat(idw_grid(df, SPEC8, radius=4.0, smoothing=1.5, nodata=-1.0), SPEC8)
+        want = self._brute(self.PTS, SPEC8, "invdist", 4.0, 4.0, 0.0, smoothing=1.5)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_min_max_points(self, spark):
+        from gdal_spark.operators.grid import grid_points
+
+        df = spark.createDataFrame([Row(x=x, y=y, z=z) for x, y, z in self.PTS])
+        got = _mat(grid_points(df, SPEC8, algo="invdist", radius=2.0,
+                               min_points=3, nodata=-1.0), SPEC8)
+        want = self._brute(self.PTS, SPEC8, "invdist", 2.0, 2.0, 0.0, min_points=3)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+        assert (got == -1.0).any()
+        got = _mat(grid_points(df, SPEC8, algo="invdist", radius=5.0,
+                               max_points=2, nodata=-1.0), SPEC8)
+        want = self._brute(self.PTS, SPEC8, "invdist", 5.0, 5.0, 0.0, max_points=2)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
 class TestInterpolateAtPoints:
     def test_nearest_matches_pixels(self, spark):
         pts = spark.createDataFrame(
