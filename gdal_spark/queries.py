@@ -740,6 +740,27 @@ def q_embed_ann_lsh(spark, sf_dir):
     return ann_topk(emb, qvec, k=5, dims=64, planes=8, probe_hamming=1)
 
 
+def q_embed_ivf(spark, sf_dir):
+    """IVF (inverted-file) ANN — the k-means-coarse-quantizer scale
+    path the FAISS IndexIVFFlat shape: train 8 coarse centroids with
+    2 deterministic Lloyd iterations (md5-ordered seeds, integer-
+    quantized component sums), assign every vector to its nearest
+    cell, probe only the 2 cells nearest the query, exact quantized-
+    cosine re-rank on candidates. The oracle replays the ENTIRE
+    pipeline — training included — bit-identically in SQL."""
+    from gdal_spark.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return ivf_topk(emb, qvec, k=10, dims=64, n_cells=8, iters=2, nprobe=2)
+
+
+def _o_embed_ivf() -> str:
+    from gdal_spark.similarity import ivf_topk_sql
+
+    return ivf_topk_sql(64, k=10, n_cells=8, iters=2, nprobe=2)
+
+
 def q_media_features(spark, sf_dir):
     """Full multimodal decode->feature pass, cross-engine verified:
     the stub decoder's pixels are an md5 counter chain (media.py), so
@@ -905,6 +926,7 @@ QUERIES.update(
         "lang_id": q_lang_id,
         "quality_signals": q_quality_signals,
         "embed_ann_lsh": q_embed_ann_lsh,
+        "embed_ivf": q_embed_ivf,
         "media_features": q_media_features,
     }
 )
@@ -918,6 +940,7 @@ ORACLES.update(
         "lang_id": _o_lang_id(),
         "quality_signals": _o_quality_signals(),
         "embed_ann_lsh": _o_embed_ann_lsh(),
+        "embed_ivf": _o_embed_ivf(),
         # r3: md5-chain stub pixels made the full feature pass oracled
         "media_features": _o_media_features(),
     }

@@ -219,3 +219,236 @@ def ann_topk(
         bucket_col = "_bucket"
     cand = df.filter(F.col(bucket_col).isin(probes))
     return cosine_topk(cand, qvec, k, id_col=id_col, emb_col=emb_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+#
+# Classic IVF (Sivic/Zisserman bag-of-words; FAISS IndexIVFFlat shape):
+# train k coarse centroids, assign every vector to its nearest centroid
+# cell, store per-cell posting lists; a query probes only the nprobe
+# nearest cells and exact-ranks those candidates. At 10^12 rows the
+# cell id is the partition key (write partitionBy('ivf_cell')) and a
+# probe is partition pruning: nprobe/n_cells of the corpus scanned.
+#
+# Everything here is deterministic and cross-engine bit-exact so the
+# whole pipeline (training included) can be replayed in ANSI SQL:
+#   * vectors are integer-quantized (round(v*1e6) -> int64),
+#   * centroids are kept as (sum int64[], count) pairs — exact,
+#   * seeds = the k rows with lowest (md5(id), id) — no RNG,
+#   * every float reduction is the same left-fold of IEEE doubles in
+#     Spark (F.aggregate), DuckDB (list_reduce) and Python (loop).
+
+
+def _ivf_dist(qcol: Column, s: Sequence[int], n: int) -> Column:
+    """Squared L2 distance from a quantized int64 vector column to the
+    centroid (s/n): left-fold sum of (x_i - s_i/n)^2 as doubles."""
+    c = [si / n for si in s]  # exact int64 -> correctly-rounded double
+    carr = F.array(*[F.lit(float(v)) for v in c])
+    return F.aggregate(
+        F.zip_with(qcol, carr, lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def _quantized(emb_col: str) -> Column:
+    return F.transform(F.col(emb_col), lambda x: F.round(x.cast("double") * QUANT).cast("long"))
+
+
+def ivf_assign(cents: list[tuple[list[int], int]], qcol: Column) -> Column:
+    """Cell id = argmin over centroids of squared L2 distance, ties to
+    the lowest cell id (array_position returns the FIRST minimum)."""
+    darr = F.array(*[_ivf_dist(qcol, s, n) for s, n in cents])
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("long")
+
+
+def ivf_train(
+    df: DataFrame,
+    dims: int,
+    n_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> list[tuple[list[int], int]]:
+    """Deterministic distributed Lloyd's k-means over quantized
+    embeddings. Returns centroids as (component_sums, count) so they
+    stay exact integers.
+
+    Scale shape: seeding is a TakeOrdered of k rows (no full sort);
+    each iteration is ONE map-side-combinable groupBy producing
+    k x (dims+1) numbers — the only driver-side state is the k
+    centroids themselves. For 10^12 rows train on a sampled subset
+    (df.sample) — the protocol is unchanged."""
+    qdf = df.select(F.col(id_col).alias("_id"), _quantized(emb_col).alias("_q"))
+    seeds = (
+        qdf.withColumn("_h", F.md5(F.col("_id").cast("string").cast("binary")))
+        .orderBy("_h", "_id")
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [(list(r["_q"]), 1) for r in seeds]
+    for _ in range(iters):
+        cell = ivf_assign(cents, F.col("_q"))
+        rows = (
+            qdf.select(cell.alias("_cell"), "_q")
+            .groupBy("_cell")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(F.col("_q")[i]).alias(f"_s{i}") for i in range(dims)],
+            )
+            .collect()
+        )
+        new = list(cents)  # empty cells keep their previous centroid
+        for r in rows:
+            new[int(r["_cell"])] = ([int(r[f"_s{i}"]) for i in range(dims)], int(r["_n"]))
+        cents = new
+    return cents
+
+
+def _qround(v: float) -> int:
+    """round-half-away-from-zero of v*QUANT — replicates Spark
+    F.round/DuckDB round() exactly (Python round() is banker's)."""
+    x = float(v) * QUANT
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+def ivf_probe_cells(cents: list[tuple[list[int], int]], qvec: Sequence[float], nprobe: int) -> list[int]:
+    """The nprobe cells nearest the query vector (same fold, same
+    tie-break order (d, cid) as the SQL twin)."""
+    qq = [_qround(v) for v in qvec]
+    ds = []
+    for cid, (s, n) in enumerate(cents):
+        acc = 0.0
+        for xi, si in zip(qq, s):
+            diff = float(xi) - (si / n)
+            acc = acc + diff * diff
+        ds.append((acc, cid))
+    ds.sort()
+    return [cid for _, cid in ds[:nprobe]]
+
+
+def with_ivf_cell(
+    df: DataFrame, cents: list[tuple[list[int], int]], emb_col: str = "embedding"
+) -> DataFrame:
+    """Posting-list layout: adds ivf_cell and repartitions by it.
+    Written partitionBy('ivf_cell'), a probe is partition pruning —
+    only nprobe/n_cells of a 10^12-row corpus is scanned."""
+    return df.withColumn("ivf_cell", ivf_assign(cents, _quantized(emb_col))).repartition(
+        F.col("ivf_cell")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    qvec: Sequence[float],
+    k: int,
+    dims: int,
+    n_cells: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cents: list[tuple[list[int], int]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: train (or reuse) the coarse quantizer,
+    probe the nprobe cells nearest the query, exact quantized-cosine
+    re-rank on candidates only. Returns (id, cell, rank)."""
+    if cents is None:
+        cents = ivf_train(df, dims, n_cells, iters, id_col, emb_col)
+    probes = ivf_probe_cells(cents, qvec, nprobe)
+    cell = ivf_assign(cents, _quantized(emb_col))
+    cand = df.withColumn("_cell", cell).filter(F.col("_cell").isin([int(p) for p in probes]))
+    qarr = F.array(*[F.lit(float(v)) for v in qvec])
+    scored = cand.select(
+        F.col(id_col),
+        F.col("_cell").alias("cell"),
+        _quant_cosine(F.col(emb_col), qarr).alias("_cs"),
+    )
+    top = scored.orderBy(F.desc("_cs"), F.asc(id_col)).limit(k)
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(F.desc("_cs"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "cell", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def ivf_topk_sql(
+    dims: int,
+    k: int = 10,
+    n_cells: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    query_vec_id: int = 0,
+) -> str:
+    """DuckDB twin of ivf_topk(query = embedding of `query_vec_id`):
+    replays the ENTIRE pipeline — quantization, md5-ordered seeding,
+    every Lloyd iteration, cell assignment, probe selection and the
+    exact-cosine re-rank — with the same integer arithmetic and the
+    same left-fold double reductions, so the result is bit-identical
+    to the Spark plan."""
+
+    def dist(qe: str, se: str, ne: str) -> str:
+        diff = f"(CAST(({qe})[i] AS DOUBLE) - CAST(({se})[i] AS DOUBLE) / CAST({ne} AS DOUBLE))"
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dims}), "
+            f"i -> {diff} * {diff}), (a, b) -> a + b)"
+        )
+
+    rn_seed = "row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)"
+    ctes = [
+        "qemb AS (SELECT vec_id, embedding, "
+        f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS q "
+        "FROM embeddings)",
+        f"c0 AS (SELECT {rn_seed} - 1 AS cid, q AS s, CAST(1 AS BIGINT) AS n "
+        f"FROM qemb QUALIFY {rn_seed} <= {n_cells})",
+    ]
+    for t in range(iters):
+        d = dist("e.q", "c.s", "c.n")
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, q, cid FROM ("
+            f"SELECT e.vec_id, e.q, c.cid, row_number() OVER "
+            f"(PARTITION BY e.vec_id ORDER BY {d}, c.cid) AS rn "
+            f"FROM qemb e CROSS JOIN c{t} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"s{t} AS (SELECT cid, i, CAST(SUM(q[i]) AS BIGINT) AS sv "
+            f"FROM a{t} CROSS JOIN generate_series(1, {dims}) g(i) GROUP BY cid, i)"
+        )
+        ctes.append(f"l{t} AS (SELECT cid, list(sv ORDER BY i) AS s FROM s{t} GROUP BY cid)")
+        ctes.append(f"n{t} AS (SELECT cid, COUNT(*) AS n FROM a{t} GROUP BY cid)")
+        ctes.append(
+            f"c{t + 1} AS (SELECT c.cid, COALESCE(l.s, c.s) AS s, COALESCE(n2.n, c.n) AS n "
+            f"FROM c{t} c LEFT JOIN l{t} l ON l.cid = c.cid LEFT JOIN n{t} n2 ON n2.cid = c.cid)"
+        )
+    T = iters
+    dq = dist("qv.qq", "c.s", "c.n")
+    df_ = dist("e.q", "c.s", "c.n")
+    ctes.append(f"qv AS (SELECT q AS qq FROM qemb WHERE vec_id = {query_vec_id})")
+    ctes.append(
+        f"pr AS (SELECT c.cid FROM c{T} c CROSS JOIN qv ORDER BY {dq}, c.cid LIMIT {nprobe})"
+    )
+    ctes.append(
+        f"af AS (SELECT vec_id, cid AS cell FROM ("
+        f"SELECT e.vec_id, c.cid, row_number() OVER "
+        f"(PARTITION BY e.vec_id ORDER BY {df_}, c.cid) AS rn "
+        f"FROM qemb e CROSS JOIN c{T} c) WHERE rn = 1)"
+    )
+    ctes.append(
+        f"qrow AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id})"
+    )
+    cs = quant_cosine_sql("e.embedding", "qrow.qe", dims)
+    ctes.append(
+        "scored AS (SELECT e.vec_id, a.cell, "
+        f"{cs} AS cs "
+        "FROM af a JOIN qemb e ON e.vec_id = a.vec_id CROSS JOIN qrow "
+        "WHERE a.cell IN (SELECT cid FROM pr))"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT vec_id, CAST(cell AS BIGINT) AS cell, "
+        f"CAST(row_number() OVER (ORDER BY cs DESC, vec_id) AS BIGINT) AS rank "
+        f"FROM scored ORDER BY cs DESC, vec_id LIMIT {k}"
+    )

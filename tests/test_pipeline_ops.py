@@ -199,6 +199,68 @@ class TestSimilarity:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestIVF:
+    """IVF coarse-quantizer ANN (similarity.ivf_*): deterministic
+    k-means training, cell layout, probe recall."""
+
+    @staticmethod
+    def _corpus(spark, n_clusters=6, per=15, dims=16, seed=23):
+        rng = np.random.default_rng(seed)
+        centers = 3.0 * rng.normal(size=(n_clusters, dims))
+        vecs = np.concatenate(
+            [c + 0.05 * rng.normal(size=(per, dims)) for c in centers], axis=0
+        ).astype(np.float32)
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(v) for v in vecs[i]]) for i in range(len(vecs))]
+        )
+        return df, vecs
+
+    def test_train_deterministic_and_partitions_all_rows(self, spark):
+        from gdal_spark.similarity import ivf_train, with_ivf_cell
+
+        df, vecs = self._corpus(spark)
+        c1 = ivf_train(df, dims=16, n_cells=4, iters=2)
+        c2 = ivf_train(df, dims=16, n_cells=4, iters=2)
+        assert c1 == c2  # fully deterministic, no RNG anywhere
+        laid = with_ivf_cell(df, c1, "embedding")
+        cells = {r.ivf_cell for r in laid.select("ivf_cell").distinct().collect()}
+        assert cells <= set(range(4))
+        assert laid.count() == len(vecs)  # assignment is total
+
+    def test_probe_recall_on_clustered_corpus(self, spark):
+        from gdal_spark.similarity import ivf_topk
+
+        df, vecs = self._corpus(spark)
+        q = vecs[3]  # member of cluster 0
+        cs = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+        exact = set(np.lexsort((np.arange(len(vecs)), -cs))[:10].tolist())
+        got = {
+            r.vec_id
+            for r in ivf_topk(df, [float(v) for v in q], k=10, dims=16,
+                              n_cells=6, iters=2, nprobe=2).collect()
+        }
+        assert len(got & exact) / 10 >= 0.9
+        # the query's own row is rank 1 in its probed cell
+        rows = ivf_topk(df, [float(v) for v in q], k=1, dims=16,
+                        n_cells=6, iters=2, nprobe=2).collect()
+        assert rows[0].vec_id == 3
+
+    def test_lloyd_iteration_reduces_inertia(self, spark):
+        from gdal_spark.similarity import QUANT, ivf_train
+
+        df, vecs = self._corpus(spark)
+        qv = np.round(vecs.astype(np.float64) * QUANT)
+
+        def inertia(cents):
+            cmat = np.array([[si / n for si in s] for s, n in cents])
+            d = ((qv[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            return float(d.min(axis=1).sum())
+
+        i0 = inertia(ivf_train(df, dims=16, n_cells=4, iters=0))
+        i2 = inertia(ivf_train(df, dims=16, n_cells=4, iters=2))
+        assert i2 < i0  # Lloyd steps strictly improve on this corpus
+
+
 class TestMedia:
     def test_image_features_shapes(self, spark):
         from gdal_spark.datagen import docs_table
