@@ -474,15 +474,21 @@ def webmercator_to_lonlat(x, y):
 
 class Pipeline:
     """Composed transform, the GDALGenImgProjTransform analog
-    (alg/gdaltransformer.cpp:1392): src CRS -> lon/lat -> dst CRS."""
+    (alg/gdaltransformer.cpp:1392): src CRS -> lon/lat ->
+    [optional datum grid shift] -> dst CRS. `shift` is a
+    geom.gridshift.GridShift applied in lon/lat space — the PROJ
+    +nadgrids= hgridshift step position in the chain."""
 
-    def __init__(self, src=None, dst=None) -> None:
+    def __init__(self, src=None, dst=None, shift=None) -> None:
         self.src = src  # None = lon/lat
         self.dst = dst
+        self.shift = shift
 
     def forward(self, x, y):
         if self.src is not None:
             x, y = self.src.inverse(x, y)  # to lon/lat
+        if self.shift is not None:
+            x, y = self.shift.forward(x, y)
         if self.dst is None:
             return x, y
         if self.dst == "webmercator":
@@ -499,6 +505,8 @@ class Pipeline:
                 x, y = self.dst.inverse(x, y)
             else:
                 raise ValueError(f"unknown dst {self.dst}")
+        if self.shift is not None:
+            x, y = self.shift.inverse(x, y)
         if self.src is None:
             return x, y
         return self.src.forward(x, y)
