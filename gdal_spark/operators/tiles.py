@@ -31,6 +31,7 @@ build-from-zoom+1 strategy as the reference (--overview-resampling).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -577,6 +578,130 @@ def approx_scanline_coords(
     return out_sx, out_sy
 
 
+def _edge_samples(w: float, h: float, n_steps: int) -> tuple[np.ndarray, np.ndarray]:
+    """The reference's 4-edge lattice (gdaltransformer.cpp:508-523):
+    (n_steps+1) samples along top, bottom, left, right, in that order
+    (sample 0 = top-left corner, last = bottom-right corner)."""
+    r = np.arange(n_steps + 1, dtype=np.float64) / n_steps
+    r[-1] = 1.0
+    px = np.concatenate([r * w, r * w, np.zeros(n_steps + 1), np.full(n_steps + 1, w)])
+    py = np.concatenate([np.zeros(n_steps + 1), np.full(n_steps + 1, h), r * h, r * h])
+    return px, py
+
+
+def suggested_warp_output(
+    src_spec: RasterSpec,
+    pipeline: Pipeline,
+    round_up: bool = False,
+) -> tuple[tuple[float, float, float, float, float, float], int, int, tuple[float, float, float, float]]:
+    """GDALSuggestedWarpOutput2 (alg/gdaltransformer.cpp:342-1215):
+    walk the source edges with ~min(dim)/50 steps clamped to [20,100]
+    samples per edge, transform to the dst CRS, fall back to a full
+    interior lattice when any edge point fails or does not revert to
+    within one step, size the square output pixel so the transformed
+    corner diagonal spans as many pixels as the source diagonal, and
+    nudge the right/bottom pixel size by the reference's ratio ladder
+    when an entire border lands outside the revertable area.
+
+    Returns (geotransform, pixels, lines, extent=(minx, miny, maxx,
+    maxy)). Deviations from the reference (documented): no
+    antimeridian sign-discontinuity dichotomy and no pole insertion —
+    the formula projections here are continuous over their fixture
+    domains; failures are NaN/inf outputs rather than transformer
+    error flags."""
+    w, h = src_spec.width, src_spec.height
+    n_steps = int(min(w, h) / 50.0 + 0.5)
+    n_steps = min(max(n_steps, 20), 100)
+
+    def fwd(px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        wx, wy = src_spec.pixel_to_world(px, py)
+        return pipeline.forward(wx, wy)
+
+    def rev(X: np.ndarray, Y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        wx, wy = pipeline.inverse(X, Y)
+        return src_spec.world_to_pixel(wx, wy)
+
+    px, py = _edge_samples(w, h, n_steps)
+    X, Y = fwd(px, py)
+    ok = np.isfinite(X) & np.isfinite(Y)
+    failed = not ok.all()
+    if not failed:
+        # revertability check (gdaltransformer.cpp:612-668): inverse
+        # then compare to the source sample within one step length
+        bx, by = rev(X, Y)
+        bad = (
+            ~np.isfinite(bx)
+            | ~np.isfinite(by)
+            | (np.abs(bx - px) > w / n_steps)
+            | (np.abs(by - py) > h / n_steps)
+        )
+        failed = bool(bad.any())
+    if failed:
+        # detailed interior lattice (gdaltransformer.cpp:674-700)
+        r = np.arange(n_steps + 1, dtype=np.float64) / n_steps
+        r[-1] = 1.0
+        gx, gy = np.meshgrid(r * w, r * h)
+        px, py = gx.ravel(), gy.ravel()
+        X, Y = fwd(px, py)
+        ok = np.isfinite(X) & np.isfinite(Y)
+    if ok.sum() < 10:
+        raise ValueError("too many points failed to transform; cannot suggest output bounds")
+    minx, maxx = float(X[ok].min()), float(X[ok].max())
+    miny, maxy = float(Y[ok].min()), float(Y[ok].max())
+
+    # corner-diagonal pixel size (gdaltransformer.cpp:1072-1100)
+    dx = dy = 0.0
+    if ok[0] and ok[-1]:
+        dx = float(X[-1] - X[0])
+        dy = float(Y[-1] - Y[0])
+    if dx == 0.0 or dy == 0.0:
+        dx, dy = maxx - minx, maxy - miny
+    pixel_size = math.hypot(dx, dy) / math.hypot(w, h)
+    fpixels = (maxx - minx) / pixel_size
+    flines = (maxy - miny) / pixel_size
+    if round_up:
+        pixels = int(math.ceil(fpixels - 1e-5))
+        lines = int(math.ceil(flines - 1e-5))
+    else:
+        pixels = int(fpixels + 0.5)
+        lines = int(flines + 0.5)
+    psx = psy = pixel_size
+
+    def _border_all_bad(bX: np.ndarray, bY: np.ndarray, try_psx: float, try_psy: float) -> bool:
+        # MustAdjustForRight/BottomBorder (gdaltransformer.cpp:189-245):
+        # round-trip dst->src->dst over 21 border samples; adjust only
+        # when EVERY sample fails to land back within one pixel
+        sx, sy = rev(bX, bY)
+        fX, fY = fwd(sx, sy)
+        bad = (
+            ~np.isfinite(fX)
+            | ~np.isfinite(fY)
+            | (np.abs(fX - bX) > try_psx)
+            | (np.abs(fY - bY) > try_psy)
+        )
+        return bool(bad.all())
+
+    t = np.linspace(0.0, 1.0, 21)
+    for ratio in (0.0, 0.001, 0.01, 0.1, 1.0):
+        try_psx = psx - psx * ratio / pixels
+        right_x = np.full(21, minx + pixels * try_psx)
+        right_y = maxy - psy * t * lines
+        if not _border_all_bad(right_x, right_y, try_psx, psy):
+            psx = try_psx
+            break
+    for ratio in (0.0, 0.001, 0.01, 0.1, 1.0):
+        try_psy = psy - psy * ratio / lines
+        bot_x = minx + psx * t * pixels
+        bot_y = np.full(21, maxy - lines * try_psy)
+        if not _border_all_bad(bot_x, bot_y, psx, try_psy):
+            psy = try_psy
+            break
+
+    gt = (minx, psx, 0.0, maxy, 0.0, -psy)
+    extent = (minx, maxy - lines * psy, minx + pixels * psx, maxy)
+    return gt, pixels, lines, extent
+
+
 def raster_tile(
     src_tiles: DataFrame,
     src_spec: RasterSpec,
@@ -635,12 +760,15 @@ def raster_tile(
         cutline = parse_cutline(cutline)
 
     # source extent -> base-zoom dst tile range (driver-side planning,
-    # the GDALSuggestedWarpOutput role: one transform of the corners)
-    cx = np.array([0.0, src_spec.width, 0.0, src_spec.width])
-    cy = np.array([0.0, 0.0, src_spec.height, src_spec.height])
+    # the GDALSuggestedWarpOutput role: walk the source edges at the
+    # reference sampling density so curved transforms that bulge
+    # beyond the corner bbox still land in the tile range)
+    n_steps = min(max(int(min(src_spec.width, src_spec.height) / 50.0 + 0.5), 20), 100)
+    cx, cy = _edge_samples(float(src_spec.width), float(src_spec.height), n_steps)
     wxc, wyc = src_spec.pixel_to_world(cx, cy)
     dxc, dyc = src_pipeline.forward(wxc, wyc)
-    extent = (dxc.min(), dyc.min(), dxc.max(), dyc.max())
+    fin = np.isfinite(dxc) & np.isfinite(dyc)
+    extent = (dxc[fin].min(), dyc[fin].min(), dxc[fin].max(), dyc[fin].max())
     mintx, minty, maxtx, maxty = tms.tile_indices(extent, max_zoom)
 
     dst_keys = (
