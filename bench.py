@@ -65,7 +65,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     times: dict[str, float] = {}
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1"))
+    # min-of-2 by default: the sandbox's virtualized CPUs throttle in
+    # bursts (a post-test-suite run can measure 3-4x slower than the
+    # same code warm — observed spatial_join 38 s vs 6.6 s minutes
+    # apart); min-of-repeats reports engine throughput, not host state
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     only = {q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q}
 
     def timed(name: str, fn) -> None:
