@@ -387,6 +387,45 @@ def boundary_contact(geoms_a: list[Geom], geoms_b: list[Geom]) -> list[np.ndarra
     return [inv(ln) for ln in merge_lines(lines)]
 
 
+def point_contact(geoms_a: list[Geom], geoms_b: list[Geom]) -> np.ndarray:
+    """Point-only (corner) contact between two regions: nodes where
+    BOTH boundaries pass through, no incident sector has both
+    interiors (the A∩B region is empty around the node), and the node
+    is not already covered by a line-contact segment — the POINT
+    pieces of GEOS Intersection for polygons touching at a vertex or
+    a vertex-on-edge T-touch (ogrlayer.cpp:5405 KLDG=YES keeps them).
+    Returns an (N, 2) array in input coordinates."""
+    fwd, inv, _ = _snap_frame(geoms_a, geoms_b)
+    ea, tables_a = _edges_of(geoms_a, fwd)
+    eb, tables_b = _edges_of(geoms_b, fwd)
+    if len(ea) == 0 or len(eb) == 0:
+        return np.empty((0, 2))
+    segs = _node_edges(np.concatenate([ea, eb], axis=0))
+    if not segs:
+        return np.empty((0, 2))
+    al, ar, bl, br = _label_segments(segs, tables_a, tables_b)
+    on_a = al != ar
+    on_b = bl != br
+    overlap_side = (al & bl) | (ar & br)
+    line_contact = on_a & on_b & ~overlap_side
+    info: dict[tuple, list] = {}
+    on_line: set[tuple] = set()
+    for k, (u, v) in enumerate(segs):
+        for p in (tuple(u), tuple(v)):
+            d = info.setdefault(p, [False, False, False])
+            d[0] |= bool(on_a[k])
+            d[1] |= bool(on_b[k])
+            d[2] |= bool(overlap_side[k])
+            if line_contact[k]:
+                on_line.add(p)
+    pts = sorted(
+        p for p, d in info.items() if d[0] and d[1] and not d[2] and p not in on_line
+    )
+    if not pts:
+        return np.empty((0, 2))
+    return inv(np.asarray(pts, dtype=np.float64).reshape(-1, 2))
+
+
 def region_area(polys: list[Polygon]) -> float:
     """Planar area of an overlay result."""
     total = 0.0

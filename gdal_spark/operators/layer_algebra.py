@@ -167,11 +167,17 @@ def _pair_piece(
         return _points_to_wkt(np.asarray(common, dtype=np.float64).reshape(-1, 2), promote)
     w = _piece_wkt(batch, i, [zidx.rings[z]], "and", promote)
     if w is None and keep_lower_dim and dx == 2 and dy == 2:
-        from gdal_spark.geom.overlay import boundary_contact
+        from gdal_spark.geom.overlay import boundary_contact, point_contact
 
         contact = boundary_contact([batch.polygon_rings(i)], [zidx.rings[z]])
-        if contact:
-            return _lines_to_wkt(contact, promote)
+        pts = point_contact([batch.polygon_rings(i)], [zidx.rings[z]])
+        lw = _lines_to_wkt(contact, promote)
+        pw = _points_to_wkt(pts, promote)
+        if lw and pw:
+            # mixed-dimension touch (shared edge + isolated corner):
+            # the GEOS Intersection shape is a GEOMETRYCOLLECTION
+            return f"GEOMETRYCOLLECTION ({lw}, {pw})"
+        return lw or pw
     return w
 
 

@@ -358,3 +358,47 @@ class TestKeepLowerDimension:
         b = spark.createDataFrame([Row(fid=0, wkt="POLYGON ((2 2,6 2,6 6,2 6,2 2))")])
         out = layer_algebra(a, b, "intersection", keep_lower_dimension=True).collect()
         assert len(out) == 1 and out[0]["wkt"].startswith("POLYGON")
+
+    def test_corner_touch_emits_point(self, spark):
+        """Squares meeting at a single vertex: GEOS Intersection is
+        the POINT — now kept by KLDG=YES (point_contact)."""
+        a = spark.createDataFrame([Row(wkt="POLYGON ((0 0,2 0,2 2,0 2,0 0))")])
+        b = spark.createDataFrame([Row(fid=0, wkt="POLYGON ((2 2,4 2,4 4,2 4,2 2))")])
+        assert layer_algebra(a, b, "intersection").count() == 0
+        out = layer_algebra(a, b, "intersection", keep_lower_dimension=True).collect()
+        assert len(out) == 1
+        assert out[0]["wkt"] == "POINT (2 2)"
+
+    def test_vertex_on_edge_touch_emits_point(self, spark):
+        """A corner of A touching the interior of a B edge (T-touch)."""
+        a = spark.createDataFrame([Row(wkt="POLYGON ((0 0,2 0,1 2,0 0))")])  # apex (1,2)
+        b = spark.createDataFrame([Row(fid=0, wkt="POLYGON ((-3 2,5 2,5 5,-3 5,-3 2))")])
+        out = layer_algebra(a, b, "intersection", keep_lower_dimension=True).collect()
+        assert len(out) == 1
+        assert out[0]["wkt"] == "POINT (1 2)"
+
+    def test_edge_plus_corner_touch_mixed_collection(self, spark):
+        """Shared edge AND a separate corner touch (one MULTIPOLYGON
+        method feature): the mixed result is a GEOMETRYCOLLECTION and
+        the corner that ends the contact line is NOT double-reported."""
+        a = spark.createDataFrame([Row(wkt="POLYGON ((0 0,2 0,2 2,0 2,0 0))")])
+        b = spark.createDataFrame(
+            [Row(fid=0, wkt="MULTIPOLYGON (((2 0,4 0,4 2,2 2,2 0)), ((-2 2,0 2,-2 4,-2 2)))")]
+        )
+        out = layer_algebra(a, b, "intersection", keep_lower_dimension=True).collect()
+        assert len(out) == 1
+        w = out[0]["wkt"]
+        assert w.startswith("GEOMETRYCOLLECTION")
+        assert "LINESTRING" in w and "POINT (0 2)" in w
+        # the shared-edge endpoints (2 0)/(2 2) live in the LINESTRING
+        # only — not re-reported as corner contacts
+        assert "POINT (2" not in w
+
+    def test_no_point_when_interiors_overlap_at_vertex(self, spark):
+        """Boundaries crossing at a node with overlapping interiors
+        must NOT emit a point (the overlap polygon already covers it)."""
+        a = spark.createDataFrame([Row(wkt="POLYGON ((0 0,3 0,3 3,0 3,0 0))")])
+        b = spark.createDataFrame([Row(fid=0, wkt="POLYGON ((1 1,4 1,4 4,1 4,1 1))")])
+        out = layer_algebra(a, b, "intersection", keep_lower_dimension=True).collect()
+        assert len(out) == 1
+        assert out[0]["wkt"].startswith("POLYGON")
