@@ -109,17 +109,25 @@ class GeomBatch:
         if nrings == 0 or len(self.coords) == 0:
             out[self.is_null] = np.nan
             return out
-        x, y = self.coords[:, 0], self.coords[:, 1]
+        ring_ends = self.ring_coord_off[1:] - 1
+        starts = self.ring_coord_off[:-1]
+        # center every ring on its own first vertex before the cross
+        # terms: the shoelace is translation-invariant, and without
+        # centering the x_i*y_j products cancel catastrophically for
+        # small features far from the origin (a 0.01-unit square at
+        # y~6.6e5 loses ~7 significant digits of area)
+        ridx = np.repeat(np.arange(nrings), np.diff(self.ring_coord_off))
+        x = self.coords[:, 0] - self.coords[np.minimum(starts, len(self.coords) - 1), 0][ridx]
+        y = self.coords[:, 1] - self.coords[np.minimum(starts, len(self.coords) - 1), 1][ridx]
         # consecutive-pair cross terms; zero the last slot of each ring
         # (rings are stored closed, so pair (last,first-of-next-ring)
         # must not contribute)
         c = np.zeros(len(x), dtype=np.float64)
         c[:-1] = x[:-1] * y[1:] - x[1:] * y[:-1]
-        ring_ends = self.ring_coord_off[1:] - 1
-        starts = self.ring_coord_off[:-1]
         nonempty = ring_ends >= starts
         # zero the cross-ring pair, then close each ring explicitly
-        # (last->first term; 0 when the ring is stored closed)
+        # (last->first term; with first-vertex centering x[s]=y[s]=0,
+        # so the closing term is exactly 0)
         e, s = ring_ends[nonempty], starts[nonempty]
         c[e] = x[e] * y[s] - x[s] * y[e]
         sums = np.add.reduceat(c, np.minimum(starts, len(c) - 1))

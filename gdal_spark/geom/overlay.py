@@ -258,7 +258,11 @@ def _label_segments(segs: list[tuple], tables_a: list, tables_b: list):
 
 
 def _ring_signed_area(ring: np.ndarray) -> float:
-    x, y = ring[:, 0], ring[:, 1]
+    # centered on the first vertex: translation-invariant, and avoids
+    # the catastrophic x_i*y_j cancellation for small rings far from
+    # the origin (exact for snapped integer rings either way)
+    x = ring[:, 0] - ring[0, 0]
+    y = ring[:, 1] - ring[0, 1]
     return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
 
 

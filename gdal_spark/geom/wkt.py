@@ -232,8 +232,18 @@ def parse_wkt(strings, return_errors: bool = False):
     return batch
 
 
+def _fmt_d(v: float) -> str:
+    """Shortest-clean double format: %.15g (the reference's
+    OGR_WKT_PRECISION=15 default look) upgraded to %.17g whenever 15
+    significant digits would not round-trip the exact value. Unlike
+    the reference, WKT is this engine's INTERNAL interchange format
+    between stages, so formatting must be lossless."""
+    s = f"{v:.15g}"
+    return s if float(s) == v else f"{v:.17g}"
+
+
 def _fmt(coords: np.ndarray) -> str:
-    return ",".join(f"{x:.15g} {y:.15g}" for x, y in coords)
+    return ",".join(f"{_fmt_d(x)} {_fmt_d(y)}" for x, y in coords)
 
 
 def to_wkt(batch: GeomBatch) -> list:
