@@ -2050,6 +2050,74 @@ QUERIES["grid_metrics"] = q_grid_metrics
 ORACLES["grid_metrics"] = _o_grid_metrics()
 
 
+_ELL_R1, _ELL_R2, _ELL_ANGLE = 120.0, 60.0, 30.0
+
+
+def q_grid_ellipse(spark, sf_dir):
+    """Rotated-search-ellipse gridding (gdalgrid.cpp:124-160
+    poOptions->dfRadius1/dfRadius2/dfAngle): doc points gridded with a
+    120x60-unit ellipse rotated 30 degrees CCW; per non-empty cell the
+    in-ellipse count and moving average (x1000) of n_chars. The
+    oracle replays the exact rotation arithmetic (same cos/sin
+    doubles, same product order) in SQL."""
+    import dataclasses
+
+    from gdal_spark.fixtures import BYTE20_SPEC
+    from gdal_spark.operators.grid import grid_points
+    from gdal_spark.operators.raster import as_features
+
+    fspec = dataclasses.replace(BYTE20_SPEC, dtype="float64")
+    g = docs_geom(spark, sf_dir)
+    pts = g.filter(
+        F.col("geom_error").isNull() & (F.col("env_minx") == F.col("env_maxx"))
+    ).select(
+        F.col("env_minx").alias("x"), F.col("env_miny").alias("y"),
+        F.col("n_chars").cast("double").alias("z"),
+    )
+
+    def pix(algo):
+        t = grid_points(pts, fspec, algo=algo, radius=_ELL_R1, radius2=_ELL_R2,
+                        angle=_ELL_ANGLE, nodata=-1.0)
+        p = as_features(t, fspec)
+        return p.select("py", "px", F.col("value").alias(algo))
+
+    out = pix("count").join(pix("average"), ["py", "px"]).filter(F.col("count") > 0)
+    return out.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("count").cast("bigint").alias("n"),
+        F.floor(F.col("average") * 1000 + 0.5).cast("bigint").alias("avg1000"),
+    )
+
+
+def _o_grid_ellipse() -> str:
+    import numpy as np
+
+    ang = float(np.deg2rad(_ELL_ANGLE))
+    cos_a, sin_a = float(np.cos(ang)), float(np.sin(ang))
+    r1sq, r2sq = _ELL_R1 * _ELL_R1, _ELL_R2 * _ELL_R2
+    r12sq = r1sq * r2sq
+    d = lambda v: f"CAST({v!r} AS DOUBLE)"  # noqa: E731 — DuckDB reads long decimal literals as DECIMAL, not DOUBLE
+    dx, dy = "(p.gx - cx)", "(p.gy - cy)"
+    rx = f"({dx} * {d(cos_a)} + {dy} * {d(sin_a)})"
+    ry = f"({dy} * {d(cos_a)} - {dx} * {d(sin_a)})"
+    member = f"{d(r2sq)} * {rx} * {rx} + {d(r1sq)} * {ry} * {ry} <= {d(r12sq)}"
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "p AS (SELECT gx, gy, n_chars FROM g WHERE valid AND NOT is_poly), "
+        "cells AS (SELECT py, px, 440720 + (px + 0.5) * 60 AS cx, 3751320 - (py + 0.5) * 60 AS cy "
+        "FROM (SELECT unnest(generate_series(0, 19)) AS py) CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS px)) "
+        "SELECT CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px, COUNT(*) AS n, "
+        "CAST(floor(1000.0 * SUM(p.n_chars) / COUNT(*) + 0.5) AS BIGINT) AS avg1000 "
+        f"FROM cells JOIN p ON {member} "
+        "GROUP BY py, px"
+    )
+
+
+QUERIES["grid_ellipse"] = q_grid_ellipse
+ORACLES["grid_ellipse"] = _o_grid_ellipse()
+
+
 def q_graph_components(spark, sf_dir):
     """GNM ConnectedComponents (gnm/gnmgraph.cpp:427): nations chained
     within their region -> one component per region, id = min key."""
