@@ -2118,6 +2118,99 @@ QUERIES["grid_ellipse"] = q_grid_ellipse
 ORACLES["grid_ellipse"] = _o_grid_ellipse()
 
 
+# datum grid-shift fixture: a 21x41 lattice over lat 30..40, lon
+# -120..-100 sampling analytic arc-second fields (bilinear in lon/lat,
+# so every node value is SQL-expressible); doc coords map affinely
+# into the window
+_GS_LATF = "0.8 + 0.01 * ({lon} + 120) + 0.02 * ({lat} - 30)"
+_GS_LONF = "1.5 - 0.03 * ({lon} + 120) + 0.005 * ({lat} - 30)"
+
+
+def _gs_grid():
+    from gdal_spark.geom.gridshift import GridShift, synthetic_grid
+
+    return GridShift([
+        synthetic_grid(
+            lat_min=30.0, lon_min=-120.0, dlat=0.5, dlon=0.5, nrows=21, ncols=41,
+            lat_fn=lambda lon, lat: 0.8 + 0.01 * (lon + 120) + 0.02 * (lat - 30),
+            lon_fn=lambda lon, lat: 1.5 - 0.03 * (lon + 120) + 0.005 * (lat - 30),
+        )
+    ])
+
+
+def q_datum_shift(spark, sf_dir):
+    """NTv2-semantics horizontal datum shift (geom/gridshift.py — the
+    PROJ hgridshift role in ogrct.cpp pipelines): doc points mapped
+    into the grid window, shifted via broadcast bilinear lattice
+    lookup inside mapInPandas (the distributed reprojection shape).
+    The oracle replays node synthesis, index/fraction math and the
+    4-term bilinear combination with identical double arithmetic."""
+    import pandas as pd
+
+    g = docs_geom(spark, sf_dir)
+    pts = g.filter(
+        F.col("geom_error").isNull() & (F.col("env_minx") == F.col("env_maxx"))
+    ).select(
+        F.col("_id").alias("doc_id"),
+        (F.lit(-120.0) + (F.col("env_minx") - F.lit(440720.0)) / F.lit(200.0)).alias("lon"),
+        (F.lit(30.0) + (F.lit(3751320.0) - F.col("env_miny")) / F.lit(200.0)).alias("lat"),
+    )
+    bc = spark.sparkContext.broadcast(_gs_grid())
+
+    def _shift(batches):
+        for pdf in batches:
+            lon2, lat2 = bc.value.forward(pdf["lon"].to_numpy(), pdf["lat"].to_numpy())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "lon2": lon2, "lat2": lat2})
+
+    out = pts.mapInPandas(_shift, "doc_id long, lon2 double, lat2 double")
+    return out.select(
+        "doc_id",
+        F.floor(F.col("lon2") * 1e6).cast("bigint").alias("lon2_u"),
+        F.floor(F.col("lat2") * 1e6).cast("bigint").alias("lat2_u"),
+    )
+
+
+def _o_datum_shift() -> str:
+    # node value at integer lattice indices (i, j): the analytic field
+    # evaluated exactly as synthetic_grid does (lon = lon_min + dlon*j
+    # computed as double, then the field polynomial)
+    nlon = "(-120.0 + 0.5 * ({j}))"
+    nlat = "(30.0 + 0.5 * ({i}))"
+
+    def node(f: str, i: str, j: str) -> str:
+        return "(" + f.format(lon=nlon.format(j=j), lat=nlat.format(i=i)) + ")"
+
+    def bil(f: str) -> str:
+        # numpy: fi=(lat-30)/0.5; i0=clip(floor(fi),0,19); ti=fi-i0
+        # (identical double ops here); 4-term combination in the same
+        # order as ShiftGrid.interpolate
+        return (
+            f"({node(f, 'i0', 'j0')} * (1 - ti) * (1 - tj) "
+            f"+ {node(f, 'i0', 'j0 + 1')} * (1 - ti) * tj "
+            f"+ {node(f, 'i0 + 1', 'j0')} * ti * (1 - tj) "
+            f"+ {node(f, 'i0 + 1', 'j0 + 1')} * ti * tj)"
+        )
+
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "p AS (SELECT doc_id, -120.0 + (gx - 440720.0) / 200.0 AS lon, "
+        "30.0 + (3751320.0 - gy) / 200.0 AS lat FROM g WHERE valid AND NOT is_poly), "
+        "fr AS (SELECT doc_id, lon, lat, (lat - 30.0) / 0.5 AS fi, (lon - -120.0) / 0.5 AS fj FROM p), "
+        "ix AS (SELECT doc_id, lon, lat, fi, fj, "
+        "LEAST(GREATEST(CAST(floor(fi) AS BIGINT), 0), 19) AS i0, "
+        "LEAST(GREATEST(CAST(floor(fj) AS BIGINT), 0), 39) AS j0 FROM fr), "
+        "tv AS (SELECT doc_id, lon, lat, i0, j0, fi - i0 AS ti, fj - j0 AS tj FROM ix), "
+        f"sh AS (SELECT doc_id, lon - {bil(_GS_LONF)} / 3600.0 AS lon2, "
+        f"lat + {bil(_GS_LATF)} / 3600.0 AS lat2 FROM tv) "
+        "SELECT doc_id, CAST(floor(lon2 * 1000000.0) AS BIGINT) AS lon2_u, "
+        "CAST(floor(lat2 * 1000000.0) AS BIGINT) AS lat2_u FROM sh"
+    )
+
+
+QUERIES["datum_shift"] = q_datum_shift
+ORACLES["datum_shift"] = _o_datum_shift()
+
+
 def q_graph_components(spark, sf_dir):
     """GNM ConnectedComponents (gnm/gnmgraph.cpp:427): nations chained
     within their region -> one component per region, id = min key."""
