@@ -2828,3 +2828,220 @@ def _o_interp_points() -> str:
 
 QUERIES["interp_points"] = q_interp_points
 ORACLES["interp_points"] = _o_interp_points()
+
+
+# ---------------------------------------------------------------------------
+# round-3: driver oracles for operators previously covered by pytest only
+
+
+def q_cast_matrix(spark, sf_dir):
+    """OGR SQL CAST surface (ogr/swq_parser.y CAST rules; C-style
+    truncating float->integer per swq_expr_node::Evaluate): negative
+    values truncate toward zero, timestamp->date->character formats
+    ISO, integer->character(10)."""
+    from gdal_spark.ogr_sql import execute
+
+    orders = load(spark, sf_dir, "orders")
+    df = execute(
+        spark,
+        "SELECT o_orderkey, "
+        "CAST(o_totalprice - 150000 AS integer) AS price_int, "
+        "CAST(CAST(o_orderdate AS date) AS character(10)) AS date_c, "
+        "CAST(o_orderkey AS character(10)) AS key_c, "
+        "CAST(o_orderkey AS float) AS key_f "
+        "FROM orders",
+        {"orders": orders},
+    )
+    return df.select(
+        "o_orderkey",
+        F.col("price_int").cast("bigint").alias("price_int"),
+        "date_c",
+        "key_c",
+        F.col("key_f").cast("bigint").alias("key_fi"),
+    )
+
+
+def _o_cast_matrix() -> str:
+    return (
+        "SELECT o_orderkey, "
+        "CAST(trunc(o_totalprice - 150000) AS BIGINT) AS price_int, "
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_c, "
+        "CAST(o_orderkey AS VARCHAR) AS key_c, "
+        "CAST(CAST(o_orderkey AS DOUBLE) AS BIGINT) AS key_fi "
+        "FROM orders"
+    )
+
+
+QUERIES["cast_matrix"] = q_cast_matrix
+ORACLES["cast_matrix"] = _o_cast_matrix()
+
+
+def q_hstore_extract(spark, sf_dir):
+    """hstore_get_value (ogr/swq_op_general.cpp SWQ_HSTORE_GET_VALUE):
+    'k=>v,...' lookup incl. the missing-key->NULL rule."""
+    from gdal_spark.ogr_sql import execute
+
+    nation = load(spark, sf_dir, "nation")
+    layer = nation.select(
+        "n_nationkey",
+        F.concat(
+            F.lit("name=>"), F.col("n_name"),
+            F.lit(",region=>"), F.col("n_regionkey").cast("string"),
+        ).alias("kv"),
+    )
+    df = execute(
+        spark,
+        "SELECT n_nationkey, "
+        "hstore_get_value(kv, 'region') AS region_s, "
+        "hstore_get_value(kv, 'name') AS name_s, "
+        "hstore_get_value(kv, 'absent') AS absent_s "
+        "FROM t",
+        {"t": layer},
+    )
+    return df.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        "region_s", "name_s", "absent_s",
+    )
+
+
+def _o_hstore_extract() -> str:
+    return (
+        "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, "
+        "CAST(n_regionkey AS VARCHAR) AS region_s, "
+        "n_name AS name_s, CAST(NULL AS VARCHAR) AS absent_s FROM nation"
+    )
+
+
+QUERIES["hstore_extract"] = q_hstore_extract
+ORACLES["hstore_extract"] = _o_hstore_extract()
+
+
+def q_union_layers_schema(spark, sf_dir):
+    """OGRUnionLayer field-list reconciliation
+    (ogrsf_frmts/generic/ogrunionlayer.cpp FIELD_FROM_ALL_LAYERS):
+    union of two layers with differing schemas; fields absent in one
+    source come back NULL."""
+    from gdal_spark.relational import union_layers
+
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("fid"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("fid"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").cast("bigint").alias("nationkey"),
+    )
+    u = union_layers([c, s])
+    return u.select(
+        "fid", "name",
+        F.floor(F.col("acctbal") * 100 + 0.5).cast("bigint").alias("acctbal_c"),
+        F.col("nationkey").cast("bigint").alias("nationkey"),
+    )
+
+
+def _o_union_layers_schema() -> str:
+    return (
+        "SELECT c_custkey AS fid, c_name AS name, "
+        "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c, "
+        "CAST(NULL AS BIGINT) AS nationkey FROM customer "
+        "UNION ALL "
+        "SELECT s_suppkey, s_name, CAST(NULL AS BIGINT), CAST(s_nationkey AS BIGINT) FROM supplier"
+    )
+
+
+QUERIES["union_layers_schema"] = q_union_layers_schema
+ORACLES["union_layers_schema"] = _o_union_layers_schema()
+
+
+def q_hilbert_cells(spark, sf_dir):
+    """The layout spine made driver-checkable: Hilbert cell id of every
+    valid doc geometry's representative point on a 256x256 grid over
+    the fixture world (FlatGeobuf packedrtree.h:120 Hilbert curve,
+    `gdal vector sort --by hilbert` alg/hilbert.cpp). The oracle
+    replays the branch-free uint32 Hilbert chain (geom/hilbert.py)
+    bit-identically in SQL."""
+    from gdal_spark.operators.cells import Grid
+
+    grid = Grid(440720, 3750120, 441920, 3751320, nx=256, ny=256)
+    g = docs_geom(spark, sf_dir).filter(F.col("geom_error").isNull() & F.col("wkt").isNotNull())
+    h = grid.hilbert_cell_udf()
+    cxy = g.select(
+        F.col("_id").alias("doc_id"),
+        ((F.col("env_minx") + F.col("env_maxx")) / 2).alias("gx"),
+        ((F.col("env_miny") + F.col("env_maxy")) / 2).alias("gy"),
+    )
+    return cxy.select(
+        "doc_id", h(F.col("gx"), F.col("gy")).cast("bigint").alias("hcell")
+    )
+
+
+def _o_hilbert_cells() -> str:
+    # bit-identical SQL replay of hilbert_code_xy (geom/hilbert.py:25):
+    # every step is &, |, xor, >>, << on values that stay within 32
+    # bits (no additions), so BIGINT arithmetic is exact.
+    M = "65535"
+
+    def X(a: str, b: str) -> str:
+        return f"xor({a}, {b})"
+
+    cw = "CAST(4.6875 AS DOUBLE)"  # 1200/256, exactly representable
+    cx = f"LEAST(GREATEST(CAST(floor((gx - 440720) / {cw}) AS BIGINT), 0), 255)"
+    cy = f"LEAST(GREATEST(CAST(floor((gy - 3750120) / {cw}) AS BIGINT), 0), 255)"
+
+    # seed stage: a=x^y  b=M^a  c=M^(x|y)  d=x&(y^M)
+    s1 = (
+        f"SELECT doc_id, x, y, {X('x', 'y')} AS a, {X(M, X('x', 'y'))} AS b, "
+        f"{X(M, '(x | y)')} AS c, (x & {X('y', M)}) AS d FROM t0"
+    )
+    # first doubling round (shift 1) has the seed-specific form:
+    # A=a|(b>>1)  B=(a>>1)^a  C=((c>>1)^(b&(d>>1)))^c  D=((a&(c>>1))^(d>>1))^d
+    s2 = (
+        "SELECT doc_id, x, y, (a | (b >> 1)) AS a, "
+        f"{X('(a >> 1)', 'a')} AS b, "
+        f"{X(X('(c >> 1)', '(b & (d >> 1))'), 'c')} AS c, "
+        f"{X(X('(a & (c >> 1))', '(d >> 1)'), 'd')} AS d FROM t1"
+    )
+
+    def full_round(sh: int) -> str:
+        ab = X("a", "b")
+        A = X(f"(a & (a >> {sh}))", f"(b & (b >> {sh}))")
+        B = X(f"(a & (b >> {sh}))", f"(b & ({ab} >> {sh}))")
+        C = X("c", X(f"(a & (c >> {sh}))", f"(b & (d >> {sh}))"))
+        D = X("d", X(f"(b & (c >> {sh}))", f"({ab} & (d >> {sh}))"))
+        return f"SELECT doc_id, x, y, {A} AS a, {B} AS b, {C} AS c, {D} AS d"
+
+    s3 = full_round(2) + " FROM t2"
+    s4 = full_round(4) + " FROM t3"
+    # final partial round (shift 8): only C, D update
+    ab = X("a", "b")
+    C8 = X("c", X("(a & (c >> 8))", "(b & (d >> 8))"))
+    D8 = X("d", X("(b & (c >> 8))", f"({ab} & (d >> 8))"))
+    s5 = f"SELECT doc_id, x, y, {C8} AS c, {D8} AS d FROM t4"
+    # gray-code extraction: a=c^(c>>1) b=d^(d>>1); i0=x^y; i1=b|(M^(i0|a))
+    ga = X("c", "(c >> 1)")
+    gb = X("d", "(d >> 1)")
+    i0 = X("x", "y")
+    s6 = (
+        f"SELECT doc_id, {i0} AS i0, "
+        f"({gb} | {X(M, f'({i0} | {ga})')}) AS i1 FROM t5"
+    )
+
+    def il(v: str) -> str:
+        e = f"((({v}) | (({v}) << 8)) & 16711935)"
+        e = f"(({e} | ({e} << 4)) & 252645135)"
+        e = f"(({e} | ({e} << 2)) & 858993459)"
+        e = f"(({e} | ({e} << 1)) & 1431655765)"
+        return e
+
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        f"t0 AS (SELECT doc_id, ({cx}) * 256 AS x, ({cy}) * 256 AS y FROM g WHERE valid), "
+        f"t1 AS ({s1}), t2 AS ({s2}), t3 AS ({s3}), t4 AS ({s4}), t5 AS ({s5}), t6 AS ({s6}) "
+        f"SELECT doc_id, ((({il('i1')}) << 1) | ({il('i0')})) AS hcell FROM t6"
+    )
+
+
+QUERIES["hilbert_cells"] = q_hilbert_cells
+ORACLES["hilbert_cells"] = _o_hilbert_cells()
