@@ -147,12 +147,64 @@ def k_shortest_paths(
     collects the parent map — bounded by the reachable node count,
     matching the reference's in-memory graph contract). Root costs come
     from the cumulative distances already collected with each path —
-    no per-root-edge Spark jobs in the loop (round-2 verdict item)."""
+    no per-root-edge Spark jobs in the loop (round-2 verdict item).
 
-    def spt_path(edge_df, start) -> tuple[float, list, list] | None:
-        """(cost, path, cumulative dist per path node) from `start`."""
+    Small graphs (≤ LOCAL_EDGE_GUARD edges) are collected once and the
+    whole Yen loop runs in-memory — the reference's own contract
+    (GNMGraph is an in-memory structure); the per-spur distributed
+    shortest-path-tree only pays off when the edge table genuinely
+    cannot fit on the driver. The in-memory relaxation replicates the
+    distributed rounds exactly (same strict-improvement rule, same
+    min-(dist, parent) tie-break), so both paths return identical
+    trees."""
+
+    LOCAL_EDGE_GUARD = 100_000
+
+    local_edges: list | None = None
+    if edges.count() <= LOCAL_EDGE_GUARD:
+        local_edges = [
+            (r[0], r[1], float(r[2]))
+            for r in edges.select(src, dst, weight).collect()
+        ]
+
+    def _spt_local(elist, start) -> tuple[float, list, list] | None:
+        dist: dict = {start: (0.0, None)}
+        for _ in range(10_000):
+            best: dict = {}
+            for (u, v, w) in elist:
+                if u in dist:
+                    cand = (dist[u][0] + w, u)
+                    if v not in best or cand < best[v]:
+                        best[v] = cand
+            improved = False
+            for v, (d, p) in best.items():
+                if v not in dist or d < dist[v][0]:
+                    dist[v] = (d, p)
+                    improved = True
+            if not improved:
+                break
+        if target not in dist:
+            return None
+        path = [target]
+        while path[-1] != start:
+            path.append(dist[path[-1]][1])
+        path = list(reversed(path))
+        return dist[target][0], path, [float(dist[n][0]) for n in path]
+
+    def spt_path(edge_df_or_filter, start) -> tuple[float, list, list] | None:
+        """(cost, path, cumulative dist per path node) from `start`.
+        edge_df_or_filter: a DataFrame (distributed path) or a
+        (banned_nodes, banned_edges) pair (in-memory path)."""
+        if local_edges is not None:
+            banned_nodes, banned_edges = edge_df_or_filter
+            elist = [
+                (u, v, w) for (u, v, w) in local_edges
+                if u not in banned_nodes and v not in banned_nodes
+                and (u, v) not in banned_edges
+            ]
+            return _spt_local(elist, start)
         tree = {r["node"]: (r["dist"], r["parent"]) for r in shortest_path_tree(
-            edge_df, start, src=src, dst=dst, weight=weight
+            edge_df_or_filter, start, src=src, dst=dst, weight=weight
         ).collect()}
         if target not in tree:
             return None
@@ -162,7 +214,7 @@ def k_shortest_paths(
         path = list(reversed(path))
         return tree[target][0], path, [float(tree[n][0]) for n in path]
 
-    first = spt_path(edges, source)
+    first = spt_path((set(), set()) if local_edges is not None else edges, source)
     if first is None:
         return []
     A: list[tuple[float, list, list]] = [first]
@@ -178,10 +230,15 @@ def k_shortest_paths(
                 (p[1][i], p[1][i + 1]) for p in A if len(p[1]) > i + 1 and p[1][: i + 1] == root
             }
             banned_nodes = set(root[:-1])
-            cond = ~F.col(src).isin(list(banned_nodes)) & ~F.col(dst).isin(list(banned_nodes))
-            for (u, v) in banned_edges:
-                cond = cond & ~((F.col(src) == u) & (F.col(dst) == v))
-            sp = spt_path(edges.filter(cond), spur)
+            if local_edges is not None:
+                sp = spt_path((banned_nodes, banned_edges), spur)
+            else:
+                cond = ~F.col(src).isin(list(banned_nodes)) & ~F.col(dst).isin(
+                    list(banned_nodes)
+                )
+                for (u, v) in banned_edges:
+                    cond = cond & ~((F.col(src) == u) & (F.col(dst) == v))
+                sp = spt_path(edges.filter(cond), spur)
             if sp is None:
                 continue
             # root cost = distance from source to the spur node along

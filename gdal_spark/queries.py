@@ -3045,3 +3045,237 @@ def _o_hilbert_cells() -> str:
 
 QUERIES["hilbert_cells"] = q_hilbert_cells
 ORACLES["hilbert_cells"] = _o_hilbert_cells()
+
+
+def q_sieve_islands(spark, sf_dir):
+    """GDALSieveFilter (alg/gdalsievefilter.cpp) driver-checked: burn
+    doc points as 1s on a 64x64 binary grid, sieve threshold=2
+    4-connected — exactly the size-1 islands flip. The oracle applies
+    the same rule in SQL: a pixel with no 4-neighbour of equal value
+    is a size-1 component and merges into its (uniform-value)
+    surroundings."""
+    from gdal_spark.operators.raster import RasterSpec, as_features, rasterize
+    from gdal_spark.operators.sieve import sieve
+
+    spec = RasterSpec(
+        width=64, height=64,
+        gt=(440720.0, 18.75, 0.0, 3751320.0, 0.0, -18.75),
+        dtype="int32", nbands=1, tile_size=64,
+    )
+    g = docs_geom(spark, sf_dir).filter(
+        F.col("geom_error").isNull() & F.col("wkt").startswith("POINT")
+    )
+    shapes = g.select(
+        F.col("_id").alias("fid"),
+        "wkt",
+        F.array(F.lit(1.0)).alias("burn_values"),
+    )
+    tiles = rasterize(shapes, spec)
+    sieved = sieve(tiles, spec, threshold=2, connect=4)
+    pix = as_features(sieved, spec)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("value").cast("bigint").alias("v"),
+    )
+
+
+def _o_sieve_islands() -> str:
+    psz = "CAST(18.75 AS DOUBLE)"
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        f"p AS (SELECT CAST(floor((gx - 440720) / {psz}) AS BIGINT) AS px, "
+        f"CAST(floor((3751320 - gy) / {psz}) AS BIGINT) AS py "
+        "FROM g WHERE valid AND NOT is_poly), "
+        "grid AS (SELECT y.range AS py, x.range AS px FROM range(0, 64) y, range(0, 64) x), "
+        "r AS (SELECT grid.py, grid.px, CASE WHEN EXISTS "
+        "(SELECT 1 FROM p WHERE p.py = grid.py AND p.px = grid.px "
+        "AND p.px BETWEEN 0 AND 63 AND p.py BETWEEN 0 AND 63) THEN 1 ELSE 0 END AS v FROM grid) "
+        "SELECT a.py, a.px, CAST(CASE WHEN NOT EXISTS "
+        "(SELECT 1 FROM r b WHERE abs(b.py - a.py) + abs(b.px - a.px) = 1 AND b.v = a.v) "
+        "THEN 1 - a.v ELSE a.v END AS BIGINT) AS v FROM r a"
+    )
+
+
+QUERIES["sieve_islands"] = q_sieve_islands
+ORACLES["sieve_islands"] = _o_sieve_islands()
+
+
+def q_dissolve_groups(spark, sf_dir):
+    """True geometric GROUP-BY dissolve (SQLite dialect ST_Union
+    aggregate; ogr2ogr -dialect sqlite "SELECT ST_Union(geom) ...
+    GROUP BY k"): per doc_id%7 group, the exact polygon union of the
+    member squares through the two-level partial-union aggregate.
+    Output = union area + member count + dissolved envelope; the
+    oracle computes the rectilinear union area by coordinate
+    compression (axis-aligned squares: exact)."""
+    from gdal_spark.operators.dissolve import dissolve_union
+    from gdal_spark.operators.spatial import area_udf, envelope_udf
+
+    g = docs_geom(spark, sf_dir).filter(
+        F.col("geom_error").isNull() & F.col("wkt").startswith("POLYGON")
+    )
+    keyed = g.withColumn("grp", (F.col("_id") % 7).cast("bigint"))
+    u = dissolve_union(keyed, ["grp"])
+    env = envelope_udf(F.col("union_wkt"))
+    n = keyed.groupBy("grp").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        u.join(n, "grp")
+        .withColumn("_e", env)
+        .select(
+            "grp",
+            F.floor(area_udf(F.col("union_wkt")) + 0.5).cast("bigint").alias("union_area"),
+            F.col("n_members"),
+            F.col("_e.minx").cast("bigint").alias("minx"),
+            F.col("_e.miny").cast("bigint").alias("miny"),
+            F.col("_e.maxx").cast("bigint").alias("maxx"),
+            F.col("_e.maxy").cast("bigint").alias("maxy"),
+        )
+    )
+
+
+def _o_dissolve_groups() -> str:
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "r AS (SELECT doc_id % 7 AS grp, gx - half AS x1, gy - half AS y1, "
+        "gx + half AS x2, gy + half AS y2 FROM g WHERE valid AND is_poly), "
+        "xs AS (SELECT DISTINCT grp, x FROM (SELECT grp, x1 AS x FROM r UNION ALL SELECT grp, x2 FROM r)), "
+        "ys AS (SELECT DISTINCT grp, y FROM (SELECT grp, y1 AS y FROM r UNION ALL SELECT grp, y2 FROM r)), "
+        "xi AS (SELECT grp, x AS xa, lead(x) OVER (PARTITION BY grp ORDER BY x) AS xb FROM xs), "
+        "yi AS (SELECT grp, y AS ya, lead(y) OVER (PARTITION BY grp ORDER BY y) AS yb FROM ys), "
+        "cells AS (SELECT xi.grp, xa, xb, ya, yb FROM xi JOIN yi ON xi.grp = yi.grp "
+        "WHERE xb IS NOT NULL AND yb IS NOT NULL), "
+        "cov AS (SELECT c.grp, c.xa, c.ya, c.xb, c.yb FROM cells c "
+        "WHERE EXISTS (SELECT 1 FROM r WHERE r.grp = c.grp AND r.x1 <= c.xa AND r.x2 >= c.xb "
+        "AND r.y1 <= c.ya AND r.y2 >= c.yb)), "
+        "area AS (SELECT grp, CAST(SUM((xb - xa) * (yb - ya)) AS BIGINT) AS union_area FROM cov GROUP BY grp), "
+        "agg AS (SELECT grp, COUNT(*) AS n_members, CAST(MIN(x1) AS BIGINT) AS minx, "
+        "CAST(MIN(y1) AS BIGINT) AS miny, CAST(MAX(x2) AS BIGINT) AS maxx, CAST(MAX(y2) AS BIGINT) AS maxy "
+        "FROM r GROUP BY grp) "
+        "SELECT CAST(a.grp AS BIGINT) AS grp, area.union_area, a.n_members, a.minx, a.miny, a.maxx, a.maxy "
+        "FROM agg a JOIN area ON a.grp = area.grp"
+    )
+
+
+QUERIES["dissolve_groups"] = q_dissolve_groups
+ORACLES["dissolve_groups"] = _o_dissolve_groups()
+
+
+def q_warp_average_down(spark, sf_dir):
+    """gdal_translate -outsize 50% -r average (overview/warp average
+    footprint semantics): byte20 -> 10x10, each dst pixel the exact
+    mean of its 2x2 source block; x1000 quantized."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.raster import as_features
+    from gdal_spark.operators.translate import translate
+
+    out, dspec = translate(
+        byte20_tiles(spark), BYTE20_SPEC, outsize=(10, 10),
+        resampling="average", out_dtype="float64",
+    )
+    pix = as_features(out, dspec)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("bigint").alias("v1000"),
+    )
+
+
+def _o_warp_average_down() -> str:
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)) "
+        "SELECT CAST(floor(py / 2) AS BIGINT) AS py, CAST(floor(px / 2) AS BIGINT) AS px, "
+        "CAST(floor(AVG(CAST(v AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS v1000 "
+        "FROM pixels GROUP BY floor(py / 2), floor(px / 2)"
+    )
+
+
+QUERIES["warp_average_down"] = q_warp_average_down
+ORACLES["warp_average_down"] = _o_warp_average_down()
+
+
+def q_multidim_stats(spark, sf_dir):
+    """Multidim GetView + ComputeStatistics
+    (gcore/mdarray GetView/ComputeStatistics): a chunked 8x16x16
+    array, range-sliced to [2:6, 4:12, :] with chunk pruning, stats
+    via the distributive per-chunk partials. The oracle replays the
+    generator formula over the same index ranges."""
+    import numpy as np
+
+    from gdal_spark.operators.multidim import MDArraySpec, from_numpy, mdim_statistics, slice_array
+
+    spec = MDArraySpec(
+        name="t", dims=(("z", 8), ("y", 16), ("x", 16)), chunks=(4, 8, 8), dtype="float64"
+    )
+    arr = np.fromfunction(
+        lambda i, j, k: (i * 257 + j * 31 + k * 7) % 101, (8, 16, 16), dtype=np.int64
+    ).astype(np.float64)
+    df = from_numpy(spark, arr, spec)
+    view, vspec = slice_array(df, spec, [(2, 6), (4, 12), (0, 16)])
+    st = mdim_statistics(view, vspec)
+    row = [(
+        512,
+        int(st["min"]), int(st["max"]),
+        int(np.floor(st["mean"] * 1000 + 0.5)),
+        int(np.floor(st["std"] * 1000 + 0.5)),
+    )]
+    return spark.createDataFrame(row, "n bigint, mn bigint, mx bigint, mean1000 bigint, std1000 bigint")
+
+
+def _o_multidim_stats() -> str:
+    return (
+        "WITH v AS (SELECT CAST((i.range * 257 + j.range * 31 + k.range * 7) % 101 AS DOUBLE) AS v "
+        "FROM range(2, 6) i, range(4, 12) j, range(0, 16) k) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(v) AS BIGINT) AS mn, CAST(MAX(v) AS BIGINT) AS mx, "
+        "CAST(floor(SUM(v) / COUNT(*) * 1000 + 0.5) AS BIGINT) AS mean1000, "
+        "CAST(floor(sqrt(GREATEST(SUM(v * v) / COUNT(*) - (SUM(v) / COUNT(*)) * (SUM(v) / COUNT(*)), 0)) * 1000 + 0.5) AS BIGINT) AS std1000 "
+        "FROM v"
+    )
+
+
+QUERIES["multidim_stats"] = q_multidim_stats
+ORACLES["multidim_stats"] = _o_multidim_stats()
+
+
+def q_yen_paths(spark, sf_dir):
+    """GNM K-shortest paths (gnm/gnmgraph.cpp:247 KShortestPaths, Yen):
+    top-4 loopless paths on a fixed weighted digraph with distinct
+    path costs; the oracle enumerates all simple paths by recursive
+    CTE and ranks by cost."""
+    from gdal_spark.operators.graph import k_shortest_paths
+
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 3.5), (0, 2, 2.0), (1, 3, 4.0), (2, 1, 1.25), (2, 3, 2.0),
+            (2, 4, 3.0), (3, 4, 2.0), (3, 5, 1.0), (4, 5, 2.0),
+        ],
+        "src int, dst int, weight double",
+    ).coalesce(1)
+    paths = k_shortest_paths(edges, 0, 5, 4)
+    rows = [
+        (i + 1, int(c * 1000 + 0.5), "-".join(str(int(n)) for n in p))
+        for i, (c, p) in enumerate(paths)
+    ]
+    return spark.createDataFrame(rows, "rk bigint, cost1000 bigint, path string")
+
+
+def _o_yen_paths() -> str:
+    edges = (
+        "(VALUES (0, 1, 3.5), (0, 2, 2.0), (1, 3, 4.0), (2, 1, 1.25), (2, 3, 2.0), "
+        "(2, 4, 3.0), (3, 4, 2.0), (3, 5, 1.0), (4, 5, 2.0)) e(src, dst, w)"
+    )
+    return (
+        "WITH RECURSIVE paths(node, cost, path) AS ("
+        "SELECT 0, CAST(0 AS DOUBLE), [0] "
+        "UNION ALL "
+        f"SELECT e.dst, p.cost + e.w, list_append(p.path, e.dst) FROM paths p JOIN {edges} "
+        "ON e.src = p.node WHERE NOT list_contains(p.path, e.dst)) "
+        "SELECT CAST(row_number() OVER (ORDER BY cost) AS BIGINT) AS rk, "
+        "CAST(floor(cost * 1000 + 0.5) AS BIGINT) AS cost1000, "
+        "array_to_string(path, '-') AS path "
+        "FROM paths WHERE node = 5 ORDER BY cost LIMIT 4"
+    )
+
+
+QUERIES["yen_paths"] = q_yen_paths
+ORACLES["yen_paths"] = _o_yen_paths()
