@@ -51,6 +51,8 @@ from gdal_spark.session import get_spark  # noqa: E402
 # a 4096x4096 grid over the full byte20 world (16x16 = 256 full
 # 256-tiles: enough tile tasks to exercise real parallelism; pixel
 # size 1200/4096 is exactly representable in binary)
+ENV4 = ("env_minx", "env_miny", "env_maxx", "env_maxy")
+
 BENCH_SPEC = RasterSpec(
     width=4096, height=4096, gt=(440720.0, 1200.0 / 4096, 0.0, 3751320.0, 0.0, -1200.0 / 4096),
     dtype="int32", nbands=1, tile_size=256,
@@ -126,9 +128,9 @@ def main() -> None:
         shapes = geom.filter(
             F.col("geom_error").isNull() & (F.col("env_minx") == F.col("env_maxx"))
         ).select(
-            F.col("_id").alias("fid"), "wkt", F.array(F.lit(1.0)).alias("burn_values")
+            F.col("_id").alias("fid"), "wkt", "env_minx", "env_miny", "env_maxx", "env_maxy", F.array(F.lit(1.0)).alias("burn_values")
         )
-        tiles = rasterize(shapes, BENCH_SPEC, merge_alg="add")
+        tiles = rasterize(shapes, BENCH_SPEC, merge_alg="add", env_cols=ENV4)
         checksum_col(tiles, BENCH_SPEC).collect()
 
     timed("rasterize_checksum", _rasterize)
@@ -137,8 +139,8 @@ def main() -> None:
     def _pyramid() -> None:
         shapes = geom.filter(
             F.col("geom_error").isNull() & (F.col("env_minx") == F.col("env_maxx"))
-        ).select(F.col("_id").alias("fid"), "wkt", F.array(F.lit(1.0)).alias("burn_values"))
-        tiles = rasterize(shapes, BENCH_SPEC, merge_alg="add").withColumn("z", F.lit(2))
+        ).select(F.col("_id").alias("fid"), "wkt", "env_minx", "env_miny", "env_maxx", "env_maxy", F.array(F.lit(1.0)).alias("burn_values"))
+        tiles = rasterize(shapes, BENCH_SPEC, merge_alg="add", env_cols=ENV4).withColumn("z", F.lit(2))
         overview_level(tiles, resampling="average", tile_size=256).count()
 
     timed("tile_pyramid", _pyramid)
@@ -156,8 +158,8 @@ def main() -> None:
 
         shapes = geom.filter(
             F.col("geom_error").isNull() & (F.col("env_minx") == F.col("env_maxx"))
-        ).select(F.col("_id").alias("fid"), "wkt", F.array(F.lit(1.0)).alias("burn_values"))
-        tiles = rasterize(shapes, BENCH_SPEC, merge_alg="add")
+        ).select(F.col("_id").alias("fid"), "wkt", "env_minx", "env_miny", "env_maxx", "env_maxy", F.array(F.lit(1.0)).alias("burn_values"))
+        tiles = rasterize(shapes, BENCH_SPEC, merge_alg="add", env_cols=ENV4)
         pipe = Pipeline(src=utm(11), dst="webmercator")
         raster_tile(tiles, BENCH_SPEC, pipe, min_zoom=19, max_zoom=19,
                     resampling="bilinear", approx_error=0.125).count()

@@ -87,11 +87,15 @@ def main() -> None:
     shapes = ok.filter(F.col("env_minx") == F.col("env_maxx")).select(
         F.col(keep[-1]).alias("fid") if keep else F.monotonically_increasing_id().alias("fid"),
         "wkt",
+        "env_minx", "env_miny", "env_maxx", "env_maxy",
         F.array(F.lit(1.0)).alias("burn_values"),
     )
     from gdal_spark.metrics import read_lineage
 
-    tiles = rasterize(shapes, GRID, merge_alg="add")
+    tiles = rasterize(
+        shapes, GRID, merge_alg="add",
+        env_cols=("env_minx", "env_miny", "env_maxx", "env_maxy"),
+    )
     done = resume_done_keys(spark, f"{args.out}/tiles", ["ty", "tx"]) if args.resume else None
     todo = anti_join_done(tiles, done, ["ty", "tx"])
     mode = "append" if (args.resume and done is not None) else "overwrite"

@@ -350,6 +350,7 @@ def rasterize(
     merge_alg: str = "replace",
     all_touched: bool = False,
     salt: int | None = None,
+    env_cols: tuple[str, str, str, str] | None = None,
 ) -> DataFrame:
     """Distributed gdal_rasterize: returns the tile table.
 
@@ -368,6 +369,16 @@ def rasterize(
     associative+commutative so the result is bit-identical to the
     unsalted path (one final dtype round/clamp). REPLACE is
     order-dependent and stays single-pass per tile.
+
+    env_cols: optional (minx, miny, maxx, maxy) column names. When the
+    caller already carries geometry envelopes (extract_geom output
+    does), the explode stage maps shapes to tiles from those columns
+    with pure numpy — no WKT parse before the shuffle. In ADD mode,
+    degenerate envelopes (minx==maxx, miny==maxy → POINT) additionally
+    ship as two doubles (gx, gy) with a NULL wkt, so the burn stage
+    bincounts them without ever parsing — bit-identical to the parsed
+    path (same world_to_pixel + bounds rule). REPLACE keeps the WKT
+    (strict feature-order burns need the full geometry).
     """
     ts = spec.tile_size
     if salt is None:
@@ -381,15 +392,22 @@ def rasterize(
             StructField("tx", IntegerType()),
             StructField("salt", IntegerType()),
             StructField("wkt", StringType()),
+            StructField("gx", DoubleType()),
+            StructField("gy", DoubleType()),
             StructField("burn", StringType()),  # csv of per-band values
             StructField("ord", LongType()),
         ]
     )
+    point_fast = merge_alg == "add"
 
     def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            batch = parse_wkt(pdf[wkt_col])
-            env = batch.envelopes()
+            if env_cols is not None:
+                env = np.column_stack(
+                    [pdf[c].to_numpy(dtype=np.float64) for c in env_cols]
+                )
+            else:
+                env = parse_wkt(pdf[wkt_col]).envelopes()
             # world envelope -> pixel-space bbox via ALL FOUR corners:
             # with a rotated geotransform (gt[2]/gt[4] != 0) the two
             # diagonal corners alone under-cover the pixel bbox and
@@ -421,13 +439,24 @@ def rasterize(
             frames = []
             si = np.flatnonzero(single)
             if si.size:
+                wkts = pdf[wkt_col].iloc[si].to_numpy(dtype=object)
+                sgx = np.full(si.size, np.nan)
+                sgy = np.full(si.size, np.nan)
+                if point_fast:
+                    deg = (env[si, 0] == env[si, 2]) & (env[si, 1] == env[si, 3])
+                    sgx[deg] = env[si, 0][deg]
+                    sgy[deg] = env[si, 1][deg]
+                    wkts = wkts.copy()
+                    wkts[deg] = None
                 frames.append(
                     pd.DataFrame(
                         {
                             "ty": ty0[si].astype(np.int32),
                             "tx": tx0[si].astype(np.int32),
                             "salt": salts[si],
-                            "wkt": pdf[wkt_col].iloc[si].to_numpy(),
+                            "wkt": wkts,
+                            "gx": sgx,
+                            "gy": sgy,
                             "burn": bcsv_all.iloc[si].to_numpy(),
                             "ord": orders[si],
                         }
@@ -445,7 +474,10 @@ def rasterize(
                             out["wkt"].append(pdf[wkt_col].iloc[i])
                             out["burn"].append(bcsv_all.iloc[i])
                             out["ord"].append(int(orders[i]))
-                frames.append(pd.DataFrame(out))
+                mdf = pd.DataFrame(out)
+                mdf["gx"] = np.nan
+                mdf["gy"] = np.nan
+                frames.append(mdf[["ty", "tx", "salt", "wkt", "gx", "gy", "burn", "ord"]])
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
@@ -457,6 +489,35 @@ def rasterize(
         path, 0.0 for salted partials)."""
         pdf = pdf.sort_values("ord", kind="stable")
         arr = np.full((spec.nbands, h, w), float(base))
+
+        # pre-parsed point rows (ADD-mode explode ships coords, no WKT):
+        # burn directly by bincount — same world_to_pixel + bounds rule
+        # as the parsed path below, so results are bit-identical
+        gxv = pdf["gx"].to_numpy(dtype=np.float64)
+        gmask = np.isfinite(gxv)
+        if gmask.any():
+            gyv = pdf["gy"].to_numpy(dtype=np.float64)
+            px, py = spec.world_to_pixel(gxv[gmask], gyv[gmask])
+            ok = (px >= 0) & (px < spec.width) & (py >= 0) & (py < spec.height)
+            lx = px.astype(np.int64) - ox
+            ly = py.astype(np.int64) - oy
+            ok &= (lx >= 0) & (lx < w) & (ly >= 0) & (ly < h)
+            sel = np.flatnonzero(ok)
+            if sel.size:
+                flat = ly[sel] * w + lx[sel]
+                gidx = np.flatnonzero(gmask)[sel]
+                burns = np.array(
+                    [[float(v) for v in s.split(",")] for s in pdf["burn"].iloc[gidx]],
+                    dtype=np.float64,
+                )
+                for b in range(spec.nbands):
+                    arr[b] += np.bincount(
+                        flat, weights=burns[:, b], minlength=h * w
+                    ).reshape(h, w)
+            pdf = pdf[~gmask]
+            if not len(pdf):
+                return arr
+
         batch = parse_wkt(pdf["wkt"])
 
         # vectorized POINT path (GDALdllImagePoint: floor to pixel,

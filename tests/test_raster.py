@@ -109,6 +109,29 @@ class TestRasterizeDistributed:
             assert (materialize_full(tiles, F4_SPEC, band=b) == local[b - 1]).all()
         assert checksum_df(tiles, F4_SPEC, band=2) == 6443
 
+    def test_env_cols_point_fast_path_bit_identical(self, spark):
+        # ADD-mode env_cols path (numpy explode + parsed-free point
+        # burn) must match the default WKT-parsing path bit for bit,
+        # with points and a multi-tile polygon mixed in one input
+        spec = RasterSpec(8, 8, (0, 1, 0, 8, 0, -1), tile_size=4)
+        rows = []
+        for i in range(20):
+            x, y = (i * 7) % 8 + 0.5, (i * 3) % 8 + 0.5
+            rows.append((i, f"POINT ({x} {y})", x, y, x, y, [1.0]))
+        rows.append((99, "POLYGON((1 1,1 7,7 7,7 1,1 1))", 1.0, 1.0, 7.0, 7.0, [2.0]))
+        shapes = spark.createDataFrame(
+            rows,
+            "fid bigint, wkt string, env_minx double, env_miny double, "
+            "env_maxx double, env_maxy double, burn_values array<double>",
+        )
+        fast = materialize_full(
+            rasterize(shapes, spec, merge_alg="add",
+                      env_cols=("env_minx", "env_miny", "env_maxx", "env_maxy")),
+            spec,
+        )
+        slow = materialize_full(rasterize(shapes, spec, merge_alg="add"), spec)
+        assert (fast == slow).all() and fast.sum() > 0
+
     def test_replace_is_feature_order(self, spark):
         spec = RasterSpec(8, 8, (0, 1, 0, 8, 0, -1), tile_size=4)
         w = ["POLYGON((0 0,0 8,8 8,8 0,0 0))"] * 2
