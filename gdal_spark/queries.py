@@ -3279,3 +3279,264 @@ def _o_yen_paths() -> str:
 
 QUERIES["yen_paths"] = q_yen_paths
 ORACLES["yen_paths"] = _o_yen_paths()
+
+
+def q_gcp_transform(spark, sf_dir):
+    """GDALCreateGCPTransformer / GDALGCPTransform order-1
+    (alg/gdal_crs.cpp): fit pixel/line -> geo on 3 GCPs at plan time
+    (the reference's CreateGCPTransformer step, driver-side by
+    design), then evaluate forward over every point doc's rebased
+    coordinates as a vectorized Arrow batch. GCP geo values are
+    chosen so the exact interpolant has power-of-2 coefficients
+    (X = 10 + px/2 + py/4, Y = -20 + px/8 - 3*py/4): all true values
+    are k/8, so quantizing at x1024 absorbs the lstsq fit's fp noise.
+    The oracle re-solves the same 3x3 system by Cramer's rule in SQL
+    (exact: det = 64) and applies it row-wise."""
+    import pandas as pd
+
+    from gdal_spark.geom.gcp import GCPTransformer
+
+    gcps = [(0.0, 0.0, 10.0, -20.0), (8.0, 0.0, 14.0, -19.0), (0.0, 8.0, 12.0, -26.0)]
+    t = GCPTransformer(gcps, order=1)
+    g = (
+        docs_geom(spark, sf_dir)
+        .filter(F.col("geom_error").isNull() & F.col("wkt").startswith("POINT"))
+        .select(
+            F.col("_id").alias("doc_id"),
+            (F.col("env_minx") - 440000).alias("px"),
+            (F.col("env_miny") - 3750000).alias("py"),
+        )
+    )
+
+    def _apply(batches):
+        import numpy as np
+
+        for pdf in batches:
+            X, Y = t.forward(pdf["px"].to_numpy(np.float64), pdf["py"].to_numpy(np.float64))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "x1024": np.floor(X * 1024 + 0.5).astype(np.int64),
+                    "y1024": np.floor(Y * 1024 + 0.5).astype(np.int64),
+                }
+            )
+
+    return g.mapInPandas(_apply, "doc_id bigint, x1024 bigint, y1024 bigint")
+
+
+def _o_gcp_transform() -> str:
+    gc = (
+        "(VALUES (0.0, 0.0, 10.0, -20.0), (8.0, 0.0, 14.0, -19.0), "
+        "(0.0, 8.0, 12.0, -26.0)) t(p, l, x, y)"
+    )
+    # Cramer's rule for the affine through 3 GCPs, per output axis
+    fit = (
+        f"WITH gc AS (SELECT * FROM {gc}), "
+        "w AS (SELECT "
+        " (SELECT p FROM gc OFFSET 0 LIMIT 1) AS p0, (SELECT l FROM gc OFFSET 0 LIMIT 1) AS l0, "
+        " (SELECT x FROM gc OFFSET 0 LIMIT 1) AS x0, (SELECT y FROM gc OFFSET 0 LIMIT 1) AS y0, "
+        " (SELECT p FROM gc OFFSET 1 LIMIT 1) AS p1, (SELECT l FROM gc OFFSET 1 LIMIT 1) AS l1, "
+        " (SELECT x FROM gc OFFSET 1 LIMIT 1) AS x1, (SELECT y FROM gc OFFSET 1 LIMIT 1) AS y1, "
+        " (SELECT p FROM gc OFFSET 2 LIMIT 1) AS p2, (SELECT l FROM gc OFFSET 2 LIMIT 1) AS l2, "
+        " (SELECT x FROM gc OFFSET 2 LIMIT 1) AS x2, (SELECT y FROM gc OFFSET 2 LIMIT 1) AS y2), "
+        "co AS (SELECT "
+        " (p1 - p0) * (l2 - l0) - (p2 - p0) * (l1 - l0) AS det, "
+        " ((x1 - x0) * (l2 - l0) - (x2 - x0) * (l1 - l0)) AS bxn, "
+        " ((p1 - p0) * (x2 - x0) - (p2 - p0) * (x1 - x0)) AS cxn, "
+        " ((y1 - y0) * (l2 - l0) - (y2 - y0) * (l1 - l0)) AS byn, "
+        " ((p1 - p0) * (y2 - y0) - (p2 - p0) * (y1 - y0)) AS cyn, "
+        " p0, l0, x0, y0 FROM w), "
+        "cf AS (SELECT bxn / det AS bx, cxn / det AS cx, byn / det AS by, cyn / det AS cy, "
+        " x0 - (bxn / det) * p0 - (cxn / det) * l0 AS ax, "
+        " y0 - (byn / det) * p0 - (cyn / det) * l0 AS ay FROM co)"
+    )
+    return (
+        f"{fit}, g AS ({docs_g_cte()}), "
+        "pts AS (SELECT doc_id, gx - 440000 AS px, gy - 3750000 AS py FROM g "
+        "WHERE valid AND NOT is_poly) "
+        "SELECT doc_id, "
+        "CAST(floor((ax + bx * px + cx * py) * 1024 + 0.5) AS BIGINT) AS x1024, "
+        "CAST(floor((ay + by * px + cy * py) * 1024 + 0.5) AS BIGINT) AS y1024 "
+        "FROM pts, cf"
+    )
+
+
+QUERIES["gcp_transform"] = q_gcp_transform
+ORACLES["gcp_transform"] = _o_gcp_transform()
+
+
+# RPC fixture shared by the Spark query and its SQL oracle: sparse
+# cubic sensor model, height plane at 0 (the reference's no-DEM
+# RPC_HEIGHT path). Term names follow RPCComputeTerms order
+# (alg/gdal_rpc.cpp:290-330).
+_RPC_FIX = {
+    "LINE_OFF": 512.0, "SAMP_OFF": 512.0, "LAT_OFF": 0.0, "LONG_OFF": 0.0,
+    "HEIGHT_OFF": 0.0, "LINE_SCALE": 512.0, "SAMP_SCALE": 512.0,
+    "LAT_SCALE": 6.0, "LONG_SCALE": 60.0, "HEIGHT_SCALE": 1.0,
+    "SAMP_NUM_COEFF": [0.01, 0.9, 0.05, 0.0, 0.02, 0.0, 0.0, 0.003, 0.0, 0.0,
+                       0.0, 0.0005, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    "SAMP_DEN_COEFF": [1.0, 0.001, 0.002, 0.0] + [0.0] * 16,
+    "LINE_NUM_COEFF": [0.02, -0.04, 0.95, 0.0, 0.01, 0.0, 0.0, 0.0, 0.004, 0.0,
+                       0.0, 0.0, 0.0, 0.0, 0.0, 0.0008, 0.0, 0.0, 0.0, 0.0],
+    "LINE_DEN_COEFF": [1.0, 0.0, 0.0015, 0.0] + [0.0] * 16,
+}
+
+
+def q_rpc_project(spark, sf_dir):
+    """GDALCreateRPCTransformer forward (alg/gdal_rpc.cpp:290-330,
+    :462-466): normalize (lon, lat, h) by OFF/SCALE, evaluate the
+    20-term cubic numerator/denominator per axis, result * SCALE +
+    OFF + 0.5 (pixel-center convention). Point-doc coords rebased to
+    a +-60 x +-6 pseudo lon/lat window feed the fixed sensor model
+    above; the oracle replays the exact polynomial ratio in SQL."""
+    import pandas as pd
+
+    from gdal_spark.geom.rpc import RPCTransformer
+
+    t = RPCTransformer(_RPC_FIX, height=0.0)
+    g = (
+        docs_geom(spark, sf_dir)
+        .filter(F.col("geom_error").isNull() & F.col("wkt").startswith("POINT"))
+        .select(
+            F.col("_id").alias("doc_id"),
+            ((F.col("env_minx") - 441320) / 10.0).alias("lon"),
+            ((F.col("env_miny") - 3750720) / 100.0).alias("lat"),
+        )
+    )
+
+    def _apply(batches):
+        import numpy as np
+
+        for pdf in batches:
+            px, ln = t.forward(pdf["lon"].to_numpy(np.float64), pdf["lat"].to_numpy(np.float64))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "px1000": np.floor(px * 1000 + 0.5).astype(np.int64),
+                    "ln1000": np.floor(ln * 1000 + 0.5).astype(np.int64),
+                }
+            )
+
+    return g.mapInPandas(_apply, "doc_id bigint, px1000 bigint, ln1000 bigint")
+
+
+def _rpc_poly_sql(coeffs: list[float]) -> str:
+    """SQL for the 20-term cubic with H = 0 (RPCComputeTerms order;
+    H-bearing terms drop out)."""
+    terms = ["1", "L", "P", None, "L * P", None, None, "L * L", "P * P", None,
+             None, "L * L * L", "L * P * P", None, "L * L * P",
+             "P * P * P", None, None, None, None]
+    parts = [
+        f"({c!r}) * ({t})"
+        for c, t in zip(coeffs, terms)
+        if t is not None and c != 0.0
+    ]
+    return " + ".join(parts) if parts else "0.0"
+
+
+def _o_rpc_project() -> str:
+    r = _RPC_FIX
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "pts AS (SELECT doc_id, (gx - 441320) / 10.0 AS lon, (gy - 3750720) / 100.0 AS lat "
+        "FROM g WHERE valid AND NOT is_poly), "
+        f"norm AS (SELECT doc_id, lon / {r['LONG_SCALE']!r} AS L, lat / {r['LAT_SCALE']!r} AS P FROM pts), "
+        "ev AS (SELECT doc_id, "
+        f"({_rpc_poly_sql(r['SAMP_NUM_COEFF'])}) / ({_rpc_poly_sql(r['SAMP_DEN_COEFF'])}) AS xr, "
+        f"({_rpc_poly_sql(r['LINE_NUM_COEFF'])}) / ({_rpc_poly_sql(r['LINE_DEN_COEFF'])}) AS yr "
+        "FROM norm) "
+        "SELECT doc_id, "
+        f"CAST(floor((xr * {r['SAMP_SCALE']!r} + {r['SAMP_OFF']!r} + 0.5) * 1000 + 0.5) AS BIGINT) AS px1000, "
+        f"CAST(floor((yr * {r['LINE_SCALE']!r} + {r['LINE_OFF']!r} + 0.5) * 1000 + 0.5) AS BIGINT) AS ln1000 "
+        "FROM ev"
+    )
+
+
+QUERIES["rpc_project"] = q_rpc_project
+ORACLES["rpc_project"] = _o_rpc_project()
+
+
+def q_geoloc_lookup(spark, sf_dir):
+    """GDALCreateGeoLocTransformer forward (alg/gdalgeoloc.cpp
+    PixelLineToXY :392-460): source pixel -> geoloc-grid coords via
+    (px - PIXEL_OFFSET)/PIXEL_STEP, then bilinear interpolation of the
+    X/Y geolocation arrays. The 80x80 lattice is generated from a
+    closed form with a quadratic term (so interpolation != formula and
+    the lattice logic is actually exercised); every constant is a
+    binary fraction and doc coords are integers, so the whole
+    interpolation is EXACT float64 arithmetic — the SQL replay of the
+    same floor/fraction/corner arithmetic matches bit for bit at
+    x4096 quantization."""
+    import pandas as pd
+
+    from gdal_spark.geom.geoloc import GeolocTransformer
+
+    import numpy as np
+
+    gx_arr = np.fromfunction(
+        lambda i, j: 1000.0 + 8.0 * j + 2.0 * i + (j * j) / 8.0, (80, 80)
+    )
+    gy_arr = np.fromfunction(
+        lambda i, j: 500.0 + 4.0 * i - j + (i * i) / 16.0, (80, 80)
+    )
+    t = GeolocTransformer(
+        gx_arr, gy_arr,
+        pixel_offset=440720.0, pixel_step=16.0,
+        line_offset=3750120.0, line_step=16.0,
+    )
+    g = (
+        docs_geom(spark, sf_dir)
+        .filter(F.col("geom_error").isNull() & F.col("wkt").startswith("POINT"))
+        .select(
+            F.col("_id").alias("doc_id"),
+            F.col("env_minx").alias("px"),
+            F.col("env_miny").alias("py"),
+        )
+    )
+
+    def _apply(batches):
+        for pdf in batches:
+            X, Y = t.forward(pdf["px"].to_numpy(np.float64), pdf["py"].to_numpy(np.float64))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "x4096": np.floor(X * 4096 + 0.5).astype(np.int64),
+                    "y4096": np.floor(Y * 4096 + 0.5).astype(np.int64),
+                }
+            )
+
+    return g.mapInPandas(_apply, "doc_id bigint, x4096 bigint, y4096 bigint")
+
+
+def _o_geoloc_lookup() -> str:
+    ax = "(1000.0 + 8.0 * {j} + 2.0 * {i} + ({j} * {j}) / 8.0)"
+    ay = "(500.0 + 4.0 * {i} - {j} + ({i} * {i}) / 16.0)"
+
+    def bil(f: str) -> str:
+        a00 = f.format(i="iy", j="ix")
+        a01 = f.format(i="iy", j="ix1")
+        a10 = f.format(i="iy1", j="ix")
+        a11 = f.format(i="iy1", j="ix1")
+        return (
+            f"(1 - fy) * ({a00} + fx * ({a01} - {a00})) "
+            f"+ fy * ({a10} + fx * ({a11} - {a10}))"
+        )
+
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "gp AS (SELECT doc_id, (gx - 440720) / 16.0 AS p, (gy - 3750120) / 16.0 AS l "
+        "FROM g WHERE valid AND NOT is_poly), "
+        "ij AS (SELECT doc_id, p, l, "
+        "LEAST(GREATEST(CAST(floor(p) AS BIGINT), 0), 78) AS ix, "
+        "LEAST(GREATEST(CAST(floor(l) AS BIGINT), 0), 78) AS iy FROM gp), "
+        "fr AS (SELECT doc_id, p - ix AS fx, l - iy AS fy, ix, iy, "
+        "LEAST(ix + 1, 79) AS ix1, LEAST(iy + 1, 79) AS iy1 FROM ij) "
+        "SELECT doc_id, "
+        f"CAST(floor(({bil(ax)}) * 4096 + 0.5) AS BIGINT) AS x4096, "
+        f"CAST(floor(({bil(ay)}) * 4096 + 0.5) AS BIGINT) AS y4096 "
+        "FROM fr"
+    )
+
+
+QUERIES["geoloc_lookup"] = q_geoloc_lookup
+ORACLES["geoloc_lookup"] = _o_geoloc_lookup()
