@@ -3540,3 +3540,60 @@ def _o_geoloc_lookup() -> str:
 
 QUERIES["geoloc_lookup"] = q_geoloc_lookup
 ORACLES["geoloc_lookup"] = _o_geoloc_lookup()
+
+
+_STREAM_SEQ = [0]
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Structured Streaming stateful cross-batch dedup run END TO END:
+    the documents table is staged as three arrival files, consumed one
+    file per micro-batch (maxFilesPerTrigger=1, availableNow), piped
+    through the applyInPandasWithState exact-dedup operator
+    (streaming/ingest.py stream_exact_dedup — the incremental
+    CreateFeature / unique-constraint analog), and the memory sink is
+    read back after termination. Output is the SET of surviving text
+    keys — order-independent (the operator keeps exactly one row per
+    distinct text whichever micro-batch wins), so the batch oracle is
+    simply DISTINCT md5(text)."""
+    import os
+    import shutil
+    import tempfile
+
+    from gdal_spark.streaming.ingest import stream_docs_from_files, stream_exact_dedup
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_stream_dedup_")
+    src = os.path.join(tmp, "src")
+    try:
+        for i in range(3):
+            d.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ded = stream_exact_dedup(stream, text_col="text", id_col="doc_id")
+        _STREAM_SEQ[0] += 1
+        name = f"stream_dedup_sink_{_STREAM_SEQ[0]}"
+        q = (
+            ded.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        kept = spark.table(name).select(
+            F.md5(F.col("text").cast("binary")).alias("text_md5")
+        ).distinct()
+        # materialize before the staging dir disappears
+        out = spark.createDataFrame(kept.collect(), "text_md5 string")
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES["stream_dedup"] = q_stream_dedup
+ORACLES["stream_dedup"] = "SELECT DISTINCT md5(text) AS text_md5 FROM documents"
