@@ -212,6 +212,105 @@ def hillshade_kernel(
     return k
 
 
+def _horn_xy(p: np.ndarray, ewres: float, nsres: float):
+    """Reference Gradient<HORN>::calc (gdaldem_lib.cpp): x, y gradient
+    sums divided by the SIGNED resolutions (nsres is negative for
+    north-up), before the z/8 factor."""
+    a, b, c = p[:-2, :-2], p[:-2, 1:-1], p[:-2, 2:]
+    d, f = p[1:-1, :-2], p[1:-1, 2:]
+    g, h, i = p[2:, :-2], p[2:, 1:-1], p[2:, 2:]
+    x = ((a + 2 * d + g) - (c + 2 * f + i)) / ewres
+    y = ((g + 2 * h + i) - (a + 2 * b + c)) / nsres
+    return x, y
+
+
+def hillshade_combined_kernel(
+    ewres: float, nsres: float, azimuth: float = 315.0, altitude: float = 45.0, z: float = 1.0
+):
+    """gdaldem hillshade -combined (GDALHillshadeCombinedAlg,
+    gdaldem_lib.cpp:1151-1181): lambertian shade multiplied into the
+    arctan-slope ramp, cang = 1 - acos(shade) * atan(sqrt(slope)) *
+    4/pi^2; <= 0 maps to 1, else 1 + 254 * cang."""
+    az = np.radians(azimuth)
+    alt = np.radians(altitude)
+    zf = z / 8.0
+
+    def k(p: np.ndarray) -> np.ndarray:
+        x, y = _horn_xy(p, ewres, nsres)
+        slope = (x * x + y * y) * zf * zf
+        num = np.sin(alt) - (
+            y * np.cos(az) * np.cos(alt) * zf - x * np.sin(az) * np.cos(alt) * zf
+        )
+        shade = np.clip(num / np.sqrt(1.0 + slope), -1.0, 1.0)
+        cang = 1.0 - np.arccos(shade) * np.arctan(np.sqrt(slope)) * (4.0 / np.pi**2)
+        return np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
+
+    return k
+
+
+def hillshade_multidirectional_kernel(
+    ewres: float, nsres: float, altitude: float = 45.0, z: float = 1.0
+):
+    """gdaldem hillshade -multidirectional (USGS OF 92-422;
+    GDALHillshadeMultiDirectionalAlg, gdaldem_lib.cpp:1256-1311):
+    aspect-weighted blend of the 225/270/315/360-degree shades, each
+    floored at 0; flat cells return 1 + 254 * sin(alt)."""
+    alt = np.radians(altitude)
+    zf = z / 8.0
+    sin_alt = np.sin(alt)
+    cos_alt_z = np.cos(alt) * zf
+    cos225 = np.cos(np.radians(225.0))
+
+    def k(p: np.ndarray) -> np.ndarray:
+        x, y = _horn_xy(p, ewres, nsres)
+        xx, yy = x * x, y * y
+        xxyy = xx + yy
+        v225 = np.maximum(sin_alt + (x - y) * cos225 * cos_alt_z, 0.0)
+        v270 = np.maximum(sin_alt - x * cos_alt_z, 0.0)
+        v315 = np.maximum(sin_alt + (x + y) * cos225 * cos_alt_z, 0.0)
+        v360 = np.maximum(sin_alt - y * cos_alt_z, 0.0)
+        w225 = 0.5 * xxyy - x * y
+        w270 = xx
+        w315 = xxyy - w225
+        w360 = yy
+        denom = np.where(xxyy == 0.0, 1.0, 2.0 * xxyy)
+        cang = (w225 * v225 + w270 * v270 + w315 * v315 + w360 * v360) / denom
+        cang = cang / np.sqrt(1.0 + zf * zf * xxyy)
+        return np.where(xxyy == 0.0, 1.0 + 254.0 * sin_alt, 1.0 + 254.0 * cang)
+
+    return k
+
+
+def hillshade_igor_kernel(
+    ewres: float, nsres: float, azimuth: float = 315.0, altitude: float = 45.0, z: float = 1.0
+):
+    """gdaldem hillshade -igor (GDALHillshadeIgorAlg,
+    gdaldem_lib.cpp:946-1012): shadowness = 1 - slopeStrength *
+    aspectStrength, output 255 * shadowness. Altitude is accepted for
+    signature parity but unused (as in the reference)."""
+    del altitude
+    az = np.radians(azimuth)
+    zf = z / 8.0
+
+    def k(p: np.ndarray) -> np.ndarray:
+        x, y = _horn_xy(p, ewres, nsres)
+        slope_deg = np.degrees(np.arctan(np.sqrt(x * x + y * y) * zf))
+        a, b, c = p[:-2, :-2], p[:-2, 1:-1], p[:-2, 2:]
+        d, f = p[1:-1, :-2], p[1:-1, 2:]
+        g, h, i = p[2:, :-2], p[2:, 1:-1], p[2:, 2:]
+        dxa = (c + 2 * f + i) - (a + 2 * d + g)
+        dya = (g + 2 * h + i) - (a + 2 * b + c)
+        aspect = np.arctan2(dya, -dxa)
+        target = 1.5 * np.pi - az
+        diff = np.abs(np.mod(aspect, 2 * np.pi) - np.mod(target, 2 * np.pi))
+        diff = np.where(diff > np.pi, 2 * np.pi - diff, diff)
+        aspect_strength = 1.0 - diff / np.pi
+        shadowness = 1.0 - (slope_deg / 90.0) * aspect_strength
+        return 255.0 * shadowness
+
+    return k
+
+
 def focal_mean_kernel(size: int = 3):
     """`gdal raster neighbors --method mean` NxN box filter."""
     r = size // 2
@@ -235,8 +334,27 @@ def slope(tiles: DataFrame, spec: RasterSpec, scale: float = 1.0, degrees: bool 
     return focal_apply(tiles, spec, horn_slope_kernel(abs(spec.gt[1]), abs(spec.gt[5]), scale, degrees))
 
 
-def hillshade(tiles: DataFrame, spec: RasterSpec, azimuth: float = 315.0, altitude: float = 45.0) -> DataFrame:
-    return focal_apply(tiles, spec, hillshade_kernel(abs(spec.gt[1]), abs(spec.gt[5]), azimuth, altitude))
+def hillshade(
+    tiles: DataFrame,
+    spec: RasterSpec,
+    azimuth: float = 315.0,
+    altitude: float = 45.0,
+    variant: str = "regular",
+    z: float = 1.0,
+) -> DataFrame:
+    """variant: regular | combined | multidirectional | igor
+    (gdaldem hillshade's four shading modes)."""
+    if variant == "regular":
+        k = hillshade_kernel(abs(spec.gt[1]), abs(spec.gt[5]), azimuth, altitude, z)
+    elif variant == "combined":
+        k = hillshade_combined_kernel(spec.gt[1], spec.gt[5], azimuth, altitude, z)
+    elif variant == "multidirectional":
+        k = hillshade_multidirectional_kernel(spec.gt[1], spec.gt[5], altitude, z)
+    elif variant == "igor":
+        k = hillshade_igor_kernel(spec.gt[1], spec.gt[5], azimuth, altitude, z)
+    else:
+        raise ValueError(f"unknown hillshade variant {variant!r}")
+    return focal_apply(tiles, spec, k)
 
 
 def focal_mean(tiles: DataFrame, spec: RasterSpec, size: int = 3) -> DataFrame:

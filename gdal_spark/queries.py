@@ -3597,3 +3597,100 @@ def q_stream_dedup(spark, sf_dir):
 
 QUERIES["stream_dedup"] = q_stream_dedup
 ORACLES["stream_dedup"] = "SELECT DISTINCT md5(text) AS text_md5 FROM documents"
+
+
+def q_hillshade_variants(spark, sf_dir):
+    """gdaldem hillshade -combined / -multidirectional / -igor
+    (gdaldem_lib.cpp:1151-1181, 1256-1311, 946-1012) over the byte20
+    DEM, x1000 quantized; the oracle replays each variant's exact
+    float64 chain in SQL (signed nsres, z/8 factor, USGS OF 92-422
+    weights, Igor angular-difference shadowness)."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.focal import hillshade
+    from gdal_spark.operators.raster import as_features
+
+    tiles = byte20_tiles(spark)
+    outs = []
+    for variant in ("combined", "multidirectional", "igor"):
+        t = hillshade(tiles, BYTE20_SPEC, variant=variant)
+        pix = as_features(t, BYTE20_SPEC).select(
+            "py", "px", F.col("value").alias(variant)
+        )
+        outs.append(pix)
+    j = outs[0].join(outs[1], ["py", "px"]).join(outs[2], ["py", "px"])
+    return j.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.floor(F.col("combined") * 1000 + 0.5).cast("bigint").alias("comb1000"),
+        F.floor(F.col("multidirectional") * 1000 + 0.5).cast("bigint").alias("multi1000"),
+        F.floor(F.col("igor") * 1000 + 0.5).cast("bigint").alias("igor1000"),
+    )
+
+
+def _o_hillshade_variants() -> str:
+    def nb(dy: int, dx: int) -> str:
+        return (
+            "(SELECT CAST(q.v AS DOUBLE) FROM pixels q "
+            f"WHERE q.py = LEAST(GREATEST(p.py + ({dy}), 0), 19) "
+            f"AND q.px = LEAST(GREATEST(p.px + ({dx}), 0), 19))"
+        )
+
+    a, b, c = nb(-1, -1), nb(-1, 0), nb(-1, 1)
+    d_, f = nb(0, -1), nb(0, 1)
+    g, h, i = nb(1, -1), nb(1, 0), nb(1, 1)
+    # signed Horn gradients (nsres = -60), z factor 1/8
+    x = f"(((({a}) + 2 * ({d_}) + ({g})) - (({c}) + 2 * ({f}) + ({i}))) / 60.0)"
+    y = f"(((({g}) + 2 * ({h}) + ({i})) - (({a}) + 2 * ({b}) + ({c}))) / (-60.0))"
+    base = (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)), "
+        f"grad AS (SELECT p.py, p.px, {x} AS x, {y} AS y FROM pixels p), "
+        "gv AS (SELECT py, px, x, y, x * x AS xx, y * y AS yy, x * x + y * y AS xxyy, "
+        "(x * x + y * y) * 0.125 * 0.125 AS slope FROM grad)"
+    )
+    alt, az = "radians(45.0)", "radians(315.0)"
+    sin_alt, cos_alt = f"sin({alt})", f"cos({alt})"
+    # combined
+    num = f"({sin_alt} - (y * cos({az}) * {cos_alt} * 0.125 - x * sin({az}) * {cos_alt} * 0.125))"
+    shade = f"LEAST(GREATEST(({num}) / sqrt(1.0 + slope), -1.0), 1.0)"
+    comb = f"(1.0 - acos({shade}) * atan(sqrt(slope)) * (4.0 / (pi() * pi())))"
+    comb_out = f"(CASE WHEN ({comb}) <= 0.0 THEN 1.0 ELSE 1.0 + 254.0 * ({comb}) END)"
+    # multidirectional (az 225/270/315/360, USGS weights)
+    caz = "cos(radians(225.0))"
+    v225 = f"GREATEST({sin_alt} + (x - y) * {caz} * {cos_alt} * 0.125, 0.0)"
+    v270 = f"GREATEST({sin_alt} - x * {cos_alt} * 0.125, 0.0)"
+    v315 = f"GREATEST({sin_alt} + (x + y) * {caz} * {cos_alt} * 0.125, 0.0)"
+    v360 = f"GREATEST({sin_alt} - y * {cos_alt} * 0.125, 0.0)"
+    w225 = "(0.5 * xxyy - x * y)"
+    wsum = (
+        f"({w225} * ({v225}) + xx * ({v270}) + (xxyy - {w225}) * ({v315}) + yy * ({v360}))"
+    )
+    multi = (
+        f"(({wsum}) / (CASE WHEN xxyy = 0.0 THEN 1.0 ELSE 2.0 * xxyy END)) "
+        "/ sqrt(1.0 + 0.125 * 0.125 * xxyy)"
+    )
+    multi_out = (
+        f"(CASE WHEN xxyy = 0.0 THEN 1.0 + 254.0 * {sin_alt} "
+        f"ELSE 1.0 + 254.0 * ({multi}) END)"
+    )
+    # igor
+    slope_deg = "degrees(atan(sqrt(xxyy) * 0.125))"
+    dxa = f"((({c}) + 2 * ({f}) + ({i})) - (({a}) + 2 * ({d_}) + ({g})))"
+    dya = f"((({g}) + 2 * ({h}) + ({i})) - (({a}) + 2 * ({b}) + ({c})))"
+    aspect = f"atan2(({dya}), -({dxa}))"
+    tgt = f"(1.5 * pi() - {az})"
+    m = "(({v}) - floor(({v}) / (2 * pi())) * (2 * pi()))"
+    diff = f"abs({m.format(v=aspect)} - {m.format(v=tgt)})"
+    diff2 = f"(CASE WHEN ({diff}) > pi() THEN 2 * pi() - ({diff}) ELSE ({diff}) END)"
+    igor = f"(255.0 * (1.0 - (({slope_deg}) / 90.0) * (1.0 - ({diff2}) / pi())))"
+    return (
+        f"{base}, ig AS (SELECT p.py, p.px, {igor} AS igval FROM pixels p) "
+        "SELECT CAST(gv.py AS BIGINT) AS py, CAST(gv.px AS BIGINT) AS px, "
+        f"CAST(floor(({comb_out}) * 1000 + 0.5) AS BIGINT) AS comb1000, "
+        f"CAST(floor(({multi_out}) * 1000 + 0.5) AS BIGINT) AS multi1000, "
+        "CAST(floor(ig.igval * 1000 + 0.5) AS BIGINT) AS igor1000 "
+        "FROM gv JOIN ig ON gv.py = ig.py AND gv.px = ig.px"
+    )
+
+
+QUERIES["hillshade_variants"] = q_hillshade_variants
+ORACLES["hillshade_variants"] = _o_hillshade_variants()

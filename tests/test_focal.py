@@ -99,3 +99,65 @@ class TestDemDerivatives:
         np.testing.assert_array_equal(got, want)
         real = got[(got != -9999.0)]
         assert ((real >= 0) & (real <= 360)).all()
+
+
+class TestHillshadeVariants:
+    """gdaldem hillshade -combined / -multidirectional / -igor
+    (gdaldem_lib.cpp:1151,1256,946)."""
+
+    def _flat(self):
+        return np.full((6, 6), 100.0)
+
+    def test_flat_terrain_values(self):
+        from gdal_spark.operators.focal import (
+            hillshade_combined_kernel,
+            hillshade_igor_kernel,
+            hillshade_multidirectional_kernel,
+        )
+
+        flat = self._flat()
+        # combined: atan-slope ramp is 0 on flat ground -> full 255
+        v = focal_apply_local(flat, hillshade_combined_kernel(5.0, -5.0))
+        np.testing.assert_allclose(v, 255.0)
+        # multidirectional flat cell: 1 + 254 * sin(alt) (the
+        # xx_plus_yy == 0 early return, gdaldem_lib.cpp:1281)
+        v = focal_apply_local(flat, hillshade_multidirectional_kernel(5.0, -5.0))
+        np.testing.assert_allclose(v, 1.0 + 254.0 * np.sin(np.radians(45.0)))
+        # igor: no slope -> no shadow -> 255
+        v = focal_apply_local(flat, hillshade_igor_kernel(5.0, -5.0))
+        np.testing.assert_allclose(v, 255.0)
+
+    def test_sun_facing_slope_brighter(self):
+        from gdal_spark.operators.focal import (
+            hillshade_combined_kernel,
+            hillshade_igor_kernel,
+            hillshade_multidirectional_kernel,
+        )
+
+        ramp = np.add.outer(np.arange(8) * 2.0, np.arange(8) * 2.0)
+        for mk in (
+            hillshade_combined_kernel(1.0, -1.0),
+            hillshade_multidirectional_kernel(1.0, -1.0),
+            hillshade_igor_kernel(1.0, -1.0),
+        ):
+            lit = focal_apply_local(ramp, mk)[3, 3]     # ascends SE -> faces NW sun
+            dark = focal_apply_local(-ramp, mk)[3, 3]   # ascends NW -> faces SE
+            assert lit > dark
+
+    def test_distributed_matches_local(self, spark):
+        from gdal_spark.operators.focal import (
+            hillshade_combined_kernel,
+            hillshade_igor_kernel,
+            hillshade_multidirectional_kernel,
+        )
+
+        tiles = byte20_tiles(spark)
+        p = BYTE20.astype(np.float64)
+        for variant, k in (
+            ("combined", hillshade_combined_kernel(60.0, -60.0)),
+            ("multidirectional", hillshade_multidirectional_kernel(60.0, -60.0)),
+            ("igor", hillshade_igor_kernel(60.0, -60.0)),
+        ):
+            got = _materialize(hillshade(tiles, BYTE20_SPEC, variant=variant), BYTE20_SPEC)
+            want = focal_apply_local(p, k)
+            np.testing.assert_array_equal(got, want)
