@@ -57,10 +57,15 @@ class WktError(ValueError):
 
 def _coords(text: str, ndim: int) -> np.ndarray:
     """Parse 'x1 y1[ z1],x2 y2[ z2],...' -> (k, 2) float64."""
+    return _coords_full(text, ndim)[:, :2].copy()
+
+
+def _coords_full(text: str, ndim: int) -> np.ndarray:
+    """Like _coords but keeps every declared dimension: (k, ndim)."""
     arr = np.fromstring(text.replace(",", " "), sep=" ")
     if arr.size == 0 or arr.size % ndim != 0:
         raise WktError(f"bad coordinate run: {text[:40]!r}")
-    return arr.reshape(-1, ndim)[:, :2].copy()
+    return arr.reshape(-1, ndim)
 
 
 def _detect_ndim(body: str, declared: str | None) -> int:
@@ -180,6 +185,86 @@ def _parse_one(s: str, builder: GeomBatchBuilder) -> None:
         builder.add(gtype, parts)
     else:  # pragma: no cover
         raise WktError(f"unhandled type {name}")
+
+
+def _parse_one_z(s: str) -> list[list[np.ndarray]]:
+    """Z side-channel for BURN_VALUE_FROM=Z (gdal_rasterize -3d):
+    [part -> [ring -> (k,) z]] aligned 1:1 with parse_wkt's
+    batch.geometry(i) part/ring/coord structure. Geometries without a
+    Z dimension yield zeros (OGRPoint::getZ on 2D returns 0 — the
+    reference burns burn+0 for them, alg/gdalrasterize.cpp:427).
+    Declared-M-only coordinates are measures, not Z -> zeros.
+    Linearized curves yield zeros of the stroked length (the 2D
+    linearizer drops Z)."""
+    m = _TYPE_RE.match(s)
+    if not m:
+        raise WktError(f"unparseable WKT: {s[:60]!r}")
+    name = m.group(1).upper()
+    gtype = _TYPE_BY_NAME.get(name)
+    curve_target = _CURVE_TARGET.get(name)
+    if gtype is None and curve_target is None:
+        raise WktError(f"unsupported geometry type: {name}")
+    body = m.group(3)
+    if body.upper() == "EMPTY":
+        return []
+    body = _NORM_RE.sub(r"\1", body)
+    declared = m.group(2).upper() if m.group(2) else None
+    ndim = _detect_ndim(re.sub(r"[A-Za-z]+", "", body), declared)
+    # Z is the 3rd value unless the declared token says it's a measure
+    has_z = ndim >= 3 and declared != "M"
+
+    def zcol(text: str) -> np.ndarray:
+        full = _coords_full(text, ndim)
+        return full[:, 2].copy() if has_z else np.zeros(len(full))
+
+    if curve_target is not None:
+        inner = body[1:-1]
+        if name in ("CIRCULARSTRING", "COMPOUNDCURVE"):
+            return [[np.zeros(len(_linearize_curve_line(name + body, ndim)))]]
+        if name == "CURVEPOLYGON":
+            return [[np.zeros(len(_linearize_curve_line(r, ndim))) for r in _split_top(inner)]]
+        if name == "MULTICURVE":
+            return [[np.zeros(len(_linearize_curve_line(c, ndim)))] for c in _split_top(inner)]
+        parts = []  # MULTISURFACE
+        for comp in _split_top(inner):
+            u = comp.upper()
+            if u.startswith("CURVEPOLYGON"):
+                rs = _split_top(comp[comp.index("(") + 1 : -1])
+            elif comp.startswith("("):
+                rs = _split_top(comp[1:-1])
+            else:
+                raise WktError(f"bad surface component: {comp[:40]!r}")
+            parts.append([np.zeros(len(_linearize_curve_line(r, ndim))) for r in rs])
+        return parts
+
+    if gtype in (GeomType.POINT, GeomType.LINESTRING):
+        return [[zcol(body[1:-1])]]
+    if gtype == GeomType.POLYGON:
+        return [[zcol(r) for r in body[2:-2].split("),(")]]
+    if gtype == GeomType.MULTIPOINT:
+        flat = body.replace("(", "").replace(")", "")
+        z = zcol(flat)
+        return [[z[i : i + 1]] for i in range(len(z))]
+    if gtype == GeomType.MULTILINESTRING:
+        return [[zcol(r)] for r in body[2:-2].split("),(")]
+    # MULTIPOLYGON
+    return [[zcol(r) for r in poly.split("),(")] for poly in body[3:-3].split(")),((")]
+
+
+def parse_wkt_z(strings) -> list:
+    """Per input WKT: the _parse_one_z structure; None for null or
+    unparseable rows (mirrors parse_wkt's error routing, so indexes
+    align with the batch)."""
+    out = []
+    for s in strings:
+        if s is None or (isinstance(s, float) and np.isnan(s)):
+            out.append(None)
+            continue
+        try:
+            out.append(_parse_one_z(str(s)))
+        except WktError:
+            out.append(None)
+    return out
 
 
 _FAST_POINT_RE = r"^POINT \((-?[0-9]+(?:\.[0-9]+)?(?:[eE][-+]?[0-9]+)?) (-?[0-9]+(?:\.[0-9]+)?(?:[eE][-+]?[0-9]+)?)\)$"

@@ -46,7 +46,7 @@ from pyspark.sql.types import (
 )
 
 from gdal_spark.geom.batch import GeomType
-from gdal_spark.geom.wkt import parse_wkt
+from gdal_spark.geom.wkt import parse_wkt, parse_wkt_z
 
 CHECKSUM_PRIMES = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43], dtype=np.int64)
 
@@ -237,6 +237,97 @@ def _line_mask(coords: np.ndarray, arr_h: int, arr_w: int, oy: int = 0, ox: int 
     return mask
 
 
+def _line_values(
+    coords: np.ndarray, zs: np.ndarray, arr_h: int, arr_w: int, oy: int = 0, ox: int = 0
+) -> np.ndarray:
+    """GDALdllImageLine with per-vertex variant interpolation
+    (BURN_VALUE_FROM=Z, alg/llrasterize.cpp:297-380): along each
+    segment the variant starts at the from-vertex Z and advances by
+    (z1-z0)/nDelta per major-axis step, burned before the increment.
+    Vertices are walked in the reference's collection order — REVERSED
+    (gdalrasterize.cpp:493 pushes nCount-1..0) — so overwrite order and
+    the intermediate-endpoint skip land on the same cells. Returns a
+    float64 array, NaN where untouched; later writes overwrite."""
+    vals = np.full((arr_h, arr_w), np.nan)
+    c = coords[::-1]
+    z = zs[::-1]
+    n = len(c)
+
+    def plot(yy: int, xx: int, v: float) -> None:
+        ly, lx = yy - oy, xx - ox
+        if 0 <= ly < arr_h and 0 <= lx < arr_w:
+            vals[ly, lx] = v
+
+    for j in range(1, n):
+        x0f, y0f = c[j - 1]
+        x1f, y1f = c[j]
+        v0, v1 = float(z[j - 1]), float(z[j])
+        ix, iy = int(np.floor(x0f)), int(np.floor(y0f))
+        ix1, iy1 = int(np.floor(x1f)), int(np.floor(y1f))
+        dx = abs(ix1 - ix)
+        dy = abs(iy1 - iy)
+        sx = -1 if ix > ix1 else 1
+        sy = -1 if iy > iy1 else 1
+        if dx >= dy:
+            dv = 0.0 if dx == 0 else (v1 - v0) / dx
+            err = (dy << 1) - dx
+            ncells = dx if j == n - 1 else max(dx - 1, -1)
+            x, y, v = ix, iy, v0
+            for _ in range(ncells + 1):
+                plot(y, x, v)
+                v += dv
+                if err > 0:
+                    y += sy
+                    err -= dx << 1
+                err += dy << 1
+                x += sx
+        else:
+            dv = 0.0 if dy == 0 else (v1 - v0) / dy
+            err = (dx << 1) - dy
+            ncells = dy if j == n - 1 else max(dy - 1, -1)
+            x, y, v = ix, iy, v0
+            for _ in range(ncells + 1):
+                plot(y, x, v)
+                v += dv
+                if err > 0:
+                    x += sx
+                    err -= dy << 1
+                err += dx << 1
+                y += sy
+    return vals
+
+
+def _all_touched_line_values(
+    coords: np.ndarray, zs: np.ndarray, arr_h: int, arr_w: int, oy: int = 0, ox: int = 0
+) -> np.ndarray:
+    """ALL_TOUCHED + BURN_VALUE_FROM=Z: every crossed cell gets the Z
+    interpolated at the cell's parametric midpoint along the segment
+    (the reference interpolates per grid-crossing step,
+    llrasterize.cpp GDALdllImageLineAllTouched — midpoint matches it
+    for axis-aligned walks and is within one cell's Z-gradient
+    otherwise). NaN where untouched; later writes overwrite."""
+    vals = np.full((arr_h, arr_w), np.nan)
+    for j in range(1, len(coords)):
+        (x0, y0), (x1, y1) = coords[j - 1], coords[j]
+        v0, v1 = float(zs[j - 1]), float(zs[j])
+        steps = [0.0, 1.0]
+        dx, dy = x1 - x0, y1 - y0
+        if dx != 0:
+            for gx in range(int(np.ceil(min(x0, x1))), int(np.floor(max(x0, x1))) + 1):
+                steps.append((gx - x0) / dx)
+        if dy != 0:
+            for gy in range(int(np.ceil(min(y0, y1))), int(np.floor(max(y0, y1))) + 1):
+                steps.append((gy - y0) / dy)
+        ts = np.unique(np.clip(np.asarray(steps), 0.0, 1.0))
+        mids = (ts[:-1] + ts[1:]) / 2
+        cx = np.floor(x0 + mids * dx).astype(np.int64) - ox
+        cy = np.floor(y0 + mids * dy).astype(np.int64) - oy
+        cv = v0 + mids * (v1 - v0)
+        ok = (cx >= 0) & (cx < arr_w) & (cy >= 0) & (cy < arr_h)
+        vals[cy[ok], cx[ok]] = cv[ok]
+    return vals
+
+
 def _all_touched_line_mask(coords: np.ndarray, arr_h: int, arr_w: int, oy: int = 0, ox: int = 0) -> np.ndarray:
     """ALL_TOUCHED line walk: every cell the segment passes through
     (llrasterize.cpp GDALdllImageLineAllTouched — grid-crossing walk).
@@ -293,6 +384,92 @@ def shape_mask(
     return mask
 
 
+def shape_variant_values(
+    gtype: GeomType,
+    pparts: list[list[np.ndarray]],
+    zparts: list[list[np.ndarray]] | None,
+    spec: RasterSpec,
+    arr_h: int,
+    arr_w: int,
+    oy: int = 0,
+    ox: int = 0,
+    all_touched: bool = False,
+) -> np.ndarray:
+    """BURN_VALUE_FROM=Z variant surface of one geometry: (h, w)
+    float64, NaN where the shape doesn't burn. Reference semantics
+    (alg/gdalrasterize.cpp:70-90 + llrasterize.cpp):
+      points  - per-point Z (llrasterize.cpp:233-248 padfVariant[i]);
+      lines   - Z interpolated along the Bresenham walk (:297-380);
+      polygons- the WHOLE fill burns the first collected vertex's Z
+                (GDALdllImageFilledPolygon passes dfVariant[0],
+                llrasterize.cpp:179) — closed rings make the CW-
+                normalization irrelevant (z[0] == z[n-1]); ALL_TOUCHED
+                ring edges burn interpolated Z over the fill.
+    zparts=None (no Z in the WKT) burns variant 0 everywhere the
+    shape touches — getZ() on 2D geometries returns 0."""
+    vals = np.full((arr_h, arr_w), np.nan)
+    if gtype in (GeomType.POINT, GeomType.MULTIPOINT):
+        for pi, rings in enumerate(pparts):
+            for ci, (x, y) in enumerate(rings[0]):
+                if 0 <= x < spec.width and 0 <= y < spec.height:
+                    ly, lx = int(y) - oy, int(x) - ox
+                    if 0 <= ly < arr_h and 0 <= lx < arr_w:
+                        vals[ly, lx] = float(zparts[pi][0][ci]) if zparts else 0.0
+    elif gtype in (GeomType.LINESTRING, GeomType.MULTILINESTRING):
+        fn = _all_touched_line_values if all_touched else _line_values
+        for pi, rings in enumerate(pparts):
+            z = zparts[pi][0] if zparts else np.zeros(len(rings[0]))
+            v = fn(rings[0], z, arr_h, arr_w, oy, ox)
+            m = np.isfinite(v)
+            vals[m] = v[m]
+    elif gtype in (GeomType.POLYGON, GeomType.MULTIPOLYGON):
+        z0 = 0.0
+        if zparts:
+            for rings_z in zparts:
+                if rings_z and len(rings_z[0]):
+                    z0 = float(rings_z[0][0])
+                    break
+        for rings in pparts:
+            m = _polygon_mask(rings, arr_h, arr_w, oy, ox)
+            vals[m] = z0
+        if all_touched:
+            for pi, rings in enumerate(pparts):
+                for ri, r in enumerate(rings):
+                    z = zparts[pi][ri] if zparts else np.zeros(len(r))
+                    v = _all_touched_line_values(r, z, arr_h, arr_w, oy, ox)
+                    m = np.isfinite(v)
+                    vals[m] = v[m]  # edges after fill (reference order)
+    return vals
+
+
+def _apply_burn(
+    arr: np.ndarray,
+    mask_or_vals: np.ndarray,
+    bv: list[float],
+    merge_alg: str,
+    from_z: bool,
+) -> None:
+    """Burn one shape into the (nbands,h,w) accumulator: value per
+    band = burn + variant (gdalrasterize.cpp:79), pixel at most once
+    per shape."""
+    if from_z:
+        m = np.isfinite(mask_or_vals)
+        if not m.any():
+            return
+        v = mask_or_vals[m]
+        for b in range(len(bv)):
+            if merge_alg == "add":
+                arr[b][m] += bv[b] + v
+            else:
+                arr[b][m] = bv[b] + v
+    else:
+        for b in range(len(bv)):
+            if merge_alg == "add":
+                arr[b][mask_or_vals] += bv[b]
+            else:
+                arr[b][mask_or_vals] = bv[b]
+
+
 # ---------------------------------------------------------------------------
 # local (single-array) rasterize — kernel ground truth + small fixtures
 
@@ -303,11 +480,15 @@ def rasterize_local(
     spec: RasterSpec,
     merge_alg: str = "replace",
     all_touched: bool = False,
+    burn_value_from_z: bool = False,
 ) -> np.ndarray:
     """Sequential whole-raster burn, shape order = list order.
-    Returns (nbands, H, W)."""
+    Returns (nbands, H, W). burn_value_from_z: gdal_rasterize -3d
+    (BURN_VALUE_FROM=Z, gdalrasterize.cpp:417-510) — burned value =
+    burn + geometry Z per shape_variant_values."""
     arr = np.full((spec.nbands, spec.height, spec.width), spec.init)
     batch = parse_wkt(wkts)
+    zs = parse_wkt_z(wkts) if burn_value_from_z else None
     for i in range(len(batch)):
         if batch.is_null[i]:
             continue
@@ -316,12 +497,14 @@ def rasterize_local(
             [np.column_stack(spec.world_to_pixel(r[:, 0], r[:, 1])) for r in rings]
             for rings in parts
         ]
-        m = shape_mask(GeomType(gtype), pparts, spec, spec.height, spec.width, all_touched=all_touched)
-        for b in range(spec.nbands):
-            if merge_alg == "add":
-                arr[b][m] += burn_values[i][b]
-            else:
-                arr[b][m] = burn_values[i][b]
+        if burn_value_from_z:
+            mv = shape_variant_values(
+                GeomType(gtype), pparts, zs[i], spec, spec.height, spec.width,
+                all_touched=all_touched,
+            )
+        else:
+            mv = shape_mask(GeomType(gtype), pparts, spec, spec.height, spec.width, all_touched=all_touched)
+        _apply_burn(arr, mv, list(burn_values[i]), merge_alg, burn_value_from_z)
     return np.stack([copy_word(arr[b], spec.dtype) for b in range(spec.nbands)])
 
 
@@ -351,6 +534,7 @@ def rasterize(
     all_touched: bool = False,
     salt: int | None = None,
     env_cols: tuple[str, str, str, str] | None = None,
+    burn_value_from_z: bool = False,
 ) -> DataFrame:
     """Distributed gdal_rasterize: returns the tile table.
 
@@ -398,7 +582,9 @@ def rasterize(
             StructField("ord", LongType()),
         ]
     )
-    point_fast = merge_alg == "add"
+    # parse-free point fast paths ship only (gx, gy) — they lose the
+    # Z coordinate, so BURN_VALUE_FROM=Z keeps WKT through the shuffle
+    point_fast = merge_alg == "add" and not burn_value_from_z
 
     def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -528,7 +714,8 @@ def rasterize(
         # REPLACE with mixed shapes must stay strictly in feature
         # order (a later polygon may overwrite an earlier point);
         # ADD is order-free, all-point tiles are order-safe too.
-        if not (merge_alg == "add" or is_single_pt.all()):
+        # Z-burn always takes the generic loop (per-point variants).
+        if burn_value_from_z or not (merge_alg == "add" or is_single_pt.all()):
             is_single_pt[:] = False
         pt_rows = np.flatnonzero(is_single_pt)
         if pt_rows.size:
@@ -554,19 +741,22 @@ def rasterize(
                         a[flat] = burns[:, b]  # stable order: last wins
                         arr[b] = a.reshape(h, w)
 
+        zs = parse_wkt_z(pdf["wkt"]) if burn_value_from_z else None
         for i in np.flatnonzero(~is_single_pt & ~batch.is_null):
             gtype, parts = batch.geometry(i)
             pparts = [
                 [np.column_stack(spec.world_to_pixel(r[:, 0], r[:, 1])) for r in rings]
                 for rings in parts
             ]
-            m = shape_mask(GeomType(gtype), pparts, spec, h, w, oy, ox, all_touched=all_touched)
+            if burn_value_from_z:
+                mv = shape_variant_values(
+                    GeomType(gtype), pparts, zs[i], spec, h, w, oy, ox,
+                    all_touched=all_touched,
+                )
+            else:
+                mv = shape_mask(GeomType(gtype), pparts, spec, h, w, oy, ox, all_touched=all_touched)
             bv = [float(v) for v in pdf["burn"].iloc[i].split(",")]
-            for b in range(spec.nbands):
-                if merge_alg == "add":
-                    arr[b][m] += bv[b]
-                else:
-                    arr[b][m] = bv[b]
+            _apply_burn(arr, mv, bv, merge_alg, burn_value_from_z)
         return arr
 
     def _burn(key, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -3694,3 +3694,50 @@ def _o_hillshade_variants() -> str:
 
 QUERIES["hillshade_variants"] = q_hillshade_variants
 ORACLES["hillshade_variants"] = _o_hillshade_variants()
+
+
+def q_rasterize_z(spark, sf_dir):
+    """BURN_VALUE_FROM=Z (gdal_rasterize -3d, gdalrasterize.cpp:417-510):
+    point docs burn burn(1.0) + Z into the byte20 grid with MERGE_ALG=ADD;
+    Z = doc_id % 7 synthesized into POINT Z WKT. Oracle replays the
+    pixel sum exactly: value = SUM(1 + doc_id%7) per pixel, uint8 clamp."""
+    from gdal_spark.fixtures import BYTE20_SPEC
+    from gdal_spark.operators.raster import as_features, rasterize
+
+    g = docs_geom(spark, sf_dir)
+    pts = g.filter(
+        F.col("geom_error").isNull() & (F.col("env_minx") == F.col("env_maxx"))
+    ).select(
+        F.col("_id").alias("fid"),
+        F.concat(
+            F.lit("POINT Z ("),
+            F.col("env_minx").cast("string"), F.lit(" "),
+            F.col("env_miny").cast("string"), F.lit(" "),
+            (F.col("_id") % 7).cast("double").cast("string"), F.lit(")"),
+        ).alias("wkt"),
+        F.array(F.lit(1.0)).alias("burn_values"),
+    )
+    tiles = rasterize(pts, BYTE20_SPEC, merge_alg="add", burn_value_from_z=True)
+    pix = as_features(tiles, BYTE20_SPEC, skip_value=0.0)
+    return pix.filter(F.col("band") == 1).select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("value").cast("bigint").alias("v"),
+    )
+
+
+def _o_rasterize_z() -> str:
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "p AS (SELECT CAST(floor((gx - 440720) / 60.0) AS BIGINT) AS px, "
+        "CAST(floor((3751320 - gy) / 60.0) AS BIGINT) AS py, "
+        "1.0 + (doc_id % 7) AS v "
+        "FROM g WHERE valid AND NOT is_poly), "
+        "pix AS (SELECT py, px, LEAST(CAST(SUM(v) AS BIGINT), 255) AS v FROM p "
+        "WHERE px BETWEEN 0 AND 19 AND py BETWEEN 0 AND 19 GROUP BY py, px) "
+        "SELECT py, px, v FROM pix"
+    )
+
+
+QUERIES["rasterize_z"] = q_rasterize_z
+ORACLES["rasterize_z"] = _o_rasterize_z()

@@ -370,3 +370,70 @@ class TestTileNewResamplers:
             if alg in ("mode", "min", "max", "med"):
                 # window statistics must come from actual source values
                 assert set(np.unique(a[cov])) <= set(np.unique(BYTE20)) | {0}
+
+
+class TestBurnValueFromZ:
+    """BURN_VALUE_FROM=Z (gdal_rasterize -3d): burned value = burn +
+    geometry Z (alg/gdalrasterize.cpp:70-90,417-510; variant plumbing
+    llrasterize.cpp:179,233-248,297-380)."""
+
+    SPEC = RasterSpec(width=12, height=12, gt=(0.0, 1.0, 0.0, 12.0, 0.0, -1.0), dtype="float64", init=0.0)
+
+    def test_point_per_vertex_z(self):
+        a = rasterize_local(
+            ["POINT Z (2.5 9.5 7)", "MULTIPOINT Z ((4.5 9.5 1), (5.5 9.5 2))"],
+            [[5.0], [10.0]], self.SPEC, merge_alg="add", burn_value_from_z=True,
+        )
+        assert a[0][2, 2] == 12.0  # 5 + 7
+        assert a[0][2, 4] == 11.0  # 10 + 1
+        assert a[0][2, 5] == 12.0  # 10 + 2
+
+    def test_polygon_first_vertex_z_fills_whole(self):
+        # GDALdllImageFilledPolygon burns dfVariant[0] for the whole
+        # fill (llrasterize.cpp:179): fill value = burn + z of first
+        # exterior-ring vertex, NOT interpolated
+        a = rasterize_local(
+            ["POLYGON Z ((1 1 3, 10 1 9, 10 10 9, 1 10 3, 1 1 3))"],
+            [[1.0]], self.SPEC, burn_value_from_z=True,
+        )
+        vals = set(np.unique(a[0])) - {0.0}
+        assert vals == {4.0}
+
+    def test_line_interpolates_along_walk(self):
+        a = rasterize_local(
+            ["LINESTRING Z (0.5 5.5 0, 8.5 5.5 8)"],
+            [[0.0]], self.SPEC, burn_value_from_z=True,
+        )
+        np.testing.assert_array_equal(a[0][6, :9], np.arange(9.0))
+
+    def test_2d_geometry_burns_plus_zero(self):
+        a = rasterize_local(
+            ["POINT (2.5 9.5)"], [[5.0]], self.SPEC, merge_alg="add", burn_value_from_z=True,
+        )
+        assert a[0][2, 2] == 5.0
+
+    @pytest.mark.parametrize("merge_alg", ["add", "replace"])
+    def test_distributed_matches_local(self, spark, merge_alg):
+        """Multi-tile shapes (tile_size=8 over 12x12) through the
+        distributed explode/shuffle/burn == sequential ground truth."""
+        spec = RasterSpec(width=12, height=12, gt=(0.0, 1.0, 0.0, 12.0, 0.0, -1.0),
+                          dtype="float64", init=0.0, tile_size=8)
+        wkts = [
+            "POINT Z (2.5 9.5 7)",
+            "LINESTRING Z (0.5 2.5 0, 11.5 2.5 11)",   # crosses tile seam
+            "POLYGON Z ((1 1 3, 11 1 9, 11 7 9, 1 7 3, 1 1 3))",
+            "MULTIPOINT Z ((4.5 9.5 1), (10.5 10.5 2))",
+        ]
+        burns = [[5.0], [2.0], [1.0], [10.0]]
+        want = rasterize_local(wkts, burns, spec, merge_alg=merge_alg, burn_value_from_z=True)
+
+        df = spark.createDataFrame(
+            [(i, w, b) for i, (w, b) in enumerate(zip(wkts, burns))],
+            "fid long, wkt string, burn_values array<double>",
+        )
+        tiles = rasterize(df, spec, merge_alg=merge_alg, burn_value_from_z=True)
+        got = np.full((spec.height, spec.width), np.nan)
+        for r in tiles.filter(F.col("band") == 1).collect():
+            t = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)
+            got[r.ty * 8 : r.ty * 8 + r.h, r.tx * 8 : r.tx * 8 + r.w] = t
+        np.testing.assert_array_equal(got, want[0])
