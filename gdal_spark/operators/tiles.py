@@ -367,10 +367,23 @@ def _mode_first(arr: np.ndarray) -> np.ndarray:
     return arr[np.arange(n), first_j]
 
 
-def make_window_stat_kernel(stat: str):
+def _mode_tie(arr: np.ndarray, tie: str) -> np.ndarray:
+    """MODE_TIES=MIN/MAX (gdalwarper.h GWKTS_Min/Max;
+    gdalwarpkernel.cpp:7190-7203): among the values sharing the final
+    maximum count, pick the smallest (MIN) / largest (MAX) — the
+    incremental tie-compare in the reference converges to exactly
+    that."""
+    counts = (arr[:, :, None] == arr[:, None, :]).sum(axis=2)
+    cand = counts == counts.max(axis=1, keepdims=True)
+    masked = np.where(cand, arr, np.inf if tie == "min" else -np.inf)
+    return masked.min(axis=1) if tie == "min" else masked.max(axis=1)
+
+
+def make_window_stat_kernel(stat: str, mode_ties: str = "first"):
     """Area-footprint statistic resamplers (GWKAverageOrModeThread
     dispatch, gdalwarpkernel.cpp:7613-7692): min/max, mode (FIRST
-    ties), med/q1/q3 (sorted value at ceil(q*n - 1), :8339), rms.
+    ties by default; MODE_TIES=MIN/MAX via mode_ties),
+    med/q1/q3 (sorted value at ceil(q*n - 1), :8339), rms.
     Windows are grouped by (height, width) shape — per distinct shape
     one numpy sliding-window gather, no per-pixel Python."""
     quant = {"med": 0.5, "q1": 0.25, "q3": 0.75}.get(stat)
@@ -401,7 +414,10 @@ def make_window_stat_kernel(stat: str):
                 # raw values, not int-truncated: GDAL's integer-bin
                 # histogram path applies to integer band types only;
                 # float rasters keep distinct float values
-                res[sel] = _mode_first(arr)
+                if mode_ties == "first":
+                    res[sel] = _mode_first(arr)
+                else:
+                    res[sel] = _mode_tie(arr, mode_ties)
             else:  # med / q1 / q3
                 s = np.sort(arr, axis=1)
                 idx = int(np.ceil(quant * arr.shape[1] - 1))
@@ -461,6 +477,9 @@ AREA_KERNELS = {
     "average": warp_average,
     "sum": warp_sum,
     **{s: make_window_stat_kernel(s) for s in ("min", "max", "mode", "med", "q1", "q3", "rms")},
+    # MODE_TIES=MIN/MAX warp option (gdalwarper.cpp:1524, GDAL >= 3.11)
+    "mode_min": make_window_stat_kernel("mode", mode_ties="min"),
+    "mode_max": make_window_stat_kernel("mode", mode_ties="max"),
 }
 
 

@@ -180,3 +180,29 @@ def test_mode_keeps_float_values():
     kernel = AREA_KERNELS["mode"]
     out, ok = kernel(src, np.array([0.0]), np.array([0.0]), np.array([2.0]), np.array([2.0]))
     assert ok[0] and out[0] == 1.5
+
+
+def test_mode_ties_min_max():
+    """MODE_TIES=MIN/MAX (gdalwarper.h GWKTS_Min/Max,
+    gdalwarpkernel.cpp:7190-7203): among tied max-count values, MIN
+    takes the smallest, MAX the largest; a strict winner ignores the
+    strategy."""
+    from gdal_spark.operators.tiles import _mode_tie
+
+    tied = np.array([[1.0, 2.0, 2.0, 1.0, 7.0]])  # 1 and 2 tie at 2
+    assert _mode_tie(tied, "min")[0] == 1.0
+    assert _mode_tie(tied, "max")[0] == 2.0
+    strict = np.array([[3.0, 3.0, 3.0, 9.0, 1.0]])
+    assert _mode_tie(strict, "min")[0] == 3.0
+    assert _mode_tie(strict, "max")[0] == 3.0
+
+
+def test_mode_ties_kernel_dispatch():
+    """mode_min / mode_max registered as area resamplers."""
+    from gdal_spark.operators.tiles import AREA_KERNELS
+
+    src = np.array([[1.0, 2.0], [2.0, 1.0]])
+    out_min, ok = AREA_KERNELS["mode_min"](src, np.array([0.0]), np.array([0.0]), np.array([2.0]), np.array([2.0]))
+    out_max, _ = AREA_KERNELS["mode_max"](src, np.array([0.0]), np.array([0.0]), np.array([2.0]), np.array([2.0]))
+    assert ok.all()
+    assert out_min[0] == 1.0 and out_max[0] == 2.0
