@@ -3741,3 +3741,68 @@ def _o_rasterize_z() -> str:
 
 QUERIES["rasterize_z"] = q_rasterize_z
 ORACLES["rasterize_z"] = _o_rasterize_z()
+
+
+def q_reclassify(spark, sf_dir):
+    """`gdal raster reclassify` over byte20 with the autotest-shaped
+    mapping (vrtreclassifier.cpp semantics: closed-bound conversion
+    via nextafter, PASS_THROUGH, DEFAULT). Oracle replays the interval
+    cascade as a SQL CASE."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.calc import reclassify
+    from gdal_spark.operators.raster import as_features
+
+    out = reclassify(
+        byte20_tiles(spark), BYTE20_SPEC,
+        "165 = 120; (-inf, 100] = 140; (100, 130] = PASS_THROUGH; DEFAULT = 160",
+        out_dtype="uint8",
+    )
+    pix = as_features(out, BYTE20_SPEC)
+    return pix.filter(F.col("band") == 1).select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("value").cast("bigint").alias("v"),
+    )
+
+
+def _o_reclassify() -> str:
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)) "
+        "SELECT CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px, "
+        "CAST(CASE WHEN v = 165 THEN 120 WHEN v <= 100 THEN 140 "
+        "WHEN v <= 130 THEN v ELSE 160 END AS BIGINT) AS v FROM pixels"
+    )
+
+
+def q_raster_calc(spark, sf_dir):
+    """`gdal raster calc -i A -i B --calc` (gdalalg_raster_calc.cpp):
+    A=byte20, B=byte20 reclassified to a 0/1 mask, expr
+    A * B + where(B > 0, 10, 0) — joined per tile, numpy-evaluated.
+    Oracle replays the arithmetic per pixel."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.calc import raster_calc, reclassify
+    from gdal_spark.operators.raster import as_features
+
+    a = byte20_tiles(spark)
+    b = reclassify(byte20_tiles(spark), BYTE20_SPEC, "[0, 120] = 0; DEFAULT = 1", out_dtype="uint8")
+    out = raster_calc({"A": a, "B": b}, BYTE20_SPEC, "A * B + where(B > 0, 10, 0)")
+    pix = as_features(out, BYTE20_SPEC)
+    return pix.filter(F.col("band") == 1).select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("value").cast("bigint").alias("v"),
+    )
+
+
+def _o_raster_calc() -> str:
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)) "
+        "SELECT CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px, "
+        "CAST(CASE WHEN v > 120 THEN v + 10 ELSE 0 END AS BIGINT) AS v FROM pixels"
+    )
+
+
+QUERIES["reclassify"] = q_reclassify
+ORACLES["reclassify"] = _o_reclassify()
+QUERIES["raster_calc"] = q_raster_calc
+ORACLES["raster_calc"] = _o_raster_calc()
