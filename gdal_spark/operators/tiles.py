@@ -735,6 +735,8 @@ def raster_tile(
     cutline_blend_dist: float = 0.0,
     cutline_all_touched: bool = False,
     approx_error: float = 0.0,
+    src_nodata: float | None = None,
+    dst_nodata: float = 0.0,
 ) -> DataFrame:
     """gdal raster tile: src tile table -> (z, tx, ty, band, payload)
     rows for zooms [min_zoom, max_zoom], plus an alpha band
@@ -762,6 +764,17 @@ def raster_tile(
     the reference's gdalwarp default is 0.125 px) for point-kernel
     resamplings — the big constant-factor win at scale where the
     inverse projection is the warp hot loop.
+
+    src_nodata: gdalwarp -srcnodata (UNIFIED_SRC_NODATA=YES shape,
+    alg/gdalwarpkernel.cpp GWKResample valid-sample reweighting):
+    source pixels equal to the value are excluded. For the linear
+    kernels (near/bilinear/cubic/cubicspline/lanczos/average) the
+    exact reweighted result is computed as kernel(v*m)/kernel(m) —
+    algebraically identical to the reference's sum(w*v*valid)/
+    sum(w*valid). sum sums the valid samples only. A dst pixel with
+    zero valid weight gets dst_nodata (-dstnodata; default 0 =
+    INIT_DEST=0) and alpha 0. Window-statistic resamplers
+    (mode/min/max/med/q1/q3/rms) reject src_nodata (not implemented).
     """
     tms = tms or WebMercatorQuad()
     spark = src_tiles.sparkSession
@@ -773,6 +786,10 @@ def raster_tile(
     area_kernel = AREA_KERNELS.get(resampling)
     if kernel is None and area_kernel is None:
         raise ValueError(f"unknown resampling {resampling}")
+    if src_nodata is not None and resampling not in (
+        "near", "bilinear", "cubic", "cubicspline", "lanczos", "average", "sum",
+    ):
+        raise ValueError(f"src_nodata is not supported with resampling={resampling!r}")
     if cutline is not None:
         from gdal_spark.operators.cutline import parse_cutline
 
@@ -878,8 +895,19 @@ def raster_tile(
         ty0 = int(pdf["sty"].min())
         tx0 = int(pdf["stx"].min())
         wy0, wx0 = ty0 * sts, tx0 * sts
-        wh = int((pdf["sty"].max() - ty0) * sts + pdf["sh"].max())
-        ww = int((pdf["stx"].max() - tx0) * sts + pdf["sw"].max())
+        # crop to the true raster extent: a window padded past the
+        # right/bottom raster edge would let point kernels sample the
+        # zero padding with full weight instead of triggering border
+        # degradation (GWKBilinearResample4Sample treats beyond-edge
+        # samples as absent, renormalizing the rest)
+        wh = min(
+            int((pdf["sty"].max() - ty0) * sts + pdf["sh"].max()),
+            src_spec.height - wy0,
+        )
+        ww = min(
+            int((pdf["stx"].max() - tx0) * sts + pdf["sw"].max()),
+            src_spec.width - wx0,
+        )
         # cutline density over the source window, resampled to the dst
         # grid with the matching kernel (gdalcutline.cpp masker)
         dens = None
@@ -906,25 +934,44 @@ def raster_tile(
                 t = np.frombuffer(r.spayload, dtype=r.sdtype).reshape(r.sh, r.sw)
                 oy = int(r.sty) * sts - wy0
                 ox = int(r.stx) * sts - wx0
-                win[oy : oy + r.sh, ox : ox + r.sw] = t
-                have[oy : oy + r.sh, ox : ox + r.sw] = True
+                eh = min(int(r.sh), wh - oy)
+                ew = min(int(r.sw), ww - ox)
+                win[oy : oy + eh, ox : ox + ew] = t[:eh, :ew]
+                have[oy : oy + eh, ox : ox + ew] = True
             # window-local src pixel coords; pixels mapping into the full
             # src raster but outside this window cannot occur by
             # construction (window covers the tile's source footprint)
+            nmask = None
+            if src_nodata is not None:
+                # valid-sample reweighting: kernel(v*m)/kernel(m) ==
+                # the reference's sum(w*v*valid)/sum(w*valid)
+                nmask = (win != src_nodata).astype(np.float64)
+                win = win * nmask
             if area_kernel is not None:
                 sxa, sya = _dst_pixel_src_coords(tms, z, txx, tyy, src_pipeline, src_spec, offset=0.0)
                 sxb, syb = _dst_pixel_src_coords(tms, z, txx, tyy, src_pipeline, src_spec, offset=1.0)
                 rb = (-wx0, -wy0, src_spec.width - wx0, src_spec.height - wy0)
                 vals, valid = area_kernel(win, sxa - wx0, sya - wy0, sxb - wx0, syb - wy0, bounds=rb)
                 gvalid = valid
+                if nmask is not None:
+                    mdens, _ = warp_average(nmask, sxa - wx0, sya - wy0, sxb - wx0, syb - wy0, bounds=rb)
+                    if resampling == "average":
+                        with np.errstate(invalid="ignore", divide="ignore"):
+                            vals = np.where(mdens > 0.0, vals / np.maximum(mdens, 1e-300), 0.0)
+                    gvalid = gvalid & (mdens > 0.0)
             else:
                 vals, valid = kernel(win, sx - wx0, sy - wy0)
                 # clip validity to the true raster bounds (window may pad)
                 gvalid = valid & (sx >= 0) & (sy >= 0) & (sx + 1e-10 <= src_spec.width) & (sy + 1e-10 <= src_spec.height)
+                if nmask is not None:
+                    mval, _ = kernel(nmask, sx - wx0, sy - wy0)
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        vals = np.where(np.abs(mval) > 1e-10, vals / np.where(mval == 0.0, 1.0, mval), 0.0)
+                    gvalid = gvalid & (np.abs(mval) > 1e-10)
             if dens is not None:
                 vals = vals * dens
                 gvalid = gvalid & (dens > 0.0)
-            payload = copy_word(np.where(gvalid, vals, 0), src_spec.dtype)
+            payload = copy_word(np.where(gvalid, vals, dst_nodata), src_spec.dtype)
             out_rows.append(
                 {"z": z, "tx": txx, "ty": tyy, "band": band, "dtype": src_spec.dtype, "payload": payload.tobytes()}
             )

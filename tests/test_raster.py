@@ -437,3 +437,90 @@ class TestBurnValueFromZ:
             t = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)
             got[r.ty * 8 : r.ty * 8 + r.h, r.tx * 8 : r.tx * 8 + r.w] = t
         np.testing.assert_array_equal(got, want[0])
+
+
+class TestWarpSrcNodata:
+    """gdalwarp -srcnodata / -dstnodata (UNIFIED_SRC_NODATA,
+    GWKResample valid-sample reweighting)."""
+
+    def _tiles(self, spark, arr):
+        spec = RasterSpec(width=20, height=20, gt=BYTE20_SPEC.gt, dtype="float64", tile_size=16)
+        rows = []
+        for ty in range(spec.ntiles_y):
+            for tx in range(spec.ntiles_x):
+                h, w = spec.tile_shape(ty, tx)
+                oy, ox = ty * 16, tx * 16
+                rows.append((1, ty, tx, h, w, "float64", arr[oy:oy+h, ox:ox+w].tobytes()))
+        df = spark.createDataFrame(rows, "band int, ty int, tx int, h int, w int, dtype string, payload binary")
+        return df, spec
+
+    def _tile_array(self, tiles):
+        r = [x for x in tiles.collect() if x.band == 1][0]
+        return np.frombuffer(r.payload, dtype=r.dtype).reshape(256, 256)
+
+    def test_nearest_propagates_nodata(self, spark):
+        arr = BYTE20.astype(np.float64).copy()
+        arr[5:8, 5:8] = -99.0
+        df, spec = self._tiles(spark, arr)
+        pipe = Pipeline(src=EPSG_26711, dst="webmercator")
+        with_nd = self._tile_array(raster_tile(df, spec, pipe, 11, 11, "near", src_nodata=-99.0, dst_nodata=7.0))
+        without = self._tile_array(raster_tile(df, spec, pipe, 11, 11, "near"))
+        # all dst pixels sampling the hole become dst_nodata
+        hole = (without == -99.0)
+        assert hole.any()
+        assert (with_nd[hole] == 7.0).all()
+        # pixels sampling valid data are untouched
+        assert np.array_equal(with_nd[~hole & (without > 0)], without[~hole & (without > 0)])
+
+    def test_bilinear_renormalizes(self, spark):
+        # uniform field with a nodata hole: excluded-sample reweighting
+        # must reproduce the constant exactly wherever any valid
+        # sample weight remains (sum w*v / sum w with v constant)
+        arr = np.full((20, 20), 50.0)
+        arr[9:11, 9:11] = -1.0
+        df, spec = self._tiles(spark, arr)
+        pipe = Pipeline(src=EPSG_26711, dst="webmercator")
+        out = self._tile_array(raster_tile(df, spec, pipe, 11, 11, "bilinear", src_nodata=-1.0))
+        covered = out != 0.0
+        assert covered.any()
+        np.testing.assert_allclose(out[covered], 50.0)
+
+    def test_average_excludes_nodata(self, spark):
+        arr = np.full((20, 20), 80.0)
+        arr[0:10, :] = -5.0  # top half nodata
+        df, spec = self._tiles(spark, arr)
+        pipe = Pipeline(src=EPSG_26711, dst="webmercator")
+        out = self._tile_array(raster_tile(df, spec, pipe, 11, 11, "average", src_nodata=-5.0))
+        vals = set(np.unique(out)) - {0.0}
+        # every covered pixel averages only valid samples -> exactly 80
+        assert vals == {80.0}
+
+    def test_stat_resampler_rejects_nodata(self, spark):
+        df, spec = self._tiles(spark, BYTE20.astype(np.float64))
+        pipe = Pipeline(src=EPSG_26711, dst="webmercator")
+        with pytest.raises(ValueError, match="src_nodata"):
+            raster_tile(df, spec, pipe, 11, 11, "mode", src_nodata=0.0)
+
+
+def test_bilinear_border_no_padding_bias(spark):
+    """Regression: the tile-assembled source window used to pad past
+    the raster's right/bottom edge, so bilinear sampled the zero
+    padding with full weight (border pixels of a constant-50 field
+    warped to ~27-49 instead of 50). The window crop keeps the array
+    edge == raster edge, which is what triggers the kernel's border
+    degradation (GWKBilinearResample4Sample)."""
+    spec = RasterSpec(width=20, height=20, gt=BYTE20_SPEC.gt, dtype="float64", tile_size=16)
+    arr = np.full((20, 20), 50.0)
+    rows = []
+    for ty in range(spec.ntiles_y):
+        for tx in range(spec.ntiles_x):
+            h, w = spec.tile_shape(ty, tx)
+            rows.append((1, ty, tx, h, w, "float64", arr[ty*16:ty*16+h, tx*16:tx*16+w].tobytes()))
+    df = spark.createDataFrame(rows, "band int, ty int, tx int, h int, w int, dtype string, payload binary")
+    pipe = Pipeline(src=EPSG_26711, dst="webmercator")
+    t = raster_tile(df, spec, pipe, 11, 11, "bilinear")
+    r = [x for x in t.collect() if x.band == 1][0]
+    out = np.frombuffer(r.payload, dtype=r.dtype).reshape(256, 256)
+    cov = out != 0.0
+    assert cov.any()
+    np.testing.assert_allclose(out[cov], 50.0, rtol=1e-12)
