@@ -96,6 +96,112 @@ _EXPLODED = {
     GeomType.MULTIPOLYGON: GeomType.POLYGON,
 }
 
+# wrapdateline cut rectangles (ogrgeometryfactory.cpp:3530-3541):
+# part 1 ([-180,180]) stays, part 2 ([180,360] / [-360,-180]) shifts
+# lon by -+360. The reference uses whole-world rectangles; here each
+# rectangle is shrunk to the geometry's envelope (+1 degree margin) —
+# the intersection is identical, but the overlay snap grid stays fine
+# (a 360-degree-wide rectangle would coarsen it ~100x and smear the
+# +-180 cut by microdegrees).
+
+
+def _cut_rect_region(x0: float, x1: float, rings: list) -> list | None:
+    env_x = np.concatenate([r[:, 0] for r in rings if len(r)])
+    env_y = np.concatenate([r[:, 1] for r in rings if len(r)])
+    rx0 = max(x0, float(env_x.min()) - 1.0)
+    rx1 = min(x1, float(env_x.max()) + 1.0)
+    ry0 = max(-90.0, float(env_y.min()) - 1.0)
+    ry1 = min(90.0, float(env_y.max()) + 1.0)
+    if rx0 >= rx1 or ry0 >= ry1:
+        return None
+    rect = np.array(
+        [[rx0, ry0], [rx1, ry0], [rx1, ry1], [rx0, ry1], [rx0, ry0]]
+    )
+    return [[rect]]
+
+
+def _wrap_dateline(
+    t: GeomType, ps: list, offset: float
+) -> tuple[GeomType, list] | None:
+    """ogr2ogr -wrapdateline: CutGeometryOnDateLineAndAddToMulti
+    (ogrgeometryfactory.cpp:3417) — points normalize lon; crossing
+    lines split at +-180; crossing polygons get the coordinate fix
+    then a two-rectangle cut with the western part shifted 360.
+    Returns the (possibly multi) result, None if everything vanished."""
+    from gdal_spark.geom.dateline import (
+        detect_crossing,
+        fix_polygon_rings,
+        split_linestring,
+        wrap_point_lon,
+    )
+
+    if t in (GeomType.POINT, GeomType.MULTIPOINT):
+        new = []
+        for rings in ps:
+            p = rings[0].copy()
+            p[:, 0] = [wrap_point_lon(float(x)) for x in p[:, 0]]
+            new.append([p])
+        return t, new
+
+    is_poly = t in (GeomType.POLYGON, GeomType.MULTIPOLYGON)
+    line_parts: list[np.ndarray] = []
+    poly_parts: list[list[np.ndarray]] = []
+    for rings in ps:  # per sub-geometry, like the reference's multi walk
+        branch, around = detect_crossing(rings, offset)
+        if branch is None:
+            (poly_parts if is_poly else line_parts).append(
+                rings if is_poly else rings[0]
+            )
+            continue
+        if not is_poly:
+            if branch == "bigdiff":
+                xoff = 360.0 if around else 0.0
+                line_parts.extend(split_linestring(rings[0], offset, xoff))
+                continue
+            # envelope branch: rectangle cut (GEOS path in the reference)
+            work = [rings]
+        else:
+            work = [fix_polygon_rings(rings, offset) if branch == "bigdiff" else rings]
+        shift = 360.0 if around else -360.0
+        flat = [r for rr in work for r in rr]
+        reg1 = _cut_rect_region(-180.0, 180.0, flat)
+        reg2 = (
+            _cut_rect_region(-360.0, -180.0, flat)
+            if around
+            else _cut_rect_region(180.0, 360.0, flat)
+        )
+        wt = t if is_poly else GeomType.LINESTRING
+        r1 = _clip_geom(wt, work, reg1) if reg1 is not None else None
+        r2 = _clip_geom(wt, work, reg2) if reg2 is not None else None
+        for res, dx in ((r1, 0.0), (r2, shift)):
+            if res is None:
+                continue
+            _, rps = res
+            for rr in rps:
+                shifted = []
+                for r in rr:
+                    x = r[:, 0] + dx
+                    # the overlay snap grid can quantize the cut a few
+                    # nanodegrees off the dateline; the reference's
+                    # rectangle vertices are exact — snap back
+                    x = np.where(np.abs(x - 180.0) < 1e-6, 180.0, x)
+                    x = np.where(np.abs(x + 180.0) < 1e-6, -180.0, x)
+                    shifted.append(np.column_stack([x, r[:, 1]]))
+                if is_poly:
+                    poly_parts.append(shifted)
+                else:
+                    line_parts.append(shifted[0])
+    if is_poly:
+        if not poly_parts:
+            return None
+        tt = GeomType.POLYGON if len(poly_parts) == 1 else GeomType.MULTIPOLYGON
+        return tt, poly_parts
+    if not line_parts:
+        return None
+    if len(line_parts) == 1:
+        return GeomType.LINESTRING, [[line_parts[0]]]
+    return GeomType.MULTILINESTRING, [[seg] for seg in line_parts]
+
 
 def vector_translate(
     df: DataFrame,
@@ -107,6 +213,8 @@ def vector_translate(
     simplify_tol: float | None = None,
     clip_src: str | None = None,
     pipeline=None,  # geom/proj.Pipeline: src CRS -> dst CRS
+    wrapdateline: bool = False,
+    dateline_offset: float = 10.0,
     clip_dst: str | None = None,
     make_valid: bool = False,
     select: Sequence[str] | None = None,
@@ -169,6 +277,14 @@ def vector_translate(
                             [np.column_stack(pipeline.forward(r[:, 0], r[:, 1])) for r in rings]
                             for rings in ps
                         ]
+                    if wrapdateline:
+                        # reference applies it inside the reprojection
+                        # step (transformWithOptions WRAPDATELINE=YES,
+                        # ogr2ogr_lib.cpp -wrapdateline)
+                        wrapped = _wrap_dateline(t, ps, dateline_offset)
+                        if wrapped is None:
+                            continue
+                        t, ps = wrapped
                     if dst_region is not None:
                         clipped = _clip_geom(t, ps, dst_region)
                         if clipped is None:

@@ -3806,3 +3806,55 @@ QUERIES["reclassify"] = q_reclassify
 ORACLES["reclassify"] = _o_reclassify()
 QUERIES["raster_calc"] = q_raster_calc
 ORACLES["raster_calc"] = _o_raster_calc()
+
+
+def q_wrapdateline(spark, sf_dir):
+    """ogr2ogr -wrapdateline (ogrgeometryfactory.cpp
+    CutGeometryOnDateLineAndAddToMulti): synthesized antimeridian-
+    crossing rectangles split into an east and a west part; per-part
+    planar area and hemisphere are integer-exact, so the oracle is
+    pure arithmetic. Exercises detection (envelope branch), the
+    two-rectangle overlay cut, the -360 shift, and explode."""
+    from gdal_spark.operators.st_funcs import st_area, st_centroid
+    from gdal_spark.operators.vector_translate import vector_translate
+
+    d = docs(spark, sf_dir).filter(F.col("_id") % 10 == 0)
+    x0 = (F.lit(175) + F.col("_id") % 5).cast("long")
+    h = (F.lit(1) + F.col("_id") % 3).cast("long")
+    src = d.select(
+        F.col("_id").alias("doc_id"),
+        F.concat(
+            F.lit("POLYGON (("),
+            x0, F.lit(" 0, "),
+            x0 + 10, F.lit(" 0, "),
+            x0 + 10, F.lit(" "), h, F.lit(", "),
+            x0, F.lit(" "), h, F.lit(", "),
+            x0, F.lit(" 0))"),
+        ).alias("wkt"),
+    )
+    wrapped = vector_translate(src, wrapdateline=True)
+    parts = vector_translate(wrapped, explode_collections=True)
+    cx = F.regexp_extract(F.col("centroid"), r"POINT \((-?[0-9.]+)", 1).cast("double")
+    return (
+        parts.withColumn("area", st_area("wkt"))
+        .withColumn("centroid", st_centroid("wkt"))
+        .select(
+            "doc_id",
+            F.when(cx >= 0, F.lit("E")).otherwise(F.lit("W")).alias("side"),
+            F.floor(F.col("area") * 1000 + 0.5).cast("bigint").alias("area1000"),
+        )
+    )
+
+
+def _o_wrapdateline() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, 175 + doc_id % 5 AS x0, 1 + doc_id % 3 AS h "
+        "FROM documents WHERE doc_id % 10 = 0) "
+        "SELECT doc_id, 'E' AS side, CAST((180 - x0) * h * 1000 AS BIGINT) AS area1000 FROM d "
+        "UNION ALL "
+        "SELECT doc_id, 'W' AS side, CAST((x0 + 10 - 180) * h * 1000 AS BIGINT) AS area1000 FROM d"
+    )
+
+
+QUERIES["wrapdateline"] = q_wrapdateline
+ORACLES["wrapdateline"] = _o_wrapdateline()
