@@ -142,6 +142,80 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join with AllPairs/PPJoin-style
+    prefix filtering (Bayardo et al., WWW'07; Xiao et al., WWW'08).
+
+    Unlike MinHash-LSH (probabilistic candidates) this is EXACT: the
+    output is precisely every pair with Jaccard(shingles_a,
+    shingles_b) >= threshold, but candidate generation is still an
+    inverted-index equi-join, never an all-pairs product:
+
+      1. shingle each doc into distinct k-token n-grams (Catalyst);
+      2. order every doc's shingles by GLOBAL rarity — ascending
+         (doc-frequency, shingle) is a strict total order;
+      3. index only each doc's PREFIX: the first n - ceil(t*n) + 1
+         shingles. Any pair with J >= t has overlap >= ceil(t*n) on
+         both sides, so its globally-rarest common shingle sits
+         inside BOTH prefixes — joining prefix-to-prefix is lossless;
+      4. length filter: J >= t forces t*|b| <= |a| (and vice versa);
+      5. exact verify on the surviving candidates by re-joining the
+         full shingle sets by id (ids-only through the heavy shuffle,
+         same diet as lsh_pairs).
+
+    At 10^12 docs the prefix index is the scale lever: rare shingles
+    lead the order, so inverted-index buckets stay small and hot
+    boilerplate n-grams (huge doc-frequency) fall OUT of most
+    prefixes instead of fanning out quadratically. Output
+    (a, b, jaccard), a < b, deterministic.
+    """
+    from pyspark.sql import Window
+
+    t = float(threshold)
+    sh = df.select(
+        F.col(id_col).alias("_jid_"),
+        shingles_col(tokens_col(F.col(text_col)), k).alias("_jsh_"),
+    )
+    ex = sh.select("_jid_", F.size("_jsh_").alias("n"), F.explode("_jsh_").alias("s"))
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+    w = Window.partitionBy("_jid_").orderBy(F.col("df_").asc(), F.col("s").asc())
+    ranked = ex.join(freq, "s").select(
+        "_jid_", "n", "s", F.row_number().over(w).alias("pos")
+    )
+    prefix_len = F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    pref = ranked.filter(F.col("pos") <= prefix_len).select("s", "_jid_", "n")
+    left = pref.select("s", F.col("_jid_").alias("a"), F.col("n").alias("na"))
+    right = pref.select("s", F.col("_jid_").alias("b"), F.col("n").alias("nb"))
+    cand = (
+        left.join(right, "s")
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.col("na") >= F.lit(t) * F.col("nb"))
+            & (F.col("nb") >= F.lit(t) * F.col("na"))
+        )
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    full = sh.select(F.col("_jid_"), F.col("_jsh_"))
+    cand = (
+        cand.join(full.select(F.col("_jid_").alias("a"), F.col("_jsh_").alias("sa")), "a")
+        .join(full.select(F.col("_jid_").alias("b"), F.col("_jsh_").alias("sb")), "b")
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= t)
+        .select("a", "b", "jaccard")
+    )
+
+
 def simhash(tokens: Column, bits: int = 32, seed: int | str = "sim") -> Column:
     """SimHash signature: per bit, the sign of sum over token hashes
     of (+1 / -1); bit set iff the sum is >= 0. Pure Catalyst."""

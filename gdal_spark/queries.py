@@ -687,6 +687,21 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard similarity join (prefix-filtered AllPairs,
+    dedup.jaccard_pairs). The oracle is a brute-force inverted-index
+    all-shared-shingle join in SQL — the Spark side matching it
+    hash-for-hash proves the prefix + length filters are LOSSLESS,
+    not just probably-recall-1 like MinHash banding."""
+    from gdal_spark.dedup import jaccard_pairs
+
+    base = _dup_base(spark, sf_dir)
+    pairs = jaccard_pairs(base, id_col="doc_id", text_col="text", threshold=0.5)
+    return pairs.select(
+        "a", "b", F.floor(F.col("jaccard") * 1000).cast("bigint").alias("jac_x1000")
+    )
+
+
 def q_simhash_sigs(spark, sf_dir):
     from gdal_spark.dedup import simhash, tokens_col
 
@@ -911,6 +926,25 @@ def _o_embed_ann_lsh() -> str:
     )
 
 
+def _o_jaccard_pairs() -> str:
+    """Brute-force oracle: any pair with J >= t shares >= 1 shingle,
+    so candidates = DISTINCT pairs from the exploded shingle self-join
+    (a superset of the answer for any t > 0), then exact Jaccard."""
+    return (
+        f"WITH base AS ({_DUP_BASE_SQL}), "
+        "tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM base), "
+        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+        "ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles FROM tok), "
+        "ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh), "
+        "cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM ex l JOIN ex r "
+        "ON l.s = r.s AND l.doc_id < r.doc_id), "
+        "veri AS (SELECT a, b, "
+        "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard "
+        "FROM cand JOIN sh sa ON cand.a = sa.doc_id JOIN sh sb ON cand.b = sb.doc_id) "
+        "SELECT a, b, CAST(floor(jaccard * 1000) AS BIGINT) AS jac_x1000 FROM veri WHERE jaccard >= 0.5"
+    )
+
+
 def _o_winnow_fingerprints() -> str:
     from gdal_spark.text import winnow_fingerprints_sql
 
@@ -920,6 +954,7 @@ def _o_winnow_fingerprints() -> str:
 QUERIES.update(
     {
         "minhash_pairs": q_minhash_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
         "simhash_sigs": q_simhash_sigs,
         "simhash_pairs": q_simhash_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -934,6 +969,7 @@ QUERIES.update(
 ORACLES.update(
     {
         "minhash_pairs": _o_minhash_pairs(),
+        "jaccard_pairs": _o_jaccard_pairs(),
         "simhash_sigs": _o_simhash_sigs(),
         "simhash_pairs": _o_simhash_pairs(),
         "winnow_fingerprints": _o_winnow_fingerprints(),

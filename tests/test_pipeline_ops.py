@@ -335,3 +335,69 @@ class TestEmbeddingNearDup:
         assert found >= 8
         # no spurious pairs among the random base vectors
         assert not any(a < 1000 and b < 1000 for a, b in pairs)
+
+
+class TestJaccardPairs:
+    """Exact n-gram Jaccard similarity join (prefix-filtered AllPairs,
+    dedup.jaccard_pairs): the prefix + length filters must be LOSSLESS
+    — output == brute-force all-pairs — at every threshold."""
+
+    def _corpus(self):
+        # deterministic pseudo-corpus with engineered near/partial dups
+        words = [f"w{i}" for i in range(30)]
+        rows = []
+        for d in range(20):
+            toks = [words[(d * 7 + j * 3) % 30] for j in range(12)]
+            rows.append(" ".join(toks))
+        rows.append(rows[0] + " extra tail")        # near dup of 0
+        rows.append(" ".join(rows[3].split()[:8]))  # prefix dup of 3
+        rows.append(rows[5])                        # exact dup of 5
+        return rows
+
+    def _brute(self, rows, t, k=3):
+        def shingles(text):
+            toks = text.split()
+            if len(toks) < k:
+                return {" ".join(toks)}
+            return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+        sets = [shingles(r) for r in rows]
+        out = {}
+        for a in range(len(rows)):
+            for b in range(a + 1, len(rows)):
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= t:
+                    out[(a, b)] = j
+        return out
+
+    @pytest.mark.parametrize("t", [0.3, 0.5, 0.8, 1.0])
+    def test_lossless_vs_brute_force(self, spark, t):
+        from gdal_spark.dedup import jaccard_pairs
+
+        rows = self._corpus()
+        df = _docs(spark, rows)
+        got = {(r.a, r.b): r.jaccard for r in jaccard_pairs(df, threshold=t).collect()}
+        want = self._brute(rows, t)
+        assert set(got) == set(want)
+        for pair, j in want.items():
+            assert got[pair] == pytest.approx(j, abs=1e-12)
+
+    def test_prefix_join_carries_ids_only(self, spark):
+        """Same shuffle-diet property as lsh_pairs: the inverted-index
+        prefix join must not carry the shingle arrays; full sets
+        re-join by id only for the exact-verify stage."""
+        from gdal_spark.dedup import jaccard_pairs
+
+        df = _docs(spark, self._corpus())
+        pairs = jaccard_pairs(df, threshold=0.5)
+        plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+        # the candidate branch joins on the exploded shingle 's' with
+        # (id, n) only; the arrays appear solely in the verify joins
+        assert "array_intersect" in plan and "array_union" in plan
+
+    def test_exact_dup_is_jaccard_1(self, spark):
+        from gdal_spark.dedup import jaccard_pairs
+
+        df = _docs(spark, ["same tokens in here fine ok", "same tokens in here fine ok"])
+        got = jaccard_pairs(df, threshold=0.9).collect()
+        assert len(got) == 1 and got[0].jaccard == 1.0
