@@ -3664,23 +3664,34 @@ def q_hillshade_variants(spark, sf_dir):
 
 
 def _o_hillshade_variants() -> str:
-    def nb(dy: int, dx: int) -> str:
-        return (
-            "(SELECT CAST(q.v AS DOUBLE) FROM pixels q "
-            f"WHERE q.py = LEAST(GREATEST(p.py + ({dy}), 0), 19) "
-            f"AND q.px = LEAST(GREATEST(p.px + ({dx}), 0), 19))"
-        )
-
-    a, b, c = nb(-1, -1), nb(-1, 0), nb(-1, 1)
-    d_, f = nb(0, -1), nb(0, 1)
-    g, h, i = nb(1, -1), nb(1, 0), nb(1, 1)
-    # signed Horn gradients (nsres = -60), z factor 1/8
+    # 3x3 neighborhood via 9 clamped equi-joins (one hash join each) —
+    # the correlated-subquery formulation re-evaluated every neighbor
+    # per reference (no CSE in DuckDB) and cost ~24 s for 400 rows
+    names = {
+        (-1, -1): "na", (-1, 0): "nb", (-1, 1): "nc",
+        (0, -1): "nd", (0, 1): "nf",
+        (1, -1): "ng", (1, 0): "nh", (1, 1): "ni",
+    }
+    joins = " ".join(
+        f"JOIN pixels {al} ON {al}.py = LEAST(GREATEST(p.py + ({dy}), 0), 19) "
+        f"AND {al}.px = LEAST(GREATEST(p.px + ({dx}), 0), 19)"
+        for (dy, dx), al in names.items()
+    )
+    a, b, c = "CAST(na.v AS DOUBLE)", "CAST(nb.v AS DOUBLE)", "CAST(nc.v AS DOUBLE)"
+    d_, f = "CAST(nd.v AS DOUBLE)", "CAST(nf.v AS DOUBLE)"
+    g, h, i = "CAST(ng.v AS DOUBLE)", "CAST(nh.v AS DOUBLE)", "CAST(ni.v AS DOUBLE)"
+    # signed Horn gradients (nsres = -60), z factor 1/8; dxa/dya are the
+    # UNSCALED aspect sums (igor) from the same joined values — same
+    # float64 chain as the kernels, no correlated re-evaluation
     x = f"(((({a}) + 2 * ({d_}) + ({g})) - (({c}) + 2 * ({f}) + ({i}))) / 60.0)"
     y = f"(((({g}) + 2 * ({h}) + ({i})) - (({a}) + 2 * ({b}) + ({c}))) / (-60.0))"
+    dxa_s = f"((({c}) + 2 * ({f}) + ({i})) - (({a}) + 2 * ({d_}) + ({g})))"
+    dya_s = f"((({g}) + 2 * ({h}) + ({i})) - (({a}) + 2 * ({b}) + ({c})))"
     base = (
         f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)), "
-        f"grad AS (SELECT p.py, p.px, {x} AS x, {y} AS y FROM pixels p), "
-        "gv AS (SELECT py, px, x, y, x * x AS xx, y * y AS yy, x * x + y * y AS xxyy, "
+        f"grad AS (SELECT p.py, p.px, {x} AS x, {y} AS y, "
+        f"{dxa_s} AS dxa, {dya_s} AS dya FROM pixels p {joins}), "
+        "gv AS (SELECT py, px, x, y, dxa, dya, x * x AS xx, y * y AS yy, x * x + y * y AS xxyy, "
         "(x * x + y * y) * 0.125 * 0.125 AS slope FROM grad)"
     )
     alt, az = "radians(45.0)", "radians(315.0)"
@@ -3708,23 +3719,21 @@ def _o_hillshade_variants() -> str:
         f"(CASE WHEN xxyy = 0.0 THEN 1.0 + 254.0 * {sin_alt} "
         f"ELSE 1.0 + 254.0 * ({multi}) END)"
     )
-    # igor
+    # igor (dxa/dya are gv columns — same float64 sums as the kernel)
     slope_deg = "degrees(atan(sqrt(xxyy) * 0.125))"
-    dxa = f"((({c}) + 2 * ({f}) + ({i})) - (({a}) + 2 * ({d_}) + ({g})))"
-    dya = f"((({g}) + 2 * ({h}) + ({i})) - (({a}) + 2 * ({b}) + ({c})))"
-    aspect = f"atan2(({dya}), -({dxa}))"
+    aspect = "atan2(dya, -dxa)"
     tgt = f"(1.5 * pi() - {az})"
     m = "(({v}) - floor(({v}) / (2 * pi())) * (2 * pi()))"
     diff = f"abs({m.format(v=aspect)} - {m.format(v=tgt)})"
     diff2 = f"(CASE WHEN ({diff}) > pi() THEN 2 * pi() - ({diff}) ELSE ({diff}) END)"
     igor = f"(255.0 * (1.0 - (({slope_deg}) / 90.0) * (1.0 - ({diff2}) / pi())))"
     return (
-        f"{base}, ig AS (SELECT p.py, p.px, {igor} AS igval FROM pixels p) "
+        f"{base} "
         "SELECT CAST(gv.py AS BIGINT) AS py, CAST(gv.px AS BIGINT) AS px, "
         f"CAST(floor(({comb_out}) * 1000 + 0.5) AS BIGINT) AS comb1000, "
         f"CAST(floor(({multi_out}) * 1000 + 0.5) AS BIGINT) AS multi1000, "
-        "CAST(floor(ig.igval * 1000 + 0.5) AS BIGINT) AS igor1000 "
-        "FROM gv JOIN ig ON gv.py = ig.py AND gv.px = ig.px"
+        f"CAST(floor(({igor}) * 1000 + 0.5) AS BIGINT) AS igor1000 "
+        "FROM gv"
     )
 
 
