@@ -105,10 +105,13 @@ def main() -> None:
     spatial_join(wgeom, zones).groupBy("zone_fid").count().collect()
 
     # q1: headline — WKT extract + broadcast R-tree spatial join,
-    # aggregated per zone (forces full evaluation, tiny result)
+    # aggregated per zone (forces full evaluation, tiny result).
+    # project=['_id']: mapInPandas is opaque to Catalyst pruning, so
+    # the probe prunes manually — point rows cross Arrow as 4 doubles
+    # + id (no WKT strings in either direction)
     timed(
         "spatial_join",
-        lambda: spatial_join(geom, zones).groupBy("zone_fid").count().collect(),
+        lambda: spatial_join(geom, zones, project=["_id"]).groupBy("zone_fid").count().collect(),
     )
 
     # q2: tile-key explode (vector->tile partitioner, pure Catalyst)

@@ -92,7 +92,15 @@ def extract_geom(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     Span filtering stays JVM-side (Catalyst higher-order functions);
     only WKT parsing crosses into Arrow. Matches the reference's
     geometry-column access pattern: geometry is one column of the
-    feature, never a row explosion (ogr/ogrfeature.cpp)."""
+    feature, never a row explosion (ogr/ogrfeature.cpp).
+
+    Measured and rejected (round 3): a Catalyst regexp/split+try_cast
+    fast path for simple POINT rows that masks the UDF input to NULL.
+    Interleaved A/B at 2M docs: plain UDF 3.96 s vs regexp 4.26 s vs
+    split+cast 4.13 s — per-row JVM string work costs as much as the
+    Arrow crossing it saves, on top of real semantic risk (cast vs
+    parser literal grammar). The vectorized-numpy parser is the fast
+    path."""
     geom_span = F.filter(F.col(spans_col), lambda s: s["kind"] == F.lit("geom"))
     # try_element_at: docs with NO geom span get wkt=NULL (not an error)
     df = df.withColumn("wkt", F.try_element_at(geom_span, F.lit(1))["text"])
@@ -225,6 +233,7 @@ def spatial_join(
     zone_wkt_col: str = "wkt",
     first_match: bool = False,
     how: str = "inner",
+    project: list[str] | None = None,
 ) -> DataFrame:
     """Broadcast spatial join: docs rows x zones whose polygon
     intersects the doc geometry (exact, GEOS-equivalent).
@@ -239,14 +248,48 @@ def spatial_join(
     output row per doc, matched to the LOWEST zone fid
     (ogr_gensql.cpp:1515-1546 takes the first feature in secondary FID
     order, 1:1 never 1:N). how='left' null-extends unmatched docs.
+
+    project: optional output column list (mapInPandas is opaque to
+    Catalyst, so downstream column pruning can't reach the probe —
+    this is the manual pruning knob). When project excludes the WKT
+    column and envelope columns are present, POINT rows additionally
+    ship a NULL instead of their WKT through the Arrow crossing (the
+    probe needs only their envelope): at 10^12 docs the crossing then
+    carries 4 doubles + ids per point, no strings either way.
     """
     spark = docs.sparkSession
     zidx = ZoneIndex.from_df(zones, fid_col=fid_col, wkt_col=zone_wkt_col)
     bc = spark.sparkContext.broadcast(zidx)
 
-    out_schema = StructType(docs.schema.fields + [StructField("zone_fid", LongType())])
-
     has_env = all(c in docs.columns for c in ("env_minx", "env_miny", "env_maxx", "env_maxy"))
+    if project is not None:
+        missing = [c for c in project if c not in docs.columns]
+        if missing:
+            raise ValueError(f"project columns not in docs: {missing}")
+        need = list(dict.fromkeys(list(project) + (
+            ["env_minx", "env_miny", "env_maxx", "env_maxy"] if has_env else []
+        )))
+        if has_env and wkt_col not in project:
+            # JVM-side WKT strip for points: their exact test is pure
+            # envelope (probe_points); null is near-free in Arrow
+            pt_jvm = (
+                (F.col("env_minx") == F.col("env_maxx"))
+                & (F.col("env_miny") == F.col("env_maxy"))
+                & F.col(wkt_col).startswith("POINT")
+            )
+            docs = docs.select(
+                *need,
+                F.when(pt_jvm, F.lit(None).cast("string")).otherwise(F.col(wkt_col)).alias(wkt_col),
+            )
+        elif wkt_col not in need:
+            docs = docs.select(*need, wkt_col)
+        else:
+            docs = docs.select(*need)
+        out_cols = list(project)
+    else:
+        out_cols = list(docs.columns)
+
+    out_schema = StructType([docs.schema[c] for c in out_cols] + [StructField("zone_fid", LongType())])
 
     def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         zi: ZoneIndex = bc.value
@@ -265,12 +308,12 @@ def spatial_join(
                 di, fids = di[keep], fids[keep]
             else:
                 fids = zi.fids[zpos]
-            matched = pdf.iloc[di].copy()
+            matched = pdf.iloc[di][out_cols].copy()
             matched["zone_fid"] = pd.array(fids, dtype="Int64")
             if how == "left":
                 unmatched_mask = np.ones(len(pdf), dtype=bool)
                 unmatched_mask[np.unique(di)] = False
-                un = pdf.iloc[unmatched_mask].copy()
+                un = pdf.iloc[unmatched_mask][out_cols].copy()
                 un["zone_fid"] = pd.array([None] * len(un), dtype="Int64")
                 matched = pd.concat([matched, un], ignore_index=True)
             yield matched
@@ -282,13 +325,24 @@ def _probe_with_env(zi: "ZoneIndex", pdf: pd.DataFrame, wkt_col: str) -> tuple[n
     """Probe using precomputed envelope columns: POINT rows go through
     the vectorized R-tree+ray-cast path with NO WKT parsing at all;
     only non-point rows (typically a small minority) are parsed. This
-    keeps the 10^12-doc hot loop entirely in numpy."""
+    keeps the 10^12-doc hot loop entirely in numpy.
+
+    A row with a VALID degenerate envelope but NULL wkt is a point
+    whose WKT was stripped JVM-side by spatial_join(project=...) —
+    envelopes derive from wkt, so that combination cannot occur
+    naturally (null wkt => NaN envelope => invalid)."""
     minx = pdf["env_minx"].to_numpy(dtype=np.float64)
     miny = pdf["env_miny"].to_numpy(dtype=np.float64)
     maxx = pdf["env_maxx"].to_numpy(dtype=np.float64)
     maxy = pdf["env_maxy"].to_numpy(dtype=np.float64)
     valid = ~np.isnan(minx)
-    is_pt = valid & (minx == maxx) & (miny == maxy) & pdf[wkt_col].str.startswith("POINT").fillna(False).to_numpy()
+    wkt_s = pdf[wkt_col]
+    is_pt = (
+        valid
+        & (minx == maxx)
+        & (miny == maxy)
+        & (wkt_s.str.startswith("POINT").fillna(False) | wkt_s.isna()).to_numpy()
+    )
     out_d: list[np.ndarray] = []
     out_z: list[np.ndarray] = []
     pt_idx = np.flatnonzero(is_pt)

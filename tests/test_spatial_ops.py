@@ -299,3 +299,88 @@ class TestCellJoinSalt:
         plain = {(r.doc_id, r.zone_fid) for r in spatial_join_cells(docs, zones, grid).collect()}
         salted = {(r.doc_id, r.zone_fid) for r in spatial_join_cells(docs, zones, grid, salt=4).collect()}
         assert plain == salted and len(plain) > 0
+
+
+class TestSpatialJoinProject:
+    """spatial_join(project=...) — manual pruning through the opaque
+    mapInPandas probe, with JVM-side WKT stripping for point rows."""
+
+    def _inputs(self, spark):
+        from pyspark.sql import Row
+
+        from gdal_spark.operators.spatial import extract_geom
+
+        span_schema = (
+            "doc_id bigint, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, [("geom", "POINT (2 2)", None, 0)]),
+                (2, [("geom", "POINT (50 50)", None, 0)]),
+                (3, [("geom", "POLYGON ((1 1,1 3,3 3,3 1,1 1))", None, 0)]),
+                (4, [("text", "no geometry", None, 0)]),
+            ],
+            span_schema,
+        )
+        zones = spark.createDataFrame(
+            [Row(fid=10, wkt="POLYGON ((0 0,0 4,4 4,4 0,0 0))")]
+        )
+        return extract_geom(docs), zones
+
+    def test_project_matches_full(self, spark):
+        from gdal_spark.operators.spatial import spatial_join
+
+        geom, zones = self._inputs(spark)
+        full = {(r.doc_id, r.zone_fid) for r in spatial_join(geom, zones).select("doc_id", "zone_fid").collect()}
+        proj = spatial_join(geom, zones, project=["doc_id"])
+        assert proj.columns == ["doc_id", "zone_fid"]
+        got = {(r.doc_id, r.zone_fid) for r in proj.collect()}
+        assert got == full == {(1, 10), (3, 10)}
+
+    def test_project_left_and_first_match(self, spark):
+        from gdal_spark.operators.spatial import spatial_join
+
+        geom, zones = self._inputs(spark)
+        left = spatial_join(geom, zones, how="left", project=["doc_id"], first_match=True)
+        got = {(r.doc_id, r.zone_fid) for r in left.collect()}
+        assert got == {(1, 10), (3, 10), (2, None), (4, None)}
+
+    def test_point_envelope_semantics(self, spark):
+        """Envelope extraction semantics across WKT forms (pins the
+        behavior any future fast path must reproduce bit-identically)."""
+        from pyspark.sql import Row
+
+        from gdal_spark.operators.spatial import extract_geom
+
+        wkts = [
+            "POINT (440771 3750171)",
+            "POINT (-1.5 2.25)",
+            "POINT (1e3 2)",        # scientific -> UDF path
+            "POINT(3 4)",           # no space -> UDF path
+            "POINT EMPTY",          # -> UDF path
+            "POLYGON ((0 0,0 1,1 1,1 0,0 0))",
+            "POINT (BROKEN",        # parse error path
+            None,
+        ]
+        rows = [
+            (i, ([("geom", w, None, 0)] if w else []))
+            for i, w in enumerate(wkts)
+        ]
+        out = extract_geom(
+            spark.createDataFrame(
+                rows,
+                "doc_id bigint, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+            )
+        ).select(
+            "doc_id", "env_minx", "env_miny", "env_maxx", "env_maxy", "geom_error"
+        ).collect()
+        by_id = {r.doc_id: r for r in out}
+        assert (by_id[0].env_minx, by_id[0].env_miny) == (440771.0, 3750171.0)
+        assert (by_id[1].env_minx, by_id[1].env_maxy) == (-1.5, 2.25)
+        assert (by_id[2].env_minx, by_id[2].env_miny) == (1000.0, 2.0)
+        assert (by_id[3].env_minx, by_id[3].env_miny) == (3.0, 4.0)
+        assert by_id[5].env_maxx == 1.0 and by_id[5].geom_error is None
+        assert by_id[6].geom_error is not None
+        # no-geom row: env null (pyarrow maps the parser's NaN to null),
+        # not an error — same as before the fast path
+        assert by_id[7].env_minx is None and by_id[7].geom_error is None
