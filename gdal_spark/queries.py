@@ -702,6 +702,137 @@ def q_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Fuzzy-dedup end-game: MinHash-LSH near-dup pairs -> connected
+    components -> one canonical keeper (min doc_id) per cluster. The
+    decision table a training pipeline actually applies: every doc maps
+    to its kept_id (itself when unique). Pairs and components both run
+    distributed (banding self-join + min-label propagation); the oracle
+    replays the closure with a recursive CTE."""
+    from gdal_spark.dedup import lsh_pairs, with_minhash
+    from gdal_spark.operators.graph import connected_components
+
+    base = _dup_base(spark, sf_dir)
+    sigs = with_minhash(base, text_col="text")
+    pairs = lsh_pairs(sigs, id_col="doc_id", threshold=0.5).select("a", "b")
+    comp = connected_components(pairs, src="a", dst="b")
+    out = base.select("doc_id").join(comp, base["doc_id"] == comp["node"], "left")
+    kept = F.coalesce(F.col("component"), F.col("doc_id"))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        kept.cast("bigint").alias("kept_id"),
+        (F.col("doc_id") != kept).cast("int").alias("is_dup"),
+    )
+
+
+def _o_dedup_clusters() -> str:
+    return (
+        f"WITH RECURSIVE {_minhash_pairs_ctes()}, "
+        "pr AS (SELECT a, b FROM veri WHERE jaccard >= 0.5), "
+        "ed AS (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr), "
+        # transitive closure (clusters are near-dup groups: tiny)
+        "rc(u, v) AS (SELECT u, v FROM ed UNION SELECT rc.u, ed.v FROM rc JOIN ed ON rc.v = ed.u), "
+        "comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component FROM rc GROUP BY u) "
+        "SELECT CAST(base.doc_id AS BIGINT) AS doc_id, "
+        "CAST(COALESCE(comp.component, base.doc_id) AS BIGINT) AS kept_id, "
+        "CAST(CASE WHEN COALESCE(comp.component, base.doc_id) <> base.doc_id THEN 1 ELSE 0 END AS INT) AS is_dup "
+        "FROM base LEFT JOIN comp ON base.doc_id = comp.node"
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: count each corpus doc's 3-token
+    n-grams that appear in a benchmark set (here: the shingles of
+    doc_id < 5, standing in for an eval suite). The benchmark side is
+    broadcast — the corpus never shuffles, which is the whole game at
+    10^12 docs vs a few thousand eval documents."""
+    from gdal_spark.dedup import shingles_col, tokens_col
+
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles_col(tokens_col(F.col("text")))).alias("s"))
+    bench = sh.filter(F.col("doc_id") < 5).select("s").distinct()
+    hits = (
+        sh.filter(F.col("doc_id") >= 5)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    out = d.filter(F.col("doc_id") >= 5).select("doc_id").join(hits, "doc_id", "left")
+    n = F.coalesce(F.col("n_hits"), F.lit(0))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        n.cast("bigint").alias("contaminated_ngrams"),
+        (n > 0).cast("int").alias("contaminated"),
+    )
+
+
+def _o_decontaminate() -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), "
+        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+        "ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles FROM tok), "
+        "ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh), "
+        "bench AS (SELECT DISTINCT s FROM ex WHERE doc_id < 5), "
+        "hits AS (SELECT ex.doc_id, COUNT(*) AS n_hits FROM ex JOIN bench ON ex.s = bench.s "
+        "WHERE ex.doc_id >= 5 GROUP BY ex.doc_id) "
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+        "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS contaminated_ngrams, "
+        "CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated "
+        "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id WHERE d.doc_id >= 5"
+    )
+
+
+def q_tfidf_topterms(spark, sf_dir):
+    """Per-doc top-3 terms by tf/df (document-frequency-weighted term
+    extraction). The idf surrogate is the RATIONAL tf/df rather than
+    tf*ln(N/df): IEEE division is correctly rounded in both engines so
+    the ordering (and the x1e6 quantized score) is bit-reproducible,
+    where ln() may differ in the last ulp between libm and the JVM.
+    Distributed shape: one groupBy(term) for df, one broadcast-able
+    df table joined back, window top-k per doc — all Catalyst."""
+    from pyspark.sql import Window
+
+    from gdal_spark.dedup import tokens_col
+
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("rk").cast("bigint").alias("rk"),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.floor(F.col("score") * 1000000).cast("bigint").alias("score_x1e6"),
+        )
+    )
+
+
+def _o_tfidf_topterms() -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term), "
+        "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+        "sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, CAST(tf.tf AS DOUBLE) / df.df AS score "
+        "FROM tf JOIN df ON tf.term = df.term), "
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk FROM sc) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rk AS BIGINT) AS rk, term, "
+        "CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, "
+        "CAST(floor(score * 1000000) AS BIGINT) AS score_x1e6 FROM rk WHERE rk <= 3"
+    )
+
+
 def q_simhash_sigs(spark, sf_dir):
     from gdal_spark.dedup import simhash, tokens_col
 
@@ -845,7 +976,10 @@ def _o_media_features() -> str:
     )
 
 
-def _o_minhash_pairs() -> str:
+def _minhash_pairs_ctes() -> str:
+    """The shared WITH-body producing `veri(a, b, jaccard)` — the
+    MinHash-LSH banding pipeline in DuckDB SQL (also the prefix of the
+    dedup_clusters oracle)."""
     from gdal_spark.dedup import BANDS, N_HASHES, ROWS_PER_BAND, hash64_sql
 
     sig_items = ", ".join(
@@ -858,7 +992,7 @@ def _o_minhash_pairs() -> str:
         band_selects.append(f"SELECT doc_id, shingles, {b} AS band, md5(concat({cat})) AS bh FROM sig")
     bands_sql = " UNION ALL ".join(band_selects)
     return (
-        f"WITH base AS ({_DUP_BASE_SQL}), "
+        f"base AS ({_DUP_BASE_SQL}), "
         "tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM base), "
         "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
         "ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles FROM tok), "
@@ -868,7 +1002,13 @@ def _o_minhash_pairs() -> str:
         "ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id), "
         "veri AS (SELECT a, b, "
         "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard "
-        "FROM cand JOIN sh sa ON cand.a = sa.doc_id JOIN sh sb ON cand.b = sb.doc_id) "
+        "FROM cand JOIN sh sa ON cand.a = sa.doc_id JOIN sh sb ON cand.b = sb.doc_id)"
+    )
+
+
+def _o_minhash_pairs() -> str:
+    return (
+        f"WITH {_minhash_pairs_ctes()} "
         "SELECT a, b, CAST(floor(jaccard * 1000) AS BIGINT) AS jac_x1000 FROM veri WHERE jaccard >= 0.5"
     )
 
@@ -955,6 +1095,9 @@ QUERIES.update(
     {
         "minhash_pairs": q_minhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
+        "tfidf_topterms": q_tfidf_topterms,
         "simhash_sigs": q_simhash_sigs,
         "simhash_pairs": q_simhash_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -970,6 +1113,9 @@ ORACLES.update(
     {
         "minhash_pairs": _o_minhash_pairs(),
         "jaccard_pairs": _o_jaccard_pairs(),
+        "dedup_clusters": _o_dedup_clusters(),
+        "decontaminate": _o_decontaminate(),
+        "tfidf_topterms": _o_tfidf_topterms(),
         "simhash_sigs": _o_simhash_sigs(),
         "simhash_pairs": _o_simhash_pairs(),
         "winnow_fingerprints": _o_winnow_fingerprints(),
