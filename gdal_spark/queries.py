@@ -833,6 +833,48 @@ def _o_tfidf_topterms() -> str:
     )
 
 
+def q_sample_strata(spark, sf_dir):
+    """Deterministic stratified sampling: per (lang, source) stratum
+    keep a hash-gated fraction (md5(doc_id) % 100 < rate) — the
+    reproducible mixture-weighting step of a training-data pipeline
+    (no RNG state, no driver coordination; the gate is a pure column
+    predicate that pushes into the scan). Rates: en 40%, others 15%.
+    Output: per-stratum kept/total counts + the kept id-sum as a
+    content witness."""
+    from gdal_spark.dedup import hash64
+
+    d = load(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(40)).otherwise(F.lit(15))
+    gate = F.pmod(hash64(F.col("doc_id").cast("string"), "strat"), F.lit(100)) < rate
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(gate.cast("long")).alias("kept"),
+            F.sum(F.when(gate, F.col("doc_id")).otherwise(F.lit(0))).alias("kept_id_sum"),
+        )
+        .select(
+            "lang", "source",
+            F.col("total").cast("bigint").alias("total"),
+            F.col("kept").cast("bigint").alias("kept"),
+            F.col("kept_id_sum").cast("bigint").alias("kept_id_sum"),
+        )
+    )
+
+
+def _o_sample_strata() -> str:
+    from gdal_spark.dedup import hash64_sql
+
+    h = hash64_sql("CAST(doc_id AS VARCHAR)", "strat")
+    gate = f"(({h}) % 100 + 100) % 100 < (CASE WHEN lang = 'en' THEN 40 ELSE 15 END)"
+    return (
+        "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS total, "
+        f"CAST(SUM(CASE WHEN {gate} THEN 1 ELSE 0 END) AS BIGINT) AS kept, "
+        f"CAST(SUM(CASE WHEN {gate} THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum "
+        "FROM documents GROUP BY lang, source"
+    )
+
+
 def q_simhash_sigs(spark, sf_dir):
     from gdal_spark.dedup import simhash, tokens_col
 
@@ -1098,6 +1140,7 @@ QUERIES.update(
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         "tfidf_topterms": q_tfidf_topterms,
+        "sample_strata": q_sample_strata,
         "simhash_sigs": q_simhash_sigs,
         "simhash_pairs": q_simhash_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1116,6 +1159,7 @@ ORACLES.update(
         "dedup_clusters": _o_dedup_clusters(),
         "decontaminate": _o_decontaminate(),
         "tfidf_topterms": _o_tfidf_topterms(),
+        "sample_strata": _o_sample_strata(),
         "simhash_sigs": _o_simhash_sigs(),
         "simhash_pairs": _o_simhash_pairs(),
         "winnow_fingerprints": _o_winnow_fingerprints(),
