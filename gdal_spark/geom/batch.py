@@ -32,7 +32,15 @@ class GeomType(IntEnum):
     MULTIPOINT = 4
     MULTILINESTRING = 5
     MULTIPOLYGON = 6
-    GEOMETRYCOLLECTION = 7  # parsed but algebra is out of scope v1
+    GEOMETRYCOLLECTION = 7  # parsed + envelope/area/intersects; overlay algebra out of scope v1
+
+
+# atomic member type contributed by each part of a container type
+_MEMBER_TYPE = {
+    GeomType.MULTIPOINT: GeomType.POINT,
+    GeomType.MULTILINESTRING: GeomType.LINESTRING,
+    GeomType.MULTIPOLYGON: GeomType.POLYGON,
+}
 
 
 @dataclass
@@ -57,6 +65,13 @@ class GeomBatch:
     ring_coord_off: np.ndarray
     coords: np.ndarray
     is_null: np.ndarray = field(default=None)  # (N,) bool
+    # (P,) uint8 atomic member type per part — POINT/LINESTRING/POLYGON.
+    # Only load-bearing for GEOMETRYCOLLECTION rows (whose parts mix
+    # dimensions, flattened to atomic members on parse — the reference
+    # keeps nested containers, ogr_geometry.h OGRGeometryCollection;
+    # equivalent geometry, normalized structure). None on batches built
+    # without the builder (pre-GC code paths): no GC rows there.
+    part_types: np.ndarray = field(default=None)
 
     def __post_init__(self) -> None:
         if self.is_null is None:
@@ -144,8 +159,27 @@ class GeomBatch:
         has_rings = ge > gs
         if has_rings.any():
             out[has_rings] = np.add.reduceat(signed, gs[has_rings])
-        # area only applies to polygon types; lines/points -> 0
-        is_poly = (self.types == GeomType.POLYGON) | (self.types == GeomType.MULTIPOLYGON)
+        # area only applies to polygon types; lines/points -> 0.
+        # GEOMETRYCOLLECTION sums its SURFACE members only
+        # (OGRGeometryCollection::get_Area, ogrgeometrycollection.cpp):
+        # zero non-polygon member rings before the fold re-run
+        is_gc = self.types == GeomType.GEOMETRYCOLLECTION
+        if is_gc.any() and self.part_types is not None:
+            nparts = len(self.part_ring_off) - 1
+            part_of_ring = np.repeat(np.arange(nparts), np.diff(self.part_ring_off))
+            geom_of_part = np.repeat(np.arange(n), np.diff(self.geom_part_off))
+            kill = is_gc[geom_of_part[part_of_ring]] & (
+                self.part_types[part_of_ring] != GeomType.POLYGON
+            )
+            if kill.any():
+                signed = signed.copy()
+                signed[kill] = 0.0
+                out[has_rings] = np.add.reduceat(signed, gs[has_rings])
+        is_poly = (
+            (self.types == GeomType.POLYGON)
+            | (self.types == GeomType.MULTIPOLYGON)
+            | is_gc
+        )
         out[~is_poly] = 0.0
         out[self.is_null] = np.nan
         return np.maximum(out, 0.0)
@@ -162,12 +196,34 @@ class GeomBatch:
 
     def polygon_rings(self, i: int) -> list[np.ndarray]:
         """All rings of a (multi)polygon geometry i, flattened across
-        parts — sufficient for even-odd containment."""
+        parts — sufficient for even-odd containment. For a
+        GEOMETRYCOLLECTION, only its POLYGON members' rings."""
+        is_gc = self.types[i] == GeomType.GEOMETRYCOLLECTION and self.part_types is not None
         rings = []
         for j in range(self.geom_part_off[i], self.geom_part_off[i + 1]):
+            if is_gc and self.part_types[j] != GeomType.POLYGON:
+                continue
             for k in range(self.part_ring_off[j], self.part_ring_off[j + 1]):
                 rings.append(self.coords[self.ring_coord_off[k] : self.ring_coord_off[k + 1]])
         return rings
+
+    def collection_members(self, i: int) -> list[tuple["GeomType", list[np.ndarray]]]:
+        """Geometry i's parts as (atomic member type, rings) pairs.
+        For non-collection types the member type is derived from the
+        container type, so callers can decompose uniformly."""
+        gt = GeomType(self.types[i])
+        out = []
+        for j in range(self.geom_part_off[i], self.geom_part_off[i + 1]):
+            if self.part_types is not None:
+                mt = GeomType(self.part_types[j])
+            else:
+                mt = _MEMBER_TYPE.get(gt, gt)
+            rings = [
+                self.coords[self.ring_coord_off[k] : self.ring_coord_off[k + 1]]
+                for k in range(self.part_ring_off[j], self.part_ring_off[j + 1])
+            ]
+            out.append((mt, rings))
+        return out
 
 
 class GeomBatchBuilder:
@@ -181,6 +237,7 @@ class GeomBatchBuilder:
         self.coord_chunks: list[np.ndarray] = []
         self._ncoords = 0
         self.is_null: list[bool] = []
+        self.part_types: list[int] = []
 
     def add_null(self) -> None:
         self.types.append(GeomType.UNKNOWN)
@@ -205,6 +262,7 @@ class GeomBatchBuilder:
         self.ring_coord_off.extend(range(c0 + 1, c0 + k + 1))
         nr = len(self.ring_coord_off) - 1  # total rings now
         self.part_ring_off.extend(range(nr - k + 1, nr + 1))
+        self.part_types.extend([GeomType.POINT] * k)
         np_ = len(self.part_ring_off) - 1
         self.geom_part_off.extend(range(np_ - k + 1, np_ + 1))
         self.is_null.extend([False] * k)
@@ -212,6 +270,7 @@ class GeomBatchBuilder:
     def add(self, gtype: GeomType, parts: list[list[np.ndarray]]) -> None:
         """parts: [part -> [ring -> (k,2) array]]."""
         self.types.append(gtype)
+        member = _MEMBER_TYPE.get(gtype, gtype)
         for rings in parts:
             for ring in rings:
                 ring = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
@@ -219,6 +278,22 @@ class GeomBatchBuilder:
                 self._ncoords += len(ring)
                 self.ring_coord_off.append(self._ncoords)
             self.part_ring_off.append(len(self.ring_coord_off) - 1)
+            self.part_types.append(member)
+        self.geom_part_off.append(len(self.part_ring_off) - 1)
+        self.is_null.append(False)
+
+    def add_collection(self, members: list[tuple[GeomType, list[np.ndarray]]]) -> None:
+        """One GEOMETRYCOLLECTION from (atomic member type, rings)
+        pairs — one part per member; EMPTY members contribute none."""
+        self.types.append(GeomType.GEOMETRYCOLLECTION)
+        for mt, rings in members:
+            for ring in rings:
+                ring = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+                self.coord_chunks.append(ring)
+                self._ncoords += len(ring)
+                self.ring_coord_off.append(self._ncoords)
+            self.part_ring_off.append(len(self.ring_coord_off) - 1)
+            self.part_types.append(mt)
         self.geom_part_off.append(len(self.part_ring_off) - 1)
         self.is_null.append(False)
 
@@ -235,4 +310,5 @@ class GeomBatchBuilder:
             ring_coord_off=np.asarray(self.ring_coord_off, dtype=np.int64),
             coords=coords,
             is_null=np.asarray(self.is_null, dtype=bool),
+            part_types=np.asarray(self.part_types, dtype=np.uint8),
         )

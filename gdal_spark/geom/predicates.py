@@ -199,6 +199,22 @@ def geometry_intersects_rings(
     return False
 
 
+def batch_intersects_rings(batch: GeomBatch, i: int, poly_rings, poly_edges=None) -> bool:
+    """Exact Intersects(batch geometry i, polygon) — the GC-aware
+    entry: a GEOMETRYCOLLECTION intersects iff ANY member does (GEOS
+    Intersects supports GC by member union)."""
+    gtype, parts = batch.geometry(i)
+    gtype = GeomType(gtype)
+    if gtype == GeomType.GEOMETRYCOLLECTION:
+        if poly_edges is None:
+            poly_edges = rings_to_edges(poly_rings)
+        return any(
+            geometry_intersects_rings(mt, [rings], poly_rings, poly_edges)
+            for mt, rings in batch.collection_members(i)
+        )
+    return geometry_intersects_rings(gtype, parts, poly_rings, poly_edges)
+
+
 def rings_is_rectangle(rings: list[np.ndarray]) -> bool:
     """OGRGeometry::IsRectangle analog (ogrgeometry.cpp): single ring,
     5 points (closed), axis-parallel edges."""
@@ -293,6 +309,5 @@ def filter_geometry_batch(
         py = batch.coords[cidx, 1]
         out[pts_idx] = points_in_edges(px, py, fe)
     for i in remaining[~ptmask] if remaining.size else []:
-        gtype, parts = batch.geometry(i)
-        out[i] = geometry_intersects_rings(GeomType(gtype), parts, filter_rings, fe)
+        out[i] = batch_intersects_rings(batch, i, filter_rings, fe)
     return out

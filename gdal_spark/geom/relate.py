@@ -62,15 +62,19 @@ _DIM = {
 class Geometry:
     """One parsed geometry in predicate-friendly form."""
 
-    def __init__(self, gtype: GeomType, parts: list):
+    def __init__(self, gtype: GeomType, parts: list, members: list | None = None):
         self.gtype = gtype
         self.dim = _DIM.get(gtype)
         self.parts = parts
+        # (atomic member type, rings) pairs — GEOMETRYCOLLECTION only
+        self.members = members
 
     @classmethod
     def from_batch(cls, batch: GeomBatch, i: int) -> "Geometry":
         gtype, parts = batch.geometry(i)
-        return cls(GeomType(gtype), parts)
+        gtype = GeomType(gtype)
+        members = batch.collection_members(i) if gtype == GeomType.GEOMETRYCOLLECTION else None
+        return cls(gtype, parts, members)
 
     @classmethod
     def from_wkt(cls, wkt: str) -> "Geometry":
@@ -213,7 +217,20 @@ def _line_contacts(a: Geometry, b: Geometry):
 # predicates
 
 
+def _gc_guard(a: Geometry, b: Geometry, op: str) -> None:
+    """GEOS raises IllegalArgumentException for DE-9IM relate ops on a
+    GeometryCollection (geos::geom::IntersectionMatrix path) — mirror
+    that instead of silently returning False (only Intersects /
+    Disjoint support GC, by member union)."""
+    if GeomType.GEOMETRYCOLLECTION in (a.gtype, b.gtype):
+        raise ValueError(f"{op} is not supported on GEOMETRYCOLLECTION (GEOS parity)")
+
+
 def intersects(a: Geometry, b: Geometry) -> bool:
+    if a.gtype == GeomType.GEOMETRYCOLLECTION or b.gtype == GeomType.GEOMETRYCOLLECTION:
+        if a.gtype != GeomType.GEOMETRYCOLLECTION:
+            a, b = b, a
+        return any(intersects(Geometry(mt, [rings]), b) for mt, rings in (a.members or []))
     if a.dim is None or b.dim is None:
         return False
     if a.dim > b.dim:
@@ -237,6 +254,7 @@ def disjoint(a: Geometry, b: Geometry) -> bool:
 
 
 def within(a: Geometry, b: Geometry) -> bool:
+    _gc_guard(a, b, "Within")
     if a.dim is None or b.dim is None or a.dim > b.dim:
         return False
     if a.dim == 2:  # poly in poly
@@ -274,10 +292,12 @@ def within(a: Geometry, b: Geometry) -> bool:
 
 
 def contains(a: Geometry, b: Geometry) -> bool:
+    _gc_guard(a, b, "Contains")
     return within(b, a)
 
 
 def touches(a: Geometry, b: Geometry) -> bool:
+    _gc_guard(a, b, "Touches")
     if a.dim is None or b.dim is None:
         return False
     if a.dim == 0 and b.dim == 0:
@@ -313,6 +333,7 @@ def touches(a: Geometry, b: Geometry) -> bool:
 
 
 def crosses(a: Geometry, b: Geometry) -> bool:
+    _gc_guard(a, b, "Crosses")
     if a.dim is None or b.dim is None:
         return False
     if a.dim == 2 and b.dim == 2:
@@ -344,6 +365,7 @@ def crosses(a: Geometry, b: Geometry) -> bool:
 
 
 def overlaps(a: Geometry, b: Geometry) -> bool:
+    _gc_guard(a, b, "Overlaps")
     if a.dim is None or b.dim is None or a.dim != b.dim:
         return False
     if a.dim == 2:
@@ -364,6 +386,7 @@ def overlaps(a: Geometry, b: Geometry) -> bool:
 
 
 def equals(a: Geometry, b: Geometry) -> bool:
+    _gc_guard(a, b, "Equals")
     if a.dim is None or b.dim is None or a.dim != b.dim:
         return False
     if a.dim == 2:

@@ -41,6 +41,11 @@ def _encode_one(gtype: GeomType, parts, out: bytearray) -> None:
         out += struct.pack("<I", len(parts))
         for p in parts:
             _encode_one(child, [p], out)
+    elif gtype == GeomType.GEOMETRYCOLLECTION:
+        # parts here is [(member_type, rings)] from collection_members
+        out += struct.pack("<I", len(parts))
+        for mt, rings in parts:
+            _encode_one(mt, [rings], out)
     else:
         raise WkbError(f"unsupported type {gtype}")
 
@@ -53,6 +58,8 @@ def geom_to_wkb(batch: GeomBatch) -> list:
             out.append(None)
             continue
         gtype, parts = batch.geometry(i)
+        if gtype == GeomType.GEOMETRYCOLLECTION:
+            parts = batch.collection_members(i)
         if not parts:
             # OGR writes EMPTY multi-geoms as count=0; empty POINT as NaNs
             if gtype == GeomType.POINT:
@@ -99,6 +106,10 @@ def _decode_one(rd: _Reader):
     has_z = bool(raw_type & 0x80000000) or (raw_type % 1000) != raw_type
     flat = (raw_type & 0x7FFFFFFF) % 1000
     ndim = 2 + (1 if has_z else 0)
+    # surface subtypes flatten to their containers (wkbTriangle=17 ->
+    # polygon; wkbPolyhedralSurface=15 / wkbTIN=16 -> multipolygon),
+    # same normalization as the WKT parser
+    flat = {17: 3, 15: 6, 16: 6}.get(flat, flat)
     gtype = GeomType(flat)
 
     def read_run(n: int) -> np.ndarray:
@@ -109,19 +120,20 @@ def _decode_one(rd: _Reader):
         return arr.reshape(-1, ndim)[:, :2].astype(np.float64)
 
     if gtype == GeomType.POINT:
-        return gtype, [[read_run(1)]]
+        return gtype, [[read_run(1)]], [GeomType.POINT]
     if gtype == GeomType.LINESTRING:
-        return gtype, [[read_run(rd.u32(bo))]]
+        return gtype, [[read_run(rd.u32(bo))]], [GeomType.LINESTRING]
     if gtype == GeomType.POLYGON:
         nrings = rd.u32(bo)
-        return gtype, [[read_run(rd.u32(bo)) for _ in range(nrings)]]
+        return gtype, [[read_run(rd.u32(bo)) for _ in range(nrings)]], [GeomType.POLYGON]
     if gtype in (GeomType.MULTIPOINT, GeomType.MULTILINESTRING, GeomType.MULTIPOLYGON, GeomType.GEOMETRYCOLLECTION):
         n = rd.u32(bo)
-        parts = []
+        parts, ptypes = [], []
         for _ in range(n):
-            _, child_parts = _decode_one(rd)
+            _, child_parts, child_ptypes = _decode_one(rd)
             parts.extend(child_parts)
-        return gtype, parts
+            ptypes.extend(child_ptypes)
+        return gtype, parts, ptypes
     raise WkbError(f"unsupported wkb type {raw_type}")
 
 
@@ -132,9 +144,11 @@ def wkb_to_geom(blobs) -> GeomBatch:
         if b is None:
             builder.add_null()
             continue
-        gtype, parts = _decode_one(_Reader(bytes(b)))
+        gtype, parts, ptypes = _decode_one(_Reader(bytes(b)))
         if not parts:
             builder.add_empty(gtype)
+        elif gtype == GeomType.GEOMETRYCOLLECTION:
+            builder.add_collection(list(zip(ptypes, parts)))
         else:
             builder.add(gtype, parts)
     return builder.finish()

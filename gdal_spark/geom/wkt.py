@@ -36,6 +36,13 @@ _TYPE_BY_NAME = {
     "MULTIPOINT": GeomType.MULTIPOINT,
     "MULTILINESTRING": GeomType.MULTILINESTRING,
     "MULTIPOLYGON": GeomType.MULTIPOLYGON,
+    # surface subtypes normalize to their flat container on parse —
+    # the reference models OGRTriangle IS-A OGRPolygon and exports
+    # PolyhedralSurface/TIN patches as polygons (ogr_geometry.h:3983,
+    # ogrpolyhedralsurface.cpp); the WKT body grammars coincide
+    "TRIANGLE": GeomType.POLYGON,
+    "POLYHEDRALSURFACE": GeomType.MULTIPOLYGON,
+    "TIN": GeomType.MULTIPOLYGON,
 }
 
 # Curve types linearize on parse (ogrgeometryfactory.cpp
@@ -119,6 +126,22 @@ def _linearize_curve_line(comp: str, ndim: int) -> np.ndarray:
     raise WktError(f"bad curve component: {comp[:40]!r}")
 
 
+def _collection_members(inner: str) -> list[tuple[GeomType, list[np.ndarray]]]:
+    """GEOMETRYCOLLECTION interior -> flat (atomic member type, rings)
+    list. Members parse through the normal machinery (so curve members
+    linearize and nested collections/multis flatten to their atomic
+    parts — the reference keeps nesting, ogrgeometrycollection.cpp; we
+    normalize to an equivalent flat member list). EMPTY members
+    contribute nothing (they carry no coordinates)."""
+    out: list[tuple[GeomType, list[np.ndarray]]] = []
+    for member in _split_top(inner):
+        tb = GeomBatchBuilder()
+        _parse_one(member, tb)
+        b = tb.finish()
+        out.extend(b.collection_members(0))
+    return out
+
+
 def _parse_one(s: str, builder: GeomBatchBuilder) -> None:
     m = _TYPE_RE.match(s)
     if not m:
@@ -126,11 +149,17 @@ def _parse_one(s: str, builder: GeomBatchBuilder) -> None:
     name = m.group(1).upper()
     gtype = _TYPE_BY_NAME.get(name)
     curve_target = _CURVE_TARGET.get(name)
-    if gtype is None and curve_target is None:
+    is_gc = name == "GEOMETRYCOLLECTION"
+    if gtype is None and curve_target is None and not is_gc:
         raise WktError(f"unsupported geometry type: {name}")
     body = m.group(3)
     if body.upper() == "EMPTY":
-        builder.add_empty(gtype if gtype is not None else curve_target)
+        builder.add_empty(
+            GeomType.GEOMETRYCOLLECTION if is_gc else (gtype if gtype is not None else curve_target)
+        )
+        return
+    if is_gc:
+        builder.add_collection(_collection_members(_NORM_RE.sub(r"\1", body)[1:-1]))
         return
     body = _NORM_RE.sub(r"\1", body)
     ndim = _detect_ndim(
@@ -359,6 +388,16 @@ def to_wkt(batch: GeomBatch) -> list:
         elif gtype == GeomType.MULTIPOLYGON:
             polys = ",".join("(" + ",".join(f"({_fmt(r)})" for r in rings) + ")" for rings in parts)
             out.append(f"MULTIPOLYGON ({polys})")
+        elif gtype == GeomType.GEOMETRYCOLLECTION:
+            ms = []
+            for mt, rings in batch.collection_members(i):
+                if mt == GeomType.POINT:
+                    ms.append(f"POINT ({_fmt(rings[0])})")
+                elif mt == GeomType.LINESTRING:
+                    ms.append(f"LINESTRING ({_fmt(rings[0])})")
+                else:
+                    ms.append("POLYGON (" + ",".join(f"({_fmt(r)})" for r in rings) + ")")
+            out.append(f"GEOMETRYCOLLECTION ({','.join(ms)})" if ms else "GEOMETRYCOLLECTION EMPTY")
         else:
             out.append(f"{name} EMPTY")
     return out

@@ -41,6 +41,7 @@ from pyspark.sql.types import (
 
 from gdal_spark.geom.batch import GeomBatch, GeomType
 from gdal_spark.geom.predicates import (
+    batch_intersects_rings,
     filter_geometry_batch,
     geometry_intersects_rings,
     points_in_edges,
@@ -215,8 +216,7 @@ class ZoneIndex:
             cand = self.tree.query_rect(*envs[i])
             if cand.size == 0:
                 continue
-            gtype, parts = batch.geometry(i)
-            hits = [z for z in cand if geometry_intersects_rings(GeomType(gtype), parts, self.rings[z], self.edges[z])]
+            hits = [z for z in cand if batch_intersects_rings(batch, i, self.rings[z], self.edges[z])]
             if hits:
                 out_d.append(np.full(len(hits), i, dtype=np.int64))
                 out_z.append(np.asarray(hits, dtype=np.int64))
@@ -622,8 +622,7 @@ def spatial_join_cells(
                         dbatch.coords[cidx, 0], dbatch.coords[cidx, 1], edges
                     )
                 for i in idx[~is_pt[idx]]:
-                    gtype, parts = dbatch.geometry(int(i))
-                    keep[int(i)] = geometry_intersects_rings(GeomType(gtype), parts, rings, edges)
+                    keep[int(i)] = batch_intersects_rings(dbatch, int(i), rings, edges)
             res = pdf.loc[keep]
             yield pd.DataFrame({"doc_id": res["_did"].to_numpy(np.int64), "zone_fid": res["_zfid"].to_numpy(np.int64)})
 

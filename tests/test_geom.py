@@ -292,3 +292,91 @@ class TestConicProjections:
         q1 = EPSG_5070._q(math.radians(lat + d))
         true_area = GRS80.a ** 2 / 2 * math.radians(d) * (q1 - q0)
         assert abs(proj_area / true_area - 1) < 1e-4
+
+
+class TestGeometryCollection:
+    """GEOMETRYCOLLECTION + surface subtypes (reference:
+    ogr/ogr_geometry.h OGRGeometryCollection/OGRTriangle/
+    OGRPolyhedralSurface/OGRTriangulatedSurface; GC algebra follows
+    GEOS: Intersects by member union, relate ops raise)."""
+
+    GC = "GEOMETRYCOLLECTION (POINT (1 2),LINESTRING (0 0,1 1),POLYGON ((0 0,0 2,2 2,2 0,0 0)))"
+
+    def test_parse_envelope_area(self):
+        import pandas as pd
+
+        from gdal_spark.geom.batch import GeomType
+        from gdal_spark.geom.wkt import parse_wkt
+
+        b = parse_wkt(pd.Series([self.GC, "GEOMETRYCOLLECTION EMPTY"]))
+        assert list(b.types) == [7, 7]
+        assert b.envelopes()[0].tolist() == [0.0, 0.0, 2.0, 2.0]
+        # area counts SURFACE members only (OGRGeometryCollection::get_Area)
+        assert b.areas()[0] == 4.0
+        ms = b.collection_members(0)
+        assert [mt for mt, _ in ms] == [GeomType.POINT, GeomType.LINESTRING, GeomType.POLYGON]
+
+    def test_wkt_roundtrip_and_nested_flatten(self):
+        import pandas as pd
+
+        from gdal_spark.geom.wkt import parse_wkt, to_wkt
+
+        rt = to_wkt(parse_wkt(pd.Series([self.GC])))[0]
+        assert to_wkt(parse_wkt(pd.Series([rt])))[0] == rt
+        nested = "GEOMETRYCOLLECTION (MULTIPOINT ((1 2),(3 4)),GEOMETRYCOLLECTION (POINT (9 9)))"
+        assert to_wkt(parse_wkt(pd.Series([nested])))[0] == (
+            "GEOMETRYCOLLECTION (POINT (1 2),POINT (3 4),POINT (9 9))"
+        )
+
+    def test_wkb_roundtrip(self):
+        import pandas as pd
+
+        from gdal_spark.geom.wkb import geom_to_wkb, wkb_to_geom
+        from gdal_spark.geom.wkt import parse_wkt, to_wkt
+
+        b = parse_wkt(pd.Series([self.GC]))
+        b2 = wkb_to_geom(geom_to_wkb(b))
+        assert to_wkt(b2)[0] == to_wkt(b)[0]
+        assert b2.areas()[0] == 4.0
+
+    def test_surface_subtypes(self):
+        import pandas as pd
+
+        from gdal_spark.geom.wkt import parse_wkt
+
+        b = parse_wkt(
+            pd.Series(
+                [
+                    "TRIANGLE ((0 0,0 9,9 0,0 0))",
+                    "TIN (((0 0,0 1,1 0,0 0)),((1 1,1 2,2 1,1 1)))",
+                    "POLYHEDRALSURFACE Z (((0 0 0,0 1 0,1 1 0,0 0 0)))",
+                ]
+            )
+        )
+        assert list(b.types) == [3, 6, 6]
+        assert b.areas().tolist() == [40.5, 1.0, 0.5]
+
+    def test_intersects_and_relate_guard(self):
+        import pytest as _pytest
+
+        from gdal_spark.geom.relate import Geometry, intersects, within
+
+        gc = Geometry.from_wkt(self.GC)
+        near = Geometry.from_wkt("POLYGON ((0.9 1.9,0.9 2.1,1.1 2.1,1.1 1.9,0.9 1.9))")
+        far = Geometry.from_wkt("POLYGON ((50 50,50 51,51 51,51 50,50 50))")
+        assert intersects(gc, near) and intersects(near, gc)
+        assert not intersects(gc, far)
+        with _pytest.raises(ValueError, match="GEOMETRYCOLLECTION"):
+            within(gc, far)
+
+    def test_spatial_filter_accepts_gc(self):
+        import numpy as np
+        import pandas as pd
+
+        from gdal_spark.geom.predicates import filter_geometry_batch
+        from gdal_spark.geom.wkt import parse_wkt
+
+        b = parse_wkt(pd.Series([self.GC, "GEOMETRYCOLLECTION (POINT (50 50))"]))
+        rect = [np.array([[0.5, 1.5], [0.5, 2.5], [1.5, 2.5], [1.5, 1.5], [0.5, 1.5]])]
+        mask = filter_geometry_batch(b, rect)
+        assert mask.tolist() == [True, False]
