@@ -256,11 +256,18 @@ def vector_translate(
                     continue
                 gtype, parts = batch.geometry(i)
                 gtype = GeomType(gtype)
-                units = (
-                    [( _EXPLODED[gtype], [p]) for p in parts]
-                    if explode_collections and gtype in _EXPLODED
-                    else [(gtype, parts)]
-                )
+                if explode_collections and gtype in _EXPLODED:
+                    units = [(_EXPLODED[gtype], [p]) for p in parts]
+                elif gtype == GeomType.GEOMETRYCOLLECTION:
+                    # GC always processes per atomic member (r3;
+                    # ogr2ogr explodes GCs too, ogr2ogr_lib.cpp:6531 —
+                    # without -explodecollections the survivors stay
+                    # one row, reassembled as a collection below)
+                    units = [(mt, [rings]) for mt, rings in batch.collection_members(i)]
+                else:
+                    units = [(gtype, parts)]
+                gc_reassemble = gtype == GeomType.GEOMETRYCOLLECTION and not explode_collections
+                gc_pieces: list[str] = []
                 for ut, uparts in units:
                     t, ps = ut, uparts
                     if segmentize_max is not None:
@@ -294,11 +301,24 @@ def vector_translate(
                         w = _polys_out(_make_valid([r for rings in ps for r in rings]))
                         if w is None:
                             continue
-                        keep_rows.append(i)
-                        out_wkts.append(w)
+                        if gc_reassemble:
+                            gc_pieces.append(w)
+                        else:
+                            keep_rows.append(i)
+                            out_wkts.append(w)
                         continue
+                    if gc_reassemble:
+                        gc_pieces.append(_emit(ps, t))
+                    else:
+                        keep_rows.append(i)
+                        out_wkts.append(_emit(ps, t))
+                if gc_reassemble and gc_pieces:
                     keep_rows.append(i)
-                    out_wkts.append(_emit(ps, t))
+                    out_wkts.append(
+                        gc_pieces[0]
+                        if len(gc_pieces) == 1
+                        else "GEOMETRYCOLLECTION (" + ",".join(gc_pieces) + ")"
+                    )
             res = pdf.iloc[keep_rows].drop(columns=[wkt_col]).copy()
             res[out_col] = out_wkts
             yield res

@@ -99,3 +99,25 @@ class TestStages:
         out = vector_translate(layer, clip_src="POLYGON ((0 0,5 0,5 5,0 5,0 0))")
         rows = {r.fid: r.name for r in out.collect()}
         assert rows == {1: "a", 3: "c"}
+
+
+class TestGCTranslate:
+    def test_gc_explode_and_passthrough(self, spark):
+        from gdal_spark.operators.vector_translate import vector_translate
+
+        gc = "GEOMETRYCOLLECTION (POINT (1 2),LINESTRING (0 0,4 4),POLYGON ((0 0,0 2,2 2,2 0,0 0)))"
+        df = spark.createDataFrame([(1, gc)], "fid bigint, wkt string")
+        # explode: one row per atomic member
+        out = vector_translate(df, explode_collections=True).collect()
+        assert sorted(r.wkt.split(" ")[0] for r in out) == ["LINESTRING", "POINT", "POLYGON"]
+        # passthrough: one row, reassembled collection
+        out2 = vector_translate(df).collect()
+        assert len(out2) == 1 and out2[0].wkt.startswith("GEOMETRYCOLLECTION (POINT (1 2)")
+
+    def test_gc_clip_drops_members(self, spark):
+        from gdal_spark.operators.vector_translate import vector_translate
+
+        gc = "GEOMETRYCOLLECTION (POINT (1 2),POINT (50 50))"
+        df = spark.createDataFrame([(1, gc)], "fid bigint, wkt string")
+        out = vector_translate(df, clip_src="POLYGON ((0 0,0 5,5 5,5 0,0 0))").collect()
+        assert len(out) == 1 and out[0].wkt == "POINT (1 2)"
