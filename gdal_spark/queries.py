@@ -2215,6 +2215,57 @@ QUERIES["geom_ops"] = q_geom_ops
 ORACLES["geom_ops"] = _o_geom_ops()
 
 
+def q_gc_metrics(spark, sf_dir):
+    """GEOMETRYCOLLECTION end-to-end through the Arrow parse path
+    (r3: ogr_geometry.h OGRGeometryCollection — parse, envelope
+    union-of-members, get_Area = surface members only): per doc a
+    synthesized GC of one POINT + one offset square; the oracle
+    re-derives envelope/area from the integer generators."""
+    from gdal_spark.operators.spatial import area_udf, envelope_udf
+
+    d = load(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 300)
+    gx = F.col("doc_id") % 50 + 100
+    gy = F.col("doc_id") % 30 + 200
+    h = F.col("doc_id") % 4 + 1
+    cx, cy = gx + 20, gy + 5
+    s = lambda v: v.cast("string")  # noqa: E731
+    wkt = F.concat(
+        F.lit("GEOMETRYCOLLECTION (POINT ("), s(gx), F.lit(" "), s(gy),
+        F.lit("), POLYGON (("),
+        s(cx - h), F.lit(" "), s(cy - h), F.lit(","),
+        s(cx - h), F.lit(" "), s(cy + h), F.lit(","),
+        s(cx + h), F.lit(" "), s(cy + h), F.lit(","),
+        s(cx + h), F.lit(" "), s(cy - h), F.lit(","),
+        s(cx - h), F.lit(" "), s(cy - h), F.lit(")))"),
+    )
+    g = d.withColumn("_w", wkt).withColumn("_env", envelope_udf(F.col("_w")))
+    return g.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("_env.minx").cast("bigint").alias("minx"),
+        F.col("_env.miny").cast("bigint").alias("miny"),
+        F.col("_env.maxx").cast("bigint").alias("maxx"),
+        F.col("_env.maxy").cast("bigint").alias("maxy"),
+        area_udf(F.col("_w")).cast("bigint").alias("area"),
+    )
+
+
+def _o_gc_metrics() -> str:
+    return (
+        "WITH g AS (SELECT doc_id, doc_id % 50 + 100 AS gx, doc_id % 30 + 200 AS gy, "
+        "doc_id % 4 + 1 AS h FROM documents WHERE doc_id < 300) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(LEAST(gx, gx + 20 - h) AS BIGINT) AS minx, "
+        "CAST(LEAST(gy, gy + 5 - h) AS BIGINT) AS miny, "
+        "CAST(GREATEST(gx, gx + 20 + h) AS BIGINT) AS maxx, "
+        "CAST(GREATEST(gy, gy + 5 + h) AS BIGINT) AS maxy, "
+        "CAST(4 * h * h AS BIGINT) AS area FROM g"
+    )
+
+
+QUERIES["gc_metrics"] = q_gc_metrics
+ORACLES["gc_metrics"] = _o_gc_metrics()
+
+
 def q_grid_metrics(spark, sf_dir):
     """Grid modes beyond IDW (alg/gdalgrid.cpp GGA_MetricCount /
     GGA_MovingAverage / metrics): doc points gridded onto the byte20
