@@ -265,3 +265,84 @@ def hamming_pairs(
     )
     dist = F.bit_count(F.col("siga").bitwiseXOR(F.col("sigb")))
     return cand.withColumn("hamming", dist.cast("bigint")).filter(F.col("hamming") <= max_dist).select("a", "b", "hamming")
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 20,
+) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr
+    variant): find every maximal span of >= min_len characters that
+    occurs at two or more (doc, offset) positions in the corpus
+    (cross-doc AND self-repetition, as in the paper). Pipelines clip
+    or drop these spans before training.
+
+    Distributed shape (the paper's single-node suffix array replaced
+    by a shuffle formulation):
+      1. explode every length-L character window as (id, offset,
+         md5(window)) — hash only, never the window text, so the
+         shuffle payload is ~16 bytes/window;
+      2. groupBy(hash) count >= 2 -> the duplicated window set
+         (map-side partial aggregation applies; boilerplate skew is
+         AQE skew-join territory);
+      3. re-join to tag each doc's duplicated offsets;
+      4. merge runs of consecutive offsets into maximal spans with
+         the gaps-and-islands trick (offset - row_number() is
+         constant within a run) — one partitionBy(id) window, no
+         driver involvement.
+    Duplication is decided on md5 equality (collision odds ~2^-128,
+    the paper's own hashed variant does the same).
+
+    Output: (id, span_start, span_end) — 1-based inclusive character
+    positions of each maximal duplicated span.
+    """
+    from pyspark.sql import Window
+
+    L = int(min_len)
+    t = F.col(text_col)
+    wins = (
+        df.where(F.length(t) >= L)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length(t) - (L - 1))).alias("o"),
+            t.alias("_t"),
+        )
+        .select(
+            id_col,
+            "o",
+            F.md5(F.substring(F.col("_t"), F.col("o"), F.lit(L)).cast("binary")).alias("h"),
+        )
+    )
+    dup_h = wins.groupBy("h").count().where(F.col("count") >= 2).select("h")
+    dup_offs = wins.join(dup_h, "h").select(id_col, "o")
+    w = Window.partitionBy(id_col).orderBy("o")
+    islands = dup_offs.withColumn("grp", F.col("o") - F.row_number().over(w))
+    return (
+        islands.groupBy(id_col, "grp")
+        .agg(
+            F.min("o").cast("long").alias("span_start"),
+            (F.max("o") + (L - 1)).cast("long").alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
+def substring_dup_spans_sql(
+    id_expr: str, text_expr: str, min_len: int = 20, table: str = "documents"
+) -> str:
+    """DuckDB twin of substring_dup_spans (identical window hashing
+    and islands merge)."""
+    L = int(min_len)
+    return (
+        f"WITH w AS (SELECT {id_expr} AS id, unnest(generate_series(1, length({text_expr}) - {L - 1})) AS o, "
+        f"{text_expr} AS t FROM {table} WHERE length({text_expr}) >= {L}), "
+        f"h AS (SELECT id, o, md5(substr(t, CAST(o AS INTEGER), {L})) AS hh FROM w), "
+        "d AS (SELECT hh FROM h GROUP BY hh HAVING count(*) >= 2), "
+        "x AS (SELECT id, o FROM h JOIN d USING (hh)), "
+        "i AS (SELECT id, o, o - row_number() OVER (PARTITION BY id ORDER BY o) AS grp FROM x) "
+        f"SELECT id AS doc_id, CAST(MIN(o) AS BIGINT) AS span_start, CAST(MAX(o) + {L - 1} AS BIGINT) AS span_end "
+        "FROM i GROUP BY id, grp"
+    )

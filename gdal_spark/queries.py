@@ -4144,3 +4144,47 @@ def _o_wrapdateline() -> str:
 
 QUERIES["wrapdateline"] = q_wrapdateline
 ORACLES["wrapdateline"] = _o_wrapdateline()
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021 Table A1):
+    duplicate-word fraction, top-word count, and most-covering-2-gram
+    character coverage per document — the pre-training quality gate
+    that drops boilerplate/repetitive documents. Pure Catalyst; the
+    oracle replays the identical fixed-point arithmetic in DuckDB."""
+    from gdal_spark.text import repetition_signals
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(d)
+
+
+def _o_repetition_signals() -> str:
+    from gdal_spark.text import repetition_signals_sql
+
+    return repetition_signals_sql("doc_id", "text")
+
+
+QUERIES["repetition_signals"] = q_repetition_signals
+ORACLES["repetition_signals"] = _o_repetition_signals()
+
+
+def q_substring_dup_spans(spark, sf_dir):
+    """Exact substring dedup (Lee et al. 2022 ExactSubstr): maximal
+    spans >= 40 chars occurring at 2+ (doc, offset) positions in the
+    corpus, as (doc_id, span_start, span_end). Hash-only shuffle +
+    gaps-and-islands merge — no driver involvement; the oracle replays
+    the identical window hashing and islands arithmetic in DuckDB."""
+    from gdal_spark.dedup import substring_dup_spans
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_dup_spans(d, min_len=40)
+
+
+def _o_substring_dup_spans() -> str:
+    from gdal_spark.dedup import substring_dup_spans_sql
+
+    return substring_dup_spans_sql("doc_id", "text", min_len=40)
+
+
+QUERIES["substring_dup_spans"] = q_substring_dup_spans
+ORACLES["substring_dup_spans"] = _o_substring_dup_spans()

@@ -84,6 +84,75 @@ def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("n_stopwords", stop)
 
 
+def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1 repetition filters), adapted
+    to single-line documents: word-level duplicate fraction,
+    most-frequent-word count, and the character coverage of the
+    most-covering word 2-gram. The standard pre-training filters drop
+    documents above thresholds on exactly these statistics.
+
+    Outputs are integer fixed-point (x1000) so the DuckDB oracle
+    (repetition_signals_sql) replays them bit-exactly:
+      - n_words
+      - dup_word_frac_x1000  = floor((n - n_distinct) * 1000 / n)
+      - top_word_count       = occurrences of the most frequent word
+      - top2_cover_x1000     = floor(max over distinct 2-grams of
+                               (count * len(gram)) * 1000 / len(text))
+        (overlapping occurrences counted, as in the Gopher filter's
+        n-gram character-fraction approximation)
+
+    Pure Catalyst array expressions — no Python in the plan. The
+    per-row cost is O(distinct_words x n) JVM comparisons; rows are
+    independent, so the operator scales linearly with no shuffle.
+    """
+    t = F.col(text_col)
+    staged = df.withColumn("_ws", F.split(F.trim(t), r"\s+"))
+    ws = F.col("_ws")
+    n = F.size(ws)
+    nd = F.size(F.array_distinct(ws))
+    topw = F.array_max(
+        F.transform(F.array_distinct(ws), lambda w: F.size(F.filter(ws, lambda x: x == w)))
+    )
+    # consecutive word 2-grams via aligned slices (no index lambdas)
+    grams = F.zip_with(
+        F.slice(ws, F.lit(1), n - 1),
+        F.slice(ws, F.lit(2), n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    staged = staged.withColumn("_gs", grams)
+    gs = F.col("_gs")
+    cover = F.array_max(
+        F.transform(
+            F.array_distinct(gs),
+            lambda g: F.size(F.filter(gs, lambda x: x == g)) * F.length(g),
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.floor((n - nd) * 1000 / n).cast("long").alias("dup_word_frac_x1000"),
+        topw.cast("long").alias("top_word_count"),
+        F.coalesce(F.floor(cover * 1000 / F.length(t)), F.lit(0)).cast("long").alias("top2_cover_x1000"),
+    )
+
+
+def repetition_signals_sql(id_expr: str, text_expr: str, table: str = "documents") -> str:
+    """DuckDB twin of repetition_signals (same fixed-point math)."""
+    return (
+        f"WITH w AS (SELECT {id_expr} AS id, string_split_regex(trim({text_expr}), '\\s+') AS ws, "
+        f"length({text_expr}) AS tl FROM {table}), "
+        "d AS (SELECT id, ws, tl, len(ws) AS n, len(list_distinct(ws)) AS nd FROM w), "
+        "g AS (SELECT id, ws, tl, n, nd, "
+        "list_transform(generate_series(1, n - 1), i -> ws[i] || ' ' || ws[i + 1]) AS gs FROM d) "
+        "SELECT id AS doc_id, CAST(n AS BIGINT) AS n_words, "
+        "CAST(floor((n - nd) * 1000 / n) AS BIGINT) AS dup_word_frac_x1000, "
+        "CAST(list_max(list_transform(list_distinct(ws), w2 -> len(list_filter(ws, x -> x = w2)))) AS BIGINT) AS top_word_count, "
+        "CAST(COALESCE(floor(list_max(list_transform(list_distinct(gs), g2 -> len(list_filter(gs, x -> x = g2)) * length(g2))) * 1000 / tl), 0) AS BIGINT) AS top2_cover_x1000 "
+        "FROM g"
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
