@@ -97,6 +97,51 @@ def _halo_explode(tiles: DataFrame, halo: int = 1) -> DataFrame:
     return tiles.mapInPandas(_emit, HALO_SCHEMA)
 
 
+def assemble_padded(pdf: pd.DataFrame, halo: int) -> tuple[np.ndarray, int, int] | None:
+    """Rebuild one tile's (h+2*halo, w+2*halo) float64 window from its
+    _halo_explode pieces: center payload + neighbor border strips, with
+    edge replication at the raster boundary (the gdaldem edge rule).
+    Returns None when the key has no center piece (tile outside the
+    raster). Shared by focal_apply and the seam-exact point sampler."""
+    center = pdf[(pdf.src_dy == 0) & (pdf.src_dx == 0)]
+    if not len(center):
+        return None
+    c = center.iloc[0]
+    h, w = int(c["h"]), int(c["w"])
+    # c["dtype"], not c.dtype: the column name collides with the
+    # pandas Series.dtype property
+    t = np.frombuffer(c["payload"], dtype=c["dtype"]).reshape(h, w).astype(np.float64)
+    padded = np.pad(t, halo, mode="edge")
+    sides = set()
+    for r in pdf.itertuples(index=False):
+        if r.src_dy == 0 and r.src_dx == 0:
+            continue
+        sides.add((r.src_dy, r.src_dx))
+        piece = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)
+        ys = slice(0, halo) if r.src_dy == -1 else (slice(halo + h, None) if r.src_dy == 1 else slice(halo, halo + h))
+        xs = slice(0, halo) if r.src_dx == -1 else (slice(halo + w, None) if r.src_dx == 1 else slice(halo, halo + w))
+        # neighbor pieces may be smaller at edges; align top-left
+        target = padded[ys, xs]
+        th = min(target.shape[0], piece.shape[0])
+        tw = min(target.shape[1], piece.shape[1])
+        target[:th, :tw] = piece[:th, :tw]
+    # raster-boundary edge rule (gdaldem edge replication) applied
+    # AFTER strip placement: a missing top neighbor replicates the
+    # first interior row ACROSS the full padded width, so corner
+    # cells above an existing side neighbor pick up that
+    # neighbor's replicated value, exactly like padding the whole
+    # raster at once
+    if (-1, 0) not in sides:
+        padded[0:halo, :] = padded[halo : halo + 1, :]
+    if (1, 0) not in sides:
+        padded[halo + h :, :] = padded[halo + h - 1 : halo + h, :]
+    if (0, -1) not in sides:
+        padded[:, 0:halo] = padded[:, halo : halo + 1]
+    if (0, 1) not in sides:
+        padded[:, halo + w :] = padded[:, halo + w - 1 : halo + w]
+    return padded, h, w
+
+
 def focal_apply(
     tiles: DataFrame,
     spec: RasterSpec,
@@ -111,8 +156,8 @@ def focal_apply(
 
     def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         band, tyy, txx = int(key[0]), int(key[1]), int(key[2])
-        center = pdf[(pdf.src_dy == 0) & (pdf.src_dx == 0)]
-        if not len(center):  # pure-halo key (tile outside raster): skip
+        asm = assemble_padded(pdf, halo)
+        if asm is None:  # pure-halo key (tile outside raster): skip
             return pd.DataFrame(
                 {
                     "band": pd.array([], dtype="int32"), "ty": pd.array([], dtype="int32"),
@@ -121,39 +166,7 @@ def focal_apply(
                     "payload": pd.array([], dtype=object),
                 }
             )
-        c = center.iloc[0]
-        h, w = int(c["h"]), int(c["w"])
-        # c["dtype"], not c.dtype: the column name collides with the
-        # pandas Series.dtype property
-        t = np.frombuffer(c["payload"], dtype=c["dtype"]).reshape(h, w).astype(np.float64)
-        padded = np.pad(t, halo, mode="edge")
-        sides = set()
-        for r in pdf.itertuples(index=False):
-            if r.src_dy == 0 and r.src_dx == 0:
-                continue
-            sides.add((r.src_dy, r.src_dx))
-            piece = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)
-            ys = slice(0, halo) if r.src_dy == -1 else (slice(halo + h, None) if r.src_dy == 1 else slice(halo, halo + h))
-            xs = slice(0, halo) if r.src_dx == -1 else (slice(halo + w, None) if r.src_dx == 1 else slice(halo, halo + w))
-            # neighbor pieces may be smaller at edges; align top-left
-            target = padded[ys, xs]
-            th = min(target.shape[0], piece.shape[0])
-            tw = min(target.shape[1], piece.shape[1])
-            target[:th, :tw] = piece[:th, :tw]
-        # raster-boundary edge rule (gdaldem edge replication) applied
-        # AFTER strip placement: a missing top neighbor replicates the
-        # first interior row ACROSS the full padded width, so corner
-        # cells above an existing side neighbor pick up that
-        # neighbor's replicated value, exactly like padding the whole
-        # raster at once
-        if (-1, 0) not in sides:
-            padded[0:halo, :] = padded[halo : halo + 1, :]
-        if (1, 0) not in sides:
-            padded[halo + h :, :] = padded[halo + h - 1 : halo + h, :]
-        if (0, -1) not in sides:
-            padded[:, 0:halo] = padded[:, halo : halo + 1]
-        if (0, 1) not in sides:
-            padded[:, halo + w :] = padded[:, halo + w - 1 : halo + w]
+        padded, h, w = asm
         out = kernel(padded)
         return pd.DataFrame(
             [{"band": band, "ty": tyy, "tx": txx, "h": h, "w": w,

@@ -509,6 +509,7 @@ def interpolate_at_points(
     x_col: str = "x",
     y_col: str = "y",
     band: int = 1,
+    exact_seams: bool = False,
 ) -> DataFrame:
     """Sample the raster at world points (gdal_interpolateatpoint.cpp:
     415 GDALInterpolateAtPoint): bilinear uses the warp kernel's
@@ -516,13 +517,20 @@ def interpolate_at_points(
     whose 2x2 sample window lies inside one tile (i.e. more than half
     a pixel from interior tile seams).
 
-    KNOWN DEVIATION at interior tile seams: each point joins only the
-    tile containing it and the bilinear read clamps at that tile's
-    edge, so samples within 0.5 px of a seam degrade to the clamped
-    neighbor exactly as if the seam were a raster edge. Exact seam
-    handling needs a 1-px overlap window shipped from the neighbor
-    tiles (the focal halo join); use that path when seam-adjacent
-    accuracy matters.
+    Default path KNOWN DEVIATION at interior tile seams: each point
+    joins only the tile containing it and the bilinear read clamps at
+    that tile's edge, so samples within 0.5 px of a seam degrade to
+    the clamped neighbor exactly as if the seam were a raster edge.
+
+    exact_seams=True removes the deviation: tiles exchange a 1-px halo
+    (the focal_apply exchange) and each point samples the padded
+    window, so seam-adjacent reads see the true neighbor pixels —
+    bit-identical to sampling the whole assembled raster everywhere.
+    (Edge replication in the padded window reproduces warp_bilinear's
+    raster-border degrade/renormalize rules exactly: the replicated
+    corner equals the in-bounds corner it would renormalize onto.)
+    Costs one extra shuffle of tile border strips; point keying is
+    unchanged.
     """
     ts = spec.tile_size
 
@@ -535,6 +543,42 @@ def interpolate_at_points(
     py = (F.col("y") - g3) / g5
     p = p.withColumn("ty", F.floor(py / ts).cast("int")).withColumn("tx", F.floor(px / ts).cast("int"))
     t = tiles.filter(F.col("band") == band)
+
+    if exact_seams:
+        from gdal_spark.operators.focal import _halo_explode, assemble_padded
+
+        pieces = _halo_explode(t, 1)
+
+        def _sample_padded(key, pieces_pdf: pd.DataFrame, pts_pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"pid": pd.array([], dtype="int64"), "value": pd.array([], dtype="float64")}
+            )
+            if not len(pts_pdf):
+                return empty
+            asm = assemble_padded(pieces_pdf, 1)
+            if asm is None:  # points outside the raster: dropped (as default path)
+                return empty
+            padded, _h, _w = asm
+            tyy, txx = int(key[0]), int(key[1])
+            sx, sy = spec.world_to_pixel(
+                pts_pdf["x"].to_numpy(np.float64), pts_pdf["y"].to_numpy(np.float64)
+            )
+            # GLOBAL coords + windowed gather: all fraction/validity
+            # arithmetic is bit-identical to whole-raster sampling
+            origin = (txx * ts - 1, tyy * ts - 1)
+            bounds = (spec.width, spec.height)
+            if method == "nearest":
+                vals, _ = warp_nearest(padded, sx, sy, origin=origin, bounds=bounds)
+            else:
+                vals, _ = warp_bilinear(padded, sx, sy, origin=origin, bounds=bounds)
+            return pd.DataFrame({"pid": pts_pdf["pid"].to_numpy(), "value": vals})
+
+        return (
+            pieces.groupBy("ty", "tx")
+            .cogroup(p.groupBy("ty", "tx"))
+            .applyInPandas(_sample_padded, SAMPLE_SCHEMA)
+        )
+
     joined = p.join(t, ["ty", "tx"])
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -137,20 +137,38 @@ def tile_keys_for_envelopes(
 # warp kernels (numpy, exact reference index math)
 
 
-def warp_nearest(src: np.ndarray, sx: np.ndarray, sy: np.ndarray):
+def warp_nearest(src: np.ndarray, sx: np.ndarray, sy: np.ndarray, origin: tuple[int, int] = (0, 0), bounds: tuple[int, int] | None = None):
     """src (H,W); sx/sy = src PIXEL coords of each dst pixel.
-    Returns (values, valid). Index = int(coord + 1e-10), edge clamp."""
+    Returns (values, valid). Index = int(coord + 1e-10), edge clamp.
+
+    origin/bounds support windowed sources: `src` covers global pixel
+    columns [origin_x, origin_x + W) x rows [origin_y, origin_y + H)
+    of a raster whose full extent is `bounds` (full_w, full_h); sx/sy
+    stay GLOBAL, so every fraction/validity computation is
+    bit-identical to sampling the whole raster. Defaults reproduce the
+    un-windowed behavior exactly."""
     h, w = src.shape
-    valid = (sx >= 0) & (sy >= 0) & (sx + 1e-10 <= w) & (sy + 1e-10 <= h)
-    isx = np.clip((sx + 1e-10).astype(np.int64), 0, w - 1)
-    isy = np.clip((sy + 1e-10).astype(np.int64), 0, h - 1)
-    return src[isy, isx], valid
+    ox, oy = origin
+    fw, fh = bounds if bounds is not None else (w, h)
+    valid = (sx >= 0) & (sy >= 0) & (sx + 1e-10 <= fw) & (sy + 1e-10 <= fh)
+    isx = np.clip((sx + 1e-10).astype(np.int64), 0, fw - 1) - ox
+    isy = np.clip((sy + 1e-10).astype(np.int64), 0, fh - 1) - oy
+    return src[np.clip(isy, 0, h - 1), np.clip(isx, 0, w - 1)], valid
 
 
-def warp_bilinear(src: np.ndarray, sx: np.ndarray, sy: np.ndarray):
+def warp_bilinear(src: np.ndarray, sx: np.ndarray, sy: np.ndarray, origin: tuple[int, int] = (0, 0), bounds: tuple[int, int] | None = None):
     """Vectorized GWKBilinearResample4Sample. Returns (values float64,
-    valid). Outside-window pixels (no in-bounds corner) invalid."""
+    valid). Outside-window pixels (no in-bounds corner) invalid.
+
+    origin/bounds as in warp_nearest: all index math (floor, degrade,
+    corner validity, renormalization) runs in GLOBAL raster
+    coordinates against the FULL bounds, and only the final gather is
+    offset into the window — so a windowed call is bit-identical to
+    the whole-raster call wherever the window covers the touched
+    pixels."""
     h, w = src.shape
+    ox, oy = origin
+    fw, fh = bounds if bounds is not None else (w, h)
     ix = np.floor(sx - 0.5).astype(np.int64)
     iy = np.floor(sy - 0.5).astype(np.int64)
     rx = 1.5 - (sx - ix)
@@ -170,9 +188,9 @@ def warp_bilinear(src: np.ndarray, sx: np.ndarray, sy: np.ndarray):
         for dx_, wx in ((0, rx), (1, 1.0 - rx)):
             cx = ix + dx_
             cy = iy + dy_
-            ok = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+            ok = (cx >= 0) & (cx < fw) & (cy >= 0) & (cy < fh)
             wgt = wx * wy * ok
-            vals = srcf[np.clip(cy, 0, h - 1), np.clip(cx, 0, w - 1)]
+            vals = srcf[np.clip(cy - oy, 0, h - 1), np.clip(cx - ox, 0, w - 1)]
             acc += np.where(ok, vals * wgt, 0.0)
             div += wgt
     valid = div > 0

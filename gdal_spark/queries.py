@@ -4188,3 +4188,64 @@ def _o_substring_dup_spans() -> str:
 
 QUERIES["substring_dup_spans"] = q_substring_dup_spans
 ORACLES["substring_dup_spans"] = _o_substring_dup_spans()
+
+
+def q_interp_points_seam(spark, sf_dir):
+    """GDALInterpolateAtPoint with exact_seams=True: points whose 2x2
+    bilinear window CROSSES the interior tile seams (px/py = 16 on the
+    2x16-tile byte20 layout) — the round-2 documented deviation, now
+    removed via the focal 1-px halo exchange + global-coordinate
+    windowed gather. Oracle = the same floor(p-0.5) 4-neighbor formula
+    over the whole pixel grid (seams invisible by construction)."""
+    from pyspark.sql import Row as _Row
+
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.grid import interpolate_at_points
+
+    pts = []
+    pid = 0
+    for py in (14, 15, 16):
+        for px in (14, 15, 16):
+            pts.append(_Row(pid=pid, x=440720.0 + (px + 0.8) * 60.0, y=3751320.0 - (py + 0.6) * 60.0))
+            pid += 1
+    p = spark.createDataFrame(pts)
+    out = interpolate_at_points(
+        byte20_tiles(spark), BYTE20_SPEC, p, method="bilinear", exact_seams=True
+    )
+    return out.select(
+        F.col("pid").cast("bigint").alias("pid"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("bigint").alias("v1000"),
+    )
+
+
+def _o_interp_points_seam() -> str:
+    rows = []
+    pid = 0
+    for py in (14, 15, 16):
+        for px in (14, 15, 16):
+            rows.append(f"({pid}, {px}, {py})")
+            pid += 1
+    vals = ", ".join(rows)
+
+    def v(dy, dx):
+        return (
+            "(SELECT CAST(q.v AS DOUBLE) FROM pixels q "
+            f"WHERE q.py = s.iy + ({dy}) AND q.px = s.ix + ({dx}))"
+        )
+
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)), "
+        f"pts AS (SELECT * FROM (VALUES {vals}) AS t(pid, px, py)), "
+        "s AS (SELECT pid, CAST(floor(px + 0.8 - 0.5) AS BIGINT) AS ix, "
+        "CAST(floor(py + 0.6 - 0.5) AS BIGINT) AS iy, "
+        "1.5 - (px + 0.8 - floor(px + 0.8 - 0.5)) AS rx, "
+        "1.5 - (py + 0.6 - floor(py + 0.6 - 0.5)) AS ry FROM pts) "
+        "SELECT CAST(pid AS BIGINT) AS pid, CAST(floor(("
+        f"  {v(0,0)} * rx * ry + {v(0,1)} * (1 - rx) * ry "
+        f"+ {v(1,0)} * rx * (1 - ry) + {v(1,1)} * (1 - rx) * (1 - ry)"
+        ") * 1000 + 0.5) AS BIGINT) AS v1000 FROM s"
+    )
+
+
+QUERIES["interp_points_seam"] = q_interp_points_seam
+ORACLES["interp_points_seam"] = _o_interp_points_seam()

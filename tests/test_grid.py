@@ -310,3 +310,105 @@ class TestDelaunayLinear:
         ginf = _mat(grid_points(df, SPEC8, algo="linear", radius=float("inf"), nodata=-1), SPEC8)
         assert (ginf == -1).sum() == 0  # nearest fallback everywhere
         assert set(np.unique(ginf)) <= {10.0, 20.0, 30.0} | set(np.unique(g0[g0 != -1]))
+
+
+class TestExactSeamSampling:
+    """interpolate_at_points(exact_seams=True): bit-identical to
+    sampling the whole assembled raster, including within 0.5 px of
+    interior tile seams (the default path's documented deviation)."""
+
+    def _spec8(self):
+        from gdal_spark.fixtures import BYTE20_SPEC
+        from gdal_spark.operators.raster import RasterSpec
+
+        return RasterSpec(
+            width=20, height=20, gt=BYTE20_SPEC.gt, dtype="uint8", nbands=1, tile_size=8
+        )
+
+    def _points(self):
+        # seam-hugging (within 0.5 px of px/py = 8, 16) + interior +
+        # raster-border points
+        pxs = [7.6, 7.9, 8.1, 8.4, 15.7, 16.3, 2.3, 11.5, 0.2, 19.8]
+        pys = [8.2, 15.9, 7.7, 16.45, 8.0, 15.6, 3.1, 12.8, 0.3, 19.7]
+        return [(i, x, y) for i, (x, y) in enumerate(zip(pxs, pys))]
+
+    def test_matches_whole_raster_bilinear(self, spark):
+        import numpy as np
+        from pyspark.sql import Row
+
+        from gdal_spark.fixtures import BYTE20, byte20_tiles
+        from gdal_spark.operators.grid import interpolate_at_points
+        from gdal_spark.operators.tiles import warp_bilinear
+
+        spec = self._spec8()
+        tiles = byte20_tiles(spark, spec)
+        pts = self._points()
+        g0, g1, _, g3, _, g5 = spec.gt
+        p = spark.createDataFrame(
+            [Row(pid=i, x=g0 + px * g1, y=g3 + py * g5) for i, px, py in pts]
+        )
+        got = {
+            r["pid"]: r["value"]
+            for r in interpolate_at_points(
+                tiles, spec, p, method="bilinear", exact_seams=True
+            ).collect()
+        }
+        sx = np.array([px for _, px, _ in pts])
+        sy = np.array([py for _, _, py in pts])
+        want, _ = warp_bilinear(BYTE20.astype(np.float64), sx, sy)
+        assert len(got) == len(pts)
+        for i in range(len(pts)):
+            assert got[i] == want[i], (i, got[i], want[i])
+
+    def test_default_path_deviates_at_seams(self, spark):
+        """Sanity: the documented deviation is real — the default path
+        differs from the global answer for at least one seam point."""
+        import numpy as np
+        from pyspark.sql import Row
+
+        from gdal_spark.fixtures import BYTE20, byte20_tiles
+        from gdal_spark.operators.grid import interpolate_at_points
+        from gdal_spark.operators.tiles import warp_bilinear
+
+        spec = self._spec8()
+        tiles = byte20_tiles(spark, spec)
+        pts = self._points()
+        g0, g1, _, g3, _, g5 = spec.gt
+        p = spark.createDataFrame(
+            [Row(pid=i, x=g0 + px * g1, y=g3 + py * g5) for i, px, py in pts]
+        )
+        got = {
+            r["pid"]: r["value"]
+            for r in interpolate_at_points(tiles, spec, p, method="bilinear").collect()
+        }
+        sx = np.array([px for _, px, _ in pts])
+        sy = np.array([py for _, _, py in pts])
+        want, _ = warp_bilinear(BYTE20.astype(np.float64), sx, sy)
+        assert any(got[i] != want[i] for i in range(len(pts)))
+
+    def test_nearest_exact_seams(self, spark):
+        import numpy as np
+        from pyspark.sql import Row
+
+        from gdal_spark.fixtures import BYTE20, byte20_tiles
+        from gdal_spark.operators.grid import interpolate_at_points
+        from gdal_spark.operators.tiles import warp_nearest
+
+        spec = self._spec8()
+        tiles = byte20_tiles(spark, spec)
+        pts = self._points()
+        g0, g1, _, g3, _, g5 = spec.gt
+        p = spark.createDataFrame(
+            [Row(pid=i, x=g0 + px * g1, y=g3 + py * g5) for i, px, py in pts]
+        )
+        got = {
+            r["pid"]: r["value"]
+            for r in interpolate_at_points(
+                tiles, spec, p, method="nearest", exact_seams=True
+            ).collect()
+        }
+        sx = np.array([px for _, px, _ in pts])
+        sy = np.array([py for _, _, py in pts])
+        want, _ = warp_nearest(BYTE20.astype(np.float64), sx, sy)
+        for i in range(len(pts)):
+            assert got[i] == want[i], (i, got[i], want[i])
