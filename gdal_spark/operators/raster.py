@@ -36,6 +36,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -578,7 +579,7 @@ def rasterize(
             StructField("wkt", StringType()),
             StructField("gx", DoubleType()),
             StructField("gy", DoubleType()),
-            StructField("burn", StringType()),  # csv of per-band values
+            StructField("burn", ArrayType(DoubleType())),  # per-band values
             StructField("ord", LongType()),
         ]
     )
@@ -618,7 +619,7 @@ def rasterize(
                 (pmaxx < 0) | (pminx >= spec.width) | (pmaxy < 0) | (pminy >= spec.height)
             )
             salts = (orders % salt).astype(np.int32) if salt else np.zeros(len(pdf), dtype=np.int32)
-            bcsv_all = burns.map(lambda v: ",".join(str(float(x)) for x in v))
+            blist_all = burns.map(lambda v: [float(x) for x in v])
 
             # vectorized fast path: shapes covering exactly one tile
             single = inside & (tx0 == tx1) & (ty0 == ty1)
@@ -643,7 +644,7 @@ def rasterize(
                             "wkt": wkts,
                             "gx": sgx,
                             "gy": sgy,
-                            "burn": bcsv_all.iloc[si].to_numpy(),
+                            "burn": blist_all.iloc[si].to_numpy(dtype=object),
                             "ord": orders[si],
                         }
                     )
@@ -658,7 +659,7 @@ def rasterize(
                             out["tx"].append(txx)
                             out["salt"].append(int(salts[i]))
                             out["wkt"].append(pdf[wkt_col].iloc[i])
-                            out["burn"].append(bcsv_all.iloc[i])
+                            out["burn"].append(blist_all.iloc[i])
                             out["ord"].append(int(orders[i]))
                 mdf = pd.DataFrame(out)
                 mdf["gx"] = np.nan
@@ -667,7 +668,79 @@ def rasterize(
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    exploded = shapes.mapInPandas(_explode, explode_schema)
+    if env_cols is not None and merge_alg == "add" and not burn_value_from_z:
+        # -- pure-Catalyst explode (JVM-side, no Arrow crossing) --
+        # With envelope columns already present and an order-free merge,
+        # the whole explode stage is plain column arithmetic: the same
+        # 4-corner inverse-geotransform -> tile-range math as _explode
+        # above, written as Catalyst expressions with IDENTICAL float64
+        # operation order (so tile assignment is bit-identical to the
+        # numpy path), plus sequence()-explode for multi-tile shapes —
+        # the tile_keys pattern. Shape rows never cross into Python
+        # before the shuffle; only the grouped burn stage does. This
+        # mirrors the spatial_join(project=) crossing-diet: the explode
+        # half of rasterize disappears from the Python cost entirely.
+        g0, g1, g2, g3, g4, g5 = spec.gt
+        det = g1 * g5 - g2 * g4
+
+        def _cpx(x, y):
+            return (F.lit(g5) * (x - F.lit(g0)) - F.lit(g2) * (y - F.lit(g3))) / F.lit(det)
+
+        def _cpy(x, y):
+            return (F.lit(-g4) * (x - F.lit(g0)) + F.lit(g1) * (y - F.lit(g3))) / F.lit(det)
+
+        base = shapes.select(
+            F.col(wkt_col).alias("_wkt"),
+            F.col(env_cols[0]).alias("_mnx"),
+            F.col(env_cols[1]).alias("_mny"),
+            F.col(env_cols[2]).alias("_mxx"),
+            F.col(env_cols[3]).alias("_mxy"),
+            F.transform(F.col(burn_col), lambda v: v.cast("double")).alias("burn"),
+            (F.col(order_col).cast("long") if order_col else F.monotonically_increasing_id()).alias("ord"),
+        )
+        corners = [
+            (F.col("_mnx"), F.col("_mny")),
+            (F.col("_mnx"), F.col("_mxy")),
+            (F.col("_mxx"), F.col("_mny")),
+            (F.col("_mxx"), F.col("_mxy")),
+        ]
+        pxs = [_cpx(x, y) for x, y in corners]
+        pys = [_cpy(x, y) for x, y in corners]
+        pminx, pmaxx = F.least(*pxs), F.greatest(*pxs)
+        pminy, pmaxy = F.least(*pys), F.greatest(*pys)
+        inside = (~F.isnan(F.col("_mnx"))) & ~(
+            (pmaxx < F.lit(0.0))
+            | (pminx >= F.lit(float(spec.width)))
+            | (pmaxy < F.lit(0.0))
+            | (pminy >= F.lit(float(spec.height)))
+        )
+        tsf = F.lit(float(ts))
+
+        def _trange(pmin, pmax, n):
+            lo = F.greatest(F.least(F.floor(pmin / tsf), F.lit(n - 1).cast("long")), F.lit(0).cast("long"))
+            hi = F.greatest(F.least(F.floor(pmax / tsf), F.lit(n - 1).cast("long")), F.lit(0).cast("long"))
+            return lo.cast("int"), hi.cast("int")
+
+        tx0c, tx1c = _trange(pminx, pmaxx, spec.ntiles_x)
+        ty0c, ty1c = _trange(pminy, pmaxy, spec.ntiles_y)
+        deg = (F.col("_mnx") == F.col("_mxx")) & (F.col("_mny") == F.col("_mxy"))
+        exploded = (
+            base.where(inside)
+            .select("*", F.explode(F.sequence(ty0c, ty1c)).alias("ty"))
+            .select("*", F.explode(F.sequence(tx0c, tx1c)).alias("tx"))
+            .select(
+                "ty",
+                "tx",
+                ((F.col("ord") % F.lit(salt)).cast("int") if salt else F.lit(0)).alias("salt"),
+                F.when(deg, F.lit(None).cast("string")).otherwise(F.col("_wkt")).alias("wkt"),
+                F.when(deg, F.col("_mnx")).alias("gx"),
+                F.when(deg, F.col("_mny")).alias("gy"),
+                "burn",
+                "ord",
+            )
+        )
+    else:
+        exploded = shapes.mapInPandas(_explode, explode_schema)
 
     def _accumulate(pdf: pd.DataFrame, h: int, w: int, oy: int, ox: int, base: float) -> np.ndarray:
         """Burn all shapes of one (tile[, salt]) group into a float64
@@ -692,10 +765,7 @@ def rasterize(
             if sel.size:
                 flat = ly[sel] * w + lx[sel]
                 gidx = np.flatnonzero(gmask)[sel]
-                burns = np.array(
-                    [[float(v) for v in s.split(",")] for s in pdf["burn"].iloc[gidx]],
-                    dtype=np.float64,
-                )
+                burns = np.array(list(pdf["burn"].iloc[gidx]), dtype=np.float64)
                 for b in range(spec.nbands):
                     arr[b] += np.bincount(
                         flat, weights=burns[:, b], minlength=h * w
@@ -729,10 +799,7 @@ def rasterize(
             sel = np.flatnonzero(ok)
             if sel.size:
                 flat = ly[sel] * w + lx[sel]
-                burns = np.array(
-                    [[float(v) for v in s.split(",")] for s in pdf["burn"].iloc[pt_rows[sel]]],
-                    dtype=np.float64,
-                )
+                burns = np.array(list(pdf["burn"].iloc[pt_rows[sel]]), dtype=np.float64)
                 for b in range(spec.nbands):
                     if merge_alg == "add":
                         arr[b] += np.bincount(flat, weights=burns[:, b], minlength=h * w).reshape(h, w)
@@ -755,7 +822,7 @@ def rasterize(
                 )
             else:
                 mv = shape_mask(GeomType(gtype), pparts, spec, h, w, oy, ox, all_touched=all_touched)
-            bv = [float(v) for v in pdf["burn"].iloc[i].split(",")]
+            bv = [float(v) for v in pdf["burn"].iloc[i]]
             _apply_burn(arr, mv, bv, merge_alg, burn_value_from_z)
         return arr
 

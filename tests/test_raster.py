@@ -524,3 +524,43 @@ def test_bilinear_border_no_padding_bias(spark):
     cov = out != 0.0
     assert cov.any()
     np.testing.assert_allclose(out[cov], 50.0, rtol=1e-12)
+
+
+class TestRasterizeCatalystExplode:
+    """env_cols + ADD now explodes JVM-side (no Arrow before the
+    shuffle): parity with the numpy explode on rotated grids, NaN
+    envelopes, and off-raster shapes; plan carries no Python eval."""
+
+    def _shapes(self, spark):
+        rows = []
+        for i in range(30):
+            x, y = (i * 7) % 12 - 2 + 0.5, (i * 5) % 12 - 2 + 0.5  # some outside
+            rows.append((i, f"POINT ({x} {y})", x, y, x, y, [1.0]))
+        rows.append((90, "POLYGON((1 1,1 7,7 7,7 1,1 1))", 1.0, 1.0, 7.0, 7.0, [2.0]))
+        rows.append((91, "LINESTRING(0.2 0.2, 7.8 6.9)", 0.2, 0.2, 7.8, 6.9, [3.0]))
+        nan = float("nan")
+        rows.append((92, None, nan, nan, nan, nan, [5.0]))  # parse-error row
+        return spark.createDataFrame(
+            rows,
+            "fid bigint, wkt string, env_minx double, env_miny double, "
+            "env_maxx double, env_maxy double, burn_values array<double>",
+        )
+
+    def test_rotated_gt_parity(self, spark):
+        spec = RasterSpec(8, 8, (0.0, 0.9, 0.2, 8.0, 0.1, -0.8), tile_size=4, dtype="int32")
+        shapes = self._shapes(spark)
+        env = ("env_minx", "env_miny", "env_maxx", "env_maxy")
+        fast = materialize_full(rasterize(shapes, spec, merge_alg="add", env_cols=env), spec)
+        slow = materialize_full(rasterize(shapes, spec, merge_alg="add"), spec)
+        assert (fast == slow).all() and fast.sum() > 0
+
+    def test_explode_plan_is_jvm_side(self, spark):
+        spec = RasterSpec(8, 8, (0, 1, 0, 8, 0, -1), tile_size=4)
+        shapes = self._shapes(spark)
+        env = ("env_minx", "env_miny", "env_maxx", "env_maxy")
+        tiles = rasterize(shapes, spec, merge_alg="add", env_cols=env)
+        plan = tiles._jdf.queryExecution().executedPlan().toString()
+        # exactly the two burn/merge stages cross into Python — the
+        # explode stage must not (FlatMapsInPandas would betray it)
+        assert plan.count("FlatMapGroupsInPandas") == 2
+        assert "MapInPandas" not in plan
