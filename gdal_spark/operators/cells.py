@@ -126,3 +126,66 @@ def repartition_by_cell(df: DataFrame, cell_col: str = "cell_h", num_partitions:
     else:
         df = df.repartitionByRange(*cols)
     return df.sortWithinPartitions(*cols)
+
+
+# ---------------------------------------------------------------------------
+# True spherical S2 cells (geom/s2.py) — the north star's named
+# "H3/S2 cell encoding ... repartitioning by cell prefix".
+
+
+def s2_cell_udf(level: int = 30, from_lonlat: bool = False):
+    """Vectorized encoder column: (x, y, z) unit-sphere components —
+    or (lon, lat) degrees with from_lonlat=True — to the int64 S2
+    cell id at `level`.  Arrow-batched numpy, no per-row Python."""
+    from gdal_spark.geom import s2
+
+    if from_lonlat:
+
+        @F.pandas_udf(LongType())
+        def _enc_ll(lon: pd.Series, lat: pd.Series) -> pd.Series:
+            return pd.Series(s2.cell_from_lonlat(lon.to_numpy(np.float64), lat.to_numpy(np.float64), level))
+
+        return _enc_ll
+
+    @F.pandas_udf(LongType())
+    def _enc(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+        return pd.Series(
+            s2.cell_from_xyz(x.to_numpy(np.float64), y.to_numpy(np.float64), z.to_numpy(np.float64), level)
+        )
+
+    return _enc
+
+
+def s2_parent_col(cell: Column, level: int) -> Column:
+    """Ancestor id at `level` — pure Catalyst bit arithmetic (the
+    arithmetic shiftright + shiftleft pair clears the low bits with
+    identical two's-complement semantics for the negative face-4/5
+    ids), so prefix repartitioning never leaves the JVM."""
+    from gdal_spark.geom import s2
+
+    nbits = 2 * (s2.MAX_LEVEL - level)
+    cleared = F.shiftleft(F.shiftright(cell, nbits), nbits)
+    return cleared.bitwiseOR(F.lit(s2.lsb_for_level(level)))
+
+
+def s2_range_cols(cell: Column) -> tuple[Column, Column]:
+    """(range_min, range_max) of the cell's descendant-leaf interval:
+    containment joins become a Catalyst-pushable BETWEEN."""
+    lsb = cell.bitwiseAND(-cell)
+    return cell - (lsb - F.lit(1)), cell + (lsb - F.lit(1))
+
+
+def s2_token_col(cell: Column) -> Column:
+    """Canonical S2 token: 16-digit lowercase two's-complement hex
+    with trailing zeros stripped — pure Catalyst."""
+    return F.regexp_replace(F.lpad(F.lower(F.hex(cell)), 16, "0"), "0+$", "")
+
+
+def repartition_by_s2_prefix(df: DataFrame, cell_col: str, level: int, num_partitions: int | None = None) -> DataFrame:
+    """North-rule "explicit repartitioning by cell prefix": hash the
+    coarse ancestor id so all descendants of one level-`level` cell
+    co-locate; sortWithinPartitions on the full id keeps Hilbert
+    locality inside each partition (tight Parquet min/max stats)."""
+    key = s2_parent_col(F.col(cell_col), level)
+    df = df.repartition(num_partitions, key) if num_partitions else df.repartition(key)
+    return df.sortWithinPartitions(F.col(cell_col))

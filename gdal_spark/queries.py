@@ -4249,3 +4249,105 @@ def _o_interp_points_seam() -> str:
 
 QUERIES["interp_points_seam"] = q_interp_points_seam
 ORACLES["interp_points_seam"] = _o_interp_points_seam()
+
+
+# ---------------------------------------------------------------------------
+# true S2 cell encoding (geom/s2.py): the north star's named
+# "vectorized H3/S2 cell encoding ... repartitioning by cell prefix"
+
+
+def q_s2_cells(spark, sf_dir):
+    """Level-30 S2 cell id + level-12 prefix + canonical token per
+    document, over deterministic rational unit vectors (a, b, c)/n
+    derived from doc_id — rational so the DuckDB twin reproduces the
+    doubles bit-exactly (libm trig is not cross-engine reproducible;
+    +-*/sqrt are correctly rounded IEEE and are the only ops used).
+
+    The encode is the canonical S2 construction (cube face -> quadratic
+    ST -> 30-level Hilbert automaton; public algorithm, s2geometry
+    s2coords.h / s2cell_id.cc semantics) vectorized in numpy; parent
+    and token are pure-Catalyst bit arithmetic (cells.s2_parent_col /
+    s2_token_col), so the oracle also cross-checks signed
+    two's-complement handling of the negative face-4/5 ids."""
+    from gdal_spark.operators.cells import s2_cell_udf, s2_parent_col, s2_token_col
+
+    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").cast("long").alias("did"))
+    a = ((F.col("did") * 2 + 1) % 19 - 9).cast("double")
+    b = ((F.col("did") * 3 + 2) % 17 - 8).cast("double")
+    c = ((F.col("did") * 5) % 6 * 2 - 5).cast("double")
+    vec = docs.select("did", a.alias("a"), b.alias("b"), c.alias("c"))
+    n = F.sqrt(F.col("a") * F.col("a") + F.col("b") * F.col("b") + F.col("c") * F.col("c"))
+    xyz = vec.select(
+        "did",
+        (F.col("a") / n).alias("x"),
+        (F.col("b") / n).alias("y"),
+        (F.col("c") / n).alias("z"),
+    )
+    enc = s2_cell_udf(level=30)
+    cells = xyz.select("did", enc(F.col("x"), F.col("y"), F.col("z")).alias("cell"))
+    return cells.select(
+        F.col("did").alias("doc_id"),
+        F.col("cell"),
+        s2_parent_col(F.col("cell"), 12).alias("cell_l12"),
+        s2_token_col(F.col("cell")).alias("token"),
+    )
+
+
+QUERIES["s2_cells"] = q_s2_cells
+ORACLES["s2_cells"] = """WITH RECURSIVE base AS (
+  SELECT CAST(doc_id AS BIGINT) AS did FROM documents
+), vec AS (
+  SELECT did,
+    CAST((did*2+1) % 19 - 9 AS DOUBLE) AS a,
+    CAST((did*3+2) % 17 - 8 AS DOUBLE) AS b,
+    CAST(2*((did*5) % 6) - 5 AS DOUBLE) AS c
+  FROM base
+), xyz AS (
+  SELECT did, a/n AS x, b/n AS y, c/n AS z
+  FROM (SELECT *, sqrt(a*a + b*b + c*c) AS n FROM vec)
+), fuv AS (
+  SELECT did, x, y, z,
+    CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+         WHEN abs(y) >= abs(z) THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+         ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END AS face
+  FROM xyz
+), uv AS (
+  SELECT did, face,
+    CASE face WHEN 0 THEN y/x WHEN 1 THEN -(x/y) WHEN 2 THEN -(x/z)
+              WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -(y/z) END AS u,
+    CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -(y/z)
+              WHEN 3 THEN y/x WHEN 4 THEN -(x/y) ELSE -(x/z) END AS v
+  FROM fuv
+), ij AS (
+  SELECT did, face,
+    CAST(LEAST(GREATEST(floor((CASE WHEN u >= 0 THEN 0.5*sqrt(1.0 + 3.0*u) ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*u) END) * 1073741824.0), 0), 1073741823) AS BIGINT) AS i,
+    CAST(LEAST(GREATEST(floor((CASE WHEN v >= 0 THEN 0.5*sqrt(1.0 + 3.0*v) ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*v) END) * 1073741824.0), 0), 1073741823) AS BIGINT) AS j
+  FROM uv
+), hil AS (
+  SELECT did, face, i, j, 30 AS rem, (face & 1) AS o, CAST(0 AS UBIGINT) AS pos FROM ij
+  UNION ALL
+  SELECT did, face, i, j, rem - 1,
+         xor(o, CASE p WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END),
+         pos * 4 + CAST(p AS UBIGINT)
+  FROM (
+    SELECT *, CASE o*4 + (((i >> (rem-1)) & 1)*2 + ((j >> (rem-1)) & 1))
+      WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 2
+      WHEN 4 THEN 0 WHEN 5 THEN 3 WHEN 6 THEN 1 WHEN 7 THEN 2
+      WHEN 8 THEN 2 WHEN 9 THEN 3 WHEN 10 THEN 1 WHEN 11 THEN 0
+      WHEN 12 THEN 2 WHEN 13 THEN 1 WHEN 14 THEN 3 ELSE 0 END AS p
+    FROM hil WHERE rem > 0
+  )
+), ids AS (
+  SELECT did,
+    (CAST(face AS UBIGINT) * 2305843009213693952 + pos * 2 + 1) AS uid
+  FROM hil WHERE rem = 0
+), withp AS (
+  SELECT did, uid,
+    ((uid // 137438953472) * 137438953472 + 68719476736) AS p12u
+  FROM ids
+)
+SELECT did AS doc_id,
+  CASE WHEN uid > 9223372036854775807 THEN CAST(CAST(uid AS HUGEINT) - 18446744073709551616 AS BIGINT) ELSE CAST(uid AS BIGINT) END AS cell,
+  CASE WHEN p12u > 9223372036854775807 THEN CAST(CAST(p12u AS HUGEINT) - 18446744073709551616 AS BIGINT) ELSE CAST(p12u AS BIGINT) END AS cell_l12,
+  regexp_replace(lpad(lower(hex(uid)), 16, '0'), '0+$', '') AS token
+FROM withp"""
