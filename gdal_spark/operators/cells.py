@@ -189,3 +189,39 @@ def repartition_by_s2_prefix(df: DataFrame, cell_col: str, level: int, num_parti
     key = s2_parent_col(F.col(cell_col), level)
     df = df.repartition(num_partitions, key) if num_partitions else df.repartition(key)
     return df.sortWithinPartitions(F.col(cell_col))
+
+
+def hex_cell_cols(x: Column, y: Column, size: float) -> tuple[Column, Column]:
+    """Pointy-top hexagonal binning (axial coordinates) — the planar
+    H3-analog companion to the spherical S2 index: pixel->axial
+    transform + cube rounding, expressed ENTIRELY in Catalyst (floor/
+    abs/when — zero Python, whole-stage-codegen friendly).
+
+    Rounding uses floor(v + 0.5), not round(): numpy/JVM round() is
+    banker's, SQL round() is half-away — floor(v + 0.5) is the one
+    form every engine evaluates identically, which keeps the DuckDB
+    oracle bit-exact.  Returns (hq, hr) bigint axial cell coords."""
+    fx = x.cast("double")
+    fy = y.cast("double")
+    q = (F.sqrt(F.lit(3.0)) / F.lit(3.0) * fx - fy / F.lit(3.0)) / F.lit(float(size))
+    r = (fy * F.lit(2.0) / F.lit(3.0)) / F.lit(float(size))
+    s = -q - r
+    rx = F.floor(q + F.lit(0.5)).cast("double")
+    ry = F.floor(s + F.lit(0.5)).cast("double")
+    rz = F.floor(r + F.lit(0.5)).cast("double")
+    dx = F.abs(rx - q)
+    dy = F.abs(ry - s)
+    dz = F.abs(rz - r)
+    x_largest = (dx > dy) & (dx > dz)
+    hq = F.when(x_largest, -ry - rz).otherwise(rx)
+    hr = F.when(~x_largest & ~(dy > dz), -rx - ry).otherwise(rz)
+    return hq.cast("bigint"), hr.cast("bigint")
+
+
+def hex_center_cols(hq: Column, hr: Column, size: float) -> tuple[Column, Column]:
+    """Inverse: axial cell -> world-coordinate hex center."""
+    fq = hq.cast("double")
+    fr = hr.cast("double")
+    cx = F.lit(float(size)) * (F.sqrt(F.lit(3.0)) * fq + F.sqrt(F.lit(3.0)) / F.lit(2.0) * fr)
+    cy = F.lit(float(size)) * (F.lit(1.5) * fr)
+    return cx, cy

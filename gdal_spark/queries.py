@@ -4351,3 +4351,52 @@ SELECT did AS doc_id,
   CASE WHEN p12u > 9223372036854775807 THEN CAST(CAST(p12u AS HUGEINT) - 18446744073709551616 AS BIGINT) ELSE CAST(p12u AS BIGINT) END AS cell_l12,
   regexp_replace(lpad(lower(hex(uid)), 16, '0'), '0+$', '') AS token
 FROM withp"""
+
+
+def q_hexbin(spark, sf_dir):
+    """Hexagonal-bin aggregation over document envelope centers — the
+    planar H3-analog (axial coords + cube rounding), pure Catalyst
+    end to end (cells.hex_cell_cols): scan -> project -> one groupBy
+    shuffle on (hq, hr).  Envelope centers are exact doubles (integer
+    world coords), so the DuckDB twin reproduces bin assignment
+    bit-exactly; floor(v+0.5) rounding avoids the banker's-vs-half-away
+    round() divergence between engines."""
+    from gdal_spark.operators.cells import hex_cell_cols
+
+    g = docs_geom(spark, sf_dir).filter(F.col("geom_error").isNull() & F.col("wkt").isNotNull())
+    cx = (F.col("env_minx") + F.col("env_maxx")) * F.lit(0.5)
+    cy = (F.col("env_miny") + F.col("env_maxy")) * F.lit(0.5)
+    hq, hr = hex_cell_cols(cx, cy, 37.0)
+    return (
+        g.select(F.col("_id").alias("doc_id"), hq.alias("hq"), hr.alias("hr"), "n_chars")
+        .groupBy("hq", "hr")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def _o_hexbin() -> str:
+    hexpr = (
+        "SELECT doc_id, n_chars, "
+        "floor(q + 0.5) AS rx, floor((-q - r) + 0.5) AS ry, floor(r + 0.5) AS rz, "
+        "q, r, (-q - r) AS s FROM ("
+        "  SELECT doc_id, n_chars, "
+        "  (sqrt(3.0)/3.0 * cx - cy/3.0)/37.0 AS q, (cy*2.0/3.0)/37.0 AS r FROM pts)"
+    )
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "pts AS (SELECT doc_id, n_chars, CAST(gx AS DOUBLE) AS cx, CAST(gy AS DOUBLE) AS cy "
+        "FROM g WHERE valid), "
+        f"ax AS ({hexpr}), "
+        "cells AS (SELECT doc_id, n_chars, "
+        "CAST(CASE WHEN abs(rx - q) > abs(ry - s) AND abs(rx - q) > abs(rz - r) "
+        "THEN -ry - rz ELSE rx END AS BIGINT) AS hq, "
+        "CAST(CASE WHEN NOT (abs(rx - q) > abs(ry - s) AND abs(rx - q) > abs(rz - r)) "
+        "AND NOT (abs(ry - s) > abs(rz - r)) THEN -rx - ry ELSE rz END AS BIGINT) AS hr "
+        "FROM ax) "
+        "SELECT hq, hr, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars "
+        "FROM cells GROUP BY hq, hr"
+    )
+
+
+QUERIES["hexbin"] = q_hexbin
+ORACLES["hexbin"] = _o_hexbin()
