@@ -178,6 +178,24 @@ def main() -> None:
     # q5: grid-pruned kNN of 10 query centers against all docs
     timed("knn_centers", lambda: q_knn_centers(spark, sf_dir).collect())
 
+    # q6: true S2 cell encode of all docs (rational unit vectors ->
+    # level-30 ids via the Arrow-batched automaton) + level-8 prefix
+    # histogram — the north star's "vectorized H3/S2 cell encoding ...
+    # repartitioning by cell prefix" measured at docs scale
+    def _s2_encode() -> None:
+        from gdal_spark.operators.cells import s2_cell_udf, s2_parent_col
+
+        did = big.select(F.xxhash64("_id").alias("did"))
+        a = ((F.col("did") % 19 + 19) % 19 - 9).cast("double")
+        b = ((F.col("did") % 17 + 17) % 17 - 8).cast("double")
+        c = (((F.col("did") % 6 + 6) % 6) * 2 - 5).cast("double")
+        n = F.sqrt(a * a + b * b + c * c)
+        enc = s2_cell_udf(level=30)
+        cells = did.select(enc((a / n), (b / n), (c / n)).alias("cell"))
+        cells.groupBy(s2_parent_col(F.col("cell"), 8).alias("p8")).count().count()
+
+    timed("s2_encode", _s2_encode)
+
     # -- driver tables at sf --
     timed("summary_lineitem", lambda: q_summary_lineitem(spark, sf_dir).collect())
     timed("window_topk_events", lambda: q_window_topk_events(spark, sf_dir).count())
