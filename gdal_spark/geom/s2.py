@@ -260,3 +260,90 @@ def token(cell: np.ndarray) -> np.ndarray:
     flat = np.atleast_1d(u)
     out = np.array([format(int(c), "016x").rstrip("0") or "0" for c in flat], dtype=object)
     return out if u.shape else out[0]
+
+
+# ---------------------------------------------------------------------------
+# region covering (driver-side planning; output feeds Catalyst BETWEENs)
+
+# conservative bound on the angular circumradius of a level-L cell:
+# the true max cell diagonal under the quadratic projection is
+# ~2.44 * 2^-L radians (s2metrics kMaxDiag); 2.6 keeps the superset
+# guarantee with margin and costs at most one extra split level.
+_MAX_DIAG = 2.6
+
+
+def _cell_circumradius(level: int) -> float:
+    return _MAX_DIAG * (0.5 ** level) * 0.5
+
+
+def _children(cell: int) -> list[int]:
+    lvl = int(level_of(np.int64(cell)))
+    lsb = lsb_for_level(lvl)
+    clsb = lsb >> 2
+    base = cell - lsb
+    return [base + (2 * k + 1) * clsb for k in range(4)]
+
+
+def cover_cap(axis, angle_rad: float, max_cells: int = 64, max_level: int = MAX_LEVEL):
+    """Cover a spherical cap (axis unit vector, opening angle) with at
+    most `max_cells` cells at mixed levels — a SUPERSET guarantee
+    (every point of the cap lies in some emitted cell; conservative
+    center-distance + circumradius tests, no false negatives).
+
+    This is driver-side planning, like broadcasting the zone R-tree:
+    the region is one query geometry, the output is a handful of id
+    ranges that `cover_ranges`/`filter_expr` turn into Catalyst
+    BETWEENs — at 10^12 rows a region probe is parquet row-group
+    skipping over a cell-prefix-partitioned table, never a shuffle."""
+    ax = np.asarray(axis, dtype=np.float64)
+    ax = ax / np.sqrt((ax * ax).sum())
+    angle_rad = float(angle_rad)
+
+    def dist_to(cell: int) -> float:
+        x, y, z = cell_center_xyz(np.int64(cell))
+        d = float(ax[0]) * float(x) + float(ax[1]) * float(y) + float(ax[2]) * float(z)
+        return float(np.arccos(np.clip(d, -1.0, 1.0)))
+
+    def _signed(c: int) -> int:
+        return c - (1 << 64) if c >= (1 << 63) else c
+
+    faces = [_signed((2 * f + 1) << 60) for f in range(6)]
+    work: list[int] = []
+    out: list[int] = []
+    for c in faces:
+        d = dist_to(c)
+        if d <= angle_rad + _cell_circumradius(0):
+            work.append(c)
+    # breadth-first refinement: all cells at level L are decided before
+    # any at L+1, so the budget spreads evenly instead of one branch
+    # refining to max_level while others stay coarse
+    while work:
+        cell = work.pop(0)
+        lvl = int(level_of(np.int64(cell)))
+        d = dist_to(cell)
+        rad = _cell_circumradius(lvl)
+        if d + rad <= angle_rad:
+            out.append(cell)  # fully inside: emit as-is
+            continue
+        if d > angle_rad + rad:
+            continue  # provably disjoint
+        if lvl >= max_level or len(out) + len(work) + 4 > max_cells:
+            out.append(cell)  # budget/depth reached: keep the partial cell
+            continue
+        work.extend(_children(cell))
+    return sorted(out, key=lambda c: int(range_min(np.int64(c))))
+
+
+def cover_ranges(cells: list[int]) -> list[tuple[int, int]]:
+    """Merge a covering into disjoint, sorted [range_min, range_max]
+    leaf-id intervals (adjacent/overlapping cells coalesce)."""
+    iv = sorted(
+        (int(range_min(np.int64(c))), int(range_max(np.int64(c)))) for c in cells
+    )
+    merged: list[list[int]] = []
+    for lo, hi in iv:
+        if merged and lo <= merged[-1][1] + 2:  # leaf ids step by 2
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    return [(lo, hi) for lo, hi in merged]

@@ -225,3 +225,16 @@ def hex_center_cols(hq: Column, hr: Column, size: float) -> tuple[Column, Column
     cx = F.lit(float(size)) * (F.sqrt(F.lit(3.0)) * fq + F.sqrt(F.lit(3.0)) / F.lit(2.0) * fr)
     cy = F.lit(float(size)) * (F.lit(1.5) * fr)
     return cx, cy
+
+
+def s2_cover_filter(cell_col: Column, ranges: list[tuple[int, int]]) -> Column:
+    """Predicate for a region covering (geom/s2.py cover_cap ->
+    cover_ranges): OR of BETWEENs over leaf-id intervals.  Plain
+    comparisons on the cell column — Catalyst pushes the whole
+    disjunction into the Parquet scan (row-group min/max skip), which
+    is the point of the prefix layout: a region probe at 10^12 rows
+    reads only the row groups whose cell ranges overlap the cover."""
+    cond = F.lit(False)
+    for lo, hi in ranges:
+        cond = cond | cell_col.between(F.lit(int(lo)), F.lit(int(hi)))
+    return cond

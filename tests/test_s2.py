@@ -208,3 +208,60 @@ class TestPrefixPruning:
         got = np.array([r.cell for r in q.collect()], dtype=np.int64)
         want = cells[s2.contains(np.int64(anchor), cells)]
         assert (np.sort(got) == np.sort(want)).all()
+
+
+class TestCapCover:
+    AXIS = np.array([0.3, -0.5, 0.81])
+    ANGLE = 0.05
+
+    def _cover(self, max_cells=48):
+        cells = s2.cover_cap(self.AXIS, self.ANGLE, max_cells=max_cells)
+        return cells, s2.cover_ranges(cells)
+
+    def test_superset_guarantee_and_budget(self):
+        cells, ranges = self._cover()
+        assert 0 < len(cells) <= 48
+        rng = np.random.default_rng(29)
+        v = rng.normal(size=(30000, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        ax = self.AXIS / np.linalg.norm(self.AXIS)
+        ang = np.arccos(np.clip(v @ ax, -1, 1))
+        leaf = s2.cell_from_xyz(v[:, 0], v[:, 1], v[:, 2])
+        flip = np.int64(-9223372036854775808)
+        lu = leaf ^ flip
+        covered = np.zeros(len(v), dtype=bool)
+        for lo, hi in ranges:
+            covered |= (lu >= (np.int64(lo) ^ flip)) & (lu <= (np.int64(hi) ^ flip))
+        # no false negatives (every in-cap point is covered) ...
+        assert ((ang <= self.ANGLE) & ~covered).sum() == 0
+        # ... and the BFS refinement keeps the cover tight
+        assert (covered & (ang > 3 * self.ANGLE)).sum() == 0
+
+    def test_ranges_disjoint_sorted(self):
+        _, ranges = self._cover()
+        assert all(lo <= hi for lo, hi in ranges)
+        assert all(ranges[k][1] < ranges[k + 1][0] for k in range(len(ranges) - 1))
+
+    def test_negative_face_cap(self):
+        cells = s2.cover_cap(np.array([0.0, -1.0, -0.2]), 0.08, max_cells=32)
+        assert cells and all(-(2**63) <= c < 2**63 for c in cells)
+        # cap axis on face 4: at least one covering cell is negative
+        assert any(c < 0 for c in cells)
+
+    def test_spark_cover_filter_pushes_down(self, spark):
+        from gdal_spark.operators.cells import s2_cover_filter
+
+        cells_list, ranges = self._cover()
+        rng = np.random.default_rng(31)
+        v = rng.normal(size=(4000, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        leaf = s2.cell_from_xyz(v[:, 0], v[:, 1], v[:, 2])
+        df = spark.createDataFrame([(int(c),) for c in leaf], "cell long")
+        q = df.filter(s2_cover_filter(F.col("cell"), ranges))
+        got = np.sort(np.array([r.cell for r in q.collect()], dtype=np.int64))
+        flip = np.int64(-9223372036854775808)
+        lu = leaf ^ flip
+        covered = np.zeros(len(v), dtype=bool)
+        for lo, hi in ranges:
+            covered |= (lu >= (np.int64(lo) ^ flip)) & (lu <= (np.int64(hi) ^ flip))
+        assert (got == np.sort(leaf[covered])).all()
