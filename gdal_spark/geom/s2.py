@@ -127,6 +127,9 @@ def st_to_uv(s: np.ndarray) -> np.ndarray:
 
 def st_to_ij(s: np.ndarray) -> np.ndarray:
     i = np.floor(np.asarray(s, dtype=np.float64) * float(1 << MAX_LEVEL))
+    # NaN (zero/NaN input vector) -> cell 0 of face 0 deterministically
+    # instead of an undefined float->int cast crashing the executor
+    i = np.where(np.isnan(i), 0.0, i)
     return np.clip(i, 0, _MAX_IJ).astype(np.int64)
 
 

@@ -265,3 +265,15 @@ class TestCapCover:
         for lo, hi in ranges:
             covered |= (lu >= (np.int64(lo) ^ flip)) & (lu <= (np.int64(hi) ^ flip))
         assert (got == np.sort(leaf[covered])).all()
+
+
+def test_degenerate_inputs_do_not_crash():
+    # zero vector / NaN / inf must produce VALID deterministic ids
+    # (never an undefined float->int cast) — executor-crash hardening
+    x = np.array([0.0, np.nan, np.inf, -np.inf])
+    y = np.array([0.0, 1.0, 0.0, np.nan])
+    z = np.array([0.0, 0.0, np.nan, 0.0])
+    with np.errstate(all="ignore"):
+        c = s2.cell_from_xyz(x, y, z)
+    assert (s2.level_of(c) == 30).all()
+    assert ((c % 2) != 0).all()  # trailing marker bit set -> valid ids
