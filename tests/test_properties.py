@@ -147,3 +147,45 @@ class TestProjectionRoundTrips:
             x, y = prj.forward(np.array([lo]), np.array([la]))
             lo2, la2 = prj.inverse(x, y)
             assert abs(lo2[0] - lo) < 1e-7 and abs(la2[0] - la) < 1e-7
+
+
+class TestOverlayScaleSweep:
+    """The round-2 advice bug class: the snap frame must ADAPT to the
+    coordinate magnitude.  Sweep extents across 15 orders of magnitude
+    and require the defining overlay identities to hold at every
+    scale (the fixed-1/64-unit grid failed below ~1e-2)."""
+
+    @given(
+        st.floats(min_value=1.0, max_value=9.9, allow_nan=False),
+        st.integers(min_value=-8, max_value=7),
+        st.floats(min_value=0.1, max_value=0.4, allow_nan=False),
+    )
+    @settings(max_examples=120, deadline=None)
+    def test_partition_identity_across_magnitudes(self, mant, expo, frac):
+        s = mant * (10.0 ** expo)  # rect size spanning 1e-8 .. ~1e8
+        ra = (s, s, s, s)  # offset == size: coordinates ~2s
+        rb = (s + frac * s, s + frac * s, s, s)  # overlapping copy
+        a = [parse_wkt([_rect_wkt(*ra)]).polygon_rings(0)]
+        b = [parse_wkt([_rect_wkt(*rb)]).polygon_rings(0)]
+        area_a = s * s
+        inter = overlay_area(a, b, "and")
+        diff = overlay_area(a, b, "a_not_b")
+        atol = _snap_atol(a, b, ra, rb)
+        assert np.isclose(inter + diff, area_a, rtol=1e-6, atol=atol)
+        # exact rectangle-overlap oracle at this scale
+        want = ((1.0 - frac) * s) ** 2
+        assert np.isclose(inter, want, rtol=1e-5, atol=atol)
+
+    @given(st.integers(min_value=-8, max_value=7))
+    @settings(max_examples=32, deadline=None)
+    def test_strict_nesting_across_magnitudes(self, expo):
+        s = 10.0 ** expo
+        from gdal_spark.geom.relate import Geometry, contains, equals, within
+
+        outer = Geometry.from_wkt(_rect_wkt(2 * s, 2 * s, s, s))
+        inner = Geometry.from_wkt(_rect_wkt(2 * s + 0.25 * s, 2 * s + 0.25 * s, 0.5 * s, 0.5 * s))
+        far = Geometry.from_wkt(_rect_wkt(90 * s, 90 * s, s, s))
+        assert within(inner, outer)
+        assert contains(outer, inner)
+        assert not equals(outer, far)
+        assert not within(inner, far)
