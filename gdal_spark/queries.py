@@ -4393,7 +4393,7 @@ def _o_hexbin() -> str:
         "CAST(CASE WHEN NOT (abs(rx - q) > abs(ry - s) AND abs(rx - q) > abs(rz - r)) "
         "AND NOT (abs(ry - s) > abs(rz - r)) THEN -rx - ry ELSE rz END AS BIGINT) AS hr "
         "FROM ax) "
-        "SELECT hq, hr, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars "
+        "SELECT hq, hr, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
         "FROM cells GROUP BY hq, hr"
     )
 
