@@ -536,13 +536,21 @@ def spatial_join_cells(
     envelope columns explode JVM-side (sequence/explode); the exact
     verify is the same numpy batch kernel as the broadcast join.
 
+    Shuffle diet (same rule as lsh_pairs, dedup.py): the (cell, salt)
+    exchange and the pair dedup carry ONLY (cell, _did, _zfid) — at
+    10^12 docs this is the heaviest exchange in the big x big path and
+    WKT strings must not ride it (a zone's WKT would otherwise be
+    duplicated once per candidate pair). Geometries re-join by id
+    AFTER the dedup, zone side last so the verify stage arrives
+    co-partitioned by _zfid (one edge-table build per zone per task).
+
     Returns (doc_id, zone_fid) pairs."""
     from gdal_spark.operators.cells import Grid  # noqa: F401 (type)
 
-    # docs side: cell ids from envelope columns (JVM-side)
+    # docs side: cell ids from envelope columns (JVM-side); ids only —
+    # the WKT payload re-joins after pair dedup
     d = docs.select(
         F.col(doc_id_col).alias("_did"),
-        F.col(wkt_col).alias("_dwkt"),
         "env_minx", "env_miny", "env_maxx", "env_maxy",
     ).filter(F.col("env_minx").isNotNull())
 
@@ -567,13 +575,13 @@ def spatial_join_cells(
         .withColumn("spans", F.array(F.struct(
             F.lit("geom").alias("kind"), F.col("_zwkt").alias("text"),
             F.lit("").alias("media_ref"), F.lit(0).alias("offset"))))
-    ).select("_zfid", "_zwkt", "env_minx", "env_miny", "env_maxx", "env_maxy")
+    ).select("_zfid", "env_minx", "env_miny", "env_maxx", "env_maxy")
     zx0, zx1, zy0, zy1 = cell_range(F.col("env_minx"), F.col("env_miny"), F.col("env_maxx"), F.col("env_maxy"))
     z = (
         z.withColumn("_cx", F.explode(F.sequence(zx0, zx1)))
         .withColumn("_cy", F.explode(F.sequence(zy0, zy1)))
         .withColumn("cell", (F.col("_cy") * grid.nx + F.col("_cx")).cast("long"))
-        .select("cell", "_zfid", "_zwkt")
+        .select("cell", "_zfid")
     )
 
     if salt > 1:
@@ -585,13 +593,21 @@ def spatial_join_cells(
         z = z.withColumn(
             "_salt", F.explode(F.array(*[F.lit(s).cast("int") for s in range(salt)]))
         )
-        paired = (
+        pairs = (
             d.join(z, ["cell", "_salt"])
-            .select("_did", "_dwkt", "_zfid", "_zwkt")
+            .select("_did", "_zfid")
             .dropDuplicates(["_did", "_zfid"])
         )
     else:
-        paired = d.join(z, "cell").select("_did", "_dwkt", "_zfid", "_zwkt").dropDuplicates(["_did", "_zfid"])
+        pairs = d.join(z, "cell").select("_did", "_zfid").dropDuplicates(["_did", "_zfid"])
+
+    # geometry payloads re-join by id post-dedup: each doc/zone WKT
+    # crosses the wire once per surviving pair (not once per covering
+    # cell x salt), and the final join on _zfid leaves the verify input
+    # co-partitioned by zone
+    dw = docs.select(F.col(doc_id_col).alias("_did"), F.col(wkt_col).alias("_dwkt"))
+    zw = zones.select(F.col(zone_fid_col).alias("_zfid"), F.col(zone_wkt_col).alias("_zwkt"))
+    paired = pairs.join(dw, "_did").join(zw, "_zfid")
 
     out_schema = StructType(
         [StructField("doc_id", LongType()), StructField("zone_fid", LongType())]

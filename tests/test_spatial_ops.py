@@ -242,6 +242,32 @@ class TestCellPartitionedJoin:
         assert got == want and len(got) > 0
 
 
+    def test_cell_exchange_carries_ids_only(self, spark):
+        """Shuffle-diet plan assertion (same property as the LSH band
+        join, test_lsh_candidates_prune_shingles): the (cell, salt)
+        equi-join and the pair dedup Aggregate must carry ONLY
+        (cell, salt, _did, _zfid) — no WKT string may ride the
+        heaviest exchange of the big x big path. Geometry re-joins by
+        id after the dedup."""
+        from gdal_spark.datagen import docs_table, zones_table
+        from gdal_spark.operators.cells import BYTE20_GRID
+        from gdal_spark.operators.spatial import extract_geom, spatial_join_cells
+
+        g = extract_geom(docs_table(spark, n=50)).select(
+            "_id", "wkt", "env_minx", "env_miny", "env_maxx", "env_maxy", "geom_error"
+        )
+        out = spatial_join_cells(g, zones_table(spark), BYTE20_GRID, salt=4)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        lines = plan.splitlines()
+        # the pair dedup is the only Aggregate in the plan — ids only
+        agg = [ln for ln in lines if "Aggregate" in ln]
+        assert agg and all("wkt" not in ln.lower() for ln in agg)
+        # every Project computing the cell id (both explode branches
+        # feeding the cell join) must have pruned the WKT payload
+        cell_projects = [ln for ln in lines if "Project" in ln and "AS cell#" in ln]
+        assert cell_projects and all("wkt" not in ln.lower() for ln in cell_projects)
+
+
 class TestSpanIntegrity:
     """North-rule invariant: span sequence (kind, text, media_ref,
     order) survives every shuffle."""
