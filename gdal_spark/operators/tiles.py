@@ -32,6 +32,7 @@ build-from-zoom+1 strategy as the reference (--overview-resampling).
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -403,10 +404,16 @@ def make_window_stat_kernel(stat: str, mode_ties: str = "first"):
     ties by default; MODE_TIES=MIN/MAX via mode_ties),
     med/q1/q3 (sorted value at ceil(q*n - 1), :8339), rms.
     Windows are grouped by (height, width) shape — per distinct shape
-    one numpy sliding-window gather, no per-pixel Python."""
+    one numpy sliding-window gather, no per-pixel Python.
+
+    vmask: optional (h, w) bool source-validity mask (src_nodata /
+    UNIFIED_SRC_NODATA; the reference skips samples whose
+    panUnifiedSrcValid bit is unset, gdalwarpkernel.cpp:6864+). The
+    statistic runs over the valid window samples only; a window with
+    zero valid samples leaves the dst pixel invalid."""
     quant = {"med": 0.5, "q1": 0.25, "q3": 0.75}.get(stat)
 
-    def kernel(src: np.ndarray, sxa, sya, sxb, syb, bounds=None):
+    def kernel(src: np.ndarray, sxa, sya, sxb, syb, bounds=None, vmask=None):
         ix0, ix1, iy0, iy1, ok = _footprint_windows(src.shape, sxa, sya, sxb, syb, bounds)
         out = np.zeros(sxa.shape)
         flat_ok = np.flatnonzero(ok)
@@ -417,30 +424,61 @@ def make_window_stat_kernel(stat: str, mode_ties: str = "first"):
         kw_ = fx1 - fx0
         kh_ = fy1 - fy0
         res = np.zeros(flat_ok.size)
+        res_ok = np.ones(flat_ok.size, dtype=bool)
         srcf = src.astype(np.float64)
         for (hh, ww_) in set(zip(kh_.tolist(), kw_.tolist())):
             sel = (kh_ == hh) & (kw_ == ww_)
             win = np.lib.stride_tricks.sliding_window_view(srcf, (hh, ww_))
             arr = win[fy0[sel], fx0[sel]].reshape(-1, hh * ww_)
+            vm = None
+            if vmask is not None:
+                vwin = np.lib.stride_tricks.sliding_window_view(vmask, (hh, ww_))
+                vm = vwin[fy0[sel], fx0[sel]].reshape(-1, hh * ww_)
+                nvalid = vm.sum(axis=1)
+                res_ok[sel] = nvalid > 0
             if stat == "min":
-                res[sel] = arr.min(axis=1)
+                a = arr if vm is None else np.where(vm, arr, np.inf)
+                res[sel] = np.where(np.isfinite(m := a.min(axis=1)), m, 0.0)
             elif stat == "max":
-                res[sel] = arr.max(axis=1)
+                a = arr if vm is None else np.where(vm, arr, -np.inf)
+                res[sel] = np.where(np.isfinite(m := a.max(axis=1)), m, 0.0)
             elif stat == "rms":
-                res[sel] = np.sqrt(np.mean(arr * arr, axis=1))
+                if vm is None:
+                    res[sel] = np.sqrt(np.mean(arr * arr, axis=1))
+                else:
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        ms = np.where(vm, arr * arr, 0.0).sum(axis=1) / np.maximum(nvalid, 1)
+                    res[sel] = np.sqrt(ms)
             elif stat == "mode":
                 # raw values, not int-truncated: GDAL's integer-bin
                 # histogram path applies to integer band types only;
-                # float rasters keep distinct float values
+                # float rasters keep distinct float values.
+                # Invalid samples become NaN: NaN != NaN, so they
+                # count 0 and can never win (and all-NaN rows are
+                # already marked invalid via res_ok).
+                a = arr if vm is None else np.where(vm, arr, np.nan)
                 if mode_ties == "first":
-                    res[sel] = _mode_first(arr)
+                    res[sel] = np.nan_to_num(_mode_first(a))
                 else:
-                    res[sel] = _mode_tie(arr, mode_ties)
+                    res[sel] = np.nan_to_num(_mode_tie(a, mode_ties))
             else:  # med / q1 / q3
-                s = np.sort(arr, axis=1)
-                idx = int(np.ceil(quant * arr.shape[1] - 1))
-                res[sel] = s[:, max(idx, 0)]
+                if vm is None:
+                    s = np.sort(arr, axis=1)
+                    idx = int(np.ceil(quant * arr.shape[1] - 1))
+                    res[sel] = s[:, max(idx, 0)]
+                else:
+                    # sort invalid to the tail; per-row index over the
+                    # VALID count only (the reference collects valid
+                    # samples then indexes ceil(q*n - 1))
+                    s = np.sort(np.where(vm, arr, np.inf), axis=1)
+                    idx = np.maximum(np.ceil(quant * nvalid - 1).astype(np.int64), 0)
+                    got = s[np.arange(s.shape[0]), np.minimum(idx, s.shape[1] - 1)]
+                    res[sel] = np.where(np.isfinite(got), got, 0.0)
         out.ravel()[flat_ok] = res
+        if vmask is not None:
+            final_ok = ok.copy()
+            final_ok.ravel()[flat_ok] &= res_ok
+            return out.reshape(sxa.shape), final_ok
         return out.reshape(sxa.shape), ok
 
     return kernel
@@ -484,6 +522,108 @@ def warp_sum(src: np.ndarray, sxa, sya, sxb, syb, bounds=None):
     return np.where(ok, total, 0.0), ok
 
 
+def parse_excluded_values(value, nbands: int):
+    """EXCLUDED_VALUES warp-option parser (gdalwarper.cpp:1243-1254
+    option doc; gdalwarpkernel.cpp:1491-1513 CSLTokenizeString2 on
+    "(,)"): "R,G,B" = one tuple, "(R1,G1,B1),(R2,G2,B2)" = several.
+    Each tuple must have exactly nbands values. Accepts a pre-parsed
+    sequence of tuples/scalars too. Returns list[tuple[float, ...]]."""
+    if value is None:
+        return None
+    if isinstance(value, str):
+        toks = [t for t in re.split(r"[(),]", value) if t.strip() != ""]
+        vals = [float(t) for t in toks]
+        if len(vals) % nbands != 0:
+            raise ValueError(
+                "EXCLUDED_VALUES should contain one or several tuples of "
+                f"{nbands} values"
+            )
+        return [tuple(vals[i : i + nbands]) for i in range(0, len(vals), nbands)]
+    out = []
+    for item in value:
+        tup = (float(item),) if np.isscalar(item) else tuple(float(v) for v in item)
+        if len(tup) != nbands:
+            raise ValueError(
+                "EXCLUDED_VALUES should contain one or several tuples of "
+                f"{nbands} values"
+            )
+        out.append(tup)
+    return out
+
+
+def warp_average_excluded(
+    band_wins,
+    vmask,
+    excluded,
+    sxa,
+    sya,
+    sxb,
+    syb,
+    bounds=None,
+    excl_pct: float = 0.5,
+    nodata_pct: float = 1.0,
+):
+    """GRA_Average with EXCLUDED_VALUES / EXCLUDED_VALUES_PCT_THRESHOLD
+    / NODATA_VALUES_PCT_THRESHOLD (gdalwarper.cpp:1243-1261 option
+    docs; gdalwarpkernel.cpp:7787-7931 joint-band average path):
+    window samples whose all-band tuple matches an excluded tuple are
+    VALID (count toward the window total) but do not contribute to the
+    mean; a sample is assigned to the FIRST matching tuple. Per dst
+    pixel, with W = total window samples, I = invalid (nodata),
+    E = excluded, R = regular:
+      - I > 0 and I >= nodata_pct * W  -> dst invalid
+      - else E > 0 and E >= excl_pct * W -> dst takes the
+        most-represented excluded tuple (strictly-greater scan, so
+        first tuple wins ties)
+      - else R > 0 -> dst = mean of the regular samples
+      - else -> dst invalid.
+    All counts via integral images over the shared footprint-window
+    rule — no per-pixel loops. Returns (per-band value arrays, dst
+    validity array)."""
+    h, w = band_wins[0].shape
+    if not excluded:
+        # NODATA_VALUES_PCT_THRESHOLD alone: a never-matching tuple
+        excluded = [(np.nan,) * len(band_wins)]
+    ix0, ix1, iy0, iy1, ok = _footprint_windows((h, w), sxa, sya, sxb, syb, bounds)
+
+    def box(a):
+        c = np.pad(
+            np.cumsum(np.cumsum(a.astype(np.float64), axis=0), axis=1), ((1, 0), (1, 0))
+        )
+        return c[iy1, ix1] - c[iy0, ix1] - c[iy1, ix0] + c[iy0, ix0]
+
+    total = ((iy1 - iy0) * (ix1 - ix0)).astype(np.float64)
+    vm = np.ones((h, w), dtype=bool) if vmask is None else vmask
+    n_invalid = total - box(vm)
+    assigned = np.zeros((h, w), dtype=bool)
+    excl_masks = []
+    for tup in excluded:
+        m = vm & ~assigned
+        for b, v in enumerate(tup):
+            m &= band_wins[b] == v
+        excl_masks.append(m)
+        assigned |= m
+    n_excl_per = np.stack([box(m) for m in excl_masks])  # (T, ...)
+    n_excl = n_excl_per.sum(axis=0)
+    reg_mask = vm & ~assigned
+    n_reg = box(reg_mask)
+    # same double expressions as the reference's >= comparisons
+    invalid_hit = (n_invalid > 0) & (n_invalid >= nodata_pct * total)
+    excl_hit = ~invalid_hit & (n_excl > 0) & (n_excl >= excl_pct * total)
+    reg_hit = ~invalid_hit & ~excl_hit & (n_reg > 0)
+    best = n_excl_per.argmax(axis=0)  # argmax = first max = the '>' scan
+    dst_valid = ok & (excl_hit | reg_hit)
+    outs = []
+    for b in range(len(band_wins)):
+        s_reg = box(np.where(reg_mask, band_wins[b], 0.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(n_reg > 0, s_reg / np.maximum(n_reg, 1.0), 0.0)
+        evals = np.array([t[b] for t in excluded], dtype=np.float64)
+        v = np.where(excl_hit, evals[best], mean)
+        outs.append(np.where(dst_valid, v, 0.0))
+    return outs, dst_valid
+
+
 WARP_KERNELS = {
     "near": warp_nearest,
     "bilinear": warp_bilinear,
@@ -499,6 +639,9 @@ AREA_KERNELS = {
     "mode_min": make_window_stat_kernel("mode", mode_ties="min"),
     "mode_max": make_window_stat_kernel("mode", mode_ties="max"),
 }
+# area kernels that take a vmask= validity mask (per-sample skip)
+# rather than the algebraic kernel(v*m)/kernel(m) reweighting
+_WINDOW_STATS = {"min", "max", "mode", "mode_min", "mode_max", "med", "q1", "q3", "rms"}
 
 
 # ---------------------------------------------------------------------------
@@ -755,6 +898,9 @@ def raster_tile(
     approx_error: float = 0.0,
     src_nodata: float | None = None,
     dst_nodata: float = 0.0,
+    excluded_values=None,
+    excluded_values_pct_threshold: float = 50.0,
+    nodata_values_pct_threshold: float = 100.0,
 ) -> DataFrame:
     """gdal raster tile: src tile table -> (z, tx, ty, band, payload)
     rows for zooms [min_zoom, max_zoom], plus an alpha band
@@ -792,7 +938,17 @@ def raster_tile(
     sum(w*valid). sum sums the valid samples only. A dst pixel with
     zero valid weight gets dst_nodata (-dstnodata; default 0 =
     INIT_DEST=0) and alpha 0. Window-statistic resamplers
-    (mode/min/max/med/q1/q3/rms) reject src_nodata (not implemented).
+    (mode/min/max/med/q1/q3/rms) skip invalid samples per the
+    reference's GWKAverageOrMode validity test (gdalwarpkernel.cpp:
+    6864+): the statistic runs over valid window samples only.
+
+    excluded_values / excluded_values_pct_threshold /
+    nodata_values_pct_threshold: the EXCLUDED_VALUES family of warp
+    options (gdalwarper.cpp:1243-1267; average only) — see
+    warp_average_excluded. When active, bands are processed jointly
+    (per-sample all-band tuples), and for the joint path a sample is
+    invalid when ANY band matches src_nodata (the reference's
+    bAllValid loop, gdalwarpkernel.cpp:7829-7848).
     """
     tms = tms or WebMercatorQuad()
     spark = src_tiles.sparkSession
@@ -804,10 +960,16 @@ def raster_tile(
     area_kernel = AREA_KERNELS.get(resampling)
     if kernel is None and area_kernel is None:
         raise ValueError(f"unknown resampling {resampling}")
-    if src_nodata is not None and resampling not in (
-        "near", "bilinear", "cubic", "cubicspline", "lanczos", "average", "sum",
-    ):
-        raise ValueError(f"src_nodata is not supported with resampling={resampling!r}")
+    window_stat = resampling in _WINDOW_STATS
+    excluded = parse_excluded_values(excluded_values, nbands)
+    if excluded is not None and resampling != "average":
+        # "Only taken into account by Average currently" (gdalwarper.cpp:1252)
+        raise ValueError("EXCLUDED_VALUES is only supported with resampling='average'")
+    excl_pct = float(excluded_values_pct_threshold) / 100.0
+    nodata_pct = float(nodata_values_pct_threshold) / 100.0
+    joint_average = resampling == "average" and (
+        excluded is not None or nodata_pct < 1.0 - 1e-10
+    )
     if cutline is not None:
         from gdal_spark.operators.cutline import parse_cutline
 
@@ -945,9 +1107,9 @@ def raster_tile(
                 dens, _ = kernel(cl, csx - wx0, csy - wy0)
         out_rows = []
         alpha = None
-        for band in range(1, nbands + 1):
+
+        def _assemble_band(band):
             win = np.zeros((wh, ww))
-            have = np.zeros((wh, ww), dtype=bool)
             for _, r in pdf[pdf["sband"] == band].iterrows():
                 t = np.frombuffer(r.spayload, dtype=r.sdtype).reshape(r.sh, r.sw)
                 oy = int(r.sty) * sts - wy0
@@ -955,34 +1117,76 @@ def raster_tile(
                 eh = min(int(r.sh), wh - oy)
                 ew = min(int(r.sw), ww - ox)
                 win[oy : oy + eh, ox : ox + ew] = t[:eh, :ew]
-                have[oy : oy + eh, ox : ox + ew] = True
+            return win
+
+        if joint_average:
+            # EXCLUDED_VALUES / NODATA_VALUES_PCT_THRESHOLD: all bands
+            # processed jointly (gdalwarpkernel.cpp:7787 special path)
+            band_wins = [_assemble_band(b) for b in range(1, nbands + 1)]
+            vmask = None
+            if src_nodata is not None:
+                vmask = np.ones((wh, ww), dtype=bool)
+                for bw in band_wins:
+                    vmask &= bw != src_nodata
+            jsxa, jsya = _dst_pixel_src_coords(tms, z, txx, tyy, src_pipeline, src_spec, offset=0.0)
+            jsxb, jsyb = _dst_pixel_src_coords(tms, z, txx, tyy, src_pipeline, src_spec, offset=1.0)
+            rb = (-wx0, -wy0, src_spec.width - wx0, src_spec.height - wy0)
+            outs, dvalid = warp_average_excluded(
+                band_wins, vmask, excluded or [],
+                jsxa - wx0, jsya - wy0, jsxb - wx0, jsyb - wy0,
+                bounds=rb, excl_pct=excl_pct, nodata_pct=nodata_pct,
+            )
+            if dens is not None:
+                dvalid = dvalid & (dens > 0.0)
+            for band in range(1, nbands + 1):
+                vals = outs[band - 1]
+                if dens is not None:
+                    vals = vals * dens
+                payload = copy_word(np.where(dvalid, vals, dst_nodata), src_spec.dtype)
+                out_rows.append(
+                    {"z": z, "tx": txx, "ty": tyy, "band": band, "dtype": src_spec.dtype, "payload": payload.tobytes()}
+                )
+            alpha = dvalid
+        for band in [] if joint_average else range(1, nbands + 1):
+            win = _assemble_band(band)
             # window-local src pixel coords; pixels mapping into the full
             # src raster but outside this window cannot occur by
             # construction (window covers the tile's source footprint)
             nmask = None
             if src_nodata is not None:
-                # valid-sample reweighting: kernel(v*m)/kernel(m) ==
-                # the reference's sum(w*v*valid)/sum(w*valid)
-                nmask = (win != src_nodata).astype(np.float64)
-                win = win * nmask
+                nmask = win != src_nodata
+                if not window_stat:
+                    # valid-sample reweighting: kernel(v*m)/kernel(m) ==
+                    # the reference's sum(w*v*valid)/sum(w*valid)
+                    win = win * nmask
             if area_kernel is not None:
                 sxa, sya = _dst_pixel_src_coords(tms, z, txx, tyy, src_pipeline, src_spec, offset=0.0)
                 sxb, syb = _dst_pixel_src_coords(tms, z, txx, tyy, src_pipeline, src_spec, offset=1.0)
                 rb = (-wx0, -wy0, src_spec.width - wx0, src_spec.height - wy0)
-                vals, valid = area_kernel(win, sxa - wx0, sya - wy0, sxb - wx0, syb - wy0, bounds=rb)
-                gvalid = valid
-                if nmask is not None:
-                    mdens, _ = warp_average(nmask, sxa - wx0, sya - wy0, sxb - wx0, syb - wy0, bounds=rb)
-                    if resampling == "average":
-                        with np.errstate(invalid="ignore", divide="ignore"):
-                            vals = np.where(mdens > 0.0, vals / np.maximum(mdens, 1e-300), 0.0)
-                    gvalid = gvalid & (mdens > 0.0)
+                if window_stat and nmask is not None:
+                    # per-sample validity skip (GWKAverageOrMode)
+                    vals, gvalid = area_kernel(
+                        win, sxa - wx0, sya - wy0, sxb - wx0, syb - wy0,
+                        bounds=rb, vmask=nmask,
+                    )
+                else:
+                    vals, valid = area_kernel(win, sxa - wx0, sya - wy0, sxb - wx0, syb - wy0, bounds=rb)
+                    gvalid = valid
+                    if nmask is not None:
+                        mdens, _ = warp_average(
+                            nmask.astype(np.float64),
+                            sxa - wx0, sya - wy0, sxb - wx0, syb - wy0, bounds=rb,
+                        )
+                        if resampling == "average":
+                            with np.errstate(invalid="ignore", divide="ignore"):
+                                vals = np.where(mdens > 0.0, vals / np.maximum(mdens, 1e-300), 0.0)
+                        gvalid = gvalid & (mdens > 0.0)
             else:
                 vals, valid = kernel(win, sx - wx0, sy - wy0)
                 # clip validity to the true raster bounds (window may pad)
                 gvalid = valid & (sx >= 0) & (sy >= 0) & (sx + 1e-10 <= src_spec.width) & (sy + 1e-10 <= src_spec.height)
                 if nmask is not None:
-                    mval, _ = kernel(nmask, sx - wx0, sy - wy0)
+                    mval, _ = kernel(nmask.astype(np.float64), sx - wx0, sy - wy0)
                     with np.errstate(invalid="ignore", divide="ignore"):
                         vals = np.where(np.abs(mval) > 1e-10, vals / np.where(mval == 0.0, 1.0, mval), 0.0)
                     gvalid = gvalid & (np.abs(mval) > 1e-10)

@@ -84,8 +84,20 @@ def translate(
     scale: tuple[float, float] | None = None,  # (mult, add): v*mult + add
     out_dtype: str | None = None,
     dst_tile_size: int | None = None,
+    src_nodata: float | None = None,
+    excluded_values=None,
+    excluded_values_pct_threshold: float = 50.0,
+    nodata_values_pct_threshold: float = 100.0,
 ) -> tuple[DataFrame, RasterSpec]:
-    """Returns (dst tile table, dst RasterSpec)."""
+    """Returns (dst tile table, dst RasterSpec).
+
+    Beyond near/average, any warp area resampler
+    (min/max/mode/med/q1/q3/rms, operators/tiles.py AREA_KERNELS) runs
+    over the same integer windows; src_nodata applies the
+    GWKAverageOrMode per-sample validity skip, and
+    excluded_values(+thresholds) the EXCLUDED_VALUES family for
+    average (single-band tuples here). Invalid dst pixels get 0
+    (INIT_DEST=0)."""
     xoff, yoff, xsize, ysize = srcwin or (0, 0, src_spec.width, src_spec.height)
     outw, outh = outsize or (xsize, ysize)
     dspec = dst_spec_for(src_spec, (xoff, yoff, xsize, ysize), (outw, outh), out_dtype, dst_tile_size)
@@ -158,22 +170,57 @@ def translate(
             yi = _near_map(di, ry, yoff, ysize) - sy0
             xi = _near_map(dj, rx, xoff, xsize) - sx0
             out = win[yi][:, xi]
-        else:  # average (integer rounding (sum + n/2)/n on int dtypes)
-            out = np.empty((h, w), dtype=np.float64)
+        else:  # area-window resamplers over [int(0.5+i*r), int(0.5+(i+1)*r))
             ys0 = np.minimum((0.5 + di * ry).astype(np.int64), ysize - 1) + yoff - sy0
             ys1 = np.maximum(np.minimum((0.5 + (di + 1) * ry).astype(np.int64), ysize) + yoff - sy0, ys0 + 1)
             xs0 = np.minimum((0.5 + dj * rx).astype(np.int64), xsize - 1) + xoff - sx0
             xs1 = np.maximum(np.minimum((0.5 + (dj + 1) * rx).astype(np.int64), xsize) + xoff - sx0, xs0 + 1)
-            c = np.cumsum(np.cumsum(np.pad(win, ((1, 0), (1, 0))), axis=0), axis=1)
-            for ii in range(h):
-                s = (
-                    c[ys1[ii], xs1] - c[ys0[ii], xs1] - c[ys1[ii], xs0] + c[ys0[ii], xs0]
+            plain_average = (
+                resampling == "average"
+                and src_nodata is None
+                and excluded_values is None
+                and nodata_values_pct_threshold >= 100.0
+            )
+            if plain_average:
+                # integer rounding (sum + n/2)/n on int dtypes
+                out = np.empty((h, w), dtype=np.float64)
+                c = np.cumsum(np.cumsum(np.pad(win, ((1, 0), (1, 0))), axis=0), axis=1)
+                for ii in range(h):
+                    s = (
+                        c[ys1[ii], xs1] - c[ys0[ii], xs1] - c[ys1[ii], xs0] + c[ys0[ii], xs0]
+                    )
+                    n = (ys1[ii] - ys0[ii]) * (xs1 - xs0)
+                    if np.issubdtype(np.dtype(dspec.dtype), np.integer):
+                        out[ii] = (s + n // 2) // n
+                    else:
+                        out[ii] = s / n
+            else:
+                # warp area kernels over the same integer windows
+                from gdal_spark.operators.tiles import (
+                    AREA_KERNELS,
+                    _WINDOW_STATS,
+                    parse_excluded_values,
+                    warp_average_excluded,
                 )
-                n = (ys1[ii] - ys0[ii]) * (xs1 - xs0)
-                if np.issubdtype(np.dtype(dspec.dtype), np.integer):
-                    out[ii] = (s + n // 2) // n
+
+                sxa_, sya_ = np.meshgrid(xs0.astype(np.float64), ys0.astype(np.float64))
+                sxb_, syb_ = np.meshgrid(xs1.astype(np.float64), ys1.astype(np.float64))
+                vmask = (win != src_nodata) if src_nodata is not None else None
+                if resampling == "average":
+                    excl = parse_excluded_values(excluded_values, 1)
+                    outs, dvalid = warp_average_excluded(
+                        [win], vmask, excl or [], sxa_, sya_, sxb_, syb_,
+                        excl_pct=excluded_values_pct_threshold / 100.0,
+                        nodata_pct=nodata_values_pct_threshold / 100.0,
+                    )
+                    out = np.where(dvalid, outs[0], 0.0)
+                elif resampling in _WINDOW_STATS:
+                    vals, okm = AREA_KERNELS[resampling](
+                        win, sxa_, sya_, sxb_, syb_, vmask=vmask
+                    )
+                    out = np.where(okm, vals, 0.0)
                 else:
-                    out[ii] = s / n
+                    raise ValueError(f"unsupported translate resampling {resampling!r}")
         if scale:
             out = out * scale[0] + scale[1]
         return pd.DataFrame(

@@ -3471,6 +3471,90 @@ QUERIES["warp_average_down"] = q_warp_average_down
 ORACLES["warp_average_down"] = _o_warp_average_down()
 
 
+def q_warp_mode_nodata(spark, sf_dir):
+    """gdalwarp -r mode -srcnodata 115 semantics on a 2x downsample
+    (GWKAverageOrMode per-sample validity skip, gdalwarpkernel.cpp:
+    6864+; FIRST tie strategy :8141): per 2x2 window, the mode of the
+    non-nodata samples, winner = value whose count first reaches the
+    final max in row-major scan order. 115 fills no aligned 2x2 block
+    of byte20, so every dst pixel stays valid."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.raster import as_features
+    from gdal_spark.operators.translate import translate
+
+    out, dspec = translate(
+        byte20_tiles(spark), BYTE20_SPEC, outsize=(10, 10),
+        resampling="mode", out_dtype="float64", src_nodata=115.0,
+    )
+    pix = as_features(out, dspec)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("value").cast("bigint").alias("mode_v"),
+    )
+
+
+def _o_warp_mode_nodata() -> str:
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)), "
+        "valid AS (SELECT CAST(floor(py / 2) AS BIGINT) AS wy, "
+        "CAST(floor(px / 2) AS BIGINT) AS wx, v, (py % 2) * 2 + (px % 2) AS pos "
+        "FROM pixels WHERE v <> 115), "
+        "cnt AS (SELECT *, COUNT(*) OVER (PARTITION BY wy, wx, v) AS c, "
+        "ROW_NUMBER() OVER (PARTITION BY wy, wx, v ORDER BY pos) AS k FROM valid), "
+        "mx AS (SELECT *, MAX(c) OVER (PARTITION BY wy, wx) AS maxc FROM cnt), "
+        "reach AS (SELECT wy, wx, v, pos FROM mx WHERE c = maxc AND k = maxc), "
+        "win AS (SELECT wy, wx, v, "
+        "ROW_NUMBER() OVER (PARTITION BY wy, wx ORDER BY pos) AS rn FROM reach) "
+        "SELECT wy AS py, wx AS px, CAST(v AS BIGINT) AS mode_v FROM win WHERE rn = 1"
+    )
+
+
+QUERIES["warp_mode_nodata"] = q_warp_mode_nodata
+ORACLES["warp_mode_nodata"] = _o_warp_mode_nodata()
+
+
+def q_warp_excluded_avg(spark, sf_dir):
+    """EXCLUDED_VALUES=123 average downsample (gdalwarper.cpp:
+    1243-1254 option; gdalwarpkernel.cpp:7787-7931): 123-valued source
+    samples stay valid but drop out of the mean; a 2x2 window where
+    they reach the 50% default threshold takes 123 itself. x1000
+    quantized."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.raster import as_features
+    from gdal_spark.operators.translate import translate
+
+    out, dspec = translate(
+        byte20_tiles(spark), BYTE20_SPEC, outsize=(10, 10),
+        resampling="average", out_dtype="float64", excluded_values="123",
+    )
+    pix = as_features(out, dspec)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("bigint").alias("v1000"),
+    )
+
+
+def _o_warp_excluded_avg() -> str:
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)), "
+        "agg AS (SELECT CAST(floor(py / 2) AS BIGINT) AS wy, "
+        "CAST(floor(px / 2) AS BIGINT) AS wx, "
+        "SUM(CASE WHEN v = 123 THEN 1 ELSE 0 END) AS e, "
+        "SUM(CASE WHEN v <> 123 THEN CAST(v AS DOUBLE) ELSE 0 END) AS s, "
+        "SUM(CASE WHEN v <> 123 THEN 1 ELSE 0 END) AS r, "
+        "COUNT(*) AS wtot FROM pixels GROUP BY 1, 2) "
+        "SELECT wy AS py, wx AS px, "
+        "CAST(floor((CASE WHEN e > 0 AND e >= 0.5 * wtot THEN 123.0 ELSE s / r END) "
+        "* 1000 + 0.5) AS BIGINT) AS v1000 FROM agg"
+    )
+
+
+QUERIES["warp_excluded_avg"] = q_warp_excluded_avg
+ORACLES["warp_excluded_avg"] = _o_warp_excluded_avg()
+
+
 def q_multidim_stats(spark, sf_dir):
     """Multidim GetView + ComputeStatistics
     (gcore/mdarray GetView/ComputeStatistics): a chunked 8x16x16

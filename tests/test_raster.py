@@ -495,11 +495,68 @@ class TestWarpSrcNodata:
         # every covered pixel averages only valid samples -> exactly 80
         assert vals == {80.0}
 
-    def test_stat_resampler_rejects_nodata(self, spark):
-        df, spec = self._tiles(spark, BYTE20.astype(np.float64))
+    @pytest.mark.parametrize("stat", ["mode", "min", "max", "med", "rms"])
+    def test_stat_resampler_skips_nodata(self, spark, stat):
+        # uniform field with a nodata hole: with per-sample validity
+        # skip (GWKAverageOrMode, gdalwarpkernel.cpp:6864+) every dst
+        # window that retains >=1 valid sample yields exactly the
+        # constant; windows fully inside the hole become invalid
+        arr = np.full((20, 20), 60.0)
+        arr[4:16, 4:16] = -7.0
+        df, spec = self._tiles(spark, arr)
         pipe = Pipeline(src=EPSG_26711, dst="webmercator")
-        with pytest.raises(ValueError, match="src_nodata"):
-            raster_tile(df, spec, pipe, 11, 11, "mode", src_nodata=0.0)
+        out = self._tile_array(raster_tile(df, spec, pipe, 11, 11, stat, src_nodata=-7.0))
+        without = self._tile_array(raster_tile(df, spec, pipe, 11, 11, stat))
+        vals = set(np.unique(out)) - {0.0}
+        assert vals == {60.0}
+        # the hole interior must have gone invalid (more dst-0 pixels
+        # than the unmasked run), and windows mixing hole + valid now
+        # read 60 instead of the unmasked statistic
+        assert (out == 0.0).sum() > (without == 0.0).sum()
+        if stat != "max":  # max of {60, -7} is already 60: mask is a no-op there
+            assert ((out == 60.0) & (without != 60.0) & (without != 0.0)).any()
+
+    def test_average_excluded_values(self, spark):
+        # EXCLUDED_VALUES (gdalwarpkernel.cpp:7787-7931): a window
+        # where the excluded value's share reaches the threshold takes
+        # the excluded value itself; below the threshold the excluded
+        # samples are simply left out of the mean
+        arr = np.full((20, 20), 10.0)
+        arr[0:10, :] = 200.0  # top half all-excluded
+        df, spec = self._tiles(spark, arr)
+        pipe = Pipeline(src=EPSG_26711, dst="webmercator")
+        out = self._tile_array(
+            raster_tile(df, spec, pipe, 11, 11, "average", excluded_values="200")
+        )
+        vals = set(np.unique(out)) - {0.0}
+        # every covered dst window is either all-10 (mean 10), or
+        # majority-200 (takes 200); mixed windows near the boundary
+        # that stay under 50% exclude the 200s from the mean -> 10
+        assert vals == {10.0, 200.0}
+        without = self._tile_array(raster_tile(df, spec, pipe, 11, 11, "average"))
+        mixed = (without != 10.0) & (without != 200.0) & (without != 0.0)
+        assert mixed.any()
+        assert set(np.unique(out[mixed])) <= {10.0, 200.0}
+
+    def test_nodata_values_pct_threshold(self, spark):
+        # NODATA_VALUES_PCT_THRESHOLD < 100: a dst window whose
+        # invalid share reaches the threshold is dropped even though
+        # valid samples remain
+        arr = np.full((20, 20), 30.0)
+        arr[0:10, :] = -1.0
+        df, spec = self._tiles(spark, arr)
+        pipe = Pipeline(src=EPSG_26711, dst="webmercator")
+        strict = self._tile_array(
+            raster_tile(df, spec, pipe, 11, 11, "average", src_nodata=-1.0,
+                        nodata_values_pct_threshold=40.0)
+        )
+        lax = self._tile_array(
+            raster_tile(df, spec, pipe, 11, 11, "average", src_nodata=-1.0)
+        )
+        # default (100%) keeps mixed windows; 40% drops the ones whose
+        # nodata share is in [40%, 100%)
+        assert ((lax == 30.0) & (strict == 0.0)).any()
+        assert set(np.unique(strict)) <= {0.0, 30.0}
 
 
 def test_bilinear_border_no_padding_bias(spark):

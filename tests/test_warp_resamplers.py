@@ -206,3 +206,152 @@ def test_mode_ties_kernel_dispatch():
     out_max, _ = AREA_KERNELS["mode_max"](src, np.array([0.0]), np.array([0.0]), np.array([2.0]), np.array([2.0]))
     assert ok.all()
     assert out_min[0] == 1.0 and out_max[0] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# src-nodata validity masks + EXCLUDED_VALUES (gdalwarpkernel.cpp:6864+,
+# 7787-7931) vs brute-force scalar replicas
+
+_VM_RNG = np.random.default_rng(7)
+_VM_SRC = _VM_RNG.integers(0, 6, (12, 12)).astype(np.float64)
+_VM_MASK = _VM_RNG.random((12, 12)) > 0.3
+_VM_J, _VM_I = np.meshgrid(np.arange(4), np.arange(4))
+_VM_SXA, _VM_SYA = (_VM_J * 3).astype(float), (_VM_I * 3).astype(float)
+_VM_SXB, _VM_SYB = _VM_SXA + 3.0, _VM_SYA + 3.0
+
+
+def _valid_window(i, j):
+    return [
+        _VM_SRC[y, x]
+        for y in range(i * 3, i * 3 + 3)
+        for x in range(j * 3, j * 3 + 3)
+        if _VM_MASK[y, x]
+    ]
+
+
+def _ref_masked_stat(stat, vals, mode_ties="first"):
+    """Scalar GWKAverageOrMode over the valid samples only."""
+    if stat == "min":
+        return min(vals)
+    if stat == "max":
+        return max(vals)
+    if stat == "rms":
+        return math.sqrt(sum(v * v for v in vals) / len(vals))
+    if stat == "mode":
+        from collections import Counter
+
+        counts = Counter(vals)
+        mx = max(counts.values())
+        if mode_ties == "first":
+            run = Counter()
+            for v in vals:  # first value whose count reaches the max
+                run[v] += 1
+                if run[v] == mx:
+                    return v
+        cand = [v for v, n in counts.items() if n == mx]
+        return min(cand) if mode_ties == "min" else max(cand)
+    quant = {"med": 0.5, "q1": 0.25, "q3": 0.75}[stat]
+    s = sorted(vals)
+    return s[max(int(math.ceil(quant * len(s) - 1)), 0)]
+
+
+@pytest.mark.parametrize("stat", ["min", "max", "med", "q1", "q3", "rms", "mode"])
+def test_window_stats_vmask_matches_reference(stat):
+    from gdal_spark.operators.tiles import make_window_stat_kernel
+
+    k = make_window_stat_kernel(stat)
+    got, ok = k(_VM_SRC, _VM_SXA, _VM_SYA, _VM_SXB, _VM_SYB, vmask=_VM_MASK)
+    for i in range(4):
+        for j in range(4):
+            vals = _valid_window(i, j)
+            assert ok[i, j] == bool(vals)
+            if vals:
+                assert got[i, j] == pytest.approx(_ref_masked_stat(stat, vals))
+
+
+@pytest.mark.parametrize("ties", ["first", "min", "max"])
+def test_mode_vmask_tie_strategies(ties):
+    from gdal_spark.operators.tiles import make_window_stat_kernel
+
+    k = make_window_stat_kernel("mode", mode_ties=ties)
+    got, ok = k(_VM_SRC, _VM_SXA, _VM_SYA, _VM_SXB, _VM_SYB, vmask=_VM_MASK)
+    for i in range(4):
+        for j in range(4):
+            vals = _valid_window(i, j)
+            if vals:
+                assert got[i, j] == _ref_masked_stat("mode", vals, ties)
+
+
+def test_window_stats_vmask_none_unchanged():
+    from gdal_spark.operators.tiles import make_window_stat_kernel
+
+    for stat in ("min", "max", "med", "rms", "mode"):
+        k = make_window_stat_kernel(stat)
+        a, oka = k(_VM_SRC, _VM_SXA, _VM_SYA, _VM_SXB, _VM_SYB)
+        b, okb = k(_VM_SRC, _VM_SXA, _VM_SYA, _VM_SXB, _VM_SYB, vmask=None)
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(oka, okb)
+
+
+def test_parse_excluded_values():
+    from gdal_spark.operators.tiles import parse_excluded_values
+
+    assert parse_excluded_values(None, 3) is None
+    assert parse_excluded_values("200", 1) == [(200.0,)]
+    assert parse_excluded_values("1,2,3", 3) == [(1.0, 2.0, 3.0)]
+    assert parse_excluded_values("(1,2,3),(4,5,6)", 3) == [(1.0, 2.0, 3.0), (4.0, 5.0, 6.0)]
+    assert parse_excluded_values([7], 1) == [(7.0,)]
+    with pytest.raises(ValueError):
+        parse_excluded_values("1,2", 3)
+
+
+def test_average_excluded_matches_reference():
+    """warp_average_excluded vs a scalar replica of the joint-band
+    average path (gdalwarpkernel.cpp:7787-7931): per-window counts of
+    invalid / excluded / regular samples, threshold tests in the
+    reference's order, most-represented tuple on the excluded branch."""
+    from gdal_spark.operators.tiles import parse_excluded_values, warp_average_excluded
+
+    rng = np.random.default_rng(11)
+    b1 = rng.integers(0, 4, (12, 12)).astype(np.float64)
+    b2 = rng.integers(0, 4, (12, 12)).astype(np.float64)
+    vmask = rng.random((12, 12)) > 0.25
+    excl = parse_excluded_values("(1,2),(3,0)", 2)
+    excl_pct, nodata_pct = 0.3, 0.5
+    outs, dv = warp_average_excluded(
+        [b1, b2], vmask, excl, _VM_SXA, _VM_SYA, _VM_SXB, _VM_SYB,
+        excl_pct=excl_pct, nodata_pct=nodata_pct,
+    )
+    for i in range(4):
+        for j in range(4):
+            W = I = E = R = 0
+            counts = [0] * len(excl)
+            sums = [0.0, 0.0]
+            for y in range(i * 3, i * 3 + 3):
+                for x in range(j * 3, j * 3 + 3):
+                    W += 1
+                    if not vmask[y, x]:
+                        I += 1
+                        continue
+                    for t, tup in enumerate(excl):
+                        if b1[y, x] == tup[0] and b2[y, x] == tup[1]:
+                            counts[t] += 1
+                            E += 1
+                            break
+                    else:
+                        R += 1
+                        sums[0] += b1[y, x]
+                        sums[1] += b2[y, x]
+            if I > 0 and I >= nodata_pct * W:
+                want_valid, want = False, None
+            elif E > 0 and E >= excl_pct * W:
+                best = max(range(len(excl)), key=lambda t: (counts[t], -t))
+                want_valid, want = True, excl[best]
+            elif R > 0:
+                want_valid, want = True, (sums[0] / R, sums[1] / R)
+            else:
+                want_valid, want = False, None
+            assert dv[i, j] == want_valid, (i, j)
+            if want_valid:
+                assert outs[0][i, j] == pytest.approx(want[0])
+                assert outs[1][i, j] == pytest.approx(want[1])
