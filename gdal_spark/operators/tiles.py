@@ -914,13 +914,18 @@ def raster_tile(
     (the CUTLINE warp option, alg/gdalwarper.cpp:1132; masker
     semantics alg/gdalcutline.cpp — see operators/cutline.py). Source
     validity/density outside the cutline is 0; with
-    cutline_blend_dist > 0 a ramped density near the boundary. Output
-    values scale by the density resampled to the dst grid (the fresh
-    INIT_DEST=0 gdalwarp composition) and the alpha band carries
-    round(255 * density). Blend 0 + nearest is bit-exact vs the
-    reference's rasterized mask; fractional densities with non-nearest
-    kernels use density multiplication rather than the reference's
-    per-sample weight renormalization (documented deviation).
+    cutline_blend_dist > 0 a ramped density near the boundary. The
+    density is handled per SAMPLE exactly as the reference's
+    GWKResample / GWKBilinearResample4Sample: source samples at
+    density <= SRC_DENSITY_THRESHOLD (1e-9) are skipped and the
+    remaining kernel weights renormalize (value = sum(w*v)/sum(w) over
+    retained samples — values are NOT premultiplied by density); the
+    dst density = sum(w*d)/sum(w) over the same samples feeds the
+    alpha band as round(255 * density), and a dst pixel below the
+    0.0001 density floor is not set (GWKSetPixelValue,
+    gdalwarpkernel.cpp:1804-1806). Area resamplers treat the cutline
+    as a validity test per GWKGetPixelValue (contributing samples
+    carry full value, dst density 1.0).
 
     approx_error: 0 (default) = exact per-pixel inverse transform
     (nearest assignments bit-identical to the reference). > 0 enables
@@ -1088,25 +1093,24 @@ def raster_tile(
             int((pdf["stx"].max() - tx0) * sts + pdf["sw"].max()),
             src_spec.width - wx0,
         )
-        # cutline density over the source window, resampled to the dst
-        # grid with the matching kernel (gdalcutline.cpp masker)
-        dens = None
+        # cutline density over the source window (pafUnifiedSrcDensity
+        # role — gdalcutline.cpp masker); shared across bands. Samples
+        # at density <= SRC_DENSITY_THRESHOLD are skipped per-sample
+        # by every kernel below (GWKResample / Bilinear4Sample /
+        # GWKGetPixelValue), with the retained weights renormalized —
+        # the reference's density handling, not a value multiply.
+        cl = None
+        keep_cl = None
         if cutline is not None:
             from gdal_spark.operators.cutline import cutline_validity
 
             cl = cutline_validity(
                 cutline, wx0, wy0, wh, ww, cutline_blend_dist, cutline_all_touched
             ).astype(np.float64)
-            if area_kernel is not None:
-                csxa, csya = _dst_pixel_src_coords(tms, z, txx, tyy, src_pipeline, src_spec, offset=0.0)
-                csxb, csyb = _dst_pixel_src_coords(tms, z, txx, tyy, src_pipeline, src_spec, offset=1.0)
-                crb = (-wx0, -wy0, src_spec.width - wx0, src_spec.height - wy0)
-                dens, _ = warp_average(cl, csxa - wx0, csya - wy0, csxb - wx0, csyb - wy0, bounds=crb)
-            else:
-                csx, csy = _dst_pixel_src_coords(tms, z, txx, tyy, src_pipeline, src_spec)
-                dens, _ = kernel(cl, csx - wx0, csy - wy0)
+            keep_cl = cl > 1e-9  # SRC_DENSITY_THRESHOLD_DOUBLE (gdalwarpkernel.cpp:80)
         out_rows = []
         alpha = None
+        dst_dens = None  # renormalized dst density (alpha source), point kernels
 
         def _assemble_band(band):
             win = np.zeros((wh, ww))
@@ -1128,6 +1132,10 @@ def raster_tile(
                 vmask = np.ones((wh, ww), dtype=bool)
                 for bw in band_wins:
                     vmask &= bw != src_nodata
+            if keep_cl is not None:
+                # cutline folds into validity for area resamplers
+                # (GWKGetPixelValue density test; dst density 1.0)
+                vmask = keep_cl if vmask is None else (vmask & keep_cl)
             jsxa, jsya = _dst_pixel_src_coords(tms, z, txx, tyy, src_pipeline, src_spec, offset=0.0)
             jsxb, jsyb = _dst_pixel_src_coords(tms, z, txx, tyy, src_pipeline, src_spec, offset=1.0)
             rb = (-wx0, -wy0, src_spec.width - wx0, src_spec.height - wy0)
@@ -1136,12 +1144,8 @@ def raster_tile(
                 jsxa - wx0, jsya - wy0, jsxb - wx0, jsyb - wy0,
                 bounds=rb, excl_pct=excl_pct, nodata_pct=nodata_pct,
             )
-            if dens is not None:
-                dvalid = dvalid & (dens > 0.0)
             for band in range(1, nbands + 1):
                 vals = outs[band - 1]
-                if dens is not None:
-                    vals = vals * dens
                 payload = copy_word(np.where(dvalid, vals, dst_nodata), src_spec.dtype)
                 out_rows.append(
                     {"z": z, "tx": txx, "ty": tyy, "band": band, "dtype": src_spec.dtype, "payload": payload.tobytes()}
@@ -1155,26 +1159,28 @@ def raster_tile(
             nmask = None
             if src_nodata is not None:
                 nmask = win != src_nodata
-                if not window_stat:
-                    # valid-sample reweighting: kernel(v*m)/kernel(m) ==
-                    # the reference's sum(w*v*valid)/sum(w*valid)
-                    win = win * nmask
+            # per-sample retention mask: nodata AND cutline density
+            # threshold (panUnifiedSrcValid + pafUnifiedSrcDensity skip)
+            keep = nmask
+            if keep_cl is not None:
+                keep = keep_cl if keep is None else (keep & keep_cl)
             if area_kernel is not None:
                 sxa, sya = _dst_pixel_src_coords(tms, z, txx, tyy, src_pipeline, src_spec, offset=0.0)
                 sxb, syb = _dst_pixel_src_coords(tms, z, txx, tyy, src_pipeline, src_spec, offset=1.0)
                 rb = (-wx0, -wy0, src_spec.width - wx0, src_spec.height - wy0)
-                if window_stat and nmask is not None:
+                if window_stat and keep is not None:
                     # per-sample validity skip (GWKAverageOrMode)
                     vals, gvalid = area_kernel(
                         win, sxa - wx0, sya - wy0, sxb - wx0, syb - wy0,
-                        bounds=rb, vmask=nmask,
+                        bounds=rb, vmask=keep,
                     )
                 else:
-                    vals, valid = area_kernel(win, sxa - wx0, sya - wy0, sxb - wx0, syb - wy0, bounds=rb)
+                    winm = win if keep is None else win * keep
+                    vals, valid = area_kernel(winm, sxa - wx0, sya - wy0, sxb - wx0, syb - wy0, bounds=rb)
                     gvalid = valid
-                    if nmask is not None:
+                    if keep is not None:
                         mdens, _ = warp_average(
-                            nmask.astype(np.float64),
+                            keep.astype(np.float64),
                             sxa - wx0, sya - wy0, sxb - wx0, syb - wy0, bounds=rb,
                         )
                         if resampling == "average":
@@ -1182,26 +1188,42 @@ def raster_tile(
                                 vals = np.where(mdens > 0.0, vals / np.maximum(mdens, 1e-300), 0.0)
                         gvalid = gvalid & (mdens > 0.0)
             else:
-                vals, valid = kernel(win, sx - wx0, sy - wy0)
+                winm = win if keep is None else win * keep
+                vals, valid = kernel(winm, sx - wx0, sy - wy0)
                 # clip validity to the true raster bounds (window may pad)
                 gvalid = valid & (sx >= 0) & (sy >= 0) & (sx + 1e-10 <= src_spec.width) & (sy + 1e-10 <= src_spec.height)
-                if nmask is not None:
-                    mval, _ = kernel(nmask.astype(np.float64), sx - wx0, sy - wy0)
+                if keep is not None:
+                    # retained-weight renormalization: kernel(v*keep) /
+                    # kernel(keep) == GWKResample's skip-and-renormalize
+                    # (sum w*v over retained / sum w over retained)
+                    mval, _ = kernel(keep.astype(np.float64), sx - wx0, sy - wy0)
                     with np.errstate(invalid="ignore", divide="ignore"):
                         vals = np.where(np.abs(mval) > 1e-10, vals / np.where(mval == 0.0, 1.0, mval), 0.0)
                     gvalid = gvalid & (np.abs(mval) > 1e-10)
-            if dens is not None:
-                vals = vals * dens
-                gvalid = gvalid & (dens > 0.0)
+                if cl is not None:
+                    # renormalized dst density (GWKResample:
+                    # dfAccumulatorDensity / dfAccumulatorWeight over the
+                    # SAME retained samples); a dst pixel below the
+                    # 0.0001 density floor is not set
+                    # (GWKSetPixelValue, gdalwarpkernel.cpp:1804-1806)
+                    dnum, _ = kernel(np.where(keep, cl, 0.0), sx - wx0, sy - wy0)
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        dd = np.where(np.abs(mval) > 1e-10, dnum / np.where(mval == 0.0, 1.0, mval), 0.0)
+                    gvalid = gvalid & (dd >= 0.0001)
+                    dd = np.where(gvalid, dd, 0.0)
+                    dst_dens = dd if dst_dens is None else np.maximum(dst_dens, dd)
             payload = copy_word(np.where(gvalid, vals, dst_nodata), src_spec.dtype)
             out_rows.append(
                 {"z": z, "tx": txx, "ty": tyy, "band": band, "dtype": src_spec.dtype, "payload": payload.tobytes()}
             )
             alpha = gvalid if alpha is None else (alpha | gvalid)
-        if dens is None:
-            alpha_payload = alpha.astype(np.uint8) * 255
+        if dst_dens is not None:
+            # cutline + point kernel: alpha carries the renormalized
+            # density ramp (values stay unpremultiplied)
+            alpha_payload = np.where(alpha, np.floor(255.0 * dst_dens + 0.5), 0).astype(np.uint8)
         else:
-            alpha_payload = np.where(alpha, np.floor(255.0 * dens + 0.5), 0).astype(np.uint8)
+            # no cutline, or area resamplers (dfBandDensity = 1.0)
+            alpha_payload = alpha.astype(np.uint8) * 255
         out_rows.append(
             {
                 "z": z,

@@ -142,3 +142,79 @@ class TestRasterTileCutline:
         a = np.frombuffer([x for x in cut if x.band == 2][0].payload, dtype="uint8").reshape(256, 256)
         # ramp produces intermediate alpha values, not just 0/255
         assert ((a > 0) & (a < 255)).sum() > 0
+
+
+class TestBilinearDensityRenorm:
+    """Per-sample cutline-density handling for non-nearest kernels vs
+    a scalar replica of GWKBilinearResample4Sample
+    (gdalwarpkernel.cpp:2952-3100): samples at density <= 1e-9 are
+    skipped, the retained weights renormalize, the VALUE stays
+    unpremultiplied, and the dst density (sum(w*d)/sum(w)) feeds alpha;
+    a dst pixel below the 0.0001 density floor is not set
+    (GWKSetPixelValue :1804-1806)."""
+
+    def test_bilinear_blend_matches_scalar_replica(self, spark):
+        from gdal_spark.operators.tiles import (
+            WebMercatorQuad,
+            _dst_pixel_src_coords,
+        )
+        from gdal_spark.operators.raster import RasterSpec
+
+        rng = np.random.default_rng(5)
+        arr = rng.integers(10, 250, (20, 20)).astype(np.float64)
+        spec = RasterSpec(width=20, height=20, gt=BYTE20_SPEC.gt, dtype="float64", tile_size=16)
+        rows = []
+        for ty in range(spec.ntiles_y):
+            for tx in range(spec.ntiles_x):
+                h, w = spec.tile_shape(ty, tx)
+                rows.append((1, ty, tx, h, w, "float64",
+                             arr[ty*16:ty*16+h, tx*16:tx*16+w].tobytes()))
+        df = spark.createDataFrame(
+            rows, "band int, ty int, tx int, h int, w int, dtype string, payload binary")
+        pipe = Pipeline(src=EPSG_26711, dst="webmercator")
+        blend = 2.5
+        got = raster_tile(df, spec, pipe, 11, 11, "bilinear",
+                          cutline=DIAMOND, cutline_blend_dist=blend).collect()
+
+        def grab(band):
+            r = [x for x in got if x.band == band][0]
+            return np.frombuffer(r.payload, dtype=r.dtype).reshape(256, 256)
+
+        vals, alpha = grab(1), grab(2)
+        cl = cutline_validity(parse_cutline(DIAMOND), 0, 0, 20, 20, blend, False).astype(np.float64)
+        sx, sy = _dst_pixel_src_coords(WebMercatorQuad(), 11, 354, 818, pipe, spec)
+
+        checked = 0
+        partial = 0
+        for i in range(256):
+            for j in range(256):
+                fx, fy = sx[i, j], sy[i, j]
+                isx, isy = math.floor(fx - 0.5), math.floor(fy - 0.5)
+                if not (0 <= isx < 19 and 0 <= isy < 19):
+                    continue  # interior 2x2 only (no border degradation)
+                rx, ry = 1.5 - (fx - isx), 1.5 - (fy - isy)
+                acc = accd = div = 0.0
+                for dy, dx, m in ((0, 0, rx*ry), (0, 1, (1-rx)*ry),
+                                  (1, 0, rx*(1-ry)), (1, 1, (1-rx)*(1-ry))):
+                    y, x = isy + dy, isx + dx
+                    if cl[y, x] > 1e-9:
+                        acc += arr[y, x] * m
+                        accd += cl[y, x] * m
+                        div += m
+                if div <= 1e-10:
+                    want_valid = False
+                else:
+                    d = accd / div
+                    want_valid = d >= 0.0001
+                if want_valid:
+                    assert vals[i, j] == pytest.approx(acc / div, rel=1e-12), (i, j)
+                    assert alpha[i, j] == int(math.floor(255.0 * d + 0.5)), (i, j)
+                    if 0 < d < 1:
+                        partial += 1
+                        # unpremultiplied: the value must NOT be scaled
+                        assert vals[i, j] != pytest.approx((acc / div) * d, abs=1e-9) or acc == 0
+                else:
+                    assert vals[i, j] == 0.0 and alpha[i, j] == 0, (i, j)
+                checked += 1
+        assert checked > 250
+        assert partial > 20  # the blend seam was actually exercised
