@@ -19,16 +19,25 @@ one comparison per cell, no per-pixel Python. The arithmetic
 expression the scalar loop's, so results are bit-identical to the R3
 definition (and to the SQL oracle that re-walks the same recurrence).
 
-Distributed shape: the DEM broadcasts (one observer's viewshed needs
-the full terrain between observer and every target — inherent to the
-problem); each TILE of target cells is one task running the chunked
-numpy kernel. Total work is O(cells x ray length) — the R3 cost — but
-fully vectorized; a 1024^2 DEM completes in seconds on local[32].
+Distributed shape: ANGULAR-SECTOR decomposition — no whole-DEM driver
+collect, no broadcast. Every Bresenham path from the observer to a
+target stays within 0.7 cells (max-norm 0.5) of the ideal segment, so
+all paths to targets in an angular sector [a0, a1) lie inside that
+cone dilated by 1 cell. Each DEM tile is shipped (shuffled, not
+collected) to exactly the sectors whose dilated cone it intersects;
+one task per sector assembles its wedge window, enumerates its own
+target cells by angle, and runs the chunked numpy kernel. A second
+groupBy(tile) reassembles the per-sector target masks into tiles.
+Per-task memory = the wedge's bbox (~1/4 DEM at 8 sectors, shrinking
+with the sector count), total shuffle = O(cells x overlap) with
+overlap ~1 tile ring per sector boundary. Total work is
+O(cells x ray length) — the exact-R3 cost; for the reference's O(cells)
+reference-planes algorithm see operators/viewshed_sweep.py.
 
 Cumulative mode (alg/viewshed/cumulative.cpp): observers on a regular
-grid, output = per-cell count of observers that see it —
-embarrassingly parallel over (observer x tile), then one groupBy(tile)
-sum of the masks.
+grid, output = per-cell count of observers that see it — the same
+sector decomposition keyed by (observer, sector), then one
+groupBy(tile) sum of the masks.
 """
 
 from __future__ import annotations
@@ -153,13 +162,121 @@ def visibility_of_targets(
     return out
 
 
-def _assemble_dem(tiles: DataFrame, spec: RasterSpec, band: int) -> np.ndarray:
-    dem = np.zeros((spec.height, spec.width))
+def _intervals_intersect(a0: float, a1: float, b0: float, b1: float) -> bool:
+    """Angular interval intersection with 2*pi wraparound ([a0, a1] may
+    be any normalized span of width < 2*pi)."""
+    two_pi = 2.0 * math.pi
+    for shift in (-two_pi, 0.0, two_pi):
+        if a0 + shift <= b1 and b0 <= a1 + shift:
+            return True
+    return False
+
+
+def _sector_assignments(spec: RasterSpec, ox: int, oy: int, nsectors: int):
+    """Driver-side METADATA only (O(ntiles * nsectors), no raster
+    data): tile (tx, ty) ships to sector s iff the tile's 1-cell
+    dilated bbox intersects sector s's cone from the observer.
+    Bresenham cells stay within max-norm 0.5 (euclidean <= 0.71) of the
+    ideal segment, so the dilated cone is a superset of every path to a
+    target in the sector."""
     ts = spec.tile_size
-    for r in tiles.filter(F.col("band") == band).collect():
-        t = np.frombuffer(r["payload"], dtype=r["dtype"]).reshape(r["h"], r["w"])
-        dem[r["ty"] * ts : r["ty"] * ts + r["h"], r["tx"] * ts : r["tx"] * ts + r["w"]] = t
-    return dem
+    width = 2.0 * math.pi / nsectors
+    out = []
+    for ty in range(spec.ntiles_y):
+        for tx in range(spec.ntiles_x):
+            h, w = spec.tile_shape(ty, tx)
+            x0, x1 = tx * ts - 1 - ox, tx * ts + w - ox  # dilated, inclusive
+            y0, y1 = ty * ts - 1 - oy, ty * ts + h - oy
+            if x0 <= 0 <= x1 and y0 <= 0 <= y1:
+                out.extend((s, tx, ty) for s in range(nsectors))
+                continue
+            angs = [math.atan2(dy, dx) for dx in (x0, x1) for dy in (y0, y1)]
+            # the box subtends < pi: unwrap around the first corner
+            ref = angs[0]
+            angs = [a + 2.0 * math.pi if a < ref - math.pi else
+                    a - 2.0 * math.pi if a > ref + math.pi else a for a in angs]
+            lo, hi = min(angs), max(angs)
+            for s in range(nsectors):
+                if _intervals_intersect(lo, hi, -math.pi + s * width,
+                                        -math.pi + (s + 1) * width):
+                    out.append((s, tx, ty))
+    return out
+
+
+def _sector_masks(
+    pdf: pd.DataFrame,
+    spec: RasterSpec,
+    sector: int,
+    nsectors: int,
+    ox: int,
+    oy: int,
+    observer_height: float,
+    target_height: float,
+) -> list[dict]:
+    """One sector task: assemble the wedge window from the received
+    tiles, enumerate this sector's target cells by angle, run the
+    vectorized R3 kernel, and return per-tile partial masks."""
+    ts = spec.tile_size
+    tys = pdf["ty"].astype(int).to_numpy()
+    txs = pdf["tx"].astype(int).to_numpy()
+    wy0 = int(tys.min()) * ts
+    wx0 = int(txs.min()) * ts
+    wy1 = int((tys * ts + pdf["h"].astype(int)).max())
+    wx1 = int((txs * ts + pdf["w"].astype(int)).max())
+    win = np.zeros((wy1 - wy0, wx1 - wx0))
+    have = np.zeros((wy1 - wy0, wx1 - wx0), dtype=bool)
+    for r in pdf.itertuples(index=False):
+        t = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)
+        oy_t, ox_t = int(r.ty) * ts - wy0, int(r.tx) * ts - wx0
+        win[oy_t : oy_t + int(r.h), ox_t : ox_t + int(r.w)] = t
+        have[oy_t : oy_t + int(r.h), ox_t : ox_t + int(r.w)] = True
+    oz = float(win[oy - wy0, ox - wx0]) + float(observer_height)
+    # this sector's target cells: angle-selected over the RECEIVED
+    # region (the cone ∩ raster is covered by the received tiles)
+    gy, gx = np.mgrid[wy0:wy1, wx0:wx1]
+    gy, gx = gy[have], gx[have]
+    ang = np.arctan2(gy - oy, gx - ox)  # [-pi, pi]
+    width = 2.0 * math.pi / nsectors
+    # integer sector index: an exact partition (float-threshold pairs
+    # like ang >= lo and ang < lo + width can both pass at boundaries)
+    cell_sector = np.clip(
+        np.floor((ang + math.pi) / width).astype(np.int64), 0, nsectors - 1
+    )
+    sel = cell_sector == sector
+    gy, gx = gy[sel], gx[sel]
+    vis = visibility_of_targets(
+        win, ox - wx0, oy - wy0, oz, gx - wx0, gy - wy0, target_height
+    )
+    rows = []
+    for tyy in np.unique(gy // ts):
+        for txx in np.unique(gx[gy // ts == tyy] // ts):
+            m = (gy // ts == tyy) & (gx // ts == txx)
+            h, w = spec.tile_shape(int(tyy), int(txx))
+            mask = np.zeros((h, w), dtype=np.uint8)
+            mask[gy[m] - int(tyy) * ts, gx[m] - int(txx) * ts] = vis[m]
+            rows.append(
+                {"band": 1, "ty": int(tyy), "tx": int(txx), "h": h, "w": w,
+                 "dtype": "uint8", "payload": mask.tobytes()}
+            )
+    return rows
+
+
+def _combine_tiles(masks: DataFrame, out_dtype: str) -> DataFrame:
+    """groupBy(tile) sum of partial masks (sector targets are disjoint
+    for a single observer, so sum == union; for cumulative mode the sum
+    counts observers)."""
+
+    def _sum(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        h, w = int(pdf["h"].iloc[0]), int(pdf["w"].iloc[0])
+        acc = np.zeros((h, w), dtype=np.int64)
+        for p, dt in zip(pdf["payload"], pdf["dtype"]):
+            acc += np.frombuffer(p, dtype=dt).reshape(h, w)
+        return pd.DataFrame(
+            [{"band": 1, "ty": int(key[0]), "tx": int(key[1]), "h": h, "w": w,
+              "dtype": out_dtype, "payload": acc.astype(out_dtype).tobytes()}]
+        )
+
+    return masks.groupBy("ty", "tx").applyInPandas(_sum, TILE_SCHEMA)
 
 
 def viewshed(
@@ -169,44 +286,37 @@ def viewshed(
     observer_height: float = 2.0,
     target_height: float = 0.0,
     band: int = 1,
+    nsectors: int = 16,
 ) -> DataFrame:
     """Visibility raster (uint8: 1 visible, 0 hidden) for an observer
     at pixel (ox, oy) standing observer_height above the terrain,
     looking at targets target_height above each cell (the reference's
-    dfObserverHeight/dfTargetHeight convention)."""
+    dfObserverHeight/dfTargetHeight convention).
+
+    Exact R3 (per-target Bresenham LOS) semantics, distributed by
+    angular sectors — see the module docstring. The DEM is never
+    collected to the driver and never broadcast; each tile is shuffled
+    to the sectors whose dilated cone it intersects. Observer cell and
+    observer height are read inside the sector tasks (every sector's
+    cone contains the observer's tile)."""
     ox, oy = int(observer[0]), int(observer[1])
     spark = tiles.sparkSession
-    # assemble + broadcast the DEM (inherent to single-observer LOS)
-    dem = _assemble_dem(tiles, spec, band)
-    bc = spark.sparkContext.broadcast(dem)
-    oz = float(dem[oy, ox]) + float(observer_height)
-    ts = spec.tile_size
-
-    keys = (
-        spark.range(spec.ntiles_y)
-        .select(F.col("id").cast("int").alias("ty"))
-        .crossJoin(spark.range(spec.ntiles_x).select(F.col("id").cast("int").alias("tx")))
-        .repartition(spec.ntiles_y * spec.ntiles_x)
+    assign = spark.createDataFrame(
+        pd.DataFrame(
+            _sector_assignments(spec, ox, oy, nsectors),
+            columns=["sector", "tx", "ty"],
+        ).astype("int32")
     )
+    exploded = tiles.filter(F.col("band") == band).join(assign, ["tx", "ty"])
 
-    def _vis(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        d = bc.value
-        for kdf in batches:
-            rows = []
-            for kr in kdf.itertuples(index=False):
-                tyy, txx = int(kr.ty), int(kr.tx)
-                h, w = spec.tile_shape(tyy, txx)
-                jj, ii = np.meshgrid(np.arange(w), np.arange(h))
-                gx = (txx * ts + jj).ravel()
-                gy = (tyy * ts + ii).ravel()
-                out = visibility_of_targets(d, ox, oy, oz, gx, gy, target_height)
-                rows.append(
-                    {"band": 1, "ty": tyy, "tx": txx, "h": h, "w": w,
-                     "dtype": "uint8", "payload": out.reshape(h, w).tobytes()}
-                )
-            yield pd.DataFrame(rows, columns=["band", "ty", "tx", "h", "w", "dtype", "payload"])
+    def _vis(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = _sector_masks(
+            pdf, spec, int(key[0]), nsectors, ox, oy, observer_height, target_height
+        )
+        return pd.DataFrame(rows, columns=["band", "ty", "tx", "h", "w", "dtype", "payload"])
 
-    return keys.mapInPandas(_vis, TILE_SCHEMA)
+    masks = exploded.groupBy("sector").applyInPandas(_vis, TILE_SCHEMA)
+    return _combine_tiles(masks, "uint8")
 
 
 def cumulative_viewshed(
@@ -216,66 +326,38 @@ def cumulative_viewshed(
     observer_height: float = 2.0,
     target_height: float = 0.0,
     band: int = 1,
+    nsectors: int = 8,
 ) -> DataFrame:
     """Cumulative viewshed (alg/viewshed/cumulative.cpp): observers on
     a regular grid every observer_spacing pixels (starting at (0, 0)),
     output int32 tiles counting how many observers see each cell.
 
-    Distributed shape: one task per (observer, target-tile) pair runs
-    the vectorized R3 kernel — embarrassingly parallel — then a single
-    groupBy(tile) sums the per-observer masks."""
+    Distributed shape: one task per (observer, sector) pair runs the
+    sector-wedge R3 kernel (tiles shuffled to the pairs whose dilated
+    cone they intersect — never collected), then a single groupBy(tile)
+    sums the per-observer masks."""
     spark = tiles.sparkSession
-    dem = _assemble_dem(tiles, spec, band)
-    bc = spark.sparkContext.broadcast(dem)
-    ts = spec.tile_size
     step = max(int(observer_spacing), 1)
     observers = [
         (int(x), int(y))
         for y in range(0, spec.height, step)
         for x in range(0, spec.width, step)
     ]
-    obs_df = spark.createDataFrame(
-        pd.DataFrame(observers, columns=["ox", "oy"]).astype("int32")
+    rows = []
+    for k, (ox_, oy_) in enumerate(observers):
+        for s, tx, ty in _sector_assignments(spec, ox_, oy_, nsectors):
+            rows.append((k, ox_, oy_, s, tx, ty))
+    assign = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["obs", "ox", "oy", "sector", "tx", "ty"]).astype("int32")
     )
-    keys = (
-        spark.range(spec.ntiles_y)
-        .select(F.col("id").cast("int").alias("ty"))
-        .crossJoin(spark.range(spec.ntiles_x).select(F.col("id").cast("int").alias("tx")))
-    )
-    pairs = keys.crossJoin(obs_df).repartition(
-        max(spec.ntiles_y * spec.ntiles_x, len(observers))
-    )
+    exploded = tiles.filter(F.col("band") == band).join(assign, ["tx", "ty"])
 
-    def _one(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        d = bc.value
-        for pdf in batches:
-            rows = []
-            for kr in pdf.itertuples(index=False):
-                tyy, txx = int(kr.ty), int(kr.tx)
-                ox_, oy_ = int(kr.ox), int(kr.oy)
-                oz = float(d[oy_, ox_]) + float(observer_height)
-                h, w = spec.tile_shape(tyy, txx)
-                jj, ii = np.meshgrid(np.arange(w), np.arange(h))
-                gx = (txx * ts + jj).ravel()
-                gy = (tyy * ts + ii).ravel()
-                vis = visibility_of_targets(d, ox_, oy_, oz, gx, gy, target_height)
-                rows.append(
-                    {"band": 1, "ty": tyy, "tx": txx, "h": h, "w": w,
-                     "dtype": "int32",
-                     "payload": vis.reshape(h, w).astype(np.int32).tobytes()}
-                )
-            yield pd.DataFrame(rows, columns=["band", "ty", "tx", "h", "w", "dtype", "payload"])
-
-    masks = pairs.mapInPandas(_one, TILE_SCHEMA)
-
-    def _sum(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        h, w = int(pdf["h"].iloc[0]), int(pdf["w"].iloc[0])
-        acc = np.zeros((h, w), dtype=np.int32)
-        for p in pdf["payload"]:
-            acc += np.frombuffer(p, dtype=np.int32).reshape(h, w)
-        return pd.DataFrame(
-            [{"band": 1, "ty": int(key[0]), "tx": int(key[1]), "h": h, "w": w,
-              "dtype": "int32", "payload": acc.tobytes()}]
+    def _vis(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ox_, oy_ = int(pdf["ox"].iloc[0]), int(pdf["oy"].iloc[0])
+        out = _sector_masks(
+            pdf, spec, int(key[1]), nsectors, ox_, oy_, observer_height, target_height
         )
+        return pd.DataFrame(out, columns=["band", "ty", "tx", "h", "w", "dtype", "payload"])
 
-    return masks.groupBy("ty", "tx").applyInPandas(_sum, TILE_SCHEMA)
+    masks = exploded.groupBy("obs", "sector").applyInPandas(_vis, TILE_SCHEMA)
+    return _combine_tiles(masks, "int32")

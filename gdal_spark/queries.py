@@ -1319,6 +1319,78 @@ QUERIES["viewshed_cumulative"] = q_viewshed_cumulative
 ORACLES["viewshed_cumulative"] = _o_viewshed_cumulative()
 
 
+_VSW = {"ox": 7, "oy": 5, "oh": 2.0, "th": 0.0, "cc": 0.85714, "semi": 4000.0}
+
+
+def q_viewshed_sweep(spark, sf_dir):
+    """Reference-planes viewshed (GDALViewshedGenerate,
+    alg/viewshed/viewshed_executor.cpp — Wang et al. reference planes,
+    Edge cell mode) with the earth-curvature height adjustment
+    (calcHeightAdjFactor: curveCoeff / (2 * semimajor); curveCoeff
+    0.85714 default). Distributed as a tile wavefront with edge-halo
+    exchange — no DEM collect, no broadcast. The oracle replays the
+    identical recurrence in SQL with a recursive CTE over Chebyshev
+    rings (every plane dependency points at the previous ring)."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.raster import as_features
+    from gdal_spark.operators.viewshed_sweep import viewshed_sweep
+
+    p = _VSW
+    vs = viewshed_sweep(
+        byte20_tiles(spark), BYTE20_SPEC, observer=(p["ox"], p["oy"]),
+        observer_height=p["oh"], target_height=p["th"],
+        curve_coeff=p["cc"], semimajor=p["semi"],
+    )
+    pix = as_features(vs, BYTE20_SPEC)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("value").cast("bigint").alias("visible"),
+    )
+
+
+def _o_viewshed_sweep() -> str:
+    p = _VSW
+    ox, oy, oh, th = p["ox"], p["oy"], p["oh"], p["th"]
+    hadj = p["cc"] / (p["semi"] * 2.0)
+    dfz = (
+        "CASE "
+        "WHEN t.r = 1 THEN t.h "
+        "WHEN t.j = 0 THEN a.cur * t.i / (t.i - 1) "
+        "WHEN t.i = 0 THEN a.cur * t.j / (t.j - 1) "
+        "WHEN t.i = t.j THEN a.cur * t.j / (t.j - 1) "
+        "WHEN t.i < t.j THEN (a.cur * t.i + b.cur * (t.j - t.i)) / (t.j - 1) "
+        "ELSE (a.cur * t.j + b.cur * (t.i - t.j)) / (t.i - 1) END"
+    )
+    return (
+        f"WITH RECURSIVE pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)), "
+        "hh AS (SELECT py, px, CAST(v AS DOUBLE) "
+        f"- {hadj!r} * ((60.0*(px-{ox}))*(60.0*(px-{ox})) + ((-60.0)*(py-{oy}))*((-60.0)*(py-{oy}))) "
+        f"- (SELECT CAST(v AS DOUBLE) + {oh!r} FROM pixels WHERE px = {ox} AND py = {oy}) AS h, "
+        f"abs(px - {ox}) AS i, abs(py - {oy}) AS j, "
+        f"GREATEST(abs(px - {ox}), abs(py - {oy})) AS r, "
+        f"CASE WHEN px >= {ox} THEN 1 ELSE -1 END AS sx, "
+        f"CASE WHEN py >= {oy} THEN 1 ELSE -1 END AS sy FROM pixels), "
+        "vs(px, py, cur, vis) AS ("
+        f"SELECT {ox}, {oy}, (SELECT h FROM hh WHERE px = {ox} AND py = {oy}), 1 "
+        "UNION ALL "
+        f"SELECT t.px, t.py, GREATEST(t.h, {dfz}), "
+        f"CASE WHEN t.r = 1 OR t.h + {th!r} >= ({dfz}) THEN 1 ELSE 0 END "
+        "FROM hh t "
+        "JOIN vs a ON a.px = t.px - (CASE WHEN t.i > 0 THEN t.sx ELSE 0 END) "
+        "AND a.py = t.py - (CASE WHEN t.j > 0 THEN t.sy ELSE 0 END) "
+        "LEFT JOIN vs b ON b.px = (CASE WHEN t.i < t.j THEN t.px ELSE t.px - t.sx END) "
+        "AND b.py = (CASE WHEN t.i < t.j THEN t.py - t.sy ELSE t.py END) "
+        "WHERE t.r > 0) "
+        "SELECT CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px, "
+        "CAST(vis AS BIGINT) AS visible FROM vs"
+    )
+
+
+QUERIES["viewshed_sweep"] = q_viewshed_sweep
+ORACLES["viewshed_sweep"] = _o_viewshed_sweep()
+
+
 _CUTLINE_PTS = [(3.3, 2.1), (16.7, 4.4), (14.2, 17.8), (9.5, 9.6), (4.1, 16.3)]
 
 
