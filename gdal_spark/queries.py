@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from gdal_spark.datagen import ZONE_EAS, ZONE_WKTS, docs_table, geom_cols_sql, zones_table
@@ -3625,6 +3626,56 @@ def _o_warp_excluded_avg() -> str:
 
 QUERIES["warp_excluded_avg"] = q_warp_excluded_avg
 ORACLES["warp_excluded_avg"] = _o_warp_excluded_avg()
+
+
+def q_pmtiles_tileid(spark, sf_dir):
+    """PMTiles v3 tile addressing (pmtiles.hpp:440-458 zxy_to_tileid):
+    the 8x8 doc tile keys (z=3) mapped to their Hilbert tile ids — the
+    ordering the PMTiles sink range-shuffles by (operators/pmtiles.py
+    write_pmtiles). The oracle unrolls the 3 rotate steps of the
+    Hilbert loop in plain SQL."""
+    from gdal_spark.operators.pmtiles import zxy_to_tileid
+
+    def _tid(tx: pd.Series, ty: pd.Series) -> pd.Series:
+        return pd.Series([zxy_to_tileid(3, int(a), int(b)) for a, b in zip(tx, ty)])
+
+    tid = F.pandas_udf(_tid, "long")
+    g = docs_geom(spark, sf_dir).filter(F.col("geom_error").isNull())
+    t = tile_keys_for_envelopes(g, TILE_TLX, TILE_TLY, TILE_W, TILE_N)
+    agg = t.groupBy("tx", "ty").agg(F.count(F.lit(1)).alias("n_docs"))
+    return agg.select(
+        F.col("tx").cast("bigint").alias("tx"),
+        F.col("ty").cast("bigint").alias("ty"),
+        tid(F.col("tx"), F.col("ty")).alias("tile_id"),
+        F.col("n_docs"),
+    )
+
+
+def _o_pmtiles_tileid() -> str:
+    def step(prev: str, s: int) -> str:
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        return (
+            f"SELECT tx, ty, n_docs, "
+            f"CASE WHEN (y & {s}) > 0 THEN x "
+            f"WHEN (x & {s}) > 0 THEN {s} - 1 - y ELSE y END AS x, "
+            f"CASE WHEN (y & {s}) > 0 THEN y "
+            f"WHEN (x & {s}) > 0 THEN {s} - 1 - x ELSE x END AS y, "
+            f"d + {s * s} * xor(3 * {rx}, {ry}) AS d FROM {prev}"
+        )
+
+    base = _o_tile_keys()
+    return (
+        f"WITH tk AS ({base}), "
+        "agg AS (SELECT tx, ty, COUNT(*) AS n_docs FROM tk GROUP BY tx, ty), "
+        "h0 AS (SELECT tx, ty, n_docs, tx AS x, ty AS y, CAST(0 AS BIGINT) AS d FROM agg), "
+        f"h1 AS ({step('h0', 4)}), h2 AS ({step('h1', 2)}), h3 AS ({step('h2', 1)}) "
+        "SELECT tx, ty, CAST(21 + d AS BIGINT) AS tile_id, n_docs FROM h3"
+    )
+
+
+QUERIES["pmtiles_tileid"] = q_pmtiles_tileid
+ORACLES["pmtiles_tileid"] = _o_pmtiles_tileid()
 
 
 def q_multidim_stats(spark, sf_dir):
