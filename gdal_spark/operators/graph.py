@@ -131,6 +131,93 @@ def shortest_path_tree(
     return dist
 
 
+def shortest_path_trees_batch(
+    edges: DataFrame,
+    spurs: list,
+    banned_nodes: list,
+    banned_edges: list,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """All of one Yen iteration's spur shortest-path trees in ONE
+    Bellman-Ford loop, keyed (sid, node) — O(diameter) jobs per
+    iteration instead of one loop per spur (round-3 verdict item #10).
+
+    spurs: [(sid, start_node)]; banned_nodes: [(sid, node)];
+    banned_edges: [(sid, u, v)]. The per-spur edge view is the edge
+    table replicated per sid (broadcast of the tiny sid list) minus
+    the broadcast ban lists — per-spur filters never touch the driver
+    loop. Returns (sid, node, dist, parent)."""
+    spark = edges.sparkSession
+    e = edges.select(src, dst, weight)
+    node_t = e.schema[src].dataType.simpleString()
+    sids = spark.createDataFrame([(int(s),) for s, _ in spurs], "sid int")
+    ev = e.crossJoin(F.broadcast(sids))
+    if banned_nodes:
+        bn = spark.createDataFrame(banned_nodes, f"bsid int, bnode {node_t}")
+        ev = ev.join(
+            F.broadcast(bn),
+            (ev["sid"] == bn["bsid"])
+            & ((ev[src] == bn["bnode"]) | (ev[dst] == bn["bnode"])),
+            "left_anti",
+        )
+    if banned_edges:
+        be = spark.createDataFrame(banned_edges, f"bsid int, bu {node_t}, bv {node_t}")
+        ev = ev.join(
+            F.broadcast(be),
+            (ev["sid"] == be["bsid"]) & (ev[src] == be["bu"]) & (ev[dst] == be["bv"]),
+            "left_anti",
+        )
+    dist = spark.createDataFrame(
+        [(int(s), n, 0.0, None) for s, n in spurs],
+        f"sid int, node {node_t}, dist double, parent {node_t}",
+    )
+    for _ in range(max_iterations):
+        relax = (
+            ev.join(dist, (ev["sid"] == dist["sid"]) & (ev[src] == dist["node"]))
+            .select(
+                ev["sid"].alias("sid"),
+                F.col(dst).alias("node"),
+                F.struct(
+                    (F.col("dist") + F.col(weight).cast("double")).alias("d"),
+                    F.col(src).alias("p"),
+                ).alias("cand"),
+            )
+            .groupBy("sid", "node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        new = (
+            dist.join(relax, ["sid", "node"], "full")
+            .select(
+                "sid",
+                "node",
+                F.when(
+                    F.col("cand").isNotNull()
+                    & (F.col("dist").isNull() | (F.col("cand.d") < F.col("dist"))),
+                    F.col("cand.d"),
+                ).otherwise(F.col("dist")).alias("dist"),
+                F.when(
+                    F.col("cand").isNotNull()
+                    & (F.col("dist").isNull() | (F.col("cand.d") < F.col("dist"))),
+                    F.col("cand.p"),
+                ).otherwise(F.col("parent")).alias("parent"),
+            )
+        )
+        new = new.localCheckpoint(eager=True)
+        improved = (
+            new.alias("n")
+            .join(dist.alias("o"), ["sid", "node"], "left")
+            .filter(F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist")))
+            .count()
+        )
+        dist = new
+        if improved == 0:
+            break
+    return dist
+
+
 def k_shortest_paths(
     edges: DataFrame,
     source,
@@ -141,10 +228,12 @@ def k_shortest_paths(
     weight: str = "weight",
 ) -> list[tuple[float, list]]:
     """K loopless shortest paths (GNMGraph::KShortestPaths,
-    gnm/gnmgraph.cpp:247) via Yen's algorithm: each spur computation is
-    one distributed shortest-path-tree run on a filtered edge view; the
+    gnm/gnmgraph.cpp:247) via Yen's algorithm: all spur computations of
+    one iteration run as a SINGLE batched multi-source Bellman-Ford
+    (shortest_path_trees_batch) — O(diameter) jobs per Yen iteration
+    rather than one loop per spur (round-3 verdict item #10). The
     driver holds only the k candidate paths (path reconstruction
-    collects the parent map — bounded by the reachable node count,
+    collects the parent maps — bounded by the reachable node count,
     matching the reference's in-memory graph contract). Root costs come
     from the cumulative distances already collected with each path —
     no per-root-edge Spark jobs in the loop (round-2 verdict item).
@@ -221,24 +310,47 @@ def k_shortest_paths(
     B: list[tuple[float, list, list]] = []
     for _ in range(1, k):
         _, prev_path, prev_cum = A[-1]
+        # per-spur ban lists (loopless constraint + A-path edge removal)
+        spur_info = []
         for i in range(len(prev_path) - 1):
-            spur = prev_path[i]
             root = prev_path[: i + 1]
-            # remove edges used by existing A-paths sharing this root,
-            # and all root nodes except the spur (loopless constraint)
             banned_edges = {
                 (p[1][i], p[1][i + 1]) for p in A if len(p[1]) > i + 1 and p[1][: i + 1] == root
             }
             banned_nodes = set(root[:-1])
-            if local_edges is not None:
-                sp = spt_path((banned_nodes, banned_edges), spur)
-            else:
-                cond = ~F.col(src).isin(list(banned_nodes)) & ~F.col(dst).isin(
-                    list(banned_nodes)
+            spur_info.append((i, prev_path[i], root, banned_nodes, banned_edges))
+
+        spur_results: dict = {}
+        if local_edges is not None:
+            for i, spur, _, banned_nodes, banned_edges in spur_info:
+                spur_results[i] = spt_path((banned_nodes, banned_edges), spur)
+        else:
+            # ONE batched Bellman-Ford for every spur of this iteration
+            trees = shortest_path_trees_batch(
+                edges,
+                spurs=[(i, spur) for i, spur, _, _, _ in spur_info],
+                banned_nodes=[(i, n) for i, _, _, bn, _ in spur_info for n in bn],
+                banned_edges=[(i, u, v) for i, _, _, _, be in spur_info for (u, v) in be],
+                src=src, dst=dst, weight=weight,
+            )
+            per_sid: dict = {}
+            for r in trees.collect():
+                per_sid.setdefault(int(r["sid"]), {})[r["node"]] = (r["dist"], r["parent"])
+            for i, spur, _, _, _ in spur_info:
+                tree = per_sid.get(i, {})
+                if target not in tree:
+                    spur_results[i] = None
+                    continue
+                path = [target]
+                while path[-1] != spur:
+                    path.append(tree[path[-1]][1])
+                path = list(reversed(path))
+                spur_results[i] = (
+                    tree[target][0], path, [float(tree[n][0]) for n in path]
                 )
-                for (u, v) in banned_edges:
-                    cond = cond & ~((F.col(src) == u) & (F.col(dst) == v))
-                sp = spt_path(edges.filter(cond), spur)
+
+        for i, spur, root, _, _ in spur_info:
+            sp = spur_results[i]
             if sp is None:
                 continue
             # root cost = distance from source to the spur node along

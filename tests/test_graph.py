@@ -98,3 +98,67 @@ class TestKShortestPaths:
         edges = spark.createDataFrame([("a", "b", 1.0)], "src string, dst string, weight double")
         out = k_shortest_paths(edges, "a", "b", 5)
         assert len(out) == 1 and out[0] == (1.0, ["a", "b"])
+
+
+class TestYenDistributedBatch:
+    def test_distributed_branch_matches_local(self, spark):
+        """Force the distributed Yen path (guard -> 0): the batched
+        multi-spur Bellman-Ford (shortest_path_trees_batch) must return
+        the same k paths as the in-memory loop."""
+        import gdal_spark.operators.graph as g
+
+        rows = [
+            ("C", "D", 3.0), ("C", "E", 2.0), ("D", "F", 4.0),
+            ("E", "D", 1.0), ("E", "F", 2.0), ("E", "G", 3.0),
+            ("F", "G", 2.0), ("F", "H", 1.0), ("G", "H", 2.0),
+        ]
+        edges = spark.createDataFrame(rows, "src string, dst string, weight double")
+        want = g.k_shortest_paths(edges, "C", "H", 3)
+        # drive the batch helper directly with the first Yen
+        # iteration's spur set and check it reproduces the local spurs
+        first = want[0]
+        assert first[1] == ["C", "E", "F", "H"]
+        trees = g.shortest_path_trees_batch(
+            edges,
+            spurs=[(0, "C"), (1, "E"), (2, "F")],
+            banned_nodes=[(1, "C"), (2, "C"), (2, "E")],
+            banned_edges=[(0, "C", "E"), (1, "E", "F"), (2, "F", "H")],
+        )
+        per = {}
+        for r in trees.collect():
+            per.setdefault(r["sid"], {})[r["node"]] = (r["dist"], r["parent"])
+        # spur 0: C with C->E banned: C-D-F-H = 3+4+1 = 8
+        assert per[0]["H"][0] == 8.0
+        # spur 1: E with E->F banned, C removed: E-G-H = 3+2=5 or E-D-F-H=1+4+1=6 -> 5
+        assert per[1]["H"][0] == 5.0
+        # spur 2: F with F->H banned, C/E removed: F-G-H = 4
+        assert per[2]["H"][0] == 4.0
+
+    def test_full_distributed_yen(self, spark):
+        """End-to-end distributed Yen (guard forced to 0) equals the
+        in-memory result."""
+        import gdal_spark.operators.graph as g
+
+        rows = [
+            ("C", "D", 3.0), ("C", "E", 2.0), ("D", "F", 4.0),
+            ("E", "D", 1.0), ("E", "F", 2.0), ("E", "G", 3.0),
+            ("F", "G", 2.0), ("F", "H", 1.0), ("G", "H", 2.0),
+        ]
+        edges = spark.createDataFrame(rows, "src string, dst string, weight double")
+        want = g.k_shortest_paths(edges, "C", "H", 3)
+
+        # force the distributed branch: wrap edges so the guard's
+        # count() sees a huge table while every real operation passes
+        # through to the underlying DataFrame
+        class BigCount:
+            def __init__(self, df):
+                self._df = df
+
+            def count(self):
+                return 10**9
+
+            def __getattr__(self, item):
+                return getattr(self._df, item)
+
+        out = g.k_shortest_paths(BigCount(edges), "C", "H", 3)
+        assert [(c, p) for c, p in out] == [(c, p) for c, p in want]
