@@ -215,6 +215,55 @@ def main() -> None:
     timed("warp_bilinear", _warp)
     burn.unpersist()
 
+    # q4c: reference-planes viewshed over a 2048^2 synthetic DEM
+    # (64 tiles, <=14 wavefront jobs): the O(cells) sweep — 4.2M cells
+    # with NO driver DEM collect and no broadcast; the exact-R3 kernel
+    # at this size would pay O(cells x ray) ~ 4000x more flops
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.operators.raster import TILE_SCHEMA
+    from gdal_spark.operators.viewshed_sweep import viewshed_sweep
+
+    dem_spec = RasterSpec(
+        width=2048, height=2048, gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
+        dtype="float64", nbands=1, tile_size=256,
+    )
+
+    def _mk(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rng = np.random.default_rng(int(r.ty) * 8 + int(r.tx) + 1)
+                t = rng.normal(100.0, 20.0, (256, 256))
+                rows.append(
+                    {"band": 1, "ty": int(r.ty), "tx": int(r.tx),
+                     "h": 256, "w": 256, "dtype": "float64",
+                     "payload": t.tobytes()}
+                )
+            yield pd.DataFrame(rows)
+
+    dem = (
+        spark.range(64)
+        .select(
+            (F.col("id") % 8).cast("int").alias("tx"),
+            (F.col("id") / 8).cast("int").alias("ty"),
+        )
+        .mapInPandas(_mk, TILE_SCHEMA)
+        .persist()  # DEM generation excluded from the timer
+    )
+    dem.count()
+
+    def _viewshed_sweep() -> None:
+        n = viewshed_sweep(
+            dem, dem_spec, (1000, 997), observer_height=2.0,
+            curve_coeff=0.85714,
+        ).count()
+        assert n == 64
+
+    timed("viewshed_sweep", _viewshed_sweep)
+    dem.unpersist()
+
     # q5: grid-pruned kNN of 10 query centers against all docs
     timed("knn_centers", lambda: q_knn_centers(spark, sf_dir).collect())
 

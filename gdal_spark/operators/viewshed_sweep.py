@@ -458,8 +458,11 @@ def viewshed_sweep(
             inp = blocks.unionByName(arriving)
         else:
             inp = blocks
-        out = inp.groupBy("tx", "ty").applyInPandas(_proc, proc_schema).persist()
-        out.count()  # materialize: each wave is one job, lineage cut here
+        # eager localCheckpoint: materializes the wave AND truncates the
+        # logical plan to a leaf — without it each wave's plan embeds
+        # the previous pending chain, so plan SIZE (and Catalyst
+        # analysis time) grows geometrically with the wave count
+        out = inp.groupBy("tx", "ty").applyInPandas(_proc, proc_schema).localCheckpoint(eager=True)
         vis_parts.append(out.filter(F.col("kind") == "vis"))
         new_halos = out.filter(F.col("kind") != "vis")
         if pending is None:
