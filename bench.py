@@ -213,6 +213,20 @@ def main() -> None:
                     resampling="bilinear", approx_error=0.125).count()
 
     timed("warp_bilinear", _warp)
+
+    # q4d: COG sink — the 4096^2 int32 burn written as a tiled
+    # Cloud-Optimized GeoTIFF (DEFLATE, full overview pyramid).
+    # Overview reduction + padding + compression are distributed; the
+    # driver only streams the sorted payload iterator into the file.
+    def _cog() -> None:
+        import tempfile
+
+        from gdal_spark.operators.geotiff import write_cog
+
+        with tempfile.TemporaryDirectory() as td:
+            write_cog(burn, BENCH_SPEC, os.path.join(td, "bench.tif"), epsg=26711)
+
+    timed("cog_write", _cog)
     burn.unpersist()
 
     # q4c: reference-planes viewshed over a 2048^2 synthetic DEM

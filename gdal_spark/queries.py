@@ -4607,3 +4607,148 @@ def _o_hexbin() -> str:
 
 QUERIES["hexbin"] = q_hexbin
 ORACLES["hexbin"] = _o_hexbin()
+
+
+def q_cog_layout(spark, sf_dir):
+    """Cloud-Optimized GeoTIFF data layout (operators/geotiff.py
+    write_cog; rules per the reference COG driver
+    frmts/cog/cogdriver.cpp): treat the 8x8 doc tile grid as the
+    full-resolution tiling of a 2048^2 uint32 raster (tile 256), and
+    for every overview level compute each occupied tile's global
+    data-order rank — smallest overview first, full resolution last,
+    row-major within a level — plus its uncompressed byte offset
+    relative to the data start. Spark side derives the per-level bases
+    from the writer's own layout helpers (cog_overview_dims /
+    tiles_across, the code path write_cog lays files out with) and
+    keeps the per-tile math in Catalyst; the oracle re-derives the
+    bases in closed form (base(o) = sum of 4^k for k < 4-o ... i.e.
+    21, 5, 1, 0) with plain SQL arithmetic."""
+    from gdal_spark.operators.geotiff import cog_overview_dims, tiles_across
+
+    dims = cog_overview_dims(2048, 2048, 256)
+    ax = [tiles_across(w, 256) for w, _ in dims]
+    bases = []
+    for o in range(len(dims)):
+        bases.append(sum(a * a for a in ax[o + 1 :]))
+    tile_bytes = 256 * 256 * 4  # uint32 plane
+
+    g = docs_geom(spark, sf_dir).filter(F.col("geom_error").isNull())
+    t = tile_keys_for_envelopes(g, TILE_TLX, TILE_TLY, TILE_W, TILE_N)
+    agg = t.groupBy("tx", "ty").agg(F.count(F.lit(1)).alias("n_docs"))
+    # shiftright needs a literal bit count, so the per-level shift is
+    # evaluated inside each struct (o is a Python int here); explode
+    # then fans each tile out to its 4 pyramid levels, all in Catalyst.
+    lv = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(o).alias("ovr"),
+                F.shiftright(F.col("ty"), o).alias("oty"),
+                F.shiftright(F.col("tx"), o).alias("otx"),
+                (
+                    F.lit(bases[o])
+                    + F.shiftright(F.col("ty"), o) * F.lit(ax[o])
+                    + F.shiftright(F.col("tx"), o)
+                ).alias("data_rank"),
+            )
+            for o in range(len(dims))
+        ])
+    ).alias("lv")
+    per = agg.select("tx", "ty", "n_docs", lv).select(
+        F.col("lv.ovr").alias("ovr"),
+        F.col("lv.oty").alias("oty"),
+        F.col("lv.otx").alias("otx"),
+        F.col("lv.data_rank").alias("data_rank"),
+        "n_docs",
+    )
+    return per.groupBy("ovr", "oty", "otx", "data_rank").agg(
+        F.sum("n_docs").alias("n_docs")
+    ).select(
+        F.col("ovr").cast("bigint").alias("ovr"),
+        F.col("oty").cast("bigint").alias("oty"),
+        F.col("otx").cast("bigint").alias("otx"),
+        F.col("data_rank").cast("bigint").alias("data_rank"),
+        (F.col("data_rank") * F.lit(tile_bytes)).cast("bigint").alias("rel_offset"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+def _o_cog_layout() -> str:
+    base = _o_tile_keys()
+    return (
+        f"WITH tk AS ({base}), "
+        "agg AS (SELECT tx, ty, COUNT(*) AS n_docs FROM tk GROUP BY tx, ty), "
+        # base(o): tiles of all smaller levels = sum of 4^k, k in [0, 3-o)
+        "lv AS (SELECT * FROM (VALUES (0, 21, 8), (1, 5, 4), (2, 1, 2), (3, 0, 1)) "
+        "       AS v(ovr, base, ax)), "
+        "per AS (SELECT lv.ovr, (agg.ty >> lv.ovr) AS oty, (agg.tx >> lv.ovr) AS otx, "
+        "lv.base + (agg.ty >> lv.ovr) * lv.ax + (agg.tx >> lv.ovr) AS data_rank, "
+        "agg.n_docs FROM agg CROSS JOIN lv) "
+        "SELECT CAST(ovr AS BIGINT) AS ovr, CAST(oty AS BIGINT) AS oty, "
+        "CAST(otx AS BIGINT) AS otx, CAST(data_rank AS BIGINT) AS data_rank, "
+        "CAST(data_rank * 262144 AS BIGINT) AS rel_offset, "
+        "CAST(SUM(n_docs) AS BIGINT) AS n_docs "
+        "FROM per GROUP BY ovr, oty, otx, data_rank"
+    )
+
+
+QUERIES["cog_layout"] = q_cog_layout
+ORACLES["cog_layout"] = _o_cog_layout()
+
+
+def q_geojson_roundtrip(spark, sf_dir):
+    """GeoJSON vector IO (operators/geojson.py; reference driver
+    ogr/ogrsf_frmts/geojson/): every doc geometry encoded as an RFC
+    7946 Feature line and parsed back by the independent JSON->WKT
+    path, then re-measured. The oracle is the plain envelopes
+    derivation — so any drift anywhere in the WKT -> GeoJSON -> WKT
+    round-trip (coordinate values, ring closure, type dispatch)
+    surfaces as an envelope/equality mismatch. Equality compares the
+    engine's canonical serialization (to_wkt of parse_wkt) on both
+    sides so source-formatting differences (comma spacing) don't mask
+    the check while real geometry drift still fails it."""
+    import pandas as pd
+
+    from gdal_spark.geom.wkt import parse_wkt, to_wkt
+    from gdal_spark.operators.geojson import json_geometry_to_wkt, wkt_to_json_geometry
+
+    g = docs_geom(spark, sf_dir).filter(
+        F.col("geom_error").isNull() & F.col("wkt").isNotNull()
+    ).select(F.col("_id").alias("doc_id"), "wkt")
+
+    def _rt(batches):
+        import json as _json
+
+        for pdf in batches:
+            wkts = pdf["wkt"].tolist()
+            lines = [_json.dumps({"type": "Feature", "geometry": wkt_to_json_geometry(w),
+                                  "properties": {}}) for w in wkts]
+            back = [json_geometry_to_wkt(_json.loads(ln)["geometry"]) for ln in lines]
+            parsed = parse_wkt(back)
+            env = parsed.envelopes()
+            canon_src = to_wkt(parse_wkt(wkts))
+            canon_back = to_wkt(parsed)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "minx": env[:, 0].astype("int64"),
+                "miny": env[:, 1].astype("int64"),
+                "maxx": env[:, 2].astype("int64"),
+                "maxy": env[:, 3].astype("int64"),
+                "wkt_eq": [a == b for a, b in zip(canon_src, canon_back)],
+            })
+
+    return g.mapInPandas(
+        _rt, "doc_id long, minx long, miny long, maxx long, maxy long, wkt_eq boolean"
+    )
+
+
+def _o_geojson_roundtrip() -> str:
+    return (
+        f"WITH g AS ({docs_g_cte()}) SELECT doc_id, "
+        "CAST(gx - half AS BIGINT) AS minx, CAST(gy - half AS BIGINT) AS miny, "
+        "CAST(gx + half AS BIGINT) AS maxx, CAST(gy + half AS BIGINT) AS maxy, "
+        "TRUE AS wkt_eq FROM g WHERE valid"
+    )
+
+
+QUERIES["geojson_roundtrip"] = q_geojson_roundtrip
+ORACLES["geojson_roundtrip"] = _o_geojson_roundtrip()

@@ -57,7 +57,10 @@ def build_pyfiles_zip() -> str:
     return zpath
 
 
-GEO_QUERIES = "spatial_join,tile_keys,rasterize_checksum,tile_pyramid"
+# spatial_join_cells: the big x big (no-broadcast) path — the 100 TB
+# shape — gets its own scaling row per the round-3 verdict. tile_pyramid
+# stays for continuity but is ~1 s latency-bound, not a probe.
+GEO_QUERIES = "spatial_join,spatial_join_cells,tile_keys,rasterize_checksum,tile_pyramid"
 
 
 def run_bench(cpus: int, n_docs: int, zpath: str) -> dict:
