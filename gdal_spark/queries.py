@@ -4752,3 +4752,76 @@ def _o_geojson_roundtrip() -> str:
 
 QUERIES["geojson_roundtrip"] = q_geojson_roundtrip
 ORACLES["geojson_roundtrip"] = _o_geojson_roundtrip()
+
+
+def q_shapefile_records(spark, sf_dir):
+    """Shapefile record codec (operators/shapefile.py; reference
+    ogr/ogrsf_frmts/shape/ shape2ogr.cpp + shapelib/shpopen.c): every
+    valid doc geometry encoded as a .shp record payload and decoded
+    back by the independent reader path. The oracle pins the BINARY
+    FRAMING in closed form — a point record is exactly 10 16-bit
+    words, a 5-vertex square polygon exactly 64 (4 type + 32 bbox +
+    8 counts + 4 part index + 80 coords bytes) — plus the decoded
+    envelope and twice the unsigned shoelace area, so a single
+    misplaced byte or flipped ring surfaces as a value mismatch."""
+    import pandas as pd
+
+    from gdal_spark.geom.batch import GeomBatchBuilder
+    from gdal_spark.geom.wkt import parse_wkt
+    from gdal_spark.operators.shapefile import (
+        GT_OF_CODE_MAP,
+        decode_shp_geometry,
+        encode_shp_geometry,
+    )
+
+    g = docs_geom(spark, sf_dir).filter(
+        F.col("geom_error").isNull() & F.col("wkt").isNotNull()
+    ).select(F.col("_id").alias("doc_id"), "wkt")
+
+    def _codec(batches):
+        import numpy as np
+
+        for pdf in batches:
+            batch = parse_wkt(pdf["wkt"])
+            codes, words = [], []
+            builder = GeomBatchBuilder()
+            for i in range(len(pdf)):
+                payload = encode_shp_geometry(*batch.geometry(i))
+                code, parts, _ = decode_shp_geometry(payload)
+                codes.append(code)
+                words.append(len(payload) // 2)
+                builder.add(GT_OF_CODE_MAP[code](parts), parts)
+            back = builder.finish()
+            env = back.envelopes()
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "shape_type": pd.Series(codes, dtype="int64"),
+                "n_words": pd.Series(words, dtype="int64"),
+                "minx": env[:, 0].astype("int64"),
+                "miny": env[:, 1].astype("int64"),
+                "maxx": env[:, 2].astype("int64"),
+                "maxy": env[:, 3].astype("int64"),
+                "area2": (2.0 * np.abs(back.areas())).astype("int64"),
+            })
+
+    return g.mapInPandas(
+        _codec,
+        "doc_id long, shape_type long, n_words long, "
+        "minx long, miny long, maxx long, maxy long, area2 long",
+    )
+
+
+def _o_shapefile_records() -> str:
+    return (
+        f"WITH g AS ({docs_g_cte()}) SELECT doc_id, "
+        "CAST(CASE WHEN is_poly THEN 5 ELSE 1 END AS BIGINT) AS shape_type, "
+        "CAST(CASE WHEN is_poly THEN 64 ELSE 10 END AS BIGINT) AS n_words, "
+        "CAST(gx - half AS BIGINT) AS minx, CAST(gy - half AS BIGINT) AS miny, "
+        "CAST(gx + half AS BIGINT) AS maxx, CAST(gy + half AS BIGINT) AS maxy, "
+        "CAST(8 * half * half AS BIGINT) AS area2 "
+        "FROM g WHERE valid"
+    )
+
+
+QUERIES["shapefile_records"] = q_shapefile_records
+ORACLES["shapefile_records"] = _o_shapefile_records()
