@@ -4825,3 +4825,92 @@ def _o_shapefile_records() -> str:
 
 QUERIES["shapefile_records"] = q_shapefile_records
 ORACLES["shapefile_records"] = _o_shapefile_records()
+
+
+def q_gpkg_blob(spark, sf_dir):
+    """GeoPackage binary codec (operators/gpkg.py; reference
+    ogr/ogrsf_frmts/gpkg/ogrgeopackageutility.cpp GPkgHeaderFromWKB /
+    GPkgGeometryToOGR): every valid doc geometry encoded as a GPB blob
+    and decoded back by the independent reader path. The oracle pins
+    the BINARY FRAMING in closed form — a point blob is exactly
+    8 (header) + 32 (XY envelope) + 21 (WKB point) = 61 bytes, a
+    5-vertex square polygon 8 + 32 + 93 = 133 — plus the header flags
+    byte (0x03 = little-endian, envelope indicator 1), srs_id, the
+    decoded WKB geometry type code, and the decoded envelope, so a
+    single misplaced byte surfaces as a value mismatch."""
+    import pandas as pd
+
+    from gdal_spark.geom.wkb import geom_to_wkb, wkb_to_geom
+    from gdal_spark.geom.wkt import parse_wkt
+    from gdal_spark.operators.gpkg import decode_gpb, encode_gpb
+
+    g = docs_geom(spark, sf_dir).filter(
+        F.col("geom_error").isNull() & F.col("wkt").isNotNull()
+    ).select(F.col("_id").alias("doc_id"), "wkt")
+
+    def _codec(batches):
+        import struct
+
+        for pdf in batches:
+            batch = parse_wkt(pdf["wkt"])
+            wkbs = geom_to_wkb(batch)
+            env = batch.envelopes()
+            nbytes, flags, srss, codes = [], [], [], []
+            minxs, minys, maxxs, maxys = [], [], [], []
+            back_wkbs = []
+            for i in range(len(pdf)):
+                e = (
+                    float(env[i, 0]), float(env[i, 2]),
+                    float(env[i, 1]), float(env[i, 3]),
+                )
+                blob = encode_gpb(wkbs[i], 4326, e)
+                srs, denv, _, wkb = decode_gpb(blob)
+                nbytes.append(len(blob))
+                flags.append(blob[3])
+                srss.append(srs)
+                codes.append(struct.unpack_from("<I", wkb, 1)[0])
+                minxs.append(denv[0]); maxxs.append(denv[1])
+                minys.append(denv[2]); maxys.append(denv[3])
+                back_wkbs.append(wkb)
+            renv = wkb_to_geom(back_wkbs).envelopes()
+            ok = (
+                (renv[:, 0] == [m for m in minxs])
+                & (renv[:, 1] == [m for m in minys])
+                & (renv[:, 2] == [m for m in maxxs])
+                & (renv[:, 3] == [m for m in maxys])
+            )
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pd.Series(nbytes, dtype="int64"),
+                "flags": pd.Series(flags, dtype="int64"),
+                "srs_id": pd.Series(srss, dtype="int64"),
+                "wkb_type": pd.Series(codes, dtype="int64"),
+                "minx": pd.Series(minxs).astype("int64"),
+                "miny": pd.Series(minys).astype("int64"),
+                "maxx": pd.Series(maxxs).astype("int64"),
+                "maxy": pd.Series(maxys).astype("int64"),
+                "env_match": pd.Series(ok, dtype="int64"),
+            })
+
+    return g.mapInPandas(
+        _codec,
+        "doc_id long, n_bytes long, flags long, srs_id long, wkb_type long, "
+        "minx long, miny long, maxx long, maxy long, env_match long",
+    )
+
+
+def _o_gpkg_blob() -> str:
+    return (
+        f"WITH g AS ({docs_g_cte()}) SELECT doc_id, "
+        "CAST(CASE WHEN is_poly THEN 133 ELSE 61 END AS BIGINT) AS n_bytes, "
+        "CAST(3 AS BIGINT) AS flags, CAST(4326 AS BIGINT) AS srs_id, "
+        "CAST(CASE WHEN is_poly THEN 3 ELSE 1 END AS BIGINT) AS wkb_type, "
+        "CAST(gx - half AS BIGINT) AS minx, CAST(gy - half AS BIGINT) AS miny, "
+        "CAST(gx + half AS BIGINT) AS maxx, CAST(gy + half AS BIGINT) AS maxy, "
+        "CAST(1 AS BIGINT) AS env_match "
+        "FROM g WHERE valid"
+    )
+
+
+QUERIES["gpkg_blob"] = q_gpkg_blob
+ORACLES["gpkg_blob"] = _o_gpkg_blob()
