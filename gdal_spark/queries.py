@@ -4914,3 +4914,65 @@ def _o_gpkg_blob() -> str:
 
 QUERIES["gpkg_blob"] = q_gpkg_blob
 ORACLES["gpkg_blob"] = _o_gpkg_blob()
+
+
+def q_csv_fields(spark, sf_dir):
+    """OGR CSV field codec (operators/csv_layer.py; reference
+    ogr/ogrsf_frmts/csv/ogrcsvlayer.cpp writer quoting + record
+    parse): every valid doc becomes one CSV record [doc_id, WKT,
+    adversarial text with embedded quote/comma/newline], formatted by
+    the writer's RFC 4180 escaping and parsed back by the independent
+    record parser, then the WKT is re-parsed and re-measured. Oracle:
+    constants + the plain envelope derivation — any quoting or
+    field-split drift shows as an equality/envelope mismatch."""
+    import pandas as pd
+
+    from gdal_spark.geom.wkt import parse_wkt
+    from gdal_spark.operators.csv_layer import format_csv_line, parse_csv_line
+
+    g = docs_geom(spark, sf_dir).filter(
+        F.col("geom_error").isNull() & F.col("wkt").isNotNull()
+    ).select(F.col("_id").alias("doc_id"), "wkt")
+
+    def _rt(batches):
+        for pdf in batches:
+            wkts = pdf["wkt"].tolist()
+            ids = pdf["doc_id"].tolist()
+            texts = [f'v,"{i}"\nrest' for i in ids]
+            lines = [
+                format_csv_line([i, w, t])
+                for i, w, t in zip(ids, wkts, texts)
+            ]
+            backs = [parse_csv_line(ln) for ln in lines]
+            wkt_back = [b[1] for b in backs]
+            env = parse_wkt(wkt_back).envelopes()
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_fields": pd.Series([len(b) for b in backs], dtype="int64"),
+                "wkt_eq": [b[1] == w for b, w in zip(backs, wkts)],
+                "text_eq": [b[2] == t for b, t in zip(backs, texts)],
+                "minx": env[:, 0].astype("int64"),
+                "miny": env[:, 1].astype("int64"),
+                "maxx": env[:, 2].astype("int64"),
+                "maxy": env[:, 3].astype("int64"),
+            })
+
+    return g.mapInPandas(
+        _rt,
+        "doc_id long, n_fields long, wkt_eq boolean, text_eq boolean, "
+        "minx long, miny long, maxx long, maxy long",
+    )
+
+
+def _o_csv_fields() -> str:
+    return (
+        f"WITH g AS ({docs_g_cte()}) SELECT doc_id, "
+        "CAST(3 AS BIGINT) AS n_fields, TRUE AS wkt_eq, TRUE AS text_eq, "
+        "CAST(gx - half AS BIGINT) AS minx, CAST(gy - half AS BIGINT) AS miny, "
+        "CAST(gx + half AS BIGINT) AS maxx, CAST(gy + half AS BIGINT) AS maxy "
+        "FROM g WHERE valid"
+    )
+
+
+QUERIES["csv_fields"] = q_csv_fields
+ORACLES["csv_fields"] = _o_csv_fields()
