@@ -537,12 +537,26 @@ def spatial_join_cells(
     verify is the same numpy batch kernel as the broadcast join.
 
     Shuffle diet (same rule as lsh_pairs, dedup.py): the (cell, salt)
-    exchange and the pair dedup carry ONLY (cell, _did, _zfid) — at
-    10^12 docs this is the heaviest exchange in the big x big path and
-    WKT strings must not ride it (a zone's WKT would otherwise be
-    duplicated once per candidate pair). Geometries re-join by id
-    AFTER the dedup, zone side last so the verify stage arrives
-    co-partitioned by _zfid (one edge-table build per zone per task).
+    exchange and the pair dedup carry ONLY (cell, _did, _zfid) plus
+    two booleans — at 10^12 docs this is the heaviest exchange in the
+    big x big path and WKT strings must not ride it (a zone's WKT
+    would otherwise be duplicated once per candidate pair).
+    Geometries re-join by id AFTER the dedup, zone side last so the
+    verify stage arrives co-partitioned by _zfid (one edge-table
+    build per zone per task).
+
+    Interior-cell fast accept (the prepared-geometry "containment
+    shortcut" of the reference's R-tree joins, done at grid
+    granularity): the zone side classifies each covering cell as
+    BOUNDARY (a ring edge passes through it — the all-touched walk of
+    llrasterize.cpp) or INTERIOR (no edge, center inside); cells
+    outside the polygon are dropped entirely (fewer candidates than
+    the envelope box). A candidate whose envelope lies inside an
+    interior cell is an exact match by construction (env subset of
+    cell subset of zone), so it is accepted JVM-side — its WKT never
+    shuffles and it never reaches the Python verify. Only
+    boundary-cell candidates (a perimeter fraction that shrinks as
+    the grid refines) pay for geometry.
 
     Returns (doc_id, zone_fid) pairs."""
     from gdal_spark.operators.cells import Grid  # noqa: F401 (type)
@@ -562,26 +576,30 @@ def spatial_join_cells(
         return cx0, cx1, cy0, cy1
 
     cx0, cx1, cy0, cy1 = cell_range(F.col("env_minx"), F.col("env_miny"), F.col("env_maxx"), F.col("env_maxy"))
+    cell_x0 = F.lit(grid.minx) + F.col("_cx") * F.lit(grid.cell_w)
+    cell_y0 = F.lit(grid.miny) + F.col("_cy") * F.lit(grid.cell_h)
     d = (
         d.withColumn("_cx", F.explode(F.sequence(cx0, cx1)))
         .withColumn("_cy", F.explode(F.sequence(cy0, cy1)))
         .withColumn("cell", (F.col("_cy") * grid.nx + F.col("_cx")).cast("long"))
-        .drop("_cx", "_cy")
+        # envelope fits this very cell's box: eligible for the
+        # interior-cell fast accept (pure Catalyst, no Python)
+        .withColumn(
+            "_cont",
+            (F.col("env_minx") >= cell_x0)
+            & (F.col("env_maxx") <= cell_x0 + F.lit(grid.cell_w))
+            & (F.col("env_miny") >= cell_y0)
+            & (F.col("env_maxy") <= cell_y0 + F.lit(grid.cell_h)),
+        )
+        .select("_did", "cell", "_cont")
     )
 
-    # zones side: parse WKT once to envelopes, explode to cells
-    z = extract_geom(
-        zones.select(F.col(zone_fid_col).alias("_zfid"), F.col(zone_wkt_col).alias("_zwkt"))
-        .withColumn("spans", F.array(F.struct(
-            F.lit("geom").alias("kind"), F.col("_zwkt").alias("text"),
-            F.lit("").alias("media_ref"), F.lit(0).alias("offset"))))
-    ).select("_zfid", "env_minx", "env_miny", "env_maxx", "env_maxy")
-    zx0, zx1, zy0, zy1 = cell_range(F.col("env_minx"), F.col("env_miny"), F.col("env_maxx"), F.col("env_maxy"))
-    z = (
-        z.withColumn("_cx", F.explode(F.sequence(zx0, zx1)))
-        .withColumn("_cy", F.explode(F.sequence(zy0, zy1)))
-        .withColumn("cell", (F.col("_cy") * grid.nx + F.col("_cx")).cast("long"))
-        .select("cell", "_zfid")
+    # zones side: classify each covering cell boundary/interior,
+    # drop outside cells (one Arrow batch per zone partition)
+    z = zones.select(
+        F.col(zone_fid_col).alias("_zfid"), F.col(zone_wkt_col).alias("_zwkt")
+    ).mapInPandas(
+        _zone_cell_classifier(grid), "cell long, _zfid long, _boundary boolean"
     )
 
     if salt > 1:
@@ -593,18 +611,31 @@ def spatial_join_cells(
         z = z.withColumn(
             "_salt", F.explode(F.array(*[F.lit(s).cast("int") for s in range(salt)]))
         )
-        pairs = (
-            d.join(z, ["cell", "_salt"])
-            .select("_did", "_zfid")
-            .dropDuplicates(["_did", "_zfid"])
-        )
+        joined = d.join(z, ["cell", "_salt"])
     else:
-        pairs = d.join(z, "cell").select("_did", "_zfid").dropDuplicates(["_did", "_zfid"])
+        joined = d.join(z, "cell")
 
-    # geometry payloads re-join by id post-dedup: each doc/zone WKT
-    # crosses the wire once per surviving pair (not once per covering
-    # cell x salt), and the final join on _zfid leaves the verify input
-    # co-partitioned by zone
+    # pair dedup doubles as the accept/verify split: a pair is
+    # accepted outright if ANY of its candidate cells is an interior
+    # cell that contains the doc's envelope
+    agg = (
+        joined.select(
+            "_did", "_zfid",
+            (F.col("_cont") & ~F.col("_boundary")).alias("_acc"),
+        )
+        .groupBy("_did", "_zfid")
+        .agg(F.max("_acc").alias("_acc"))
+    )
+    accepted = agg.filter(F.col("_acc")).select(
+        F.col("_did").alias("doc_id"), F.col("_zfid").alias("zone_fid")
+    )
+    pairs = agg.filter(~F.col("_acc")).select("_did", "_zfid")
+
+    # geometry payloads re-join by id post-dedup, and ONLY for the
+    # boundary-cell candidates: each surviving doc/zone WKT crosses
+    # the wire once per unverified pair (not once per covering cell x
+    # salt, and not at all for interior accepts); the final join on
+    # _zfid leaves the verify input co-partitioned by zone
     dw = docs.select(F.col(doc_id_col).alias("_did"), F.col(wkt_col).alias("_dwkt"))
     zw = zones.select(F.col(zone_fid_col).alias("_zfid"), F.col(zone_wkt_col).alias("_zwkt"))
     paired = pairs.join(dw, "_did").join(zw, "_zfid")
@@ -642,4 +673,77 @@ def spatial_join_cells(
             res = pdf.loc[keep]
             yield pd.DataFrame({"doc_id": res["_did"].to_numpy(np.int64), "zone_fid": res["_zfid"].to_numpy(np.int64)})
 
-    return paired.mapInPandas(_verify, out_schema)
+    # accepted and verified are disjoint by construction (the groupBy
+    # made pairs unique, then split) — no final dedup needed
+    return accepted.unionByName(paired.mapInPandas(_verify, out_schema))
+
+
+def _zone_cell_classifier(grid, max_cells: int = 4_000_000):
+    """Returns the mapInPandas fn: (_zfid, _zwkt) rows -> one row per
+    covering grid cell with a boundary/interior classification.
+    Boundary = a ring edge passes through the cell (the all-touched
+    supercover walk of llrasterize.cpp GDALdllImageLineAllTouched);
+    interior = no edge and cell center inside (even-odd, holes
+    respected); outside cells are dropped. Zones whose covering-cell
+    count exceeds `max_cells` (mask memory guard), or that fail to
+    parse as polygons, fall back to every envelope cell as boundary —
+    always-correct, never-accepting."""
+
+    def _cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.operators.raster import _all_touched_line_mask
+
+        for pdf in batches:
+            zb = parse_wkt(pdf["_zwkt"])
+            env = zb.envelopes()
+            out_cell: list[np.ndarray] = []
+            out_zfid: list[np.ndarray] = []
+            out_bnd: list[np.ndarray] = []
+            for i in range(len(pdf)):
+                zfid = int(pdf["_zfid"].iloc[i])
+                minx, miny, maxx, maxy = env[i]
+                if not np.isfinite(minx):
+                    continue
+                gx0 = int(np.clip(np.floor((minx - grid.minx) / grid.cell_w), 0, grid.nx - 1))
+                gx1 = int(np.clip(np.floor((maxx - grid.minx) / grid.cell_w), 0, grid.nx - 1))
+                gy0 = int(np.clip(np.floor((miny - grid.miny) / grid.cell_h), 0, grid.ny - 1))
+                gy1 = int(np.clip(np.floor((maxy - grid.miny) / grid.cell_h), 0, grid.ny - 1))
+                W, H = gx1 - gx0 + 1, gy1 - gy0 + 1
+                try:
+                    rings = zb.polygon_rings(i)
+                except Exception:
+                    rings = []
+                if not rings or W * H > max_cells:
+                    cys, cxs = np.mgrid[gy0 : gy1 + 1, gx0 : gx1 + 1]
+                    cells = (cys.ravel() * grid.nx + cxs.ravel()).astype(np.int64)
+                    out_cell.append(cells)
+                    out_zfid.append(np.full(cells.size, zfid, dtype=np.int64))
+                    out_bnd.append(np.ones(cells.size, dtype=bool))
+                    continue
+                bmask = np.zeros((H, W), dtype=bool)
+                for ring in rings:
+                    rc = np.column_stack((
+                        (ring[:, 0] - grid.minx) / grid.cell_w,
+                        (ring[:, 1] - grid.miny) / grid.cell_h,
+                    ))
+                    bmask |= _all_touched_line_mask(rc, H, W, oy=gy0, ox=gx0)
+                keep_y, keep_x = np.nonzero(bmask)
+                out_cell.append(((keep_y + gy0) * grid.nx + (keep_x + gx0)).astype(np.int64))
+                out_zfid.append(np.full(keep_y.size, zfid, dtype=np.int64))
+                out_bnd.append(np.ones(keep_y.size, dtype=bool))
+                iy, ix = np.nonzero(~bmask)
+                if iy.size:
+                    edges = rings_to_edges(rings)
+                    ctr_x = grid.minx + (ix + gx0 + 0.5) * grid.cell_w
+                    ctr_y = grid.miny + (iy + gy0 + 0.5) * grid.cell_h
+                    inside = points_in_edges(ctr_x, ctr_y, edges)
+                    out_cell.append(((iy[inside] + gy0) * grid.nx + (ix[inside] + gx0)).astype(np.int64))
+                    out_zfid.append(np.full(int(inside.sum()), zfid, dtype=np.int64))
+                    out_bnd.append(np.zeros(int(inside.sum()), dtype=bool))
+            if out_cell:
+                yield pd.DataFrame({
+                    "cell": np.concatenate(out_cell),
+                    "_zfid": np.concatenate(out_zfid),
+                    "_boundary": np.concatenate(out_bnd),
+                })
+
+    return _cells
