@@ -5002,3 +5002,58 @@ def q_spatial_join_cells(spark, sf_dir):
 
 QUERIES["spatial_join_cells"] = q_spatial_join_cells
 ORACLES["spatial_join_cells"] = _o_spatial_join()
+
+
+def q_gnm_connect(spark, sf_dir):
+    """GNM network construction (operators/gnm.py; reference
+    gnm/gnmgenericnetwork.cpp ConnectPointsByLines:536 +
+    FindNearestPoint:904): point layer = the valid point docs, line
+    layer = a deterministic line per every 3rd point doc (start
+    offset (+0.2, +0.1), end offset (+1.0, -0.25)), snapped with
+    tolerance 2.4 (rect +-1.2, lowest-FID pick — the reference's
+    first-of-scan semantics). The oracle recomputes the rect
+    join + MIN(fid) in plain SQL, so any drift in endpoint
+    extraction, cell banding, the rect test, or the min-fid
+    tie-break surfaces as a mismatch. All offsets sit >=0.05 from
+    the rect threshold so ULP noise cannot flip a comparison."""
+    from gdal_spark.operators.gnm import connect_points_by_lines
+
+    g = docs_geom(spark, sf_dir).filter(
+        F.col("geom_error").isNull() & F.col("wkt").isNotNull()
+    )
+    is_pt = F.col("env_minx") == F.col("env_maxx")
+    pts = g.filter(is_pt).select(F.col("_id").alias("fid"), "wkt")
+    gx, gy = F.col("env_minx"), F.col("env_miny")
+    lines = g.filter(is_pt & (F.col("_id") % 3 == 0)).select(
+        F.col("_id").alias("fid"),
+        F.concat(
+            F.lit("LINESTRING ("),
+            (gx + 0.2).cast("string"), F.lit(" "), (gy + 0.1).cast("string"),
+            F.lit(", "),
+            (gx + 1.0).cast("string"), F.lit(" "), (gy - 0.25).cast("string"),
+            F.lit(")"),
+        ).alias("wkt"),
+    )
+    conns = connect_points_by_lines(pts, lines, tolerance=2.6)
+    return conns.select("connector", "src", "tgt")
+
+
+def _o_gnm_connect() -> str:
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "p AS (SELECT doc_id, gx, gy FROM g WHERE valid AND NOT is_poly), "
+        "l AS (SELECT doc_id AS connector, gx+0.2 AS sx, gy+0.1 AS sy, "
+        "gx+1.0 AS ex, gy-0.25 AS ey FROM g "
+        "WHERE valid AND NOT is_poly AND doc_id % 3 = 0), "
+        "s AS (SELECT connector, MIN(p.doc_id) AS src FROM l JOIN p "
+        "ON abs(p.gx - l.sx) <= 1.3 AND abs(p.gy - l.sy) <= 1.3 "
+        "GROUP BY connector), "
+        "t AS (SELECT connector, MIN(p.doc_id) AS tgt FROM l JOIN p "
+        "ON abs(p.gx - l.ex) <= 1.3 AND abs(p.gy - l.ey) <= 1.3 "
+        "GROUP BY connector) "
+        "SELECT s.connector, s.src, t.tgt FROM s JOIN t ON s.connector = t.connector"
+    )
+
+
+QUERIES["gnm_connect"] = q_gnm_connect
+ORACLES["gnm_connect"] = _o_gnm_connect()
