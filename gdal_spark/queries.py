@@ -4978,6 +4978,85 @@ QUERIES["csv_fields"] = q_csv_fields
 ORACLES["csv_fields"] = _o_csv_fields()
 
 
+def q_fgb_records(spark, sf_dir):
+    """FlatGeobuf feature codec (operators/flatgeobuf.py; reference
+    ogr/ogrsf_frmts/flatgeobuf/ geometrywriter.cpp +
+    feature_generated.h): every valid doc geometry encoded as a
+    size-prefixed Feature flatbuffer with a (doc_id:i64) property and
+    decoded back by the independent Table reader. The oracle pins the
+    FLATBUFFER FRAMING in closed form — a point feature is exactly 92
+    bytes, a 5-vertex square polygon exactly 156 (vtable + geometry
+    table + xy vector + properties byte-vector, deterministic builder
+    layout) — plus the decoded envelope, twice the unsigned shoelace
+    area, and the property round-trip, so a single misaligned vtable
+    slot or mis-padded vector surfaces as a value mismatch."""
+    import pandas as pd
+
+    from gdal_spark.geom.batch import GeomBatchBuilder
+    from gdal_spark.geom.wkt import parse_wkt
+    from gdal_spark.operators.flatgeobuf import (
+        COL_LONG,
+        decode_feature,
+        encode_feature,
+    )
+
+    g = docs_geom(spark, sf_dir).filter(
+        F.col("geom_error").isNull() & F.col("wkt").isNotNull()
+    ).select(F.col("_id").alias("doc_id"), "wkt")
+
+    def _codec(batches):
+        import numpy as np
+
+        for pdf in batches:
+            batch = parse_wkt(pdf["wkt"])
+            ids = pdf["doc_id"].tolist()
+            gtypes, nbytes, prop_eq = [], [], []
+            builder = GeomBatchBuilder()
+            for i in range(len(pdf)):
+                gt, parts = batch.geometry(i)
+                msg = encode_feature(gt, parts, [COL_LONG], [ids[i]])
+                vals = decode_feature(msg[4:], [COL_LONG], builder)
+                gtypes.append(int(gt))
+                nbytes.append(len(msg))
+                prop_eq.append(vals[0] == ids[i])
+            back = builder.finish()
+            env = back.envelopes()
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "gtype": pd.Series(gtypes, dtype="int64"),
+                "n_bytes": pd.Series(nbytes, dtype="int64"),
+                "prop_eq": prop_eq,
+                "minx": env[:, 0].astype("int64"),
+                "miny": env[:, 1].astype("int64"),
+                "maxx": env[:, 2].astype("int64"),
+                "maxy": env[:, 3].astype("int64"),
+                "area2": (2.0 * np.abs(back.areas())).astype("int64"),
+            })
+
+    return g.mapInPandas(
+        _codec,
+        "doc_id long, gtype long, n_bytes long, prop_eq boolean, "
+        "minx long, miny long, maxx long, maxy long, area2 long",
+    )
+
+
+def _o_fgb_records() -> str:
+    return (
+        f"WITH g AS ({docs_g_cte()}) SELECT doc_id, "
+        "CAST(CASE WHEN is_poly THEN 3 ELSE 1 END AS BIGINT) AS gtype, "
+        "CAST(CASE WHEN is_poly THEN 156 ELSE 92 END AS BIGINT) AS n_bytes, "
+        "TRUE AS prop_eq, "
+        "CAST(gx - half AS BIGINT) AS minx, CAST(gy - half AS BIGINT) AS miny, "
+        "CAST(gx + half AS BIGINT) AS maxx, CAST(gy + half AS BIGINT) AS maxy, "
+        "CAST(8 * half * half AS BIGINT) AS area2 "
+        "FROM g WHERE valid"
+    )
+
+
+QUERIES["fgb_records"] = q_fgb_records
+ORACLES["fgb_records"] = _o_fgb_records()
+
+
 def q_spatial_join_cells(spark, sf_dir):
     """Big x big cell-partitioned spatial join (operators/spatial.py
     spatial_join_cells): the no-broadcast 100 TB-shaped path — both
