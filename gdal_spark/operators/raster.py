@@ -975,6 +975,103 @@ def checksum_col(tiles: DataFrame, spec: RasterSpec) -> DataFrame:
     )
 
 
+def default_histogram_range(
+    dtype: str, stats_min: float | None = None, stats_max: float | None = None
+) -> tuple[float, float, int]:
+    """GDALRasterBand::GetDefaultHistogram bounds
+    (gcore/gdalrasterband.cpp:4940-5000): Byte is fixed (-0.5, 255.5,
+    256); Int8 is (-128.5, 127.5, 256); everything else takes the band
+    statistics min/max expanded by half a bucket on each side with the
+    reference's `(max - min) / (2 * (nBuckets - 1))` half-bucket (one
+    bucket when min == max)."""
+    if dtype == "uint8":
+        return -0.5, 255.5, 256
+    if dtype == "int8":
+        return -128.5, 127.5, 256
+    if stats_min is None or stats_max is None:
+        raise ValueError("non-byte default histogram needs band statistics")
+    if stats_min == stats_max:
+        return stats_min - 0.5, stats_max + 0.5, 1
+    n_buckets = 256
+    half = (stats_max - stats_min) / (2 * (n_buckets - 1))
+    return stats_min - half, stats_max + half, n_buckets
+
+
+def band_histogram(
+    tiles: DataFrame,
+    spec: RasterSpec,
+    dfmin: float,
+    dfmax: float,
+    buckets: int,
+    include_out_of_range: bool = False,
+    nodata: float | None = None,
+) -> DataFrame:
+    """GDALRasterBand::GetHistogram as a distributive aggregate
+    (gcore/gdalrasterband.cpp:4224,4513-4529): bucket index =
+    floor((value - min) * buckets / (max - min)); below-range counts
+    into bucket 0 and above-range into bucket buckets-1 when
+    `include_out_of_range`, else dropped; nodata and NaN pixels always
+    skipped. Returns sparse (band, bucket, count) rows, count > 0.
+
+    Scale shape: per-tile np.bincount partials (one Arrow batch pass
+    over the payloads), posexplode to (band, bucket, partial) and a
+    map-side-combinable groupBy(band, bucket) sum — 100 TB of tiles
+    reduce to <= buckets rows per band with no wide exchange. Sparse
+    tile tables (rasterize emits only burned tiles) are corrected by
+    crediting the missing pixels to the bucket of spec.init, computed
+    from a COUNT aggregate — no tile materialization."""
+    scale = buckets / (dfmax - dfmin)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _partial(h: pd.Series, w: pd.Series, dtype: pd.Series, payload: pd.Series) -> pd.Series:
+        out = []
+        for i in range(len(h)):
+            v = np.frombuffer(payload.iloc[i], dtype=dtype.iloc[i]).astype(np.float64)
+            keep = ~np.isnan(v)
+            if nodata is not None:
+                keep &= v != nodata
+            idx = np.floor((v[keep] - dfmin) * scale)
+            if include_out_of_range:
+                idx = np.clip(idx, 0, buckets - 1)
+            else:
+                m = (idx >= 0) & (idx < buckets)
+                idx = idx[m]
+            out.append(np.bincount(idx.astype(np.int64), minlength=buckets).tolist())
+        return pd.Series(out)
+
+    hist = (
+        tiles.select("band", _partial("h", "w", "dtype", "payload").alias("hp"))
+        .select("band", F.posexplode("hp").alias("bucket", "n"))
+        .filter(F.col("n") > 0)
+        .groupBy("band", "bucket")
+        .agg(F.sum("n").alias("count"))
+    )
+
+    # implicit pixels of tiles absent from the sparse tile table
+    init = float(spec.init)
+    init_idx = int(np.floor((init - dfmin) * scale))
+    if init_idx < 0:
+        init_idx = 0 if include_out_of_range else None
+    elif init_idx >= buckets:
+        init_idx = buckets - 1 if include_out_of_range else None
+    if (nodata is not None and init == nodata) or np.isnan(init):
+        init_idx = None
+    if init_idx is None:
+        return hist
+    total = spec.width * spec.height
+    covered = tiles.groupBy("band").agg(
+        (F.lit(total) - F.sum(F.col("h").cast("long") * F.col("w"))).alias("missing")
+    )
+    extra = covered.filter(F.col("missing") > 0).select(
+        "band", F.lit(init_idx).alias("bucket"), F.col("missing").alias("count")
+    )
+    return (
+        hist.unionByName(extra)
+        .groupBy("band", "bucket")
+        .agg(F.sum("count").alias("count"))
+    )
+
+
 AS_FEATURES_SCHEMA = StructType(
     [
         StructField("band", IntegerType()),

@@ -5057,6 +5057,42 @@ QUERIES["fgb_records"] = q_fgb_records
 ORACLES["fgb_records"] = _o_fgb_records()
 
 
+def q_raster_histogram(spark, sf_dir):
+    """GDALRasterBand::GetHistogram / gdalinfo -hist
+    (gcore/gdalrasterband.cpp:4224; default bounds :4972) over the
+    point-burn ADD raster: Byte default histogram (-0.5, 255.5, 256
+    buckets), where bucket index == pixel value exactly. Distributive:
+    per-tile np.bincount partials + map-side-combinable groupBy — and
+    the sparse-tile correction credits never-burned pixels to the
+    init-value bucket, so the result matches a dense whole-raster
+    histogram. Oracle re-derives per-pixel burn counts in SQL and adds
+    the 400-minus-burned zero bucket in closed form."""
+    from gdal_spark.operators.raster import band_histogram, default_histogram_range
+
+    tiles = _point_burn_tiles(spark, sf_dir)
+    dfmin, dfmax, buckets = default_histogram_range("uint8")
+    h = band_histogram(tiles, BYTE20_SPEC, dfmin, dfmax, buckets, include_out_of_range=True)
+    return h.select(
+        F.col("band").cast("bigint").alias("band"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("count").cast("bigint").alias("n_pixels"),
+    )
+
+
+def _o_raster_histogram() -> str:
+    return (
+        f"{_pix_cte()} SELECT CAST(1 AS BIGINT) AS band, v AS bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n_pixels FROM pix GROUP BY v "
+        "UNION ALL SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), "
+        "CAST(400 - (SELECT COUNT(*) FROM pix) AS BIGINT) "
+        "WHERE (SELECT COUNT(*) FROM pix) < 400"
+    )
+
+
+QUERIES["raster_histogram"] = q_raster_histogram
+ORACLES["raster_histogram"] = _o_raster_histogram()
+
+
 def q_spatial_join_cells(spark, sf_dir):
     """Big x big cell-partitioned spatial join (operators/spatial.py
     spatial_join_cells): the no-broadcast 100 TB-shaped path — both
