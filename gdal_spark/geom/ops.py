@@ -316,3 +316,130 @@ def boundary(geom: Geometry):
         pts = [p for p, c in cnt.items() if c % 2 == 1]
         return ("points", np.asarray(pts, dtype=np.float64).reshape(-1, 2))
     return ("points", np.empty((0, 2)))
+
+
+# ---------------------------------------------------------------------------
+# linear referencing (ogrlineref: apps/ogrlineref.cpp; primitives
+# ogr/ogrlinestring.cpp OGRSimpleCurve::Value :2118, Project :2184,
+# getSubLine :2237)
+
+
+def line_cumlen(coords: np.ndarray) -> np.ndarray:
+    """Cumulative 2D length at each vertex (get_Length partials)."""
+    c = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+    seg = np.hypot(c[1:, 0] - c[:-1, 0], c[1:, 1] - c[:-1, 1])
+    return np.concatenate([[0.0], np.cumsum(seg)])
+
+
+def line_value(coords: np.ndarray, dists: np.ndarray) -> np.ndarray:
+    """OGRSimpleCurve::Value vectorized over an array of measures:
+    point interpolated at distance d along the line; d < 0 snaps to the
+    start, d > length to the end; zero-length segments are skipped and
+    a measure landing on a shared vertex resolves to the FIRST segment
+    containing it (the reference's `<=` scan order). Returns (N, 2)."""
+    c = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+    d = np.asarray(dists, dtype=np.float64)
+    seg = np.hypot(c[1:, 0] - c[:-1, 0], c[1:, 1] - c[:-1, 1])
+    keep = seg > 0
+    a, b, sl = c[:-1][keep], c[1:][keep], seg[keep]
+    out = np.empty((d.size, 2), dtype=np.float64)
+    if sl.size == 0:
+        out[:] = c[0] if len(c) else np.nan
+        return out
+    ends = np.cumsum(sl)
+    starts = ends - sl
+    idx = np.searchsorted(ends, d, side="left")
+    past = idx >= sl.size
+    idx = np.minimum(idx, sl.size - 1)
+    ratio = np.clip((d - starts[idx]) / sl[idx], 0.0, 1.0)
+    out[:, 0] = a[idx, 0] * (1 - ratio) + b[idx, 0] * ratio
+    out[:, 1] = a[idx, 1] * (1 - ratio) + b[idx, 1] * ratio
+    out[past] = c[-1]
+    out[d < 0] = c[0]
+    return out
+
+
+def line_project(
+    coords: np.ndarray, px: np.ndarray, py: np.ndarray, round_d2: bool = False
+) -> np.ndarray:
+    """OGRSimpleCurve::Project vectorized over an array of points:
+    distance from the line origin to each point's nearest location on
+    the line (GEOSProject semantics — ties broken by the FIRST segment
+    attaining the minimum squared distance). With `round_d2` the
+    squared distances are rounded to integers before the argmin —
+    for integer-grid inputs (where every true d2 is integral and float
+    error is << 0.5) this makes the tie-break exact and reproducible
+    against integer-arithmetic oracles. Returns measures (N,)."""
+    c = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    seg = np.hypot(c[1:, 0] - c[:-1, 0], c[1:, 1] - c[:-1, 1])
+    keep = seg > 0
+    a, b, sl = c[:-1][keep], c[1:][keep], seg[keep]
+    if sl.size == 0:
+        return np.zeros(px.shape, dtype=np.float64)
+    starts = np.concatenate([[0.0], np.cumsum(sl)])[:-1]
+    dx = (b[:, 0] - a[:, 0])[:, None]
+    dy = (b[:, 1] - a[:, 1])[:, None]
+    l2 = (sl * sl)[:, None]
+    # (M segments, N points)
+    t = np.clip(((px[None, :] - a[:, 0:1]) * dx + (py[None, :] - a[:, 1:2]) * dy) / l2, 0.0, 1.0)
+    qx = a[:, 0:1] + t * dx
+    qy = a[:, 1:2] + t * dy
+    d2 = (px[None, :] - qx) ** 2 + (py[None, :] - qy) ** 2
+    if round_d2:
+        d2 = np.rint(d2)
+    best = np.argmin(d2, axis=0)  # first minimal segment wins ties
+    n = np.arange(px.size)
+    return starts[best] + t[best, n] * sl[best]
+
+
+def line_substring(coords: np.ndarray, dist_from: float, dist_to: float, as_ratio: bool = False) -> np.ndarray:
+    """OGRSimpleCurve::getSubLine (ogrlinestring.cpp:2237), replicated
+    byte-for-byte including its quirks: distances clamp to [0, length];
+    raises on from > to or from >= length; from == 0 emits the start
+    vertex twice (the reference adds point 0 in both the prologue and
+    the vertex loop); a `to` landing exactly on a vertex emits that
+    vertex and its ratio-1.0 interpolation."""
+    c = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+    total = float(np.hypot(c[1:, 0] - c[:-1, 0], c[1:, 1] - c[:-1, 1]).sum())
+    if as_ratio:
+        dist_from *= total
+        dist_to *= total
+    dist_from = max(dist_from, 0.0)
+    dist_to = min(dist_to, total)
+    if dist_from > dist_to or dist_from >= total:
+        raise ValueError("Input distances are invalid.")
+    pts: list[np.ndarray] = []
+    length = 0.0
+    i = 0
+    if dist_from == 0:
+        pts.append(c[0])
+    else:
+        while i < len(c) - 1:
+            sl = float(np.hypot(c[i + 1, 0] - c[i, 0], c[i + 1, 1] - c[i, 1]))
+            if sl > 0:
+                if length <= dist_from <= length + sl:
+                    r = (dist_from - length) / sl
+                    pts.append(c[i] * (1 - r) + c[i + 1] * r)
+                    if length <= dist_to <= length + sl:
+                        r = (dist_to - length) / sl
+                        pts.append(c[i] * (1 - r) + c[i + 1] * r)
+                        return np.asarray(pts)
+                    i += 1
+                    length += sl
+                    break
+                length += sl
+            i += 1
+    while i < len(c) - 1:
+        pts.append(c[i])
+        sl = float(np.hypot(c[i + 1, 0] - c[i, 0], c[i + 1, 1] - c[i, 1]))
+        if sl > 0:
+            if length <= dist_to <= length + sl:
+                r = (dist_to - length) / sl
+                pts.append(c[i] * (1 - r) + c[i + 1] * r)
+                return np.asarray(pts)
+            length += sl
+        i += 1
+    pts.append(c[-1])
+    return np.asarray(pts)

@@ -5093,6 +5093,64 @@ QUERIES["raster_histogram"] = q_raster_histogram
 ORACLES["raster_histogram"] = _o_raster_histogram()
 
 
+# L-shaped axis-parallel lineref path: both segments have length 600 and
+# integer endpoints, so measures, snapped points and squared distances
+# are all exact integers — the oracle reproduces GEOSProject's
+# first-segment-wins tie-break in closed-form integer SQL.
+LINEREF_PATH = [(440720.0, 3750720.0), (441320.0, 3750720.0), (441320.0, 3751320.0)]
+
+
+def q_lineref_positions(spark, sf_dir):
+    """ogrlineref GetPosition (apps/ogrlineref.cpp:990; primitives
+    ogr/ogrlinestring.cpp Project :2184 / Value :2118): every valid
+    doc's representative point located on the broadcast L-path — the
+    measure along the path, the snapped point, and the squared snap
+    distance. Zero shuffle: one mapInPandas pass with the path as a
+    closure broadcast (the 100 TB shape — the corpus never moves).
+    round_d2 pins GEOS's first-minimal-segment tie-break exactly on
+    this integer grid, making the closed-form SQL oracle bit-exact."""
+    from gdal_spark.operators.lineref import locate_points
+
+    g = docs_geom(spark, sf_dir).filter(F.col("geom_error").isNull())
+    pts = g.select(
+        F.col("_id").alias("doc_id"),
+        ((F.col("env_minx") + F.col("env_maxx")) / 2).alias("x"),
+        ((F.col("env_miny") + F.col("env_maxy")) / 2).alias("y"),
+    )
+    loc = locate_points(pts, LINEREF_PATH, "x", "y", round_d2=True)
+    return loc.select(
+        "doc_id",
+        F.round("measure").cast("bigint").alias("measure"),
+        F.round("snap_x").cast("bigint").alias("snap_x"),
+        F.round("snap_y").cast("bigint").alias("snap_y"),
+        (
+            (F.col("x") - F.round("snap_x")) * (F.col("x") - F.round("snap_x"))
+            + (F.col("y") - F.round("snap_y")) * (F.col("y") - F.round("snap_y"))
+        ).cast("bigint").alias("d2"),
+    )
+
+
+def _o_lineref_positions() -> str:
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "p AS (SELECT doc_id, gx, gy, "
+        "GREATEST(LEAST(gx - 440720, 600), 0) AS t1, "
+        "GREATEST(LEAST(gy - 3750720, 600), 0) AS t2 FROM g WHERE valid), "
+        "q AS (SELECT doc_id, gx, gy, t1, t2, "
+        "(gx - 440720 - t1) * (gx - 440720 - t1) + (gy - 3750720) * (gy - 3750720) AS d21, "
+        "(gx - 441320) * (gx - 441320) + (gy - 3750720 - t2) * (gy - 3750720 - t2) AS d22 FROM p) "
+        "SELECT doc_id, "
+        "CAST(CASE WHEN d21 <= d22 THEN t1 ELSE 600 + t2 END AS BIGINT) AS measure, "
+        "CAST(CASE WHEN d21 <= d22 THEN 440720 + t1 ELSE 441320 END AS BIGINT) AS snap_x, "
+        "CAST(CASE WHEN d21 <= d22 THEN 3750720 ELSE 3750720 + t2 END AS BIGINT) AS snap_y, "
+        "CAST(LEAST(d21, d22) AS BIGINT) AS d2 FROM q"
+    )
+
+
+QUERIES["lineref_positions"] = q_lineref_positions
+ORACLES["lineref_positions"] = _o_lineref_positions()
+
+
 def q_spatial_join_cells(spark, sf_dir):
     """Big x big cell-partitioned spatial join (operators/spatial.py
     spatial_join_cells): the no-broadcast 100 TB-shaped path — both
