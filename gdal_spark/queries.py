@@ -5151,6 +5151,59 @@ QUERIES["lineref_positions"] = q_lineref_positions
 ORACLES["lineref_positions"] = _o_lineref_positions()
 
 
+def q_tile_index(spark, sf_dir):
+    """gdaltindex (apps/gdaltindex_lib.cpp): each valid poly doc poses
+    as a raster (origin at its envelope top-left, pixel size
+    s = 1 + doc_id % 3, 2*half x 2*half pixels); the index projects the
+    geotransform corners, reference res = sqrt(area/pixels) == s
+    exactly on this grid, -min_pixel_size 2 skips the s == 1 third, and
+    docs with doc_id % 5 == 0 pre-seed the existing index to exercise
+    the re-run skip anti-join. Pure Catalyst end to end."""
+    from gdal_spark.operators.tindex import tile_index
+
+    g = docs_geom(spark, sf_dir).filter(
+        F.col("geom_error").isNull() & (F.col("env_maxx") > F.col("env_minx"))
+    )
+    s = (F.lit(1) + F.col("_id") % 3).cast("double")
+    meta = g.select(
+        F.concat(F.lit("mem://doc_"), F.col("_id").cast("string")).alias("location"),
+        (F.col("env_maxx") - F.col("env_minx")).cast("int").alias("width"),
+        (F.col("env_maxy") - F.col("env_miny")).cast("int").alias("height"),
+        F.array(
+            F.col("env_minx"), s, F.lit(0.0), F.col("env_maxy"), F.lit(0.0), -s
+        ).alias("gt"),
+        F.col("_id").alias("doc_id"),
+    )
+    existing = meta.filter(F.col("doc_id") % 5 == 0).select("location")
+    idx = tile_index(meta, min_pixel_size=2.0, existing=existing)
+    return idx.select(
+        "location",
+        F.col("minx").cast("bigint").alias("minx"),
+        F.col("miny").cast("bigint").alias("miny"),
+        F.col("maxx").cast("bigint").alias("maxx"),
+        F.col("maxy").cast("bigint").alias("maxy"),
+        F.col("res").cast("bigint").alias("res"),
+    )
+
+
+def _o_tile_index() -> str:
+    return (
+        f"WITH g AS ({docs_g_cte()}) "
+        "SELECT 'mem://doc_' || CAST(doc_id AS VARCHAR) AS location, "
+        "CAST(gx - half AS BIGINT) AS minx, "
+        "CAST(gy + half - 2 * half * (1 + doc_id % 3) AS BIGINT) AS miny, "
+        "CAST(gx - half + 2 * half * (1 + doc_id % 3) AS BIGINT) AS maxx, "
+        "CAST(gy + half AS BIGINT) AS maxy, "
+        "CAST(1 + doc_id % 3 AS BIGINT) AS res "
+        "FROM g WHERE valid AND is_poly AND (1 + doc_id % 3) >= 2 "
+        "AND doc_id % 5 <> 0"
+    )
+
+
+QUERIES["tile_index"] = q_tile_index
+ORACLES["tile_index"] = _o_tile_index()
+
+
 def q_spatial_join_cells(spark, sf_dir):
     """Big x big cell-partitioned spatial join (operators/spatial.py
     spatial_join_cells): the no-broadcast 100 TB-shaped path — both
