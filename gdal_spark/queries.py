@@ -5204,6 +5204,71 @@ QUERIES["tile_index"] = q_tile_index
 ORACLES["tile_index"] = _o_tile_index()
 
 
+# TPS driver-oracle GCPs: affine-consistent (geo = (2x+10, -3y+50)), so
+# the FULL thin-plate solve must return the affine exactly (kernel
+# weights 0) — a closed-form check of the whole solve + eval pipeline.
+TPS_GCPS = [
+    (440720.0, 3750120.0, 2 * 440720.0 + 10, -3 * 3750120.0 + 50),
+    (441920.0, 3750120.0, 2 * 441920.0 + 10, -3 * 3750120.0 + 50),
+    (440720.0, 3751320.0, 2 * 440720.0 + 10, -3 * 3751320.0 + 50),
+    (441920.0, 3751320.0, 2 * 441920.0 + 10, -3 * 3751320.0 + 50),
+    (441320.0, 3750720.0, 2 * 441320.0 + 10, -3 * 3750720.0 + 50),
+    (440900.0, 3751000.0, 2 * 440900.0 + 10, -3 * 3751000.0 + 50),
+]
+
+
+def q_tps_transform(spark, sf_dir):
+    """GDALCreateTPSTransformer / GDALTPSTransform (alg/gdal_tps.cpp,
+    alg/thinplatespline.cpp): every valid doc point pushed through a
+    FULL thin-plate spline solved from 6 affine-consistent GCPs — the
+    radial kernel weights must solve to zero, so the spline IS the
+    affine and the oracle states it in closed form. The solve runs
+    once on the driver (as the reference does in memory); evaluation
+    is the vectorized chunked kernel inside one mapInPandas pass, the
+    forward AND reverse splines both exercised via a roundtrip flag."""
+    import pandas as pd
+
+    from gdal_spark.geom.tps import TPSTransformer
+
+    tr = TPSTransformer(TPS_GCPS)
+    g = docs_geom(spark, sf_dir).filter(F.col("geom_error").isNull())
+    pts = g.select(
+        F.col("_id").alias("doc_id"),
+        ((F.col("env_minx") + F.col("env_maxx")) / 2).alias("x"),
+        ((F.col("env_miny") + F.col("env_maxy")) / 2).alias("y"),
+    )
+
+    def _tps(batches):
+        import numpy as np
+
+        for pdf in batches:
+            x = pdf["x"].to_numpy(dtype=np.float64)
+            y = pdf["y"].to_numpy(dtype=np.float64)
+            fx, fy = tr.forward(x, y)
+            bx, by = tr.inverse(fx, fy)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "geo_x": np.rint(fx).astype("int64"),
+                "geo_y": np.rint(fy).astype("int64"),
+                "roundtrip": (np.abs(bx - x) < 1e-6) & (np.abs(by - y) < 1e-6),
+            })
+
+    return pts.mapInPandas(_tps, "doc_id long, geo_x long, geo_y long, roundtrip boolean")
+
+
+def _o_tps_transform() -> str:
+    return (
+        f"WITH g AS ({docs_g_cte()}) SELECT doc_id, "
+        "CAST(2 * gx + 10 AS BIGINT) AS geo_x, "
+        "CAST(-3 * gy + 50 AS BIGINT) AS geo_y, "
+        "TRUE AS roundtrip FROM g WHERE valid"
+    )
+
+
+QUERIES["tps_transform"] = q_tps_transform
+ORACLES["tps_transform"] = _o_tps_transform()
+
+
 def q_spatial_join_cells(spark, sf_dir):
     """Big x big cell-partitioned spatial join (operators/spatial.py
     spatial_join_cells): the no-broadcast 100 TB-shaped path — both
