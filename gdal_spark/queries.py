@@ -5269,6 +5269,59 @@ QUERIES["tps_transform"] = q_tps_transform
 ORACLES["tps_transform"] = _o_tps_transform()
 
 
+def q_raster_compare(spark, sf_dir):
+    """gdalcompare (osgeo_utils/gdalcompare.py compare_band :128 /
+    compare_image_pixels :80): golden = the full point-burn raster,
+    new = the same burn with every doc_id % 7 == 0 point withheld —
+    the report is both GDALChecksumImage values, the count of pixels
+    whose Float64 difference is nonzero, and the maximum absolute
+    difference. Tiles join co-partitioned on (band, ty, tx); absent
+    tiles compare against the init fill; the oracle re-derives both
+    pixel sets and the closed-form diff in SQL."""
+    from gdal_spark.operators.compare import raster_compare
+
+    g = docs_geom(spark, sf_dir)
+    pts = g.filter(
+        F.col("geom_error").isNull() & (F.col("env_minx") == F.col("env_maxx"))
+    ).select(F.col("_id").alias("fid"), "wkt", F.array(F.lit(1.0)).alias("burn_values"))
+    golden = rasterize(pts, BYTE20_SPEC, merge_alg="add")
+    new = rasterize(pts.filter(F.col("fid") % 7 != 0), BYTE20_SPEC, merge_alg="add")
+    cmpdf = raster_compare(golden, new, BYTE20_SPEC)
+    return cmpdf.select(
+        F.col("band").cast("bigint").alias("band"),
+        F.col("checksum_golden").cast("bigint").alias("checksum_golden"),
+        F.col("checksum_new").cast("bigint").alias("checksum_new"),
+        F.col("pixels_differing").cast("bigint").alias("pixels_differing"),
+        F.col("max_diff").cast("bigint").alias("max_diff"),
+    )
+
+
+def _o_raster_compare() -> str:
+    primes = "[7,11,13,17,19,23,29,31,37,41,43]"
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "p AS (SELECT doc_id, CAST(floor((gx - 440720) / 60.0) AS BIGINT) AS px, "
+        "CAST(floor((3751320 - gy) / 60.0) AS BIGINT) AS py "
+        "FROM g WHERE valid AND NOT is_poly), "
+        "pg AS (SELECT py, px, LEAST(COUNT(*), 255) AS v FROM p "
+        "WHERE px BETWEEN 0 AND 19 AND py BETWEEN 0 AND 19 GROUP BY py, px), "
+        "pn AS (SELECT py, px, LEAST(COUNT(*), 255) AS v FROM p "
+        "WHERE px BETWEEN 0 AND 19 AND py BETWEEN 0 AND 19 AND doc_id % 7 <> 0 "
+        "GROUP BY py, px), "
+        "d AS (SELECT COALESCE(pg.v, 0) - COALESCE(pn.v, 0) AS diff "
+        "FROM pg FULL OUTER JOIN pn ON pg.py = pn.py AND pg.px = pn.px) "
+        "SELECT CAST(1 AS BIGINT) AS band, "
+        f"(SELECT CAST(SUM(v % ({primes})[((py * 20 + px) % 11) + 1]) % 65536 AS BIGINT) FROM pg) AS checksum_golden, "
+        f"(SELECT CAST(SUM(v % ({primes})[((py * 20 + px) % 11) + 1]) % 65536 AS BIGINT) FROM pn) AS checksum_new, "
+        "CAST((SELECT COUNT(*) FROM d WHERE diff <> 0) AS BIGINT) AS pixels_differing, "
+        "CAST((SELECT MAX(ABS(diff)) FROM d) AS BIGINT) AS max_diff"
+    )
+
+
+QUERIES["raster_compare"] = q_raster_compare
+ORACLES["raster_compare"] = _o_raster_compare()
+
+
 def q_spatial_join_cells(spark, sf_dir):
     """Big x big cell-partitioned spatial join (operators/spatial.py
     spatial_join_cells): the no-broadcast 100 TB-shaped path — both
