@@ -5322,6 +5322,45 @@ QUERIES["raster_compare"] = q_raster_compare
 ORACLES["raster_compare"] = _o_raster_compare()
 
 
+def q_retile_checksum(spark, sf_dir):
+    """gdal_retile (osgeo_utils/gdal_retile.py tileImage): the
+    point-burn raster re-gridded from 16-px to 8-px tiles — pieces
+    slice in one Arrow pass, exchange on the new (band, ty, tx) key,
+    assemble over init canvases. Retiling must be pixel-identical to
+    slicing the dense mosaic, so GDALChecksumImage, the nonzero count
+    and the value sum are all invariant; any misplaced piece breaks
+    the checksum. Oracle = the same aggregates from the closed-form
+    pixel CTE."""
+    from gdal_spark.operators.retile import retile, retile_spec
+
+    tiles8 = retile(_point_burn_tiles(spark, sf_dir), BYTE20_SPEC, 8)
+    spec8 = retile_spec(BYTE20_SPEC, 8)
+    cs = checksum_col(tiles8, spec8)
+    pix = as_features(tiles8, spec8, skip_value=0.0).filter(F.col("band") == 1)
+    agg = pix.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nonzero"),
+        F.sum(F.col("value").cast("bigint")).alias("sum_v"),
+    )
+    return cs.select(
+        F.col("band").cast("bigint").alias("band"),
+        F.col("checksum").cast("bigint").alias("checksum"),
+    ).crossJoin(agg)
+
+
+def _o_retile_checksum() -> str:
+    primes = "[7,11,13,17,19,23,29,31,37,41,43]"
+    return (
+        f"{_pix_cte()} SELECT CAST(1 AS BIGINT) AS band, "
+        f"CAST(SUM(v % ({primes})[((py * 20 + px) % 11) + 1]) % 65536 AS BIGINT) AS checksum, "
+        "CAST(COUNT(*) AS BIGINT) AS n_nonzero, "
+        "CAST(SUM(v) AS BIGINT) AS sum_v FROM pix"
+    )
+
+
+QUERIES["retile_checksum"] = q_retile_checksum
+ORACLES["retile_checksum"] = _o_retile_checksum()
+
+
 def q_spatial_join_cells(spark, sf_dir):
     """Big x big cell-partitioned spatial join (operators/spatial.py
     spatial_join_cells): the no-broadcast 100 TB-shaped path — both
