@@ -30,13 +30,14 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from gdal_spark.datagen import ZONE_EAS, ZONE_WKTS, docs_table, geom_cols_sql, zones_table
 from gdal_spark.fixtures import BYTE20_SPEC
 from gdal_spark.operators.knn import knn_broadcast
-from gdal_spark.operators.raster import as_features, checksum_col, rasterize
+from gdal_spark.operators.raster import TILE_SCHEMA, as_features, checksum_col, rasterize
 from gdal_spark.operators.spatial import extract_geom, spatial_filter, spatial_join
 from gdal_spark.operators.tiles import tile_keys_for_envelopes
 
@@ -5440,3 +5441,133 @@ def _o_gnm_connect() -> str:
 
 QUERIES["gnm_connect"] = q_gnm_connect
 ORACLES["gnm_connect"] = _o_gnm_connect()
+
+
+def _nearblack_input_tiles(spark, sf_dir):
+    """Dense byte20-grid raster for nearblack: point-burn blobs as dark
+    content (53..200) on a nearly-white background 250 + ((3x+7y) % 6)
+    — every background pixel sits within near=5 of white, so trimming
+    floods inward from all four edges until it hits burn content."""
+    spec = BYTE20_SPEC
+    ts = spec.tile_size
+    sk = spark.range(spec.ntiles_y * spec.ntiles_x).selectExpr(
+        f"cast(id div {spec.ntiles_x} as int) as ty",
+        f"cast(id % {spec.ntiles_x} as int) as tx",
+    )
+    burn = _point_burn_tiles(spark, sf_dir).filter(F.col("band") == 1)
+    j = sk.join(burn.select("ty", "tx", "dtype", "payload"), ["ty", "tx"], "left")
+
+    def _mk(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                ty, tx = int(r.ty), int(r.tx)
+                h = min(ts, spec.height - ty * ts)
+                w = min(ts, spec.width - tx * ts)
+                if r.payload is None:
+                    c = np.zeros((h, w), dtype=np.int32)
+                else:
+                    c = np.frombuffer(r.payload, dtype=r.dtype).reshape(h, w).astype(np.int32)
+                gx = tx * ts + np.arange(w, dtype=np.int64)[None, :]
+                gy = ty * ts + np.arange(h, dtype=np.int64)[:, None]
+                bg = 250 + ((gx * 3 + gy * 7) % 6)
+                v = np.where(c > 0, np.minimum(40 + 13 * c, 200), bg).astype(np.uint8)
+                rows.append({"band": 1, "ty": ty, "tx": tx, "h": h, "w": w,
+                             "dtype": "uint8", "payload": v.tobytes()})
+            yield pd.DataFrame(rows)
+
+    return j.mapInPandas(_mk, TILE_SCHEMA)
+
+
+def q_nearblack_white(spark, sf_dir):
+    """nearblack -white -near 5 -nb 0 -setalpha (apps/nearblack_lib.cpp
+    GDALNearblack two-pass algorithm) over the dense point-burn
+    raster: four strip shuffles (top-down vertical, L->R + R->L
+    horizontal, then bottom-up with horizontal max forced 0), column
+    counts travelling as a band-0 sidecar. Returns per band (gray=1,
+    alpha=2) the GDALChecksumImage checksum and the value sum — any
+    mistrimmed pixel breaks both. Oracle: the nb=0 case in closed form
+    — the scans collapse to window cumulatives ("last event wins":
+    testing is off iff the most recent of {non-near pixel, zero-count
+    column} in scan order is the non-near pixel), replayed in SQL."""
+    from gdal_spark.operators.nearblack import nearblack
+
+    out = nearblack(
+        _nearblack_input_tiles(spark, sf_dir), BYTE20_SPEC,
+        white=True, near=5, max_non_black=0, set_alpha=True,
+    )
+    cs = checksum_col(out, BYTE20_SPEC)
+    pix = as_features(out, BYTE20_SPEC)
+    sums = pix.groupBy("band").agg(F.sum(F.col("value").cast("bigint")).alias("sum_v"))
+    return cs.join(sums, "band").select(
+        F.col("band").cast("bigint").alias("band"),
+        F.col("checksum").cast("bigint").alias("checksum"),
+        F.col("sum_v").alias("sum_v"),
+    )
+
+
+def _o_nearblack_white() -> str:
+    primes = "[7,11,13,17,19,23,29,31,37,41,43]"
+    cksum = lambda col: (
+        f"CAST(SUM({col} % ({primes})[((py * 20 + px) % 11) + 1]) % 65536 AS BIGINT)"
+    )
+    return (
+        f"{_pix_cte()}, "
+        "g2 AS (SELECT x.px, y.py FROM (SELECT unnest(generate_series(0,19)) AS px) x, "
+        "(SELECT unnest(generate_series(0,19)) AS py) y), "
+        "d AS (SELECT g2.px, g2.py, CASE WHEN p.v IS NOT NULL THEN LEAST(40 + 13*p.v, 200) "
+        "ELSE 250 + ((g2.px*3 + g2.py*7) % 6) END AS v "
+        "FROM g2 LEFT JOIN pix p ON p.px = g2.px AND p.py = g2.py), "
+        # top-down vertical: replaced iff no non-near-white pixel at or
+        # above (cumulative count still 0); cz = the column-count-zero
+        # flag the horizontal scans read
+        "s1 AS (SELECT px, py, v, MAX(CASE WHEN v < 250 THEN 1 ELSE 0 END) "
+        "OVER (PARTITION BY px ORDER BY py ROWS UNBOUNDED PRECEDING) = 0 AS vr FROM d), "
+        "s1b AS (SELECT px, py, v, vr, vr AS cz, CASE WHEN vr THEN 255 ELSE v END AS v1 FROM s1), "
+        # L->R horizontal (last column excluded: i != iEnd)
+        "s2 AS (SELECT *, MAX(CASE WHEN v1 < 250 THEN px END) OVER w AS lnb, "
+        "MAX(CASE WHEN cz THEN px END) OVER w AS lz FROM s1b "
+        "WINDOW w AS (PARTITION BY py ORDER BY px ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+        "s2b AS (SELECT px, py, v, vr, cz, "
+        "(px < 19 AND v1 >= 250 AND (lnb IS NULL OR COALESCE(lz, -1) > lnb)) AS h1, "
+        "CASE WHEN (px < 19 AND v1 >= 250 AND (lnb IS NULL OR COALESCE(lz, -1) > lnb)) "
+        "THEN 255 ELSE v1 END AS v2 FROM s2), "
+        # R->L horizontal (column 0 excluded)
+        "s3 AS (SELECT *, MIN(CASE WHEN v2 < 250 THEN px END) OVER w AS rnb, "
+        "MIN(CASE WHEN cz THEN px END) OVER w AS rz FROM s2b "
+        "WINDOW w AS (PARTITION BY py ORDER BY px DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+        "s3b AS (SELECT px, py, v, vr, cz, h1, "
+        "(px > 0 AND v2 >= 250 AND (rnb IS NULL OR COALESCE(rz, 99) < rnb)) AS h2, "
+        "CASE WHEN (px > 0 AND v2 >= 250 AND (rnb IS NULL OR COALESCE(rz, 99) < rnb)) "
+        "THEN 255 ELSE v2 END AS v3 FROM s3), "
+        # bottom-up vertical (fresh counts over the intermediate image)
+        "s4 AS (SELECT *, MAX(CASE WHEN v3 < 250 THEN 1 ELSE 0 END) "
+        "OVER (PARTITION BY px ORDER BY py DESC ROWS UNBOUNDED PRECEDING) = 0 AS vrb FROM s3b), "
+        "s4b AS (SELECT px, py, v, vr, cz, h1, h2, vrb, vrb AS czb, "
+        "CASE WHEN vrb THEN 255 ELSE v3 END AS v4 FROM s4), "
+        # bottom-up L->R then R->L (horizontal max forced 0 == same form)
+        "s5 AS (SELECT *, MAX(CASE WHEN v4 < 250 THEN px END) OVER w AS lnb2, "
+        "MAX(CASE WHEN czb THEN px END) OVER w AS lz2 FROM s4b "
+        "WINDOW w AS (PARTITION BY py ORDER BY px ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+        "s5b AS (SELECT px, py, v, vr, cz, h1, h2, vrb, czb, "
+        "(px < 19 AND v4 >= 250 AND (lnb2 IS NULL OR COALESCE(lz2, -1) > lnb2)) AS h3, "
+        "CASE WHEN (px < 19 AND v4 >= 250 AND (lnb2 IS NULL OR COALESCE(lz2, -1) > lnb2)) "
+        "THEN 255 ELSE v4 END AS v5 FROM s5), "
+        "s6 AS (SELECT *, MIN(CASE WHEN v5 < 250 THEN px END) OVER w AS rnb2, "
+        "MIN(CASE WHEN czb THEN px END) OVER w AS rz2 FROM s5b "
+        "WINDOW w AS (PARTITION BY py ORDER BY px DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+        "s6b AS (SELECT px, py, vr, h1, h2, vrb, h3, "
+        "(px > 0 AND v5 >= 250 AND (rnb2 IS NULL OR COALESCE(rz2, 99) < rnb2)) AS h4, "
+        "CASE WHEN (px > 0 AND v5 >= 250 AND (rnb2 IS NULL OR COALESCE(rz2, 99) < rnb2)) "
+        "THEN 255 ELSE v5 END AS v6 FROM s6), "
+        "fin AS (SELECT px, py, v6, CASE WHEN vr OR h1 OR h2 OR vrb OR h3 OR h4 "
+        "THEN 0 ELSE 255 END AS a FROM s6b) "
+        f"SELECT CAST(1 AS BIGINT) AS band, {cksum('v6')} AS checksum, "
+        "CAST(SUM(v6) AS BIGINT) AS sum_v FROM fin "
+        f"UNION ALL SELECT CAST(2 AS BIGINT) AS band, {cksum('a')} AS checksum, "
+        "CAST(SUM(a) AS BIGINT) AS sum_v FROM fin"
+    )
+
+
+QUERIES["nearblack_white"] = q_nearblack_white
+ORACLES["nearblack_white"] = _o_nearblack_white()
