@@ -5571,3 +5571,49 @@ def _o_nearblack_white() -> str:
 
 QUERIES["nearblack_white"] = q_nearblack_white
 ORACLES["nearblack_white"] = _o_nearblack_white()
+
+
+def q_equalize(spark, sf_dir):
+    """gdalenhance -equalize (apps/gdalenhance.cpp
+    ComputeEqualizationLUTs + EnhancerCallback): histogram-equalize the
+    dense point-burn byte raster. The histogram is the distributive
+    band_histogram aggregate (256 rows cross the wire), the LUT build
+    is integer driver arithmetic on it (extremes zeroed, cumulative
+    with half-bucket offset), the apply one Arrow map pass. Per-pixel
+    value-exact output; the oracle replays the same integer LUT in SQL
+    over the closed-form pixel grid."""
+    from gdal_spark.operators.enhance import equalize
+
+    out = equalize(_nearblack_input_tiles(spark, sf_dir), BYTE20_SPEC)
+    pix = as_features(out, BYTE20_SPEC)
+    return pix.select(
+        F.col("band").cast("bigint").alias("band"),
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("value").cast("bigint").alias("v_out"),
+    )
+
+
+def _o_equalize() -> str:
+    return (
+        f"{_pix_cte()}, "
+        "g2 AS (SELECT x.px, y.py FROM (SELECT unnest(generate_series(0,19)) AS px) x, "
+        "(SELECT unnest(generate_series(0,19)) AS py) y), "
+        "d AS (SELECT g2.px, g2.py, CASE WHEN p.v IS NOT NULL THEN LEAST(40 + 13*p.v, 200) "
+        "ELSE 250 + ((g2.px*3 + g2.py*7) % 6) END AS v "
+        "FROM g2 LEFT JOIN pix p ON p.px = g2.px AND p.py = g2.py), "
+        # histogram with zeroed extremes (byte bin == value)
+        "h AS (SELECT v AS bin, COUNT(*) AS c FROM d WHERE v > 0 AND v < 255 GROUP BY v), "
+        "bins AS (SELECT unnest(generate_series(0, 255)) AS bin), "
+        "hh AS (SELECT bins.bin, COALESCE(h.c, 0) AS c FROM bins LEFT JOIN h ON h.bin = bins.bin), "
+        # cum[i] = total_before + hist[i]/2 (integer), LUT clamped
+        "cm AS (SELECT bin, COALESCE(SUM(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 PRECEDING), 0) + c // 2 AS ch, SUM(c) OVER () AS tot FROM hh), "
+        "lut AS (SELECT bin, LEAST(255, GREATEST(0, (ch * 256) // GREATEST(tot, 1))) AS lv FROM cm) "
+        "SELECT CAST(1 AS BIGINT) AS band, d.py, d.px, CAST(lut.lv AS BIGINT) AS v_out "
+        "FROM d JOIN lut ON lut.bin = d.v"
+    )
+
+
+QUERIES["equalize"] = q_equalize
+ORACLES["equalize"] = _o_equalize()
