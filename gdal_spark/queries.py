@@ -5617,3 +5617,93 @@ def _o_equalize() -> str:
 
 QUERIES["equalize"] = q_equalize
 ORACLES["equalize"] = _o_equalize()
+
+
+def q_buildvrt_plan(spark, sf_dir):
+    """gdalbuildvrt planning (apps/gdalbuildvrt_lib.cpp VRTBuilder):
+    a per-doc synthetic source catalog (grids snapped to 64, mixed
+    32/64 we_res and 16/32/48 ns_res, varying sizes) -> average-
+    resolution target grid (:1080-1091), union extent, int(0.5+..)
+    sizing (:1903-1904), and GetSrcDstWin windows (:117-198) as a
+    pure-Catalyst projection. One tiny aggregate + one shuffle-free
+    projection; the oracle replays every float op in the same IEEE
+    order."""
+    from gdal_spark.operators.buildvrt import build_vrt_plan
+
+    g = docs_geom(spark, sf_dir)
+    src = (
+        g.filter(
+            F.col("geom_error").isNull()
+            & (F.col("env_minx") == F.col("env_maxx"))
+            & (F.col("_id") % 17 == 0)
+        )
+        .select(
+            F.col("_id").alias("src_id"),
+            (F.floor(F.col("env_minx") / 64) * 64).cast("double").alias("tlx"),
+            (F.floor(F.col("env_miny") / 64) * 64 + 1024).cast("double").alias("tly"),
+            (32 * (1 + F.col("_id") % 2)).cast("double").alias("we_res"),
+            (-(16 * (1 + F.col("_id") % 3))).cast("double").alias("ns_res"),
+            (8 + (F.col("_id") % 5) * 4).cast("int").alias("xsize"),
+            (6 + (F.col("_id") % 3) * 8).cast("int").alias("ysize"),
+        )
+    )
+    grid, plan = build_vrt_plan(src, resolution="average")
+    return plan.select(
+        F.col("src_id").cast("bigint").alias("src_id"),
+        "src_xoff", "src_yoff", "src_xsize", "src_ysize",
+        "dst_xoff", "dst_yoff", "dst_xsize", "dst_ysize",
+        F.lit(grid.xsize).cast("bigint").alias("vrt_xsize"),
+        F.lit(grid.ysize).cast("bigint").alias("vrt_ysize"),
+        F.lit(grid.we_res).alias("vrt_we_res"),
+        F.lit(grid.ns_res).alias("vrt_ns_res"),
+    )
+
+
+def _o_buildvrt_plan() -> str:
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "s AS (SELECT doc_id AS src_id, "
+        "CAST(floor(gx/64)*64 AS DOUBLE) AS tlx, "
+        "CAST(floor(gy/64)*64 + 1024 AS DOUBLE) AS tly, "
+        "CAST(32*(1 + doc_id%2) AS DOUBLE) AS we_res, "
+        "CAST(-(16*(1 + doc_id%3)) AS DOUBLE) AS ns_res, "
+        "CAST(8 + (doc_id%5)*4 AS DOUBLE) AS xsize, "
+        "CAST(6 + (doc_id%3)*8 AS DOUBLE) AS ysize "
+        "FROM g WHERE valid AND NOT is_poly AND doc_id % 17 = 0), "
+        "m AS (SELECT SUM(we_res)/COUNT(*) AS rwe, SUM(ns_res)/COUNT(*) AS rns, "
+        "MIN(tlx) AS minx, MAX(tlx + xsize*we_res) AS maxx, "
+        "MIN(tly + ysize*ns_res) AS miny, MAX(tly) AS maxy FROM s), "
+        "mm AS (SELECT *, CAST(floor(0.5 + (maxx-minx)/rwe) AS BIGINT) AS xs, "
+        "CAST(floor(0.5 + (maxy-miny)/(-rns)) AS BIGINT) AS ys FROM m), "
+        "w1 AS (SELECT s.*, mm.* FROM s, mm "
+        "WHERE tlx + xsize*we_res > minx AND tlx < maxx "
+        "AND tly + ysize*ns_res < maxy AND tly > miny), "
+        "w2 AS (SELECT *, "
+        "CASE WHEN tlx < minx THEN (minx - tlx)/we_res ELSE 0.0 END AS src_xoff, "
+        "CASE WHEN tlx < minx THEN 0.0 ELSE (tlx - minx)/rwe END AS dst_xoff, "
+        "CASE WHEN maxy < tly THEN (tly - maxy)/(-ns_res) ELSE 0.0 END AS src_yoff, "
+        "CASE WHEN maxy < tly THEN 0.0 ELSE (maxy - tly)/(-rns) END AS dst_yoff "
+        "FROM w1), "
+        "w3 AS (SELECT *, "
+        "CASE WHEN src_xoff > 0 THEN xsize - src_xoff ELSE xsize END AS sxs, "
+        "CASE WHEN src_yoff > 0 THEN ysize - src_yoff ELSE ysize END AS sys, "
+        "we_res/rwe AS fx, ns_res/rns AS fy FROM w2), "
+        "w4 AS (SELECT *, sxs*fx AS dxs, sys*fy AS dys FROM w3), "
+        "w5 AS (SELECT *, "
+        "CASE WHEN dst_xoff + dxs > CAST(xs AS DOUBLE) THEN CAST(xs AS DOUBLE) - dst_xoff ELSE dxs END AS dxs2, "
+        "CASE WHEN dst_yoff + dys > CAST(ys AS DOUBLE) THEN CAST(ys AS DOUBLE) - dst_yoff ELSE dys END AS dys2 "
+        "FROM w4), "
+        "w6 AS (SELECT *, "
+        "CASE WHEN dst_xoff + dxs > CAST(xs AS DOUBLE) THEN dxs2/fx ELSE sxs END AS sxs2, "
+        "CASE WHEN dst_yoff + dys > CAST(ys AS DOUBLE) THEN dys2/fy ELSE sys END AS sys2 "
+        "FROM w5) "
+        "SELECT CAST(src_id AS BIGINT) AS src_id, "
+        "src_xoff, src_yoff, sxs2 AS src_xsize, sys2 AS src_ysize, "
+        "dst_xoff, dst_yoff, dxs2 AS dst_xsize, dys2 AS dst_ysize, "
+        "xs AS vrt_xsize, ys AS vrt_ysize, rwe AS vrt_we_res, rns AS vrt_ns_res "
+        "FROM w6 WHERE sxs2 > 0 AND dxs2 > 0 AND sys2 > 0 AND dys2 > 0"
+    )
+
+
+QUERIES["buildvrt_plan"] = q_buildvrt_plan
+ORACLES["buildvrt_plan"] = _o_buildvrt_plan()
