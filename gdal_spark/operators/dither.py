@@ -279,3 +279,46 @@ def dither_tiles(
                  "dtype": "uint8", "payload": t.tobytes()}
             )
     return spark.createDataFrame(pd.DataFrame(rows), TILE_SCHEMA)
+
+
+def pct2rgb(
+    tiles: DataFrame,
+    spec: RasterSpec,
+    table: list[tuple[int, ...]],
+    out_bands: int = 3,
+    band: int = 1,
+) -> DataFrame:
+    """pct2rgb (osgeo_utils/pct2rgb.py:70-126): expand a paletted band
+    through its color table into 3 (RGB) or 4 (RGBA) bands with
+    np.take — lookup defaults are the identity ramp with alpha 255
+    (:78-84), overridden by the table entries (:86-90).
+
+    One Arrow map pass per tile, no shuffle; the (<=256-entry) table
+    rides the closure. The inverse of rgb2pct (compute_median_cut_pct
+    + dither_tiles)."""
+    if out_bands not in (3, 4):
+        raise ValueError("out_bands must be 3 or 4")
+    ct_size = max(256, len(table))
+    lookup = [np.arange(ct_size, dtype=np.int64) for _ in range(3)]
+    lookup.append(np.full(ct_size, 255, dtype=np.int64))
+    for i, entry in enumerate(table):
+        for c in range(len(entry)):
+            lookup[c][i] = int(entry[c])
+        if len(entry) < 4:
+            lookup[3][i] = 255
+
+    def _expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if int(r.band) != band:
+                    continue
+                idx = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w).astype(np.int64)
+                for b in range(out_bands):
+                    v = np.take(lookup[b], idx).astype(np.uint8)
+                    rows.append({"band": b + 1, "ty": int(r.ty), "tx": int(r.tx),
+                                 "h": int(r.h), "w": int(r.w), "dtype": "uint8",
+                                 "payload": v.tobytes()})
+            yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(_expand, TILE_SCHEMA)

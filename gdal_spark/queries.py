@@ -5707,3 +5707,46 @@ def _o_buildvrt_plan() -> str:
 
 QUERIES["buildvrt_plan"] = q_buildvrt_plan
 ORACLES["buildvrt_plan"] = _o_buildvrt_plan()
+
+
+def q_pct2rgb_roundtrip(spark, sf_dir):
+    """rgb2pct -> pct2rgb round trip (osgeo_utils/rgb2pct.py +
+    pct2rgb.py): median-cut palette on the exact-colors path
+    (gdalmediancut.cpp:547), Floyd-Steinberg dither (zero error when
+    the palette is exact), then color-table expansion back to RGB.
+    The round trip must reproduce the source triples bit-for-bit, so
+    the oracle is simply the source color CTE."""
+    from gdal_spark.operators.dither import compute_median_cut_pct, dither_tiles, pct2rgb
+    from gdal_spark.fixtures import BYTE20_SPEC
+
+    tiles = _rgb20_tiles(spark)
+    pal = compute_median_cut_pct(tiles, 256, bits=8)
+    idx = dither_tiles(tiles, BYTE20_SPEC, pal)
+    rgb = pct2rgb(idx, BYTE20_SPEC, pal, out_bands=3)
+    pix = as_features(rgb, BYTE20_SPEC)
+    wide = (
+        pix.groupBy("py", "px")
+        .pivot("band", [1, 2, 3])
+        .agg(F.first("value"))
+        .select(
+            F.col("py").cast("bigint").alias("py"),
+            F.col("px").cast("bigint").alias("px"),
+            F.col("1").cast("bigint").alias("r"),
+            F.col("2").cast("bigint").alias("g"),
+            F.col("3").cast("bigint").alias("b"),
+        )
+    )
+    return wide
+
+
+def _o_pct2rgb_roundtrip() -> str:
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)) "
+        "SELECT CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px, "
+        "CAST(v AS BIGINT) AS r, CAST(255 - v AS BIGINT) AS g, "
+        "CAST((v * 3) % 256 AS BIGINT) AS b FROM pixels"
+    )
+
+
+QUERIES["pct2rgb_roundtrip"] = q_pct2rgb_roundtrip
+ORACLES["pct2rgb_roundtrip"] = _o_pct2rgb_roundtrip()
