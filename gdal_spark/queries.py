@@ -5750,3 +5750,50 @@ def _o_pct2rgb_roundtrip() -> str:
 
 QUERIES["pct2rgb_roundtrip"] = q_pct2rgb_roundtrip
 ORACLES["pct2rgb_roundtrip"] = _o_pct2rgb_roundtrip()
+
+
+def q_rasterize_invert(spark, sf_dir):
+    """gdal_rasterize -i (apps/gdal_rasterize_lib.cpp InvertGeometries
+    :737): burn 7 into every pixel whose center is NOT covered by any
+    zone polygon on the byte20 grid — coverage burn + per-tile
+    complement. Oracle: the complement of the zonal fill decomposition
+    (the same llrasterize interval rule as zonal_raster)."""
+    from gdal_spark.operators.raster import rasterize_invert
+
+    out = rasterize_invert(zones_table(spark), BYTE20_SPEC, [7.0])
+    pix = as_features(out, BYTE20_SPEC).filter(F.col("band") == 1)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("value").cast("bigint").alias("v"),
+    )
+
+
+def _o_rasterize_invert() -> str:
+    pos = [(fid, *_zone_env(fid)) for fid in range(8)]
+    pos += [(8, 441050, 3751050, 441150, 3751300), (8, 441050, 3751050, 441450, 3751150)]
+    pos += [(9, 440850, 3750480, 441050, 3750580)]
+    neg = [(9, 440900, 3750500, 441000, 3750560)]
+
+    def fill(rects):
+        rows = ", ".join(f"({fid},{a},{b},{c},{d})" for fid, a, b, c, d in rects)
+        return (
+            f"SELECT py, px FROM pixels p JOIN (VALUES {rows}) AS zr(fid, zminx, zminy, zmaxx, zmaxy) ON "
+            "p.px >= CAST(floor((zr.zminx - 440720) / 60.0 + 0.5) AS INT) "
+            "AND p.px < CAST(floor((zr.zmaxx - 440720) / 60.0 + 0.5) AS INT) "
+            "AND ((p.py + 0.5) >= (3751320 - zr.zmaxy) / 60.0) "
+            "AND ((p.py + 0.5) < (3751320 - zr.zminy) / 60.0 OR (p.py + 0.5) = (3751320 - zr.zminy) / 60.0)"
+        )
+
+    grid = "SELECT x.px, y.py FROM (SELECT unnest(generate_series(0,19)) AS px) x, (SELECT unnest(generate_series(0,19)) AS py) y"
+    return (
+        f"WITH pixels AS ({grid}), "
+        f"zp AS ({fill(pos)} EXCEPT {fill(neg)}) "
+        "SELECT CAST(p.py AS BIGINT) AS py, CAST(p.px AS BIGINT) AS px, "
+        "CAST(CASE WHEN zp.py IS NULL THEN 7 ELSE 0 END AS BIGINT) AS v "
+        "FROM pixels p LEFT JOIN zp ON zp.py = p.py AND zp.px = p.px"
+    )
+
+
+QUERIES["rasterize_invert"] = q_rasterize_invert
+ORACLES["rasterize_invert"] = _o_rasterize_invert()
