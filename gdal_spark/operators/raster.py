@@ -1233,3 +1233,109 @@ def rasterize_invert(
             yield pd.DataFrame(rows)
 
     return j.mapInPandas(_complement, TILE_SCHEMA)
+
+
+def gdal2xyz(
+    tiles: DataFrame,
+    spec: RasterSpec,
+    bands: list[int] | None = None,
+    srcwin: tuple[int, int, int, int] | None = None,
+    skip: tuple[int, int] = (1, 1),
+    src_nodata: list[float] | None = None,
+    skip_nodata: bool = False,
+    dst_nodata: list[float] | None = None,
+) -> DataFrame:
+    """gdal2xyz (osgeo_utils/gdal2xyz.py:39-214): one row per selected
+    pixel with PIXEL-CENTER geo coordinates (geo = GT applied to
+    (x+0.5, y+0.5), :196-198) and all selected band values. srcwin
+    crops in pixel space; skip=(x_skip, y_skip) decimates relative to
+    the window origin (:167,177); a pixel is nodata iff its whole
+    band-value VECTOR equals src_nodata (np.array_equal, :188-193) —
+    then skipped (skip_nodata) or replaced by dst_nodata.
+
+    Distributed shape: single-band rasters stream through one Arrow
+    map pass (no shuffle); multi-band aligns a tile's band rows with
+    one groupBy on the tile key — the same exchange any band-aligned
+    consumer needs, output columns pruned to the selected bands."""
+    bands = bands or list(range(1, spec.nbands + 1))
+    x_off, y_off, x_size, y_size = srcwin or (0, 0, spec.width, spec.height)
+    x_skip, y_skip = skip
+    g0, g1, g2, g3, g4, g5 = spec.gt
+    ts = spec.tile_size
+    sn = None if src_nodata is None else np.asarray(src_nodata, dtype=np.float64)
+    dn = None if dst_nodata is None else np.asarray(dst_nodata, dtype=np.float64)
+    do_skip = skip_nodata and sn is not None
+    do_replace = (not do_skip) and dn is not None and sn is not None
+
+    out_schema = "geo_x double, geo_y double, " + ", ".join(
+        f"b{b} double" for b in bands
+    )
+
+    def _rows(arrs: dict[int, np.ndarray], ty: int, tx: int, h: int, w: int) -> pd.DataFrame | None:
+        gy0, gx0 = ty * ts, tx * ts
+        yy = np.arange(gy0, gy0 + h)
+        xx = np.arange(gx0, gx0 + w)
+        ym = (yy >= y_off) & (yy < y_off + y_size) & ((yy - y_off) % y_skip == 0)
+        xm = (xx >= x_off) & (xx < x_off + x_size) & ((xx - x_off) % x_skip == 0)
+        if not ym.any() or not xm.any():
+            return None
+        ys, xs = yy[ym], xx[xm]
+        vals = np.stack([arrs[b][np.ix_(ym, xm)].ravel() for b in bands])  # (nb, n)
+        gx_, gy_ = np.meshgrid(xs, ys)
+        px = gx_.ravel().astype(np.float64)
+        py = gy_.ravel().astype(np.float64)
+        if sn is not None and (do_skip or do_replace):
+            is_nd = np.ones(vals.shape[1], dtype=bool)
+            for i in range(len(bands)):
+                is_nd &= vals[i] == sn[min(i, sn.size - 1)]
+            if do_skip:
+                keep = ~is_nd
+                vals = vals[:, keep]
+                px, py = px[keep], py[keep]
+            elif do_replace:
+                for i in range(len(bands)):
+                    vals[i] = np.where(is_nd, dn[min(i, dn.size - 1)], vals[i])
+        if px.size == 0:
+            return None
+        cols = {
+            "geo_x": g0 + (px + 0.5) * g1 + (py + 0.5) * g2,
+            "geo_y": g3 + (px + 0.5) * g4 + (py + 0.5) * g5,
+        }
+        for i, b in enumerate(bands):
+            cols[f"b{b}"] = vals[i]
+        return pd.DataFrame(cols)
+
+    if len(bands) == 1:
+        b0 = bands[0]
+
+        def _single(batches):
+            for pdf in batches:
+                out = []
+                for r in pdf.itertuples(index=False):
+                    if int(r.band) != b0:
+                        continue
+                    a = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w).astype(np.float64)
+                    df = _rows({b0: a}, int(r.ty), int(r.tx), int(r.h), int(r.w))
+                    if df is not None:
+                        out.append(df)
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+        return tiles.mapInPandas(_single, out_schema)
+
+    def _multi(key, pdf):
+        ty, tx = int(key[0]), int(key[1])
+        arrs = {}
+        h = w = 0
+        for r in pdf.itertuples(index=False):
+            if int(r.band) in bands:
+                arrs[int(r.band)] = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w).astype(np.float64)
+                h, w = int(r.h), int(r.w)
+        if len(arrs) != len(bands):
+            return pd.DataFrame({c.split()[0]: [] for c in out_schema.split(", ")})
+        df = _rows(arrs, ty, tx, h, w)
+        if df is None:
+            return pd.DataFrame({c.split()[0]: [] for c in out_schema.split(", ")})
+        return df
+
+    return tiles.groupBy("ty", "tx").applyInPandas(_multi, out_schema)

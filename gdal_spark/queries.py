@@ -5797,3 +5797,33 @@ def _o_rasterize_invert() -> str:
 
 QUERIES["rasterize_invert"] = q_rasterize_invert
 ORACLES["rasterize_invert"] = _o_rasterize_invert()
+
+
+def q_gdal2xyz(spark, sf_dir):
+    """gdal2xyz (osgeo_utils/gdal2xyz.py): the point-burn raster as
+    center-coordinate XYZ rows with -srcwin 2 1 16 18, decimation
+    -skip 2/3 and -srcnodata 0 skipping — a shuffle-free Arrow pass on
+    the single-band path."""
+    from gdal_spark.operators.raster import gdal2xyz
+
+    out = gdal2xyz(
+        _point_burn_tiles(spark, sf_dir), BYTE20_SPEC,
+        srcwin=(2, 1, 16, 18), skip=(2, 3),
+        src_nodata=[0.0], skip_nodata=True,
+    )
+    return out.select(
+        "geo_x", "geo_y", F.col("b1").cast("bigint").alias("v"),
+    )
+
+
+def _o_gdal2xyz() -> str:
+    return (
+        f"{_pix_cte()} SELECT 440720 + (px + 0.5) * 60 AS geo_x, "
+        "3751320 - (py + 0.5) * 60 AS geo_y, CAST(v AS BIGINT) AS v FROM pix "
+        "WHERE px >= 2 AND px < 18 AND (px - 2) % 2 = 0 "
+        "AND py >= 1 AND py < 19 AND (py - 1) % 3 = 0"
+    )
+
+
+QUERIES["gdal2xyz"] = q_gdal2xyz
+ORACLES["gdal2xyz"] = _o_gdal2xyz()
