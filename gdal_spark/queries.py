@@ -5827,3 +5827,75 @@ def _o_gdal2xyz() -> str:
 
 QUERIES["gdal2xyz"] = q_gdal2xyz
 ORACLES["gdal2xyz"] = _o_gdal2xyz()
+
+
+def _vshift_grid_tiles(spark):
+    """5x5 float64 shift grid over the byte20 extent (res 240), values
+    16*((gx*5 + gy*3) % 8) — exact in binary at every bilinear weight."""
+    from gdal_spark.operators.raster import RasterSpec
+
+    gspec = RasterSpec(width=5, height=5, gt=(440720.0, 240.0, 0.0, 3751320.0, 0.0, -240.0),
+                       dtype="float64", tile_size=5)
+    gx, gy = np.meshgrid(np.arange(5), np.arange(5))
+    grid = (16 * ((gx * 5 + gy * 3) % 8)).astype(np.float64)
+    tiles = spark.createDataFrame(
+        [(1, 0, 0, 5, 5, "float64", grid.tobytes())],
+        "band int, ty int, tx int, h int, w int, dtype string, payload binary",
+    )
+    return tiles, gspec
+
+
+def q_vertical_shift(spark, sf_dir):
+    """GDALApplyVerticalShiftGrid (alg/gdalapplyverticalshiftgrid.cpp):
+    the point-burn DEM plus a coarse 5x5 shift grid bilinearly sampled
+    at every pixel center (GWKBilinearResample4Sample index math,
+    border degrade + in-bounds renormalization). Broadcast-side grid,
+    one shuffle-free Arrow pass. Oracle replays the exact corner
+    weights in SQL."""
+    from gdal_spark.operators.vshift import apply_vertical_shift_grid
+
+    gt_tiles, gspec = _vshift_grid_tiles(spark)
+    out = apply_vertical_shift_grid(
+        _nearblack_input_tiles(spark, sf_dir), BYTE20_SPEC, gt_tiles, gspec
+    )
+    pix = as_features(out, BYTE20_SPEC).filter(F.col("band") == 1)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("value").alias("v_out"),
+    )
+
+
+def _o_vertical_shift() -> str:
+    corners = []
+    for dy, wy in ((0, "ry"), (1, "(1.0 - ry)")):
+        for dx, wx in ((0, "rx"), (1, "(1.0 - rx)")):
+            cx, cy = f"(ix + {dx})", f"(iy + {dy})"
+            ok = f"({cx} >= 0 AND {cx} < 5 AND {cy} >= 0 AND {cy} < 5)"
+            gval = f"CAST(16 * ((({cx})*5 + ({cy})*3) % 8) AS DOUBLE)"
+            corners.append((ok, f"({wx} * {wy})", gval))
+    acc = " + ".join(f"CASE WHEN {ok} THEN {w} * {g} ELSE 0.0 END" for ok, w, g in corners)
+    div = " + ".join(f"CASE WHEN {ok} THEN {w} ELSE 0.0 END" for ok, w, _ in corners)
+    return (
+        f"{_pix_cte()}, "
+        "g2 AS (SELECT x.px, y.py FROM (SELECT unnest(generate_series(0,19)) AS px) x, "
+        "(SELECT unnest(generate_series(0,19)) AS py) y), "
+        "d AS (SELECT g2.px, g2.py, CAST(CASE WHEN p.v IS NOT NULL THEN LEAST(40 + 13*p.v, 200) "
+        "ELSE 250 + ((g2.px*3 + g2.py*7) % 6) END AS DOUBLE) AS v "
+        "FROM g2 LEFT JOIN pix p ON p.px = g2.px AND p.py = g2.py), "
+        # pixel-center grid coords: sx = (px+0.5)*60/240 = (px+0.5)*0.25
+        "c AS (SELECT px, py, v, (px + 0.5) * 0.25 AS sx, (py + 0.5) * 0.25 AS sy FROM d), "
+        "i AS (SELECT *, CAST(floor(sx - 0.5) AS BIGINT) AS ix0, "
+        "CAST(floor(sy - 0.5) AS BIGINT) AS iy0 FROM c), "
+        "j AS (SELECT px, py, v, "
+        "CASE WHEN ix0 = -1 THEN 0 ELSE ix0 END AS ix, "
+        "CASE WHEN iy0 = -1 THEN 0 ELSE iy0 END AS iy, "
+        "CASE WHEN ix0 = -1 THEN 1.0 ELSE 1.5 - (sx - ix0) END AS rx, "
+        "CASE WHEN iy0 = -1 THEN 1.0 ELSE 1.5 - (sy - iy0) END AS ry FROM i) "
+        f"SELECT CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px, "
+        f"v + ({acc}) / ({div}) AS v_out FROM j"
+    )
+
+
+QUERIES["vertical_shift"] = q_vertical_shift
+ORACLES["vertical_shift"] = _o_vertical_shift()
