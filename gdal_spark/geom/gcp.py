@@ -95,3 +95,71 @@ class GCPPipeline:
         if self.geo is not None:
             X, Y = self.geo.inverse(X, Y)
         return self.gcp.inverse(X, Y)
+
+
+_FLT_EPSILON = 1.19209290e-07
+
+
+def refine_gcps(
+    gcps,
+    order: int = 1,
+    tolerance: float = 1.0,
+    minimum_gcps: int | None = None,
+) -> tuple[list[int], GCPTransformer]:
+    """gdal_translate -refine_gcps / GDALCreateGCPRefineTransformer
+    (alg/gdal_crs.cpp:1097-1219 remove_outliers + :1039-1081
+    worst_outlier): iteratively drop the single worst GCP whose
+    forward-transform residual (euclidean, values under FLT_EPSILON
+    clamped to 0, :1068-1071) is >= tolerance, refit, and stop when
+    none qualifies or only minimum_gcps remain. The centering means
+    are computed ONCE from the ORIGINAL set and reused by every refit
+    (:1142-1146 — psInfo means are never recomputed), which this
+    replicates via the fixed_means fit.
+
+    Returns (kept original indices, the refined transformer). GCP
+    lists are driver-sized by construction (the reference holds them
+    in memory too); the refined transformer then feeds the distributed
+    warp/tile path like any GCPPipeline."""
+    g = np.asarray([(p, l, x, y) for p, l, x, y in gcps], dtype=np.float64)
+    n = len(g)
+    need = _N_TERMS[order]
+    if minimum_gcps is None:
+        minimum_gcps = need + 1
+    px, ln, gx, gy = g.T
+    x1m, y1m = px.mean(), ln.mean()
+
+    keep = list(range(n))
+
+    def _fit(idx):
+        a = _terms(px[idx] - x1m, ln[idx] - y1m, order)
+        E, *_ = np.linalg.lstsq(a, gx[idx], rcond=None)
+        N, *_ = np.linalg.lstsq(a, gy[idx], rcond=None)
+        return E, N
+
+    E, N = _fit(keep)
+    while len(keep) > minimum_gcps:
+        t = _terms(px[keep] - x1m, ln[keep] - y1m, order)
+        res = np.hypot(t @ E - gx[keep], t @ N - gy[keep])
+        res = np.where(res < _FLT_EPSILON, 0.0, res)
+        worst = -1
+        diff = -1.0
+        for i, r in enumerate(res):
+            if r > diff and r >= tolerance:
+                diff = r
+                worst = i
+        if worst == -1:
+            break
+        del keep[worst]
+        E, N = _fit(keep)
+
+    refined = GCPTransformer([tuple(g[i]) for i in keep], order=order)
+    # reference refits around the ORIGINAL means (psInfo never updates
+    # them): override both directions accordingly
+    refined.x1_mean, refined.y1_mean = x1m, y1m
+    refined.E12, refined.N12 = E, N
+    x2m, y2m = gx.mean(), gy.mean()
+    a_inv = _terms(gx[keep] - x2m, gy[keep] - y2m, order)
+    refined.x2_mean, refined.y2_mean = x2m, y2m
+    refined.E21, *_ = np.linalg.lstsq(a_inv, px[keep], rcond=None)
+    refined.N21, *_ = np.linalg.lstsq(a_inv, ln[keep], rcond=None)
+    return keep, refined

@@ -5818,8 +5818,8 @@ def q_gdal2xyz(spark, sf_dir):
 
 def _o_gdal2xyz() -> str:
     return (
-        f"{_pix_cte()} SELECT 440720 + (px + 0.5) * 60 AS geo_x, "
-        "3751320 - (py + 0.5) * 60 AS geo_y, CAST(v AS BIGINT) AS v FROM pix "
+        f"{_pix_cte()} SELECT 440720 + (CAST(px AS DOUBLE) + 0.5) * 60 AS geo_x, "
+        "3751320 - (CAST(py AS DOUBLE) + 0.5) * 60 AS geo_y, CAST(v AS BIGINT) AS v FROM pix "
         "WHERE px >= 2 AND px < 18 AND (px - 2) % 2 = 0 "
         "AND py >= 1 AND py < 19 AND (py - 1) % 3 = 0"
     )
@@ -5899,3 +5899,62 @@ def _o_vertical_shift() -> str:
 
 QUERIES["vertical_shift"] = q_vertical_shift
 ORACLES["vertical_shift"] = _o_vertical_shift()
+
+
+def q_refine_gcps(spark, sf_dir):
+    """gdal_translate -refine_gcps (alg/gdal_crs.cpp remove_outliers):
+    doc points as GCPs under an exact integer affine geo = (2px + 3py
+    + 10, -px + 4py + 100), with the lowest-doc_id GCP displaced by
+    +1e6 — the gross outlier. The loop must remove exactly that GCP
+    (its LS residual dominates every inlier's leverage residual), then
+    the refit is the exact affine and no residual reaches tolerance.
+    Output: kept GCPs with the refined forward transform, rounded to
+    integers (the fit recovers the integer affine to ~1e-10)."""
+    from gdal_spark.geom.gcp import refine_gcps
+
+    g = docs_geom(spark, sf_dir)
+    pts = (
+        g.filter(
+            F.col("geom_error").isNull()
+            & (F.col("env_minx") == F.col("env_maxx"))
+            & (F.col("_id") % 13 == 0)
+        )
+        .select(F.col("_id").alias("doc_id"), F.col("env_minx").alias("x"), F.col("env_miny").alias("y"))
+        .collect()
+    )
+    pts = sorted((int(r["doc_id"]), float(r["x"]), float(r["y"])) for r in pts)
+    outlier_id = pts[0][0]
+    gcps = []
+    ids = []
+    for doc_id, x, y in pts:
+        geo_x = 2 * x + 3 * y + 10
+        geo_y = -x + 4 * y + 100
+        if doc_id == outlier_id:
+            geo_x += 1e6
+        gcps.append((x, y, geo_x, geo_y))
+        ids.append(doc_id)
+    keep, tr = refine_gcps(gcps, order=1, tolerance=5.0)
+    kept_ids = [ids[i] for i in keep]
+    fx, fy = tr.forward([gcps[i][0] for i in keep], [gcps[i][1] for i in keep])
+    rows = [
+        (int(d), int(round(float(a))), int(round(float(b))))
+        for d, a, b in zip(kept_ids, fx, fy)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, fx long, fy long")
+
+
+def _o_refine_gcps() -> str:
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "p AS (SELECT doc_id, gx AS x, gy AS y FROM g "
+        "WHERE valid AND NOT is_poly AND doc_id % 13 = 0), "
+        "o AS (SELECT MIN(doc_id) AS oid FROM p) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(2*x + 3*y + 10 AS BIGINT) AS fx, "
+        "CAST(-x + 4*y + 100 AS BIGINT) AS fy "
+        "FROM p, o WHERE doc_id <> o.oid"
+    )
+
+
+QUERIES["refine_gcps"] = q_refine_gcps
+ORACLES["refine_gcps"] = _o_refine_gcps()
