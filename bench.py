@@ -278,6 +278,46 @@ def main() -> None:
     timed("viewshed_sweep", _viewshed_sweep)
     dem.unpersist()
 
+    # q4e: nearblack over an 8192^2 byte raster (32x32 tiles, 32
+    # column/row strips per stage): the four-strip-shuffle scan
+    # pattern — shuffle volume == raster bytes per stage, vector state
+    # machines across the perpendicular axis inside each strip
+    from gdal_spark.operators.nearblack import nearblack
+
+    nb_spec = RasterSpec(
+        width=8192, height=8192, gt=(0.0, 1.0, 0.0, 8192.0, 0.0, -1.0),
+        dtype="uint8", nbands=1, tile_size=256,
+    )
+
+    def _mk_nb(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                ty, tx = int(r.ty), int(r.tx)
+                rng = np.random.default_rng(ty * 32 + tx + 7)
+                # content block in the middle 3/4, near-black collar
+                t = rng.integers(0, 12, (256, 256)).astype(np.uint8)
+                if 4 <= ty < 28 and 4 <= tx < 28:
+                    t = rng.integers(40, 255, (256, 256)).astype(np.uint8)
+                rows.append({"band": 1, "ty": ty, "tx": tx, "h": 256, "w": 256,
+                             "dtype": "uint8", "payload": t.tobytes()})
+            yield pd.DataFrame(rows)
+
+    nb_src = (
+        spark.range(1024)
+        .select((F.col("id") % 32).cast("int").alias("tx"), (F.col("id") / 32).cast("int").alias("ty"))
+        .mapInPandas(_mk_nb, TILE_SCHEMA)
+        .persist()
+    )
+    nb_src.count()
+
+    def _nearblack() -> None:
+        n = nearblack(nb_src, nb_spec, near=15, max_non_black=2).count()
+        assert n == 1024
+
+    timed("nearblack", _nearblack)
+    nb_src.unpersist()
+
     # q5: grid-pruned kNN of 10 query centers against all docs
     timed("knn_centers", lambda: q_knn_centers(spark, sf_dir).collect())
 

@@ -104,9 +104,13 @@ def _vscan(
     counts = np.zeros(w, dtype=np.int32)
     out_counts = np.empty((H, w), dtype=np.uint8)
     rows = range(H - 1, -1, -1) if bottom_up else range(H)
+    # the scan writes only the row it is visiting, so the non-black
+    # test over the whole strip can vectorize up front (one pass over
+    # all pixels) instead of per row
+    nbm = _nonblack(arr.reshape(nb_, H * w), colors, near).reshape(H, w)
     for edge_dist, r in enumerate(rows):
         act = counts <= max_nb
-        nb = _nonblack(arr[:, r, :], colors, near)
+        nb = nbm[r]
         counts = counts + (act & nb)
         if max_nb > 0 and edge_dist == 0:
             # valid value on the very first scanned row terminates the
@@ -141,8 +145,11 @@ def _hscan(
     istart = 0 if left_to_right else W - 1
     do_test = np.ones(h, dtype=bool)
     nnb = np.zeros(h, dtype=np.int32)
+    # columns ahead of the cursor are never modified by the scan, so
+    # the non-black test vectorizes over the whole strip up front
+    nbm = _nonblack(arr.reshape(nb_, h * W), colors, near).reshape(h, W)
     for x in xs:
-        nb = _nonblack(arr[:, :, x], colors, near)
+        nb = nbm[:, x]
         cz = counts[:, x].astype(np.int32)
         # grey-area rule (:695-698): a non-black pixel inherits the
         # column count when that count is still <= max, else the run
@@ -193,15 +200,17 @@ def nearblack(
     alpha_band = nbands + 1
 
     spark = tiles.sparkSession
-    # densify: absent tiles are init-valued
-    sk = spark.range(nty * ntx * nbands).selectExpr(
-        f"cast(id % {nbands} + 1 as int) as band",
-        f"cast(id div {ntx * nbands} as int) as ty",
-        f"cast(id div {nbands} % {ntx} as int) as tx",
+    # densify at zero cost: strip assembly init-fills missing tiles,
+    # so sparseness only matters when an ENTIRE strip has no tiles —
+    # one null-payload seed row per tile-column guarantees every
+    # groupBy(tx) group exists (no skeleton join: that would shuffle
+    # the whole raster an extra time)
+    seeds = spark.range(ntx).selectExpr(
+        "cast(-1 as int) as band", "cast(0 as int) as ty", "cast(id as int) as tx",
+        "cast(0 as int) as h", "cast(0 as int) as w",
+        "cast(null as string) as dtype", "cast(null as binary) as payload",
     )
-    dense = sk.join(
-        tiles.select("band", "ty", "tx", "payload"), ["band", "ty", "tx"], "left"
-    )
+    dense = tiles.select("band", "ty", "tx", "h", "w", "dtype", "payload").unionByName(seeds)
 
     def _strip_cols(pdf: pd.DataFrame, want_alpha: bool, want_counts: bool, txx: int):
         """(nbands, H, w) strip + optional alpha/counts from tile rows."""
