@@ -5958,3 +5958,93 @@ def _o_refine_gcps() -> str:
 
 QUERIES["refine_gcps"] = q_refine_gcps
 ORACLES["refine_gcps"] = _o_refine_gcps()
+
+
+def q_gdalmove(spark, sf_dir):
+    """gdalmove (osgeo_utils/gdalmove.py): re-georeference a rotated
+    frame (origin derived from the valid-doc count) through a
+    nonlinear quadratic warp — transform the 4 corners + center, fit
+    the exact UL/UR/LL affine, report per-point adjusted geo, geo
+    error and pixel error through GDALInvGeoTransform. The quadratic
+    stands in for a projection so both engines evaluate identical
+    add/mul chains (libm trig differs by 1 ulp between numpy and
+    DuckDB, which the error subtraction would amplify; the trig
+    projections themselves are oracled by gcp_transform /
+    datum_shift / geodesic_metrics). The UL/UR/LL errors must come
+    out exactly 0; the center/LR errors expose the nonlinearity,
+    exactly as the reference's own comment predicts."""
+    import numpy as np
+
+    from gdal_spark.operators.gdalmove import move_geotransform
+
+    def quad(xs, ys):
+        x = np.asarray(xs, dtype=np.float64)
+        y = np.asarray(ys, dtype=np.float64)
+        return (
+            x * 100.0 + 0.5 * x * x - 0.25 * x * y,
+            y * 100.0 + 0.125 * y * y + 0.0625 * x * y,
+        )
+
+    g = docs_geom(spark, sf_dir)
+    n = g.filter(
+        F.col("geom_error").isNull() & (F.col("env_minx") == F.col("env_maxx"))
+    ).count()
+    lon0 = -120.0 + (n % 10) * 0.25
+    lat0 = 35.0 + (n % 7) * 0.125
+    gt = (lon0, 0.01, 0.0002, lat0, 0.0003, -0.01)
+    _, report, updated = move_geotransform(20, 20, gt, quad)
+    assert updated
+    rows = [
+        (r.corner_id, r.adj_x, r.adj_y, r.err_x, r.err_y, r.err_px, r.err_py)
+        for r in report
+    ]
+    return spark.createDataFrame(
+        rows,
+        "corner_id long, adj_x double, adj_y double, err_x double, "
+        "err_y double, err_px double, err_py double",
+    )
+
+
+def _o_gdalmove() -> str:
+    # the quadratic warp, op-for-op as the Spark-side closure
+    def wx(x):
+        return f"{x} * 100.0 + 0.5 * {x} * {x} - 0.25 * {x} * sy"
+
+    def wy(y):
+        return f"{y} * 100.0 + 0.125 * {y} * {y} + 0.0625 * sx * {y}"
+
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "nn AS (SELECT COUNT(*) AS n FROM g WHERE valid AND NOT is_poly), "
+        "f AS (SELECT CAST(-120.0 + (n % 10) * 0.25 AS DOUBLE) AS g0, "
+        "CAST(0.01 AS DOUBLE) AS g1, CAST(0.0002 AS DOUBLE) AS g2, "
+        "CAST(35.0 + (n % 7) * 0.125 AS DOUBLE) AS g3, "
+        "CAST(0.0003 AS DOUBLE) AS g4, CAST(-0.01 AS DOUBLE) AS g5 FROM nn), "
+        "pts AS (SELECT * FROM (VALUES (0, 0.0, 0.0), (1, 0.0, 20.0), (2, 20.0, 0.0), "
+        "(3, 20.0, 20.0), (4, 10.0, 10.0)) AS t(cid, px, py)), "
+        # source-frame geo of each control point, then webmercator
+        "sg AS (SELECT cid, px, py, g0 + px*g1 + py*g2 AS sx, g3 + px*g4 + py*g5 AS sy FROM pts, f), "
+        f"tg AS (SELECT cid, px, py, {wx('sx')} AS tx, {wy('sy')} AS ty FROM sg), "
+        # new GT through UL(0) / UR(2) / LL(1)
+        "ngt AS (SELECT "
+        "(SELECT tx FROM tg WHERE cid = 0) AS n0, "
+        "((SELECT tx FROM tg WHERE cid = 2) - (SELECT tx FROM tg WHERE cid = 0)) / 20 AS n1, "
+        "((SELECT tx FROM tg WHERE cid = 1) - (SELECT tx FROM tg WHERE cid = 0)) / 20 AS n2, "
+        "(SELECT ty FROM tg WHERE cid = 0) AS n3, "
+        "((SELECT ty FROM tg WHERE cid = 2) - (SELECT ty FROM tg WHERE cid = 0)) / 20 AS n4, "
+        "((SELECT ty FROM tg WHERE cid = 1) - (SELECT ty FROM tg WHERE cid = 0)) / 20 AS n5), "
+        # GDALInvGeoTransform general path (multiply by 1/det)
+        "inv AS (SELECT *, 1.0 / (n1*n5 - n2*n4) AS invdet FROM ngt), "
+        "inv2 AS (SELECT *, (n2*n3 - n0*n5) * invdet AS i0, n5 * invdet AS i1, "
+        "-n2 * invdet AS i2, (-n1*n3 + n0*n4) * invdet AS i3, -n4 * invdet AS i4, "
+        "n1 * invdet AS i5 FROM inv) "
+        "SELECT CAST(cid AS BIGINT) AS corner_id, "
+        "n0 + px*n1 + py*n2 AS adj_x, n3 + px*n4 + py*n5 AS adj_y, "
+        "(n0 + px*n1 + py*n2) - tx AS err_x, (n3 + px*n4 + py*n5) - ty AS err_y, "
+        "(i0 + tx*i1 + ty*i2) - px AS err_px, (i3 + tx*i4 + ty*i5) - py AS err_py "
+        "FROM tg, inv2"
+    )
+
+
+QUERIES["gdalmove"] = q_gdalmove
+ORACLES["gdalmove"] = _o_gdalmove()

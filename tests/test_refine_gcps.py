@@ -56,3 +56,55 @@ class TestRefineGCPs:
         ix, iy = tr.inverse(gx[keep], gy[keep])
         np.testing.assert_allclose(ix, px[keep], atol=1e-6)
         np.testing.assert_allclose(iy, ln[keep], atol=1e-6)
+
+
+class TestGdalMove:
+    def test_affine_transform_zero_error(self):
+        from gdal_spark.operators.gdalmove import move_geotransform
+
+        import numpy as np
+
+        def aff(xs, ys):
+            x, y = np.asarray(xs), np.asarray(ys)
+            return 2 * x - y + 5, x + 3 * y - 1
+
+        gt = (10.0, 2.0, 0.5, 20.0, -0.25, -2.0)
+        new_gt, report, updated = move_geotransform(16, 12, gt, aff)
+        assert updated
+        for r in report:
+            assert abs(r.err_x) < 1e-8 and abs(r.err_y) < 1e-8
+            assert abs(r.err_px) < 1e-9 and abs(r.err_py) < 1e-9
+
+    def test_inv_geotransform_paths(self):
+        from gdal_spark.operators.gdalmove import inv_geotransform
+
+        # no-rotation special path
+        inv = inv_geotransform((100.0, 2.0, 0.0, 50.0, 0.0, -4.0))
+        assert inv == (-50.0, 0.5, 0.0, 12.5, 0.0, -0.25)
+        # rotated general path round-trips
+        gt = (5.0, 1.5, 0.3, -2.0, -0.2, -1.1)
+        inv = inv_geotransform(gt)
+        x, y = 7.25, -3.5
+        gx = gt[0] + x * gt[1] + y * gt[2]
+        gy = gt[3] + x * gt[4] + y * gt[5]
+        rx = inv[0] + gx * inv[1] + gy * inv[2]
+        ry = inv[3] + gx * inv[4] + gy * inv[5]
+        assert abs(rx - x) < 1e-12 and abs(ry - y) < 1e-12
+        # singular
+        assert inv_geotransform((0.0, 1.0, 1.0, 0.0, 1.0, 1.0)) is None
+
+    def test_pixel_threshold_gates_update(self):
+        from gdal_spark.operators.gdalmove import move_geotransform
+
+        import numpy as np
+
+        def quad(xs, ys):
+            x, y = np.asarray(xs, float), np.asarray(ys, float)
+            return x + 0.05 * x * x, y
+
+        _, _, updated = move_geotransform(100, 100, (0, 1, 0, 0, 0, -1), quad,
+                                          pixel_threshold=0.1)
+        assert not updated
+        _, _, updated2 = move_geotransform(100, 100, (0, 1, 0, 0, 0, -1), quad,
+                                           pixel_threshold=1e9)
+        assert updated2
