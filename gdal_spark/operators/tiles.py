@@ -1252,12 +1252,62 @@ def raster_tile(
     return out
 
 
+def _overview_mode_2x2(t: np.ndarray) -> np.ndarray:
+    """GDALResampleChunk_Mode for the 2x downsample case
+    (gcore/overview.cpp:2283+): the winner is the first value to REACH
+    the maximum count in row-major scan order (strict-> updates only)
+    — pair priority (a==b), (a==c), (b==c), (a==d), (b==d), (c==d),
+    else a, for the block [[a, b], [c, d]]."""
+    a = t[0::2, 0::2]
+    b = t[0::2, 1::2]
+    c = t[1::2, 0::2]
+    d = t[1::2, 1::2]
+    return np.select(
+        [a == b, a == c, b == c, a == d, b == d, c == d],
+        [a, a, b, a, b, c],
+        default=a,
+    ).astype(t.dtype)
+
+
+def _overview_rms_2x2(t: np.ndarray) -> np.ndarray:
+    """RMS 2x downsample: ComputeIntegerRMS_4values for Byte
+    (overview.cpp:315-331: (ss+1)/4, float32 sqrt, rms*(rms+1) < s1
+    correction) and UInt16 (:334-349: ss*0.25 double, +0.25 in the
+    correction); floats take the plain sqrt(mean of squares)."""
+    x = t.astype(np.float64) if not np.issubdtype(t.dtype, np.integer) else t.astype(np.int64)
+    ss = (
+        x[0::2, 0::2] * x[0::2, 0::2]
+        + x[0::2, 1::2] * x[0::2, 1::2]
+        + x[1::2, 0::2] * x[1::2, 0::2]
+        + x[1::2, 1::2] * x[1::2, 1::2]
+    )
+    if t.dtype == np.uint8:
+        s1 = (ss + 1) // 4
+        r = np.sqrt(s1.astype(np.float32)).astype(np.int64)
+        r = r + (r * (r + 1) < s1)
+        return r.astype(np.uint8)
+    if t.dtype == np.uint16:
+        sdw = ss.astype(np.float64) * 0.25
+        r = np.sqrt(sdw).astype(np.int64)
+        r = r + (r * (r + 1) < (sdw + 0.25).astype(np.int64))
+        return r.astype(np.uint16)
+    if np.issubdtype(t.dtype, np.integer):
+        sdw = ss.astype(np.float64) / 4.0
+        r = np.sqrt(sdw).astype(np.int64)
+        r = r + ((2 * r * (r + 1) + 1).astype(np.float64) < 2 * sdw)
+        return r.astype(t.dtype)
+    return np.sqrt(ss / 4.0).astype(t.dtype)
+
+
 def overview_level(tiles: DataFrame, resampling: str = "average", tile_size: int = 256) -> DataFrame:
     """One pyramid level up: parent (z-1, tx//2, ty//2) from <=4
     children, each child 2x-downsampled into its quadrant.
     NEAREST: src = 2*i (overview.cpp:127 int(0.5 + i*2) == 2i).
     AVERAGE: integer (sum+2)/4 (overview.cpp:1425-1430); alpha band
-    averages too (GDAL averages alpha like data)."""
+    averages too (GDAL averages alpha like data).
+    MODE / RMS: see _overview_mode_2x2 / _overview_rms_2x2 (gdaladdo
+    -r mode / rms). GAUSS needs a 1-px halo across parent boundaries
+    (kernel 3x3) — not implemented; use the focal machinery."""
     child = tiles.select(
         (F.col("z") - 1).alias("z"),
         (F.col("tx") / 2).cast("int").alias("tx"),
@@ -1278,6 +1328,10 @@ def overview_level(tiles: DataFrame, resampling: str = "average", tile_size: int
             t = np.frombuffer(r["payload"], dtype=r["dtype"]).reshape(tile_size, tile_size)
             if resampling == "near":
                 small = t[::2, ::2]
+            elif resampling == "mode":
+                small = _overview_mode_2x2(t)
+            elif resampling == "rms":
+                small = _overview_rms_2x2(t)
             else:
                 s = (
                     t[0::2, 0::2].astype(np.int64)

@@ -6048,3 +6048,72 @@ def _o_gdalmove() -> str:
 
 QUERIES["gdalmove"] = q_gdalmove
 ORACLES["gdalmove"] = _o_gdalmove()
+
+
+def q_overview_mode_rms(spark, sf_dir):
+    """gdaladdo -r mode / -r rms (gcore/overview.cpp
+    GDALResampleChunk_Mode :2283+ first-to-reach-max tie rule;
+    ComputeIntegerRMS_4values :315-331 byte path): the dense point-burn
+    raster downsampled 2x with both resamplers, value-exact per parent
+    pixel. The oracle replays the tie cascade and the integer-corrected
+    float32 sqrt in SQL."""
+    from gdal_spark.operators.retile import retile
+    from gdal_spark.operators.tiles import overview_level
+
+    t20 = (
+        retile(_point_burn_tiles(spark, sf_dir), BYTE20_SPEC, 20)
+        .withColumn("z", F.lit(1))
+        .select("z", "tx", "ty", "band", "dtype", "payload")
+    )
+
+    def _explode(colname):
+        def _f(batches):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    t = np.frombuffer(r.payload, dtype=r.dtype).reshape(20, 20)
+                    for py in range(10):
+                        for px in range(10):
+                            rows.append({"py": py, "px": px, colname: int(t[py, px])})
+                yield pd.DataFrame(rows)
+
+        return _f
+
+    m = overview_level(t20, "mode", tile_size=20).mapInPandas(
+        _explode("v_mode"), "py long, px long, v_mode long"
+    )
+    r = overview_level(t20, "rms", tile_size=20).mapInPandas(
+        _explode("v_rms"), "py long, px long, v_rms long"
+    )
+    return m.join(r, ["py", "px"]).select("py", "px", "v_mode", "v_rms")
+
+
+def _o_overview_mode_rms() -> str:
+    return (
+        f"{_pix_cte()}, "
+        "g2 AS (SELECT x.px, y.py FROM (SELECT unnest(generate_series(0,19)) AS px) x, "
+        "(SELECT unnest(generate_series(0,19)) AS py) y), "
+        "d AS (SELECT g2.px, g2.py, COALESCE(p.v, 0) AS v "
+        "FROM g2 LEFT JOIN pix p ON p.px = g2.px AND p.py = g2.py), "
+        "blk AS (SELECT pp.px, pp.py, "
+        "(SELECT v FROM d WHERE d.py = 2*pp.py AND d.px = 2*pp.px) AS a, "
+        "(SELECT v FROM d WHERE d.py = 2*pp.py AND d.px = 2*pp.px + 1) AS b, "
+        "(SELECT v FROM d WHERE d.py = 2*pp.py + 1 AND d.px = 2*pp.px) AS c, "
+        "(SELECT v FROM d WHERE d.py = 2*pp.py + 1 AND d.px = 2*pp.px + 1) AS e "
+        "FROM (SELECT x.px, y.py FROM (SELECT unnest(generate_series(0,9)) AS px) x, "
+        "(SELECT unnest(generate_series(0,9)) AS py) y) pp), "
+        "mo AS (SELECT px, py, "
+        "CASE WHEN a = b THEN a WHEN a = c THEN a WHEN b = c THEN b "
+        "WHEN a = e THEN a WHEN b = e THEN b WHEN c = e THEN c ELSE a END AS v_mode, "
+        "(a*a + b*b + c*c + e*e + 1) // 4 AS s1 FROM blk), "
+        "rm AS (SELECT px, py, v_mode, "
+        "CAST(floor(sqrt(CAST(s1 AS DOUBLE))) AS BIGINT) AS r0, s1 FROM mo) "
+        "SELECT CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px, "
+        "CAST(v_mode AS BIGINT) AS v_mode, "
+        "CAST(r0 + CASE WHEN r0 * (r0 + 1) < s1 THEN 1 ELSE 0 END AS BIGINT) AS v_rms "
+        "FROM rm"
+    )
+
+
+QUERIES["overview_mode_rms"] = q_overview_mode_rms
+ORACLES["overview_mode_rms"] = _o_overview_mode_rms()

@@ -44,3 +44,56 @@ def test_retile_sparse_fills_init(spark):
     # target tiles fully inside the dropped region are absent, not zero-filled
     keys = {(r["ty"], r["tx"]) for r in t10.select("ty", "tx").collect()}
     assert keys == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+
+class TestOverviewModeRMS:
+    def test_mode_first_to_reach_max(self):
+        import numpy as np
+
+        from gdal_spark.operators.tiles import _overview_mode_2x2
+
+        def scalar(block):
+            counts = {}
+            best, bestc = None, 0
+            for v in block:  # row-major a, b, c, d
+                counts[v] = counts.get(v, 0) + 1
+                if counts[v] > bestc:
+                    best, bestc = v, counts[v]
+            return best
+
+        rng = np.random.default_rng(8)
+        t = rng.integers(0, 4, (16, 16)).astype(np.uint8)
+        got = _overview_mode_2x2(t)
+        for py in range(8):
+            for px in range(8):
+                block = [t[2 * py, 2 * px], t[2 * py, 2 * px + 1],
+                         t[2 * py + 1, 2 * px], t[2 * py + 1, 2 * px + 1]]
+                assert got[py, px] == scalar(block), (py, px, block)
+
+    def test_rms_byte_reference_formula(self):
+        import numpy as np
+
+        from gdal_spark.operators.tiles import _overview_rms_2x2
+
+        rng = np.random.default_rng(9)
+        t = rng.integers(0, 256, (20, 20)).astype(np.uint8)
+        got = _overview_rms_2x2(t)
+        for py in range(10):
+            for px in range(10):
+                vals = [int(t[2 * py, 2 * px]), int(t[2 * py, 2 * px + 1]),
+                        int(t[2 * py + 1, 2 * px]), int(t[2 * py + 1, 2 * px + 1])]
+                ss = sum(v * v for v in vals)
+                s1 = (ss + 1) // 4
+                r = int(np.sqrt(np.float32(s1)))
+                if r * (r + 1) < s1:
+                    r += 1
+                assert got[py, px] == r
+
+    def test_rms_float(self):
+        import numpy as np
+
+        from gdal_spark.operators.tiles import _overview_rms_2x2
+
+        t = np.array([[3.0, 4.0], [0.0, 0.0]])
+        got = _overview_rms_2x2(t)
+        assert got[0, 0] == np.sqrt(25.0 / 4.0)
