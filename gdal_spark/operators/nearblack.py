@@ -417,3 +417,164 @@ def nearblack_scalar(
         process_line(line, counts, 0, W - 1, max_non_black, True, True, H - 1 - r, aline)
         process_line(line, counts, W - 1, 0, max_non_black, False, True, H - 1 - r, aline)
     return out.astype(np.uint8), None if alpha is None else alpha.astype(np.uint8)
+
+
+def nearblack_floodfill(
+    tiles: DataFrame,
+    spec: RasterSpec,
+    white: bool = False,
+    colors: list[tuple[int, ...]] | None = None,
+    near: int = 15,
+    set_alpha: bool = False,
+) -> DataFrame:
+    """nearblack -alg floodfill (apps/nearblack_lib_floodfill.cpp):
+    replace every near-color pixel 4-connected to the image border
+    through near-color pixels (Fill seeds = all border pixels,
+    Process :423-438; MustSet = the same any-color-within-near test
+    :60-95; -nb is not consulted by this algorithm). The reference
+    runs a scanline flood with a backtrack window; connectivity is the
+    semantics, so the distributed form is the polygonize/sieve
+    2-phase: per-tile connected-component labeling + boundary strips,
+    a driver union-find across tile seams (state O(tile perimeters +
+    components), never pixels), then a broadcast fill-set and one
+    rewrite pass. Deterministic local labeling makes the second pass
+    recompute identical labels instead of shipping label rasters."""
+    if spec.dtype != "uint8":
+        raise NotImplementedError("nearblack operates on Byte rasters")
+    import pickle
+
+    from gdal_spark.operators.polygonize import label_components
+
+    nbands = spec.nbands
+    cols = colors if colors else _default_colors(white, nbands)
+    if any(len(c) != nbands for c in cols):
+        raise ValueError("each color must have one value per band")
+    rep = _replace_value(cols)
+    ts = spec.tile_size
+    W, H = spec.width, spec.height
+    nty, ntx = spec.ntiles_y, spec.ntiles_x
+    init = int(spec.init)
+    alpha_band = nbands + 1
+    spark = tiles.sparkSession
+
+    seeds = spark.range(nty * ntx).selectExpr(
+        "cast(-1 as int) as band",
+        f"cast(id div {ntx} as int) as ty", f"cast(id % {ntx} as int) as tx",
+        "cast(0 as int) as h", "cast(0 as int) as w",
+        "cast(null as string) as dtype", "cast(null as binary) as payload",
+    )
+    dense = tiles.select("band", "ty", "tx", "h", "w", "dtype", "payload").unionByName(seeds)
+
+    def _assemble(key, pdf):
+        ty, tx = int(key[0]), int(key[1])
+        h = min(ts, H - ty * ts)
+        w = min(ts, W - tx * ts)
+        arr = np.full((nbands, h, w), init, dtype=np.uint8)
+        for r in pdf.itertuples(index=False):
+            if r.payload is None:
+                continue
+            b = int(r.band)
+            if 1 <= b <= nbands:
+                arr[b - 1] = np.frombuffer(r.payload, dtype=np.uint8).reshape(h, w)
+        return ty, tx, h, w, arr
+
+    def _near_and_labels(arr):
+        nbm = _nonblack(arr.reshape(arr.shape[0], -1), cols, near).reshape(arr.shape[1:])
+        nearm = ~nbm
+        labels = label_components(np.zeros_like(nearm, dtype=np.int64), nearm, connect=4)
+        return nearm, labels
+
+    # phase 1: per-tile summaries (boundary label strips + border hits)
+    def _summarize(key, pdf):
+        ty, tx, h, w, arr = _assemble(key, pdf)
+        _, labels = _near_and_labels(arr)
+        edges = {
+            "t": labels[0, :].astype(np.int64),
+            "b": labels[h - 1, :].astype(np.int64),
+            "l": labels[:, 0].astype(np.int64),
+            "r": labels[:, w - 1].astype(np.int64),
+        }
+        border: set[int] = set()
+        if ty == 0:
+            border.update(int(v) for v in edges["t"] if v > 0)
+        if ty == nty - 1:
+            border.update(int(v) for v in edges["b"] if v > 0)
+        if tx == 0:
+            border.update(int(v) for v in edges["l"] if v > 0)
+        if tx == ntx - 1:
+            border.update(int(v) for v in edges["r"] if v > 0)
+        blob = pickle.dumps((edges, sorted(border)))
+        return pd.DataFrame([{"ty": ty, "tx": tx, "blob": blob}])
+
+    summaries = dense.groupBy("ty", "tx").applyInPandas(
+        _summarize, "ty int, tx int, blob binary"
+    ).collect()
+
+    # driver merge: union-find over (tile, local label) across seams
+    import pickle as _p
+
+    info = {(r["ty"], r["tx"]): _p.loads(r["blob"]) for r in summaries}
+    parent: dict[tuple[int, int, int], tuple[int, int, int]] = {}
+
+    def find(a):
+        root = a
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(a, a) != a:
+            parent[a], a = root, parent[a]
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for (ty, tx), (edges, _) in info.items():
+        if (ty, tx + 1) in info:
+            other = info[(ty, tx + 1)][0]
+            for i in range(len(edges["r"])):
+                a, b = int(edges["r"][i]), int(other["l"][i])
+                if a > 0 and b > 0:
+                    union((ty, tx, a), (ty, tx + 1, b))
+        if (ty + 1, tx) in info:
+            other = info[(ty + 1, tx)][0]
+            for i in range(len(edges["b"])):
+                a, b = int(edges["b"][i]), int(other["t"][i])
+                if a > 0 and b > 0:
+                    union((ty, tx, a), (ty + 1, tx, b))
+
+    fill_roots = set()
+    for (ty, tx), (_, border) in info.items():
+        for lab in border:
+            fill_roots.add(find((ty, tx, lab)))
+    fill_local: dict[tuple[int, int], set[int]] = {}
+    for (ty, tx), (edges, border) in info.items():
+        labs = set(border)
+        for e in edges.values():
+            labs.update(int(v) for v in e if v > 0)
+        # interior-only components can't reach the border; only
+        # edge-visible + border labels need the root test
+        keep = {lab for lab in labs if find((ty, tx, lab)) in fill_roots}
+        if keep:
+            fill_local[(ty, tx)] = keep
+
+    bc = spark.sparkContext.broadcast(fill_local)
+
+    # phase 2: rewrite (labels recomputed deterministically)
+    def _rewrite(key, pdf):
+        ty, tx, h, w, arr = _assemble(key, pdf)
+        _, labels = _near_and_labels(arr)
+        fills = bc.value.get((ty, tx), set())
+        m = np.isin(labels, sorted(fills)) if fills else np.zeros((h, w), dtype=bool)
+        arr[:, m] = rep
+        rows = []
+        for b in range(nbands):
+            rows.append({"band": b + 1, "ty": ty, "tx": tx, "h": h, "w": w,
+                         "dtype": "uint8", "payload": arr[b].tobytes()})
+        if set_alpha:
+            alpha = np.where(m, 0, 255).astype(np.uint8)
+            rows.append({"band": alpha_band, "ty": ty, "tx": tx, "h": h, "w": w,
+                         "dtype": "uint8", "payload": alpha.tobytes()})
+        return pd.DataFrame(rows)
+
+    return dense.groupBy("ty", "tx").applyInPandas(_rewrite, TILE_SCHEMA)

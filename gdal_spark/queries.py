@@ -6117,3 +6117,61 @@ def _o_overview_mode_rms() -> str:
 
 QUERIES["overview_mode_rms"] = q_overview_mode_rms
 ORACLES["overview_mode_rms"] = _o_overview_mode_rms()
+
+
+def q_nearblack_flood(spark, sf_dir):
+    """nearblack -alg floodfill -white (apps/
+    nearblack_lib_floodfill.cpp): replace near-white pixels
+    4-connected to the border of the dense point-burn raster —
+    per-tile CC labeling + driver seam union-find (O(perimeters)
+    state) + broadcast fill-set rewrite. Unlike the twopasses
+    algorithm, enclosed near-white holes inside content survive. The
+    oracle floods with a recursive CTE."""
+    from gdal_spark.operators.nearblack import nearblack_floodfill
+
+    out = nearblack_floodfill(
+        _nearblack_input_tiles(spark, sf_dir), BYTE20_SPEC,
+        white=True, near=5, set_alpha=True,
+    )
+    cs = checksum_col(out, BYTE20_SPEC)
+    pix = as_features(out, BYTE20_SPEC)
+    sums = pix.groupBy("band").agg(F.sum(F.col("value").cast("bigint")).alias("sum_v"))
+    return cs.join(sums, "band").select(
+        F.col("band").cast("bigint").alias("band"),
+        F.col("checksum").cast("bigint").alias("checksum"),
+        F.col("sum_v").alias("sum_v"),
+    )
+
+
+def _o_nearblack_flood() -> str:
+    primes = "[7,11,13,17,19,23,29,31,37,41,43]"
+    cksum = lambda col: (
+        f"CAST(SUM({col} % ({primes})[((py * 20 + px) % 11) + 1]) % 65536 AS BIGINT)"
+    )
+    return (
+        f"{_pix_cte()}, "
+        "g2 AS (SELECT x.px, y.py FROM (SELECT unnest(generate_series(0,19)) AS px) x, "
+        "(SELECT unnest(generate_series(0,19)) AS py) y), "
+        "d AS (SELECT g2.px, g2.py, CASE WHEN p.v IS NOT NULL THEN LEAST(40 + 13*p.v, 200) "
+        "ELSE 250 + ((g2.px*3 + g2.py*7) % 6) END AS v "
+        "FROM g2 LEFT JOIN pix p ON p.px = g2.px AND p.py = g2.py), "
+        # 4-connected flood of near-white (v >= 250) pixels from the border
+        "fl AS (WITH RECURSIVE reach(px, py) AS ("
+        "SELECT px, py FROM d WHERE v >= 250 AND (px = 0 OR px = 19 OR py = 0 OR py = 19) "
+        "UNION "
+        "SELECT n.px, n.py FROM d n JOIN reach r "
+        "ON n.v >= 250 AND abs(n.px - r.px) + abs(n.py - r.py) = 1"
+        ") SELECT * FROM reach), "
+        "fin AS (SELECT d.px, d.py, "
+        "CASE WHEN fl.px IS NOT NULL THEN 255 ELSE d.v END AS v6, "
+        "CASE WHEN fl.px IS NOT NULL THEN 0 ELSE 255 END AS a "
+        "FROM d LEFT JOIN fl ON fl.px = d.px AND fl.py = d.py) "
+        f"SELECT CAST(1 AS BIGINT) AS band, {cksum('v6')} AS checksum, "
+        "CAST(SUM(v6) AS BIGINT) AS sum_v FROM fin "
+        f"UNION ALL SELECT CAST(2 AS BIGINT) AS band, {cksum('a')} AS checksum, "
+        "CAST(SUM(a) AS BIGINT) AS sum_v FROM fin"
+    )
+
+
+QUERIES["nearblack_flood"] = q_nearblack_flood
+ORACLES["nearblack_flood"] = _o_nearblack_flood()

@@ -148,3 +148,71 @@ class TestDistributedParity:
         m = _mat(got, spec, 2)
         np.testing.assert_array_equal(m[0], want_out[0])
         np.testing.assert_array_equal(m[1], want_alpha)
+
+
+def _flood_scalar(arr, white=False, colors=None, near=15):
+    """BFS replica of nearblack_lib_floodfill.cpp semantics."""
+    from collections import deque
+
+    from gdal_spark.operators.nearblack import _default_colors, _nonblack, _replace_value
+
+    nbands, h, w = arr.shape
+    cols = colors if colors else _default_colors(white, nbands)
+    rep = _replace_value(cols)
+    nearm = ~_nonblack(arr.reshape(nbands, -1), cols, near).reshape(h, w)
+    seen = np.zeros((h, w), dtype=bool)
+    dq = deque()
+    for x in range(w):
+        for y in (0, h - 1):
+            if nearm[y, x] and not seen[y, x]:
+                seen[y, x] = True
+                dq.append((y, x))
+    for y in range(h):
+        for x in (0, w - 1):
+            if nearm[y, x] and not seen[y, x]:
+                seen[y, x] = True
+                dq.append((y, x))
+    while dq:
+        y, x = dq.popleft()
+        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            ny, nx = y + dy, x + dx
+            if 0 <= ny < h and 0 <= nx < w and nearm[ny, nx] and not seen[ny, nx]:
+                seen[ny, nx] = True
+                dq.append((ny, nx))
+    out = arr.copy()
+    out[:, seen] = rep
+    alpha = np.where(seen, 0, 255).astype(np.uint8)
+    return out, alpha
+
+
+class TestFloodFill:
+    def test_parity_random(self, spark):
+        from gdal_spark.operators.nearblack import nearblack_floodfill
+
+        rng = np.random.default_rng(42)
+        # mostly near-black with content blobs: interior near-black
+        # holes inside content must NOT be filled
+        arr = rng.integers(0, 10, size=(1, 21, 19), dtype=np.uint8)
+        arr[0, 5:16, 4:15] = 200
+        arr[0, 8:11, 7:10] = 3  # enclosed hole — stays
+        spec = _spec(arr, tile_size=7)
+        want_out, want_alpha = _flood_scalar(arr, near=15)
+        got = nearblack_floodfill(_tiles(spark, arr, spec), spec, near=15, set_alpha=True)
+        m = _mat(got, spec, 2)
+        np.testing.assert_array_equal(m[0], want_out[0])
+        np.testing.assert_array_equal(m[1], want_alpha)
+        # the hole really was preserved and the collar really filled
+        assert (m[0][9, 8] == 3) and (m[0][0, 0] == 0)
+
+    def test_parity_white_multiband(self, spark):
+        from gdal_spark.operators.nearblack import nearblack_floodfill
+
+        rng = np.random.default_rng(43)
+        arr = rng.integers(246, 256, size=(3, 13, 17), dtype=np.uint8)
+        arr[:, 4:9, 5:12] = 30
+        spec = _spec(arr, tile_size=5)
+        want_out, want_alpha = _flood_scalar(arr, white=True, near=9)
+        got = nearblack_floodfill(_tiles(spark, arr, spec), spec, white=True, near=9, set_alpha=True)
+        m = _mat(got, spec, 4)
+        np.testing.assert_array_equal(m[:3], want_out)
+        np.testing.assert_array_equal(m[3], want_alpha)
