@@ -1306,8 +1306,8 @@ def overview_level(tiles: DataFrame, resampling: str = "average", tile_size: int
     AVERAGE: integer (sum+2)/4 (overview.cpp:1425-1430); alpha band
     averages too (GDAL averages alpha like data).
     MODE / RMS: see _overview_mode_2x2 / _overview_rms_2x2 (gdaladdo
-    -r mode / rms). GAUSS needs a 1-px halo across parent boundaries
-    (kernel 3x3) — not implemented; use the focal machinery."""
+    -r mode / rms). GAUSS (1-px cross-parent halo) lives in
+    overview_gauss below."""
     child = tiles.select(
         (F.col("z") - 1).alias("z"),
         (F.col("tx") / 2).cast("int").alias("tx"),
@@ -1347,6 +1347,112 @@ def overview_level(tiles: DataFrame, resampling: str = "average", tile_size: int
             out[oy : oy + half, ox : ox + half] = small
         return pd.DataFrame(
             [{"z": z, "tx": txx, "ty": tyy, "band": band, "dtype": dt, "payload": out.tobytes()}]
+        )
+
+    return child.groupBy("z", "tx", "ty", "band").applyInPandas(_merge, TILE_OUT_SCHEMA)
+
+
+def overview_gauss(tiles: DataFrame, tile_size: int = 256) -> DataFrame:
+    """gdaladdo -r gauss, 2x case (gcore/overview.cpp
+    GDALResampleChunk_Gauss): dst(i,j) = weighted mean of the 3x3
+    source window rows/cols [2i, 2i+3) under the separable kernel
+    [1,2,1]x[1,2,1], clipped at the raster's bottom/right edge with
+    the weight sum renormalizing (:nSrcYOff2 clamp + nCount); the
+    working buffer is Float64 and the band write converts via
+    GDALCopyWord (copy_word).
+
+    The window leaks 1 px past each parent's 2*tile_size source block,
+    so every child on a parent's TOP/LEFT rim also ships its top row /
+    left column / corner pixel to the parent above / left / diagonal —
+    a perimeter-only halo exchange inside the same groupBy (no second
+    shuffle). A parent with no halo row on a side treats that side as
+    the raster edge (exactly the reference's chunk clamp); sparse
+    pyramids therefore clip at missing neighbors, documented."""
+    half = tile_size // 2
+    ts = tile_size
+
+    def _halo_rows(r):
+        """rows: (z-1, ptx, pty, band, dtype, role, qx, qy, payload)."""
+        t = np.frombuffer(r.payload, dtype=r.dtype).reshape(ts, ts)
+        z, tx, ty, band = int(r.z) - 1, int(r.tx), int(r.ty), int(r.band)
+        out = [
+            {"z": z, "tx": tx // 2, "ty": ty // 2, "band": band, "dtype": r.dtype,
+             "role": 0, "qx": tx % 2, "qy": ty % 2, "payload": r.payload}
+        ]
+        if ty % 2 == 0 and ty > 0:
+            out.append({"z": z, "tx": tx // 2, "ty": ty // 2 - 1, "band": band,
+                        "dtype": r.dtype, "role": 1, "qx": tx % 2, "qy": 0,
+                        "payload": np.ascontiguousarray(t[0, :]).tobytes()})
+        if tx % 2 == 0 and tx > 0:
+            out.append({"z": z, "tx": tx // 2 - 1, "ty": ty // 2, "band": band,
+                        "dtype": r.dtype, "role": 2, "qx": 0, "qy": ty % 2,
+                        "payload": np.ascontiguousarray(t[:, 0]).tobytes()})
+        if ty % 2 == 0 and ty > 0 and tx % 2 == 0 and tx > 0:
+            out.append({"z": z, "tx": tx // 2 - 1, "ty": ty // 2 - 1, "band": band,
+                        "dtype": r.dtype, "role": 3, "qx": 0, "qy": 0,
+                        "payload": t[0:1, 0].tobytes()})
+        return out
+
+    def _explode(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rows.extend(_halo_rows(r))
+            yield pd.DataFrame(
+                rows,
+                columns=["z", "tx", "ty", "band", "dtype", "role", "qx", "qy", "payload"],
+            )
+
+    child = tiles.mapInPandas(
+        _explode,
+        "z int, tx int, ty int, band int, dtype string, role int, qx int, qy int, payload binary",
+    )
+
+    def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        z, txx, tyy, band = (int(key[0]), int(key[1]), int(key[2]), int(key[3]))
+        dt = pdf["dtype"].iloc[0]
+        has_b = (pdf["role"] == 1).any()
+        has_r = (pdf["role"] == 2).any()
+        ar = 2 * ts + (1 if has_b else 0)
+        ac = 2 * ts + (1 if has_r else 0)
+        block = np.zeros((ar, ac), dtype=np.float64)
+        for _, r in pdf.iterrows():
+            role = int(r["role"])
+            if role == 0:
+                t = np.frombuffer(r["payload"], dtype=r["dtype"]).reshape(ts, ts)
+                block[int(r.qy) * ts : int(r.qy) * ts + ts,
+                      int(r.qx) * ts : int(r.qx) * ts + ts] = t
+            elif role == 1:
+                row = np.frombuffer(r["payload"], dtype=r["dtype"])
+                block[2 * ts, int(r.qx) * ts : int(r.qx) * ts + ts] = row
+            elif role == 2:
+                col = np.frombuffer(r["payload"], dtype=r["dtype"])
+                block[int(r.qy) * ts : int(r.qy) * ts + ts, 2 * ts] = col
+            elif role == 3 and has_b and has_r:
+                block[2 * ts, 2 * ts] = np.frombuffer(r["payload"], dtype=r["dtype"])[0]
+        # separable 1-2-1: rows then cols, with bottom/right clipping
+        rs = np.zeros((ar, ts), dtype=np.float64)
+        cx = np.full(ts, 4.0)
+        for j in range(ts):
+            rs[:, j] = block[:, 2 * j] + 2.0 * block[:, 2 * j + 1]
+            if 2 * j + 2 < ac:
+                rs[:, j] += block[:, 2 * j + 2]
+            else:
+                cx[j] = 3.0
+        out = np.zeros((ts, ts), dtype=np.float64)
+        cy = np.full(ts, 4.0)
+        for i in range(ts):
+            out[i] = rs[2 * i] + 2.0 * rs[2 * i + 1]
+            if 2 * i + 2 < ar:
+                out[i] += rs[2 * i + 2]
+            else:
+                cy[i] = 3.0
+        from gdal_spark.operators.raster import copy_word
+
+        res = copy_word(out / (cy[:, None] * cx[None, :]), dt)
+        return pd.DataFrame(
+            [{"z": z, "tx": txx, "ty": tyy, "band": band, "dtype": dt,
+              "payload": res.tobytes()}]
         )
 
     return child.groupBy("z", "tx", "ty", "band").applyInPandas(_merge, TILE_OUT_SCHEMA)

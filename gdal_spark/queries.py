@@ -6175,3 +6175,94 @@ def _o_nearblack_flood() -> str:
 
 QUERIES["nearblack_flood"] = q_nearblack_flood
 ORACLES["nearblack_flood"] = _o_nearblack_flood()
+
+
+def q_overview_gauss(spark, sf_dir):
+    """gdaladdo -r gauss (gcore/overview.cpp GDALResampleChunk_Gauss):
+    the dense point-burn raster, retiled to 5-px tiles so the 2x
+    gauss runs over a 2x2 PARENT grid — interior parents consume the
+    perimeter halo (top rows / left cols / corner pixels shipped to
+    the neighbor parents inside the same groupBy). Per-pixel exact:
+    [1,2,1]^2 kernel, edge-clipped weight renormalization, float64
+    accumulate, GDALCopyWord to byte."""
+    from gdal_spark.operators.retile import retile
+    from gdal_spark.operators.tiles import overview_gauss
+
+    t5 = (
+        retile(_nearblack_burn_dense(spark, sf_dir), BYTE20_SPEC, 5)
+        .withColumn("z", F.lit(1))
+        .select("z", "tx", "ty", "band", "dtype", "payload")
+    )
+    out = overview_gauss(t5, tile_size=5)
+
+    def _explode(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                t = np.frombuffer(r.payload, dtype=r.dtype).reshape(5, 5)
+                for y in range(5):
+                    for x in range(5):
+                        rows.append({"py": int(r.ty) * 5 + y, "px": int(r.tx) * 5 + x,
+                                     "v": int(t[y, x])})
+            yield pd.DataFrame(rows)
+
+    return out.mapInPandas(_explode, "py long, px long, v long")
+
+
+def _nearblack_burn_dense(spark, sf_dir):
+    """Dense burn-count byte raster (zero background) on the byte20
+    grid — the retile source for the overview queries."""
+    spec = BYTE20_SPEC
+    ts = spec.tile_size
+    sk = spark.range(spec.ntiles_y * spec.ntiles_x).selectExpr(
+        f"cast(id div {spec.ntiles_x} as int) as ty",
+        f"cast(id % {spec.ntiles_x} as int) as tx",
+    )
+    burn = _point_burn_tiles(spark, sf_dir).filter(F.col("band") == 1)
+    j = sk.join(burn.select("ty", "tx", "dtype", "payload"), ["ty", "tx"], "left")
+
+    def _mk(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                ty, tx = int(r.ty), int(r.tx)
+                h = min(ts, spec.height - ty * ts)
+                w = min(ts, spec.width - tx * ts)
+                if r.payload is None:
+                    c = np.zeros((h, w), dtype=np.uint8)
+                else:
+                    c = np.frombuffer(r.payload, dtype=r.dtype).reshape(h, w).astype(np.uint8)
+                rows.append({"band": 1, "ty": ty, "tx": tx, "h": h, "w": w,
+                             "dtype": "uint8", "payload": c.tobytes()})
+            yield pd.DataFrame(rows)
+
+    return j.mapInPandas(_mk, TILE_SCHEMA)
+
+
+def _o_overview_gauss() -> str:
+    terms = []
+    cnts = []
+    k = {(0, 0): 1, (0, 1): 2, (0, 2): 1, (1, 0): 2, (1, 1): 4, (1, 2): 2,
+         (2, 0): 1, (2, 1): 2, (2, 2): 1}
+    for (dy, dx), w in k.items():
+        cond = f"(2*pp.py + {dy} < 20 AND 2*pp.px + {dx} < 20)"
+        terms.append(f"CASE WHEN {cond} THEN {w} * (SELECT v FROM d WHERE d.py = 2*pp.py + {dy} AND d.px = 2*pp.px + {dx}) ELSE 0 END")
+        cnts.append(f"CASE WHEN {cond} THEN {w} ELSE 0 END")
+    tot = " + ".join(terms)
+    cnt = " + ".join(cnts)
+    return (
+        f"{_pix_cte()}, "
+        "g2 AS (SELECT x.px, y.py FROM (SELECT unnest(generate_series(0,19)) AS px) x, "
+        "(SELECT unnest(generate_series(0,19)) AS py) y), "
+        "d AS (SELECT g2.px, g2.py, COALESCE(p.v, 0) AS v "
+        "FROM g2 LEFT JOIN pix p ON p.px = g2.px AND p.py = g2.py), "
+        "pp AS (SELECT x.px, y.py FROM (SELECT unnest(generate_series(0,9)) AS px) x, "
+        "(SELECT unnest(generate_series(0,9)) AS py) y) "
+        "SELECT CAST(pp.py AS BIGINT) AS py, CAST(pp.px AS BIGINT) AS px, "
+        f"CAST(floor(CAST(({tot}) AS DOUBLE) / ({cnt}) + 0.5) AS BIGINT) AS v "
+        "FROM pp"
+    )
+
+
+QUERIES["overview_gauss"] = q_overview_gauss
+ORACLES["overview_gauss"] = _o_overview_gauss()

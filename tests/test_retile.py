@@ -97,3 +97,50 @@ class TestOverviewModeRMS:
         t = np.array([[3.0, 4.0], [0.0, 0.0]])
         got = _overview_rms_2x2(t)
         assert got[0, 0] == np.sqrt(25.0 / 4.0)
+
+
+class TestOverviewGauss:
+    def test_gauss_matches_reference_loops(self, spark):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from gdal_spark.operators.raster import copy_word
+        from gdal_spark.operators.tiles import overview_gauss
+
+        rng = np.random.default_rng(12)
+        ts = 8
+        # 4x4 children of 8px -> src 32x32, parents form a 2x2 grid so
+        # interior parents exercise the halo exchange
+        H = W = 32
+        src = rng.integers(0, 256, (H, W)).astype(np.uint8)
+
+        def scalar():
+            oh, ow = H // 2, W // 2
+            out = np.zeros((oh, ow))
+            k = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], dtype=float)
+            for i in range(oh):
+                for j in range(ow):
+                    tot = cnt = 0.0
+                    for dy in range(3):
+                        for dx in range(3):
+                            y, x = 2 * i + dy, 2 * j + dx
+                            if y < H and x < W:
+                                tot += float(src[y, x]) * k[dy, dx]
+                                cnt += k[dy, dx]
+                    out[i, j] = tot / cnt
+            return copy_word(out, "uint8")
+
+        rows = []
+        for ty in range(4):
+            for tx in range(4):
+                rows.append((1, tx, ty, 1, "uint8",
+                             src[ty * ts : ty * ts + ts, tx * ts : tx * ts + ts].tobytes()))
+        tiles = spark.createDataFrame(
+            rows, "z int, tx int, ty int, band int, dtype string, payload binary"
+        )
+        got = np.zeros((16, 16), dtype=np.uint8)
+        for r in overview_gauss(tiles, tile_size=ts).collect():
+            t = np.frombuffer(r.payload, dtype=np.uint8).reshape(ts, ts)
+            got[r.ty * ts : r.ty * ts + ts, r.tx * ts : r.tx * ts + ts] = t
+        np.testing.assert_array_equal(got, scalar())
