@@ -226,6 +226,45 @@ def contour_polygons(
     return dissolve_union(pieces, ["lvl_min", "lvl_max"], wkt_col="wkt", out_col="wkt")
 
 
+def exp_levels(mn: float, mx: float, exp_base: float) -> list[float]:
+    """gdal_contour -e: ExponentialLevelRangeIterator
+    (alg/marching_squares/level_generator.h:225-281): level(i) =
+    base^(i-1) for i >= 1; the range indices come from
+    ceil/floor(ln(v)/ln(base)) with the fudge re-iteration (a bound
+    within 1e-6 of a level is perturbed up and the index recomputed,
+    utility.h:30-43) — which also makes the ceil/floor ulp-robust when
+    a bound sits exactly on a level."""
+    import math
+
+    def level(i: int) -> float:
+        return 0.0 if i <= 0 else exp_base ** (i - 1)
+
+    def fudge(value: float, lvl: float) -> float:
+        return value + 1e-6 if abs(lvl - value) < 1e-6 else value
+
+    ln_b = math.log(exp_base)
+
+    def index1(p: float) -> int:
+        return 1 if p < 1.0 else int(math.ceil(math.log(p) / ln_b) + 1)
+
+    def index2(p: float) -> int:
+        return 0 if p < 1.0 else int(math.floor(math.log(p) / ln_b) + 2)
+
+    if mn > mx:
+        mn, mx = mx, mn
+    i1 = index1(mn)
+    l1 = fudge(mn, level(i1))
+    if l1 > mn:
+        i1 = index1(l1)
+    if mn == mx:
+        return []
+    i2 = index2(mx)
+    l2 = fudge(mx, level(i2))
+    if l2 > mx:
+        i2 = index2(l2)
+    return [level(i) for i in range(i1, i2)]
+
+
 def contour(
     tiles: DataFrame,
     spec: RasterSpec,
@@ -233,13 +272,15 @@ def contour(
     interval: float | None = None,
     base: float = 0.0,
     band: int = 1,
+    exp_base: float | None = None,
 ) -> DataFrame:
     """(level, wkt LINESTRING/MULTILINESTRING) rows. interval mode
     generates levels base + k*interval covering the data range
-    (ContourIntervalGenerator)."""
+    (ContourIntervalGenerator); exp_base mode generates base^k levels
+    (gdal_contour -e, exp_levels above)."""
     ts = spec.tile_size
-    if levels is None and interval is None:
-        raise ValueError("need levels or interval")
+    if levels is None and interval is None and exp_base is None:
+        raise ValueError("need levels, interval, or exp_base")
     if levels is None:
         # driver-side range scan (tiny: one agg over tiles)
         import pyspark.sql.functions as _F
@@ -258,9 +299,12 @@ def contour(
         row = stats.select(_rng("dtype", "payload").alias("r")).agg(
             _F.min("r.min").alias("mn"), _F.max("r.max").alias("mx")
         ).first()
-        k0 = int(np.ceil((row.mn - base) / interval))
-        k1 = int(np.floor((row.mx - base) / interval))
-        levels = [base + k * interval for k in range(k0, k1 + 1)]
+        if exp_base is not None:
+            levels = exp_levels(float(row.mn), float(row.mx), exp_base)
+        else:
+            k0 = int(np.ceil((row.mn - base) / interval))
+            k1 = int(np.floor((row.mx - base) / interval))
+            levels = [base + k * interval for k in range(k0, k1 + 1)]
 
     lv = list(levels)
     halo = _halo_explode(tiles.filter(F.col("band") == band), 1)

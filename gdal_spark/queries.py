@@ -6266,3 +6266,64 @@ def _o_overview_gauss() -> str:
 
 QUERIES["overview_gauss"] = q_overview_gauss
 ORACLES["overview_gauss"] = _o_overview_gauss()
+
+
+def q_contour_exp(spark, sf_dir):
+    """gdal_contour -e 1.5 (marching_squares/level_generator.h
+    ExponentialLevelRangeIterator + the fudge rule): exponential
+    levels 1.5^k spanning the byte20 range, contoured distributed
+    (per-tile marching squares + cross-tile merge). Output: the
+    distinct crossing vertices per level, quantized to 1e-3 — any
+    wrong level set or crossing breaks it."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.contour import contour
+
+    out = contour(byte20_tiles(spark), BYTE20_SPEC, exp_base=1.5)
+
+    def _verts(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                body = r.wkt.split("(", 1)[1].rsplit(")", 1)[0]
+                for part in body.replace("(", "").replace(")", "").split(","):
+                    xs, ys = part.strip().split(" ")
+                    rows.append({
+                        "level_q": int(math.floor(float(r.level) * 1000 + 0.5)),
+                        "qx": int(math.floor(float(xs) * 1000 + 0.5)),
+                        "qy": int(math.floor(float(ys) * 1000 + 0.5)),
+                    })
+            yield pd.DataFrame(rows)
+
+    return (
+        out.mapInPandas(_verts, "level_q long, qx long, qy long")
+        .distinct()
+        .select("level_q", "qx", "qy")
+    )
+
+
+def _o_contour_exp() -> str:
+    lvl_series = (
+        "SELECT power(1.5, k - 1) AS level FROM (SELECT unnest(generate_series("
+        # index1(min): min >= 1 on byte20; fudge no-op (74 far from any 1.5^k)
+        "CAST(ceil(ln((SELECT MIN(v) FROM pixels)) / ln(1.5)) + 1 AS BIGINT), "
+        # range end exclusive: index2(max) - 1
+        "CAST(floor(ln((SELECT MAX(v) FROM pixels)) / ln(1.5)) + 2 - 1 AS BIGINT))) AS k)"
+    )
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)), "
+        f"lv AS ({lvl_series}), "
+        "hc AS (SELECT level, p.px + 0.5 + (level - p.v) / (q.v - p.v) AS x, p.py + 0.5 AS y "
+        "FROM pixels p JOIN pixels q ON q.py = p.py AND q.px = p.px + 1 CROSS JOIN lv "
+        "WHERE (p.v >= level) != (q.v >= level)), "
+        "vc AS (SELECT level, p.px + 0.5 AS x, p.py + 0.5 + (level - p.v) / (q.v - p.v) AS y "
+        "FROM pixels p JOIN pixels q ON q.px = p.px AND q.py = p.py + 1 CROSS JOIN lv "
+        "WHERE (p.v >= level) != (q.v >= level)) "
+        "SELECT DISTINCT CAST(floor(level * 1000 + 0.5) AS BIGINT) AS level_q, "
+        "CAST(floor(x * 1000 + 0.5) AS BIGINT) AS qx, "
+        "CAST(floor(y * 1000 + 0.5) AS BIGINT) AS qy "
+        "FROM (SELECT * FROM hc UNION ALL SELECT * FROM vc)"
+    )
+
+
+QUERIES["contour_exp"] = q_contour_exp
+ORACLES["contour_exp"] = _o_contour_exp()

@@ -144,3 +144,20 @@ class TestOverviewGauss:
             t = np.frombuffer(r.payload, dtype=np.uint8).reshape(ts, ts)
             got[r.ty * ts : r.ty * ts + ts, r.tx * ts : r.tx * ts + ts] = t
         np.testing.assert_array_equal(got, scalar())
+
+
+class TestExpLevels:
+    def test_reference_examples(self):
+        from gdal_spark.operators.contour import exp_levels
+
+        # byte20 range at base 1.5: 1.5^11, 1.5^12, 1.5^13
+        got = exp_levels(74.0, 255.0, 1.5)
+        assert got == [1.5 ** 11, 1.5 ** 12, 1.5 ** 13]
+        # below 1.0 the first index pins to 1 (level 1.0)
+        assert exp_levels(0.2, 5.0, 2.0) == [1.0, 2.0, 4.0]
+        # bound exactly ON a level: fudge pushes past it (min) and
+        # keeps it (max: 8 < 8+1e-6 -> recomputed index includes 8)
+        assert exp_levels(8.0, 100.0, 2.0) == [16.0, 32.0, 64.0]
+        assert exp_levels(1.0, 8.0, 2.0) == [2.0, 4.0, 8.0]
+        # empty when min == max
+        assert exp_levels(5.0, 5.0, 2.0) == []
