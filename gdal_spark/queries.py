@@ -6327,3 +6327,67 @@ def _o_contour_exp() -> str:
 
 QUERIES["contour_exp"] = q_contour_exp
 ORACLES["contour_exp"] = _o_contour_exp()
+
+
+def q_geoparquet_write(spark, sf_dir):
+    """GeoParquet 1.1 sink round trip (ogrparquetwriterlayer.cpp
+    GetGeoMetadata + ograrrowwriterlayer.hpp castToFloatDown/Up): the
+    valid doc points written as executor-local GeoParquet files (WKB
+    geometry + float32 OUTWARD-rounded bbox covering struct + geo
+    footer), then read back through Spark's parquet scan. Output:
+    row/file counts and the global covering bbox actually written —
+    the oracle replays the conditional float32 rounding per feature."""
+    import tempfile
+
+    from gdal_spark.operators.geoparquet import write_geoparquet
+
+    g = docs_geom(spark, sf_dir)
+    pts = g.filter(
+        F.col("geom_error").isNull() & (F.col("env_minx") == F.col("env_maxx"))
+    ).select(F.col("_id").alias("fid"), "wkt")
+    path = tempfile.mkdtemp(prefix="gdal_spark_gpq_")
+    man = write_geoparquet(pts, path, num_files=4).collect()
+    n_files = sum(1 for r in man if r.rows)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(n_files).cast("bigint").alias("n_files"),
+        F.min(F.col("geometry_bbox.xmin")).cast("double").alias("xmin"),
+        F.min(F.col("geometry_bbox.ymin")).cast("double").alias("ymin"),
+        F.max(F.col("geometry_bbox.xmax")).cast("double").alias("xmax"),
+        F.max(F.col("geometry_bbox.ymax")).cast("double").alias("ymax"),
+    )
+
+
+def _o_geoparquet_write() -> str:
+    RT = "(1.0 - 1.0/8388608.0)"
+    RA = "(1.0 + 1.0/8388608.0)"
+
+    def down(c):
+        return (
+            f"CASE WHEN CAST({c} AS REAL) > {c} THEN "
+            f"CAST({c} * CASE WHEN {c} < 0 THEN {RA} ELSE {RT} END AS REAL) "
+            f"ELSE CAST({c} AS REAL) END"
+        )
+
+    def up(c):
+        return (
+            f"CASE WHEN CAST({c} AS REAL) < {c} THEN "
+            f"CAST({c} * CASE WHEN {c} < 0 THEN {RT} ELSE {RA} END AS REAL) "
+            f"ELSE CAST({c} AS REAL) END"
+        )
+
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "p AS (SELECT CAST(gx AS DOUBLE) AS x, CAST(gy AS DOUBLE) AS y FROM g "
+        "WHERE valid AND NOT is_poly) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(4 AS BIGINT) AS n_files, "
+        f"CAST(MIN({down('x')}) AS DOUBLE) AS xmin, "
+        f"CAST(MIN({down('y')}) AS DOUBLE) AS ymin, "
+        f"CAST(MAX({up('x')}) AS DOUBLE) AS xmax, "
+        f"CAST(MAX({up('y')}) AS DOUBLE) AS ymax FROM p"
+    )
+
+
+QUERIES["geoparquet_write"] = q_geoparquet_write
+ORACLES["geoparquet_write"] = _o_geoparquet_write()
