@@ -6562,3 +6562,89 @@ def _o_surf_keypoints() -> str:
 
 QUERIES["surf_keypoints"] = q_surf_keypoints
 ORACLES["surf_keypoints"] = _o_surf_keypoints()
+
+
+def _surf_pair_tiles(spark, sf_dir):
+    """The surf image and its x+7 circular shift (second image), both
+    64x64 integer-valued; shift in closed form so SQL replays it."""
+    from gdal_spark.operators.raster import RasterSpec
+
+    spec = RasterSpec(width=64, height=64, gt=(0.0, 1.0, 0.0, 64.0, 0.0, -1.0),
+                      dtype="float64", tile_size=32)
+    g = docs_geom(spark, sf_dir)
+    cs = (
+        g.filter(
+            F.col("geom_error").isNull()
+            & (F.col("env_minx") == F.col("env_maxx"))
+            & (F.col("_id") % 29 == 0)
+        )
+        .select(
+            (F.floor("env_minx").cast("long") % 44 + 10).alias("cx"),
+            (F.floor("env_miny").cast("long") % 44 + 10).alias("cy"),
+        )
+        .collect()
+    )
+    centers = [(int(r.cx), int(r.cy)) for r in cs]
+
+    def _mk(shift):
+        def _f(batches):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    ty, tx = int(r.ty), int(r.tx)
+                    yy, xx = np.mgrid[0:32, 0:32]
+                    gy = yy + ty * 32
+                    gx0 = xx + tx * 32
+                    gx = (gx0 - shift) % 64
+                    v = (((gx * 3 + gy * 5) % 7) * 3).astype(np.float64)
+                    for cx, cy in centers:
+                        d2 = (gx - cx) ** 2 + (gy - cy) ** 2
+                        v += np.floor(1800.0 / (9 + d2))
+                    rows.append({"band": 1, "ty": ty, "tx": tx, "h": 32, "w": 32,
+                                 "dtype": "float64", "payload": v.tobytes()})
+                yield pd.DataFrame(rows)
+
+        return _f
+
+    sk = spark.range(4).selectExpr("cast(id div 2 as int) as ty", "cast(id % 2 as int) as tx")
+    t1 = sk.mapInPandas(_mk(0), TILE_SCHEMA)
+    t2 = sk.mapInPandas(_mk(7), TILE_SCHEMA)
+    return t1, t2, spec
+
+
+def q_surf_match(spark, sf_dir):
+    """GDALComputeMatchingPoints end to end (octave 1, where the blob
+    scale actually fires — the CLI default octave 2 needs larger
+    structures; the algorithm is octave-uniform): SURF keypoints +
+    64-d Haar
+    descriptors on the doc-derived blob image and its x+7 circular
+    shift, matched with the same-sign ratio-test greedy matcher
+    (smaller/second collection drives, exclusivity, the reference's
+    best2 initialization quirk). Output = the matched coordinate
+    pairs, integer-exact; the oracle replays descriptors in SQL and
+    the sequential greedy as a recursive CTE whose best2 uses the
+    closed form min{d_j : j first or d_j > prefix-min}."""
+    from gdal_spark.operators.surf import gather_feature_points, match_feature_points
+
+    t1, t2, spec = _surf_pair_tiles(spark, sf_dir)
+    f1 = gather_feature_points(t1, spec, 1, 1, 0.001)
+    f2 = gather_feature_points(t2, spec, 1, 1, 0.001)
+    pairs = match_feature_points(f1, f2, matching_threshold=1.0)
+    rows = [
+        (int(a["x"]), int(a["y"]), int(b["x"]), int(b["y"])) for a, b in pairs
+    ]
+    if not rows:
+        return spark.createDataFrame([], "x1 long, y1 long, x2 long, y2 long")
+    return spark.createDataFrame(rows, "x1 long, y1 long, x2 long, y2 long")
+
+
+QUERIES["surf_match"] = q_surf_match
+
+
+def _o_surf_match() -> str:
+    from gdal_spark.surf_oracle import surf_match_oracle
+
+    return surf_match_oracle(docs_g_cte(), _surf_centers_sql())
+
+
+ORACLES["surf_match"] = _o_surf_match()
