@@ -6648,3 +6648,87 @@ def _o_surf_match() -> str:
 
 
 ORACLES["surf_match"] = _o_surf_match()
+
+
+def _homography_gcps():
+    """5 GCPs sampled from the TRUE dyadic homography
+    X = (10 + px/2 + py/4) / w, Y = (-20 + px/8 - 3*py/4) / w,
+    w = 1 + px/512 + py/1024 at px,py multiples of 1024 — GCP pixel
+    coords keep the normalization homographies dyadic-exact and the
+    overdetermined (5 > 4) normal-equations path exercised."""
+    from gdal_spark.geom.homography import apply_homography
+
+    h_true = [10.0, 0.5, 0.25, -20.0, 0.125, -0.75, 1.0, 1.0 / 512, 1.0 / 1024]
+    pts = [(0.0, 0.0), (2048.0, 0.0), (0.0, 2048.0), (2048.0, 2048.0), (1024.0, 1024.0)]
+    import numpy as np
+
+    px = np.array([p[0] for p in pts])
+    py = np.array([p[1] for p in pts])
+    gx, gy = apply_homography(h_true, px, py)
+    return [(p, l, x, y) for (p, l), x, y in zip(pts, gx, gy)]
+
+
+def q_homography(spark, sf_dir):
+    """GDALCreateHomographyTransformerFromGCPs + GDALHomographyTransform
+    (alg/gdal_homography.cpp:142-330,529-563): fit the projective
+    transform from 5 GCPs at plan time (normalized DLT normal
+    equations + convexity check — the reference's exact path), then
+    evaluate forward AND the analytic inverse (GDALInvHomography)
+    over every point doc as one vectorized Arrow batch. GCPs are
+    sampled from a dyadic TRUE homography, so the fit recovers it to
+    ~1e-12 and quantizing at x1024 absorbs the fit noise (the oracle
+    applies the true coefficients: px,py are integers, numerator and
+    w dyadic-exact in both engines). ipx/ipy prove forward->inverse
+    returns the original integer pixel coordinates."""
+    import pandas as pd
+
+    from gdal_spark.geom.homography import HomographyTransformer
+
+    t = HomographyTransformer(_homography_gcps())
+    g = (
+        docs_geom(spark, sf_dir)
+        .filter(F.col("geom_error").isNull() & F.col("wkt").startswith("POINT"))
+        .select(
+            F.col("_id").alias("doc_id"),
+            (F.col("env_minx") - 440000).alias("px"),
+            (F.col("env_miny") - 3750000).alias("py"),
+        )
+    )
+
+    def _apply(batches):
+        import numpy as np
+
+        for pdf in batches:
+            px = pdf["px"].to_numpy(np.float64)
+            py = pdf["py"].to_numpy(np.float64)
+            X, Y = t.forward(px, py)
+            ipx, ipy = t.inverse(X, Y)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "x1024": np.floor(X * 1024 + 0.5).astype(np.int64),
+                    "y1024": np.floor(Y * 1024 + 0.5).astype(np.int64),
+                    "ipx": np.floor(ipx + 0.5).astype(np.int64),
+                    "ipy": np.floor(ipy + 0.5).astype(np.int64),
+                }
+            )
+
+    return g.mapInPandas(_apply, "doc_id bigint, x1024 bigint, y1024 bigint, ipx bigint, ipy bigint")
+
+
+def _o_homography() -> str:
+    w = "(1.0 + px / 512.0 + py / 1024.0)"
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "pts AS (SELECT doc_id, CAST(gx - 440000 AS DOUBLE) AS px, "
+        "CAST(gy - 3750000 AS DOUBLE) AS py FROM g WHERE valid AND NOT is_poly) "
+        "SELECT doc_id, "
+        f"CAST(floor((10.0 + px / 2.0 + py / 4.0) / {w} * 1024 + 0.5) AS BIGINT) AS x1024, "
+        f"CAST(floor((-20.0 + px / 8.0 - 3.0 * py / 4.0) / {w} * 1024 + 0.5) AS BIGINT) AS y1024, "
+        "CAST(px AS BIGINT) AS ipx, CAST(py AS BIGINT) AS ipy "
+        "FROM pts"
+    )
+
+
+QUERIES["homography"] = q_homography
+ORACLES["homography"] = _o_homography()
