@@ -1,0 +1,299 @@
+"""`gdal raster blend` — compose two byte raster tile tables.
+
+Reference: /root/reference/apps/gdalalg_raster_blend.cpp —
+MulScale255 (:183), DivScale255 (:228), ProcessAlphaChannels (:192),
+PremultiplyChannels (:255), the Mapserver generic kernels
+(BlendMultiply/Screen/Overlay/HardLight/Darken/Lighten/ColorDodge/
+ColorBurn_Generic, :890-1580), the SRC_OVER RGBA kernel with the
+gTabInvDstA reciprocal table (:872-884, 1711-1781), the HSV-value
+patch (rgb_to_hs :400-446, hsv_to_rgb :482-496), and RunStep's
+opacity scaling + commutative-operator input swap (:2788-2805).
+
+All kernels are integer-exact replicas of the reference byte math
+(including the GByte truncations at lambda boundaries), vectorized
+over whole tiles. Distribution: the two tile tables co-shuffle once
+on (band-set, ty, tx) — a plain groupBy-key exchange — and each tile
+pair blends independently; at 100 TB this is one partitioned join
+with no driver involvement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MODES = (
+    "src-over",
+    "hsv-value",
+    "multiply",
+    "screen",
+    "overlay",
+    "hard-light",
+    "darken",
+    "lighten",
+    "color-dodge",
+    "color-burn",
+)
+
+_I = np.int64
+
+
+def _mul255(a, b):
+    """MulScale255 (gdalalg_raster_blend.cpp:183): (a*b+255)/256 over
+    GByte params — mask to replicate the implicit mod-256 conversion."""
+    return ((np.asarray(a, _I) & 0xFF) * (np.asarray(b, _I) & 0xFF) + 255) >> 8
+
+
+def _div255(a, b):
+    """DivScale255 (:228): 0 if a==0, 255 if b==0, else GByte((a*255)/b).
+    The reference casts the quotient to GByte without a range check —
+    replicate the mod-256 truncation."""
+    a = np.asarray(a, _I) & 0xFF  # GByte parameter truncation
+    b = np.asarray(b, _I)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.where(b == 0, 255, (a * 255) // np.where(b == 0, 1, b)) & 0xFF
+    return np.where(a == 0, 0, q)
+
+
+def _process_alpha(a, oa, opacity, swapped):
+    """ProcessAlphaChannels (:192): opacity rides the overlay alpha
+    (or the base alpha when the inputs were swapped for a commutative
+    operator); final alpha = Sa + Da - Sa.Da."""
+    if not swapped:
+        oa2 = _mul255(oa, opacity) if oa is not None else np.asarray(opacity, _I)
+        a2 = np.asarray(a, _I) if a is not None else np.asarray(255, _I)
+    else:
+        oa2 = np.asarray(oa, _I) if oa is not None else np.asarray(255, _I)
+        a2 = _mul255(a, opacity) if a is not None else np.asarray(opacity, _I)
+    return a2, oa2, (oa2 + a2 - _mul255(oa2, a2)) & 0xFF
+
+
+def _premultiply(r, g, b, a):
+    """PremultiplyChannels (:255): None channels fall back to 255 (R)
+    or R (G/B); A==255 short-circuits per pixel."""
+    a = np.asarray(a, _I)
+    full = a == 255
+    pr = np.where(full, r if r is not None else 255, _mul255(r, a) if r is not None else a)
+    pg = np.where(full, g, _mul255(g, a)) if g is not None else pr
+    pb = np.where(full, b, _mul255(b, a)) if b is not None else pr
+    return pr, pg, pb
+
+
+def _split_bands(bands):
+    """Band-count -> (R, G, B, A) mapping of the blend dispatch
+    (gdalalg_raster_blend.cpp:1964-2006): 1=R, 2=R+A, 3=RGB, 4=RGBA."""
+    n = len(bands)
+    if n == 1:
+        return bands[0], None, None, None
+    if n == 2:
+        return bands[0], None, None, bands[1]
+    if n == 3:
+        return bands[0], bands[1], bands[2], None
+    if n == 4:
+        return bands[0], bands[1], bands[2], bands[3]
+    raise ValueError(f"1-4 bands supported, got {n}")
+
+
+def _generic_blend(mode, color, overlay, opacity, swapped):
+    r, g, b, a = _split_bands(color)
+    orr, og, ob, oa = _split_bands(overlay)
+    n_in = 1 + (2 if g is not None else 0) + (1 if a is not None else 0)
+    n_ov = 1 + (2 if og is not None else 0) + (1 if oa is not None else 0)
+    n_out = max(n_in, n_ov)
+
+    if mode == "hard-light":  # Overlay with roles swapped (:1168-1172)
+        return _generic_blend("overlay", overlay, color, opacity, not swapped)
+
+    na, noa, final_a = _process_alpha(a, oa, opacity, swapped)
+    pr, pg, pb = _premultiply(r, g, b, na)
+    por, pog, pob = _premultiply(orr, og, ob, noa)
+
+    def comp(c, oc):
+        if mode == "multiply":
+            return _div255(_mul255(c, oc) + _mul255(c, 255 - noa) + _mul255(oc, 255 - na), final_a)
+        if mode == "screen":
+            return _div255(c + oc - _mul255(c, oc), final_a)
+        if mode == "overlay":
+            lo = 2 * _mul255(oc, c) + _mul255(oc, 255 - na) + _mul255(c, 255 - noa)
+            hi = (
+                _mul255(noa, na)
+                - 2 * _mul255(na - c, noa - oc)
+                + _mul255(oc, 255 - na)
+                + _mul255(c, 255 - noa)
+            )
+            return _div255(np.where(2 * c < na, lo, hi), final_a)
+        if mode == "darken":
+            return _div255(
+                np.minimum(_mul255(oc, na), _mul255(c, noa))
+                + _mul255(c, 255 - noa)
+                + _mul255(oc, 255 - na),
+                final_a,
+            )
+        if mode == "lighten":
+            return _div255(
+                np.maximum(_mul255(oc, na), _mul255(c, noa))
+                + _mul255(c, 255 - noa)
+                + _mul255(oc, 255 - na),
+                final_a,
+            )
+        if mode == "color-dodge":
+            am = _mul255(noa, na)
+            tail = _mul255(c, 255 - noa) + _mul255(oc, 255 - na)
+            ge = _div255(am + tail, final_a)
+            lt = _div255(_div255(_mul255(c, noa), 255 - _div255(oc, noa)) + tail, final_a)
+            return np.where(_mul255(oc, na) + _mul255(c, noa) >= am, ge, lt)
+        if mode == "color-burn":
+            am = _mul255(noa, na)
+            tail = _mul255(c, 255 - noa) + _mul255(oc, 255 - na)
+            le = _div255(tail, final_a)
+            c_un = _div255(c, na)
+            oc_un = _div255(oc, noa)
+            gt = _div255(_mul255(am, (c_un + oc_un - 255) & 0xFF) + tail, final_a)
+            return np.where(_mul255(oc, na) + _mul255(c, noa) <= am, le, gt)
+        raise ValueError(f"unknown mode {mode}")
+
+    out = [comp(pr, por)]
+    if n_out == 2:
+        out.append(final_a)
+    else:
+        if n_out >= 3:
+            out += [comp(pg, pog), comp(pb, pob)]
+        if n_out == 4:
+            out.append(final_a)
+    return [o.astype(np.uint8) for o in out]
+
+
+def _src_over(color, overlay, opacity):
+    """BlendSrcOverRGBA_Generic (:1711-1781) incl. the gTabInvDstA
+    rounding (inv = (255*256 + A/2)/A; dst = (pre*inv + 255) >> 8)."""
+    if len(color) != 4 or len(overlay) != 4:
+        raise ValueError("src-over requires RGBA color and overlay")
+    r, g, b, a = (np.asarray(x, _I) for x in color)
+    orr, og, ob, oa = (np.asarray(x, _I) for x in overlay)
+    noa = (oa * opacity + 255) >> 8
+    src_am = (a * (255 - noa) + 255) >> 8
+    dst_a = (noa + src_am) & 0xFF
+    inv = np.where(dst_a == 0, 0, ((255 << 8) + dst_a // 2) // np.where(dst_a == 0, 1, dst_a))
+
+    def ch(c, oc):
+        pre = ((oc * noa + c * src_am + 255) >> 8) & 0xFF
+        return (((pre * inv + 255) >> 8) & 0xFF).astype(np.uint8)
+
+    return [ch(r, orr), ch(g, og), ch(b, ob), dst_a.astype(np.uint8)]
+
+
+def _rgb_to_hs(r, g, b):
+    """rgb_to_hs (:400-446), float32 exactly as the scalar path."""
+    r = np.asarray(r, _I)
+    g = np.asarray(g, _I)
+    b = np.asarray(b, _I)
+    minc = np.minimum(np.minimum(r, g), b)
+    maxc = np.maximum(np.maximum(r, g), b)
+    mm = (maxc - minc).astype(np.float32)
+    s = mm / np.maximum(1, maxc).astype(np.float32)
+    denom = np.where(mm == 0, np.float32(1.0), np.float32(6.0) * mm).astype(np.float32)
+    rf, gf, bf = (x.astype(np.float32) for x in (r, g, b))
+    h_b = np.float32(4.0 / 6.0) + (rf - gf) / denom
+    h_g = np.float32(2.0 / 6.0) + (bf - rf) / denom
+    tmp = (gf - bf) / denom
+    h_r = np.where(tmp < 0, tmp + np.float32(1.0), tmp)
+    h = np.where(maxc == b, h_b, np.where(maxc == g, h_g, h_r)).astype(np.float32)
+    return h, s.astype(np.float32)
+
+
+def _hsv_to_rgb(h, s, v):
+    """hsv_to_rgb (:482-496): i = int(6h); p/q/t via float32 + 0.5
+    truncation; channel selection by choose_among."""
+    h = np.asarray(h, np.float32)
+    s = np.asarray(s, np.float32)
+    vf = np.asarray(v, _I).astype(np.float32)
+    i = (np.float32(6.0) * h).astype(np.int32)
+    f = np.float32(6.0) * h - i.astype(np.float32)
+    p = (vf * (np.float32(1.0) - s) + np.float32(0.5)).astype(np.uint8)
+    q = (vf * (np.float32(1.0) - s * f) + np.float32(0.5)).astype(np.uint8)
+    t = (vf * (np.float32(1.0) - s * (np.float32(1.0) - f)) + np.float32(0.5)).astype(np.uint8)
+    v8 = np.asarray(v, _I).astype(np.uint8)
+    ii = np.clip(i, 0, 5)
+    r = np.choose(ii, [v8, q, p, p, t, v8])
+    g = np.choose(ii, [t, v8, v8, q, p, p])
+    b = np.choose(ii, [p, p, t, v8, v8, q])
+    return r, g, b
+
+
+def _hsv_value(color, overlay):
+    """HSV_VALUE fast path (:1812-1868): the single overlay band
+    replaces V; color alpha (if any) is copied through."""
+    if len(overlay) != 1 or len(color) not in (3, 4):
+        raise ValueError("hsv-value requires RGB(A) color and a 1-band overlay")
+    h, s = _rgb_to_hs(color[0], color[1], color[2])
+    r, g, b = _hsv_to_rgb(h, s, overlay[0])
+    out = [r, g, b]
+    if len(color) == 4:
+        out.append(np.asarray(color[3], _I).astype(np.uint8))
+    return out
+
+
+def blend_arrays(mode, color, overlay, opacity_pct=100):
+    """RunStep (:2788-2805): scale opacity from [0,100] to [0,255]
+    with rounding, swap inputs for the commutative operators when the
+    color side has fewer bands, then dispatch."""
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}")
+    color = [np.asarray(c) for c in color]
+    overlay = [np.asarray(c) for c in overlay]
+    opacity = (opacity_pct * 255 + 50) // 100
+    if mode == "hsv-value":
+        if opacity != 255:
+            raise ValueError("hsv-value does not support opacity")
+        return _hsv_value(color, overlay)
+    if mode == "src-over":
+        return _src_over(color, overlay, opacity)
+    swapped = False
+    if mode in ("multiply", "screen", "hard-light", "overlay") and len(color) < len(overlay):
+        color, overlay, swapped = overlay, color, True
+    return _generic_blend(mode, color, overlay, opacity, swapped)
+
+
+def blend_tiles(color_tiles, overlay_tiles, mode, opacity_pct=100):
+    """Blend two byte tile tables (raster.py TILE_SCHEMA rows, one row
+    per band) into one. Single co-shuffle on (ty, tx); every tile pair
+    blends independently in one Arrow batch pass."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gdal_spark.operators.raster import TILE_SCHEMA
+
+    c = color_tiles.select("band", "ty", "tx", "h", "w", "dtype", "payload").withColumn(
+        "side", F.lit(0)
+    )
+    o = overlay_tiles.select("band", "ty", "tx", "h", "w", "dtype", "payload").withColumn(
+        "side", F.lit(1)
+    )
+
+    def _blend(key, pdf):
+        ty, tx = int(key[0]), int(key[1])
+        h = int(pdf["h"].iloc[0])
+        w = int(pdf["w"].iloc[0])
+        sides = {0: {}, 1: {}}
+        for row in pdf.itertuples(index=False):
+            sides[int(row.side)][int(row.band)] = np.frombuffer(
+                row.payload, dtype=np.uint8
+            ).reshape(int(row.h), int(row.w))
+        color = [sides[0][b] for b in sorted(sides[0])]
+        overlay = [sides[1][b] for b in sorted(sides[1])]
+        out = blend_arrays(mode, color, overlay, opacity_pct)
+        return pd.DataFrame(
+            [
+                {
+                    "band": bi + 1,
+                    "ty": ty,
+                    "tx": tx,
+                    "h": h,
+                    "w": w,
+                    "dtype": "uint8",
+                    "payload": arr.tobytes(),
+                }
+                for bi, arr in enumerate(out)
+            ]
+        )
+
+    return c.unionByName(o).groupBy("ty", "tx").applyInPandas(_blend, TILE_SCHEMA)

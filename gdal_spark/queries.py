@@ -6732,3 +6732,114 @@ def _o_homography() -> str:
 
 QUERIES["homography"] = q_homography
 ORACLES["homography"] = _o_homography()
+
+
+def q_blend_multiply(spark, sf_dir):
+    """gdal raster blend, multiply operator, RGBA x RGBA at opacity 60
+    (apps/gdalalg_raster_blend.cpp:890-960 BlendMultiply_Generic +
+    RunStep opacity scaling :2788-2791): every doc is one pixel with
+    id-derived RGBA (color) and RGBA (overlay) byte values; pixels
+    pack into 32x32 tiles, blend through the REAL tile path (one
+    co-shuffle groupBy in blend_tiles), then unpack back to per-doc
+    rows. The oracle replays the integer byte math (MulScale255 /
+    DivScale255 / premultiply / final alpha) per row in SQL."""
+    import pandas as pd
+
+    from gdal_spark.operators.blend import blend_tiles
+    from gdal_spark.operators.raster import TILE_SCHEMA
+
+    ids = load(spark, sf_dir, "documents").select(F.col("doc_id").cast("long").alias("id"))
+    pix = ids.select(
+        "id",
+        F.floor(F.col("id") / 1024).cast("int").alias("ty"),
+        (F.col("id") % 1024).cast("int").alias("pi"),
+    )
+
+    def assemble(mults):
+        def _f(key, pdf):
+            import numpy as np
+
+            ty = int(key[0])
+            rows = []
+            for b, (m, c) in enumerate(mults, start=1):
+                arr = np.zeros(1024, dtype=np.uint8)
+                vals = ((pdf["id"].to_numpy(np.int64) * m + c) % 256).astype(np.uint8)
+                arr[pdf["pi"].to_numpy(np.int64)] = vals
+                rows.append(
+                    {"band": b, "ty": ty, "tx": 0, "h": 32, "w": 32,
+                     "dtype": "uint8", "payload": arr.tobytes()}
+                )
+            return pd.DataFrame(rows)
+
+        return _f
+
+    color_m = [(7, 3), (11, 5), (13, 1), (17, 9)]
+    overlay_m = [(19, 2), (23, 8), (29, 4), (31, 6)]
+    color = pix.groupBy("ty").applyInPandas(assemble(color_m), TILE_SCHEMA)
+    overlay = pix.groupBy("ty").applyInPandas(assemble(overlay_m), TILE_SCHEMA)
+    blended = blend_tiles(color, overlay, "multiply", 60)
+
+    def unpack(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {"ty": [], "pi": [], "band": [], "val": []}
+            for row in pdf.itertuples(index=False):
+                arr = np.frombuffer(row.payload, dtype=np.uint8)
+                out["ty"].append(np.full(arr.size, row.ty, dtype=np.int64))
+                out["pi"].append(np.arange(arr.size, dtype=np.int64))
+                out["band"].append(np.full(arr.size, row.band, dtype=np.int64))
+                out["val"].append(arr.astype(np.int64))
+            if out["ty"]:
+                yield pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+
+    flat = blended.mapInPandas(unpack, "ty bigint, pi bigint, band bigint, val bigint")
+    return (
+        pix.join(flat, ["ty", "pi"])
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.max(F.when(F.col("band") == 1, F.col("val"))).alias("r"),
+            F.max(F.when(F.col("band") == 2, F.col("val"))).alias("g"),
+            F.max(F.when(F.col("band") == 3, F.col("val"))).alias("b"),
+            F.max(F.when(F.col("band") == 4, F.col("val"))).alias("a"),
+        )
+    )
+
+
+def _o_blend_multiply() -> str:
+    def mul255(a, b):
+        return f"CAST(floor((({a}) * ({b}) + 255) / 256) AS BIGINT)"
+
+    def div255(a, b):
+        return (
+            f"(CASE WHEN (({a}) % 256) = 0 THEN 0 WHEN ({b}) = 0 THEN 255 "
+            f"ELSE CAST(floor((({a}) % 256) * 255 / ({b})) AS BIGINT) % 256 END)"
+        )
+
+    def prem(c, a):
+        return f"(CASE WHEN ({a}) = 255 THEN ({c}) ELSE {mul255(c, a)} END)"
+
+    def comp(pc, po):
+        s = f"{mul255(pc, po)} + {mul255(pc, '255 - noa')} + {mul255(po, '255 - na')}"
+        return div255(s, "fa")
+
+    chans = ", ".join(
+        f"{prem(f'c{ch}', 'na')} AS p{ch}, {prem(f'ov{ch}', 'noa')} AS q{ch}"
+        for ch in "rgb"
+    )
+    return (
+        "WITH px AS (SELECT doc_id, (doc_id * 7 + 3) % 256 AS cr, "
+        "(doc_id * 11 + 5) % 256 AS cg, (doc_id * 13 + 1) % 256 AS cb, "
+        "(doc_id * 17 + 9) % 256 AS na, (doc_id * 19 + 2) % 256 AS ovr, "
+        "(doc_id * 23 + 8) % 256 AS ovg, (doc_id * 29 + 4) % 256 AS ovb, "
+        "(doc_id * 31 + 6) % 256 AS oa FROM documents), "
+        f"al AS (SELECT *, {mul255('oa', 153)} AS noa FROM px), "
+        f"fal AS (SELECT *, noa + na - {mul255('noa', 'na')} AS fa FROM al), "
+        f"pm AS (SELECT doc_id, na, noa, fa, {chans} FROM fal) "
+        f"SELECT doc_id, {comp('pr', 'qr')} AS r, {comp('pg', 'qg')} AS g, "
+        f"{comp('pb', 'qb')} AS b, fa AS a FROM pm"
+    )
+
+
+QUERIES["blend_multiply"] = q_blend_multiply
+ORACLES["blend_multiply"] = _o_blend_multiply()
