@@ -346,3 +346,159 @@ def substring_dup_spans_sql(
         f"SELECT id AS doc_id, CAST(MIN(o) AS BIGINT) AS span_start, CAST(MAX(o) + {L - 1} AS BIGINT) AS span_end "
         "FROM i GROUP BY id, grp"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level segment (line) dedup — the CCNet / RefinedWeb "remove
+# lines duplicated across many documents" pass, over fixed k-token
+# segments (the driver corpus has no newlines; a real corpus would
+# pass its line splitter's output through the same machinery)
+
+
+def segments_col(tokens: Column, k: int) -> Column:
+    """Non-overlapping k-token segments in document order (the last
+    segment may be shorter). Pure Catalyst."""
+    n_seg = F.ceil(F.size(tokens) / F.lit(float(k))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(tokens, i * k + 1, k), " "),
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 4,
+    min_df: int = 2,
+) -> DataFrame:
+    """Corpus-wide segment dedup: drop every occurrence of a segment
+    that appears in >= min_df DISTINCT documents (boilerplate
+    removal), keep the rest in order. Returns
+    (doc_id, clean_text, n_segs, n_dropped).
+
+    Shuffle diet (10^12 docs): the document-frequency count ships
+    (seg_hash, doc_id) pairs ONLY — 16 bytes, never segment text; the
+    distinct + groupBy are both map-side combinable. The drop
+    decision re-joins to each doc as a sorted index LIST (one small
+    array per affected doc), and the text is re-segmented JVM-side
+    from the original row — document text never crosses a shuffle.
+    Hash collisions (60-bit md5 prefix) merge segments for df
+    purposes; the SQL oracle hashes identically so the decision
+    replicates bit-for-bit.
+    """
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col).alias("_id"), segments_col(toks, seg_tokens).alias("_segs"))
+    ex = base.select(
+        "_id", F.posexplode("_segs").alias("_idx", "_seg")
+    ).select("_id", "_idx", hash64(F.col("_seg"), "segdedup").alias("_h"))
+    seg_df = (
+        ex.select("_h", "_id").distinct().groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    )
+    hot = seg_df.filter(F.col("_df") >= min_df).select("_h")
+    dropped = (
+        ex.join(hot, "_h")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("_idx")).alias("_drop"))
+    )
+    out = base.join(dropped, "_id", "left")
+    drop = F.coalesce(F.col("_drop"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            F.col("_segs"),
+            lambda s, i: F.when(F.exists(drop, lambda d: d == i), F.lit(None)).otherwise(s),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("_segs").cast("bigint").alias("n_segs"),
+        F.size(drop).cast("bigint").alias("n_dropped"),
+    )
+
+
+def segment_dedup_sql(
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    seg_tokens: int = 4,
+    min_df: int = 2,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of segment_dedup (identical hashing + decisions)."""
+    k = int(seg_tokens)
+    h = hash64_sql("s", "segdedup")
+    return (
+        f"WITH tok AS (SELECT {id_expr} AS id, string_split_regex(trim({text_expr}), '\\s+') AS toks FROM {table}), "
+        f"seg AS (SELECT id, i AS idx, array_to_string(toks[(i*{k}+1):(i*{k}+{k})], ' ') AS s, "
+        f"len(toks) AS n_toks FROM tok, unnest(generate_series(0, CAST(ceil(len(toks)/{k}.0) AS INT)-1)) AS t(i)), "
+        f"hh AS (SELECT id, idx, {h} AS h FROM seg), "
+        "dfc AS (SELECT h FROM (SELECT DISTINCT h, id FROM hh) GROUP BY h HAVING COUNT(*) >= "
+        f"{int(min_df)}), "
+        "keepers AS (SELECT hh.id, hh.idx FROM hh LEFT JOIN dfc ON hh.h = dfc.h WHERE dfc.h IS NULL), "
+        "reass AS (SELECT k2.id, string_agg(seg.s, ' ' ORDER BY k2.idx) AS clean_text, COUNT(*) AS n_kept "
+        "FROM keepers k2 JOIN seg ON seg.id = k2.id AND seg.idx = k2.idx GROUP BY k2.id), "
+        "tot AS (SELECT id, COUNT(*) AS n_segs FROM seg GROUP BY id) "
+        f"SELECT CAST(tot.id AS BIGINT) AS doc_id, COALESCE(reass.clean_text, '') AS clean_text, "
+        "CAST(tot.n_segs AS BIGINT) AS n_segs, "
+        "CAST(tot.n_segs - COALESCE(reass.n_kept, 0) AS BIGINT) AS n_dropped "
+        "FROM tot LEFT JOIN reass ON tot.id = reass.id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (broadcast bitmap) — cross-corpus dedup /
+# decontamination without joining the corpus: the membership side
+# compresses to an m-bit bitmap carried as a plain Catalyst literal,
+# so the probe is pure whole-stage-codegen bit arithmetic
+
+
+BLOOM_M = 1 << 16  # bits
+BLOOM_K = 3  # hash functions
+
+
+def bloom_positions(col: Column, m: int = BLOOM_M, k: int = BLOOM_K) -> list[Column]:
+    """k bit positions for a key (md5-derived, oracle-replicable)."""
+    return [F.pmod(hash64(col, f"bloom{i}"), F.lit(m)).cast("int") for i in range(k)]
+
+
+def bloom_position_sql(expr: str, i: int, m: int = BLOOM_M) -> str:
+    """DuckDB twin of bloom_positions[i]."""
+    return f"({hash64_sql(expr, f'bloom{i}')} % {int(m)})"
+
+
+def bloom_build_words(
+    keys: DataFrame, key_col: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> list[int]:
+    """Build the bitmap as m/64 signed 64-bit words. The only driver
+    materialization is the DISTINCT bit-position list (<= m ints —
+    bounded by the filter geometry, independent of corpus size; same
+    broadcast class as IVF centroids)."""
+    pos_cols = bloom_positions(F.col("_k"), m, k)
+    pos = (
+        keys.select(F.col(key_col).alias("_k"))
+        .select(F.explode(F.array(*pos_cols)).alias("p"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in pos:
+        p = int(r["p"])
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement into signed range (Spark LongType literals)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_member_col(
+    col: Column, words: list[int], m: int = BLOOM_M, k: int = BLOOM_K
+) -> Column:
+    """TRUE iff all k bits are set — 'probably a member'; never a
+    false negative. Pure Catalyst: element_at into the literal word
+    array + getbit (two's-complement bit indexing, so the signed
+    round-trip of bloom_build_words is transparent)."""
+    warr = F.array(*[F.lit(w).cast("long") for w in words])
+    cond = F.lit(True)
+    for p in bloom_positions(col, m, k):
+        word = F.element_at(warr, (p / F.lit(64)).cast("int") + 1)
+        cond = cond & (F.getbit(word, F.pmod(p, F.lit(64))) == 1)
+    return cond

@@ -6843,3 +6843,84 @@ def _o_blend_multiply() -> str:
 
 QUERIES["blend_multiply"] = q_blend_multiply
 ORACLES["blend_multiply"] = _o_blend_multiply()
+
+
+# ---------------------------------------------------------------------------
+# corpus-level segment (line) dedup + Bloom-bitmap decontamination
+
+
+def q_segment_dedup(spark, sf_dir):
+    """CCNet/RefinedWeb-style corpus-wide line dedup over fixed
+    4-token segments: every occurrence of a segment appearing in >=2
+    distinct documents is dropped, the survivors reassemble in order.
+    Scale shape (dedup.segment_dedup): the df count ships
+    (seg_hash, doc_id) pairs only; text never crosses a shuffle."""
+    from gdal_spark.dedup import segment_dedup
+
+    d = load(spark, sf_dir, "documents")
+    return segment_dedup(d, seg_tokens=4, min_df=2)
+
+
+def _o_segment_dedup() -> str:
+    from gdal_spark.dedup import segment_dedup_sql
+
+    return segment_dedup_sql(seg_tokens=4, min_df=2)
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Decontamination via a BROADCAST Bloom bitmap instead of a
+    broadcast join: the eval set's (doc_id < 5) 3-token shingles
+    compress to a 64 Kbit bitmap carried as a literal long array, so
+    the corpus-side probe is pure whole-stage-codegen bit arithmetic
+    — zero shuffle, zero join, zero Python. False positives are a
+    deterministic function of the bitmap (the oracle replays the
+    position sets exactly); false negatives are impossible."""
+    from gdal_spark.dedup import (
+        bloom_build_words,
+        bloom_member_col,
+        shingles_col,
+        tokens_col,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles_col(tokens_col(F.col("text")))).alias("s"))
+    words = bloom_build_words(sh.filter(F.col("doc_id") < 5).select("s").distinct(), "s")
+    probe = sh.filter(F.col("doc_id") >= 5).select(
+        "doc_id", bloom_member_col(F.col("s"), words).alias("_hit")
+    )
+    hits = probe.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.col("_hit").cast("bigint")).alias("n_bloom_hits"),
+    )
+    return hits.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_bloom_hits").cast("bigint").alias("n_bloom_hits"),
+        (F.col("n_bloom_hits") > 0).cast("int").alias("flagged"),
+    )
+
+
+def _o_bloom_decontaminate() -> str:
+    from gdal_spark.dedup import bloom_position_sql
+
+    pos = [bloom_position_sql("s", i) for i in range(3)]
+    member = " AND ".join(f"({p}) IN (SELECT p FROM ep)" for p in pos)
+    return (
+        "WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), "
+        "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+        "ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END)) AS s FROM tok), "
+        "ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5), "
+        f"ep AS (SELECT DISTINCT unnest([{', '.join(pos)}]) AS p FROM ev), "
+        f"probe AS (SELECT doc_id, CASE WHEN {member} THEN 1 ELSE 0 END AS hit "
+        "FROM sh WHERE doc_id >= 5) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles, "
+        "CAST(SUM(hit) AS BIGINT) AS n_bloom_hits, "
+        "CAST(CASE WHEN SUM(hit) > 0 THEN 1 ELSE 0 END AS INT) AS flagged "
+        "FROM probe GROUP BY doc_id"
+    )
+
+
+QUERIES["segment_dedup"] = q_segment_dedup
+ORACLES["segment_dedup"] = _o_segment_dedup()
+QUERIES["bloom_decontaminate"] = q_bloom_decontaminate
+ORACLES["bloom_decontaminate"] = _o_bloom_decontaminate()
