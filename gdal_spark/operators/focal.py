@@ -465,3 +465,209 @@ def tri(tiles: DataFrame, spec: RasterSpec, alg: str = "Wilson") -> DataFrame:
 
 def roughness(tiles: DataFrame, spec: RasterSpec) -> DataFrame:
     return focal_apply(tiles, spec, roughness_kernel())
+
+
+# ---------------------------------------------------------------------------
+# `gdal raster neighbors` — the full VRTKernelFilteredSource method set
+# (apps/gdalalg_raster_neighbors.cpp + frmts/vrt/vrtfilters.cpp
+# FilterData): named/custom convolution kernels combined by
+# mean/sum/min/max/stddev/median/mode over COEFFICIENT-WEIGHTED window
+# values, float32 work buffer, nodata-skip + zero-coefficient-skip,
+# edge replication at the raster boundary (the same VRT fill rule the
+# halo machinery above implements).
+
+_DBL_MIN = 2.2250738585072014e-308  # std::numeric_limits<double>::min()
+
+# name -> (size, integer coefficient matrix) — gdalalg_raster_neighbors.cpp:48
+NEIGHBOR_KERNELS: dict[str, tuple[int, list[int]]] = {
+    "u": (3, [0, 0, 0, -1, 0, 1, 0, 0, 0]),
+    "v": (3, [0, -1, 0, 0, 0, 0, 0, 1, 0]),
+    "edge1": (3, [0, -1, 0, -1, 4, -1, 0, -1, 0]),
+    "edge2": (3, [-1, -1, -1, -1, 8, -1, -1, -1, -1]),
+    "sharpen": (3, [0, -1, 0, -1, 5, -1, 0, -1, 0]),
+    "gaussian-3x3": (3, [1, 2, 1, 2, 4, 2, 1, 2, 1]),
+    "gaussian-5x5": (5, [1, 4, 6, 4, 1, 4, 16, 24, 16, 4, 6, 24, 36, 24, 6,
+                         4, 16, 24, 16, 4, 1, 4, 6, 4, 1]),
+    "unsharp-masking-5x5": (5, [1, 4, 6, 4, 1, 4, 16, 24, 16, 4,
+                                6, 24, -476, 24, 6, 4, 16, 24, 16, 4,
+                                1, 4, 6, 4, 1]),
+}
+
+
+def neighbors_kernel_def(
+    kernel: str | list[float], method: str | None = None, size: int = 0
+) -> tuple[int, list[float], str]:
+    """Replicates GDALRasterNeighborsAlgorithm::RunStep kernel/method
+    resolution (gdalalg_raster_neighbors.cpp:406-516): returns
+    (size, weighted coefficients, resolved method)."""
+    if isinstance(kernel, (list, tuple)):
+        coefs = [float(v) for v in kernel]
+        k_size = int(np.floor(np.sqrt(len(coefs)) + 0.5))
+        if k_size * k_size != len(coefs):
+            raise ValueError("custom kernel length must be a perfect square")
+        zero_sum = abs(sum(coefs)) < 1e-10
+        if method is None:
+            method = "sum" if zero_sum else "mean"
+        if zero_sum and method == "mean":
+            raise ValueError("method 'mean' with a zero-sum kernel: use 'sum'")
+        return k_size, coefs, method
+    if method is None:
+        method = "sum" if kernel in ("u", "v", "edge1", "edge2") else "mean"
+    if size == 0:
+        size = 5 if kernel == "unsharp-masking" else 3
+    if kernel in ("edge1", "edge2", "sharpen"):
+        k_size, ints = NEIGHBOR_KERNELS[kernel]
+        return k_size, [float(v) for v in ints], method
+    if kernel in ("u", "v"):
+        k_size, ints = NEIGHBOR_KERNELS[kernel]
+        return k_size, [v * 0.5 for v in ints], method
+    if kernel == "equal":
+        w = 1.0 / (float(size) * size + _DBL_MIN) if method == "mean" else 1.0
+        return size, [w] * (size * size), method
+    if kernel == "gaussian":
+        if size not in (3, 5):
+            raise ValueError("gaussian kernel needs size 3 or 5")
+        k_size, ints = NEIGHBOR_KERNELS[f"gaussian-{size}x{size}"]
+    elif kernel == "unsharp-masking":
+        if size != 5:
+            raise ValueError("unsharp-masking kernel needs size 5")
+        k_size, ints = NEIGHBOR_KERNELS["unsharp-masking-5x5"]
+    else:
+        raise ValueError(f"unknown kernel {kernel!r}")
+    w = 1.0 / (float(sum(ints)) + _DBL_MIN)  # GetKernelDef normalized path
+    return k_size, [v * w for v in ints], method
+
+
+def neighbors_filter_kernel(
+    coefs: list[float], size: int, method: str, nodata: float | None = None
+):
+    """Vectorized replica of VRTKernelFilteredSource::FilterData
+    (vrtfilters.cpp:485-717, non-separable float32 path). Scan order
+    is preserved exactly where the reference's result depends on it:
+    sum/mean accumulate, stddev's Welford recurrence, and mode's
+    first-to-reach-max-count tie rule all walk kernel elements in the
+    reference's row-major window order."""
+    e = (size - 1) // 2
+    nod32 = np.float32(nodata) if nodata is not None else None
+
+    def k(padded: np.ndarray) -> np.ndarray:
+        p32 = padded.astype(np.float32)
+        h = p32.shape[0] - 2 * e
+        w = p32.shape[1] - 2 * e
+        center = p32[e : e + h, e : e + w]
+        # per-element window views in the reference scan order
+        vals: list[np.ndarray] = []  # float64 of float32 values, x coef
+        valid: list[np.ndarray] = []
+        for di in range(-e, e + 1):
+            for dj in range(-e, e + 1):
+                ik = (di + e) * size + (dj + e)
+                c = coefs[ik]
+                win = p32[e + di : e + di + h, e + dj : e + dj + w]
+                if nod32 is not None:
+                    ok = ~((win == nod32) | np.isnan(win))
+                else:
+                    ok = np.ones((h, w), dtype=bool)
+                if c == 0.0:
+                    ok = np.zeros((h, w), dtype=bool)
+                vals.append(win.astype(np.float64) * c)
+                valid.append(ok)
+        n_valid = np.zeros((h, w), dtype=np.int64)
+        for ok in valid:
+            n_valid += ok
+        fill = nodata if nodata is not None else 0.0
+
+        if method in ("min", "max"):
+            init = np.inf if method == "min" else -np.inf
+            res = np.full((h, w), init)
+            for v, ok in zip(vals, valid):
+                # fmin/fmax, not minimum/maximum: the reference's
+                # `dfVal < dfRes` comparison is false for NaN (keeps
+                # dfRes), which is fmin's NaN rule, not minimum's
+                res = np.where(ok, np.fmin(res, v) if method == "min" else np.fmax(res, v), res)
+            out = np.where(n_valid > 0, res, fill)
+        elif method == "sum":
+            s = np.zeros((h, w))
+            for v, ok in zip(vals, valid):
+                s = s + np.where(ok, v, 0.0)
+            out = s  # !normalized: raw sum regardless of validCount
+        elif method == "mean":
+            s = np.zeros((h, w))
+            ks = np.zeros((h, w))
+            for (v, ok), c in zip(zip(vals, valid), coefs):
+                s = s + np.where(ok, v, 0.0)
+                ks = ks + np.where(ok, c, 0.0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = np.where((n_valid == 0) | (ks == 0.0), fill, s / np.where(ks == 0.0, 1.0, ks))
+        elif method == "stddev":
+            n = np.zeros((h, w))
+            mean = np.zeros((h, w))
+            m2 = np.zeros((h, w))
+            for v, ok in zip(vals, valid):
+                n_new = n + ok
+                delta = v - mean
+                mean_new = mean + delta / np.where(n_new == 0, 1.0, n_new)
+                m2_new = m2 + delta * (v - mean_new)
+                n, mean, m2 = (
+                    np.where(ok, n_new, n),
+                    np.where(ok, mean_new, mean),
+                    np.where(ok, m2_new, m2),
+                )
+            with np.errstate(invalid="ignore"):
+                out = np.where(n_valid > 0, np.sqrt(m2 / np.where(n_valid == 0, 1, n_valid)), fill)
+        elif method == "median":
+            stack = np.stack([np.where(ok, v, np.inf) for v, ok in zip(vals, valid)])
+            stack.sort(axis=0)
+            nv = n_valid
+            lo_i = np.clip((nv - 1) // 2, 0, stack.shape[0] - 1)
+            hi_i = np.clip(nv // 2, 0, stack.shape[0] - 1)
+            ii, jj = np.indices((h, w))
+            lo = stack[lo_i, ii, jj]
+            hi = stack[hi_i, ii, jj]
+            med = np.where(nv % 2 == 1, hi, (lo + hi) / 2.0)
+            out = np.where(nv > 0, med, fill)
+        elif method == "mode":
+            kk = len(vals)
+            # cnt[i] = running count of val_i's value at the moment
+            # element i is scanned (NaN-aware equality groups NaNs)
+            best_cnt = np.zeros((h, w), dtype=np.int64)
+            best_val = np.zeros((h, w))
+            for i in range(kk):
+                cnt = np.zeros((h, w), dtype=np.int64)
+                vi, oki = vals[i], valid[i]
+                nan_i = np.isnan(vi)
+                for j in range(i + 1):
+                    vj, okj = vals[j], valid[j]
+                    eq = (vj == vi) | (nan_i & np.isnan(vj))
+                    cnt += (eq & okj).astype(np.int64)
+                cnt = np.where(oki, cnt, 0)
+                upd = cnt > best_cnt  # strict >: first-to-reach wins
+                best_cnt = np.where(upd, cnt, best_cnt)
+                best_val = np.where(upd, vi, best_val)
+            out = np.where(n_valid > 0, best_val, fill)
+        else:
+            raise ValueError(f"unknown method {method!r}")
+
+        out32 = out.astype(np.float32)
+        if nod32 is not None:
+            out32 = np.where((center == nod32) | np.isnan(center), nod32, out32)
+        return out32.astype(np.float64)
+
+    return k
+
+
+def neighbors(
+    tiles: DataFrame,
+    spec: RasterSpec,
+    kernel: str | list[float] = "equal",
+    method: str | None = None,
+    size: int = 0,
+    nodata: float | None = None,
+) -> DataFrame:
+    """`gdal raster neighbors` over the distributed tile table: halo
+    exchange of (size-1)/2 border pixels (O(perimeter) shuffle), then
+    the FilterData replica per tile. Output tiles are float32 values
+    widened to float64 payloads (the alg's default Float64 band over
+    the float32 work buffer)."""
+    k_size, weighted, method_ = neighbors_kernel_def(kernel, method, size)
+    kern = neighbors_filter_kernel(weighted, k_size, method_, nodata)
+    return focal_apply(tiles, spec, kern, halo=(k_size - 1) // 2)

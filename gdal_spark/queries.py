@@ -6924,3 +6924,65 @@ QUERIES["segment_dedup"] = q_segment_dedup
 ORACLES["segment_dedup"] = _o_segment_dedup()
 QUERIES["bloom_decontaminate"] = q_bloom_decontaminate
 ORACLES["bloom_decontaminate"] = _o_bloom_decontaminate()
+
+
+# ---------------------------------------------------------------------------
+# `gdal raster neighbors` (VRTKernelFilteredSource full method set)
+
+
+def q_neighbors_stats(spark, sf_dir):
+    """3x3 equal-kernel neighborhood median AND mode over byte20 via
+    the full `gdal raster neighbors` replica (vrtfilters.cpp
+    FilterData): per-pixel stats of the 9 coefficient-weighted window
+    values with edge replication; mode uses the reference's
+    first-to-reach-max-count tie rule in window scan order. Integer
+    inputs with weight 1.0 make both outputs exact."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.focal import neighbors
+    from gdal_spark.operators.raster import as_features
+
+    tiles = byte20_tiles(spark)
+    med = as_features(neighbors(tiles, BYTE20_SPEC, kernel="equal", method="median", size=3), BYTE20_SPEC)
+    mod = as_features(neighbors(tiles, BYTE20_SPEC, kernel="equal", method="mode", size=3), BYTE20_SPEC)
+    return (
+        med.select("py", "px", F.col("value").alias("med"))
+        .join(mod.select("py", "px", F.col("value").alias("mod")), ["py", "px"])
+        .select(
+            F.col("py").cast("bigint").alias("py"),
+            F.col("px").cast("bigint").alias("px"),
+            F.col("med").cast("bigint").alias("median9"),
+            F.col("mod").cast("bigint").alias("mode9"),
+        )
+    )
+
+
+def _o_neighbors_stats() -> str:
+    from gdal_spark.fixtures import BYTE20
+
+    vals = ", ".join(f"({py},{px},{int(BYTE20[py, px])})" for py in range(20) for px in range(20))
+    # window values in the reference scan order, clamped indices ==
+    # edge replication
+    terms = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            terms.append(
+                f"(SELECT v FROM pixels q WHERE q.py = LEAST(GREATEST(p.py + ({dy}), 0), 19) "
+                f"AND q.px = LEAST(GREATEST(p.px + ({dx}), 0), 19))"
+            )
+    wlist = "[" + ", ".join(terms) + "]"
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {vals}) AS t(py, px, v)), "
+        f"win AS (SELECT py, px, {wlist} AS w FROM pixels p), "
+        # cnt[i] = occurrences of w[i] among w[1..i] (the running count
+        # at scan step i); mode = w at the FIRST index attaining the
+        # final max count — exactly FilterData's `>` update rule
+        "cn AS (SELECT py, px, w, list_transform(generate_series(1, 9), "
+        "i -> len(list_filter(w[1:i], x -> x = w[i]))) AS cnt FROM win) "
+        "SELECT CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px, "
+        "CAST(list_sort(w)[5] AS BIGINT) AS median9, "
+        "CAST(w[list_position(cnt, list_max(cnt))] AS BIGINT) AS mode9 FROM cn"
+    )
+
+
+QUERIES["neighbors_stats"] = q_neighbors_stats
+ORACLES["neighbors_stats"] = _o_neighbors_stats()
