@@ -315,3 +315,64 @@ def color_relief(
             yield _pd.DataFrame(rows, columns=["band", "ty", "tx", "h", "w", "dtype", "payload"])
 
     return tiles.mapInPandas(_map, TILE_SCHEMA)
+
+
+def unscale(
+    tiles: DataFrame,
+    spec: RasterSpec,
+    band_scale: float = 1.0,
+    band_offset: float = 0.0,
+    out_dtype: str = "float32",
+) -> tuple[DataFrame, RasterSpec]:
+    """`gdal raster unscale` (gdalalg_raster_unscale.cpp -> gdal
+    translate -unscale, gdal_translate_lib.cpp:611): convert values to
+    their unscaled form v*scale + offset using the band's scale/offset
+    metadata, then GDALCopyWord into the working type (Float32 by
+    default like the translate -unscale path for non-complex bands).
+    Pure composition over translate(scale=...) — one Arrow pass,
+    shuffle-free."""
+    return translate(tiles, spec, scale=(band_scale, band_offset), out_dtype=out_dtype)
+
+
+def nodata_to_alpha(
+    tiles: DataFrame,
+    spec: RasterSpec,
+    nodata: float | list[float],
+) -> DataFrame:
+    """`gdal raster nodata-to-alpha`
+    (apps/gdalalg_raster_nodata_to_alpha.cpp): append an alpha band
+    derived from the nodata mask — 255 where valid, 0 where nodata —
+    and treat the data bands as alpha-carried from then on (the
+    -a_nodata none + -b mask + -colorinterp alpha translate chain).
+    Multi-band nodata follows GDALNoDataValuesMaskBand: a pixel is
+    transparent only when EVERY band equals its nodata value.
+
+    Distributed shape: one groupBy (ty, tx) co-shuffles each tile
+    key's band payloads to build the alpha tile (O(raster bytes), the
+    minimum possible — the mask is a cross-band function); the data
+    bands pass through untouched."""
+    nod = [float(v) for v in (nodata if isinstance(nodata, (list, tuple)) else [nodata])]
+    nb = spec.nbands
+    if len(nod) == 1 and nb > 1:
+        nod = nod * nb
+    if len(nod) != nb:
+        raise ValueError(f"need {nb} nodata values, got {len(nod)}")
+    alpha_band = nb + 1
+
+    def _alpha(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tyy, txx = int(key[0]), int(key[1])
+        m = None
+        h = w = 0
+        for r in pdf.itertuples(index=False):
+            t = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)
+            h, w = int(r.h), int(r.w)
+            this = t == np.asarray(nod[int(r.band) - 1], dtype=t.dtype)
+            m = this if m is None else (m & this)
+        alpha = np.where(m, 0, 255).astype(np.uint8)
+        return pd.DataFrame(
+            [{"band": alpha_band, "ty": tyy, "tx": txx, "h": h, "w": w,
+              "dtype": "uint8", "payload": alpha.tobytes()}]
+        )
+
+    alpha_tiles = tiles.groupBy("ty", "tx").applyInPandas(_alpha, TILE_SCHEMA)
+    return tiles.unionByName(alpha_tiles)

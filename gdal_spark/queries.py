@@ -6986,3 +6986,45 @@ def _o_neighbors_stats() -> str:
 
 QUERIES["neighbors_stats"] = q_neighbors_stats
 ORACLES["neighbors_stats"] = _o_neighbors_stats()
+
+
+def q_alpha_unscale(spark, sf_dir):
+    """`gdal raster nodata-to-alpha` + `unscale` composition over
+    byte20: alpha band (0 where value==107 else 255) appended by the
+    per-dataset mask rule, data band unscaled v*2 - 10 into float32 —
+    both exact integers here."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.raster import as_features
+    from gdal_spark.operators.translate import nodata_to_alpha, unscale
+
+    tiles = byte20_tiles(spark)
+    with_alpha = nodata_to_alpha(tiles, BYTE20_SPEC, nodata=107.0)
+    alpha_pix = as_features(with_alpha.filter(F.col("band") == 2), BYTE20_SPEC)
+    un, dspec = unscale(tiles, BYTE20_SPEC, band_scale=2.0, band_offset=-10.0)
+    un_pix = as_features(un, dspec)
+    return (
+        alpha_pix.select("py", "px", F.col("value").alias("alpha"))
+        .join(un_pix.select("py", "px", F.col("value").alias("unscaled")), ["py", "px"])
+        .select(
+            F.col("py").cast("bigint").alias("py"),
+            F.col("px").cast("bigint").alias("px"),
+            F.col("alpha").cast("bigint").alias("alpha"),
+            F.col("unscaled").cast("bigint").alias("unscaled"),
+        )
+    )
+
+
+def _o_alpha_unscale() -> str:
+    from gdal_spark.fixtures import BYTE20
+
+    vals = ", ".join(f"({py},{px},{int(BYTE20[py, px])})" for py in range(20) for px in range(20))
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {vals}) AS t(py, px, v)) "
+        "SELECT CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px, "
+        "CAST(CASE WHEN v = 107 THEN 0 ELSE 255 END AS BIGINT) AS alpha, "
+        "CAST(v * 2 - 10 AS BIGINT) AS unscaled FROM pixels"
+    )
+
+
+QUERIES["alpha_unscale"] = q_alpha_unscale
+ORACLES["alpha_unscale"] = _o_alpha_unscale()
