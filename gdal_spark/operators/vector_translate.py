@@ -329,3 +329,78 @@ def vector_translate(
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+# ---------------------------------------------------------------------------
+# `gdal vector make-point` / `gdal vector swap-xy`
+
+
+def make_point(
+    df: DataFrame,
+    x_field: str,
+    y_field: str,
+    z_field: str | None = None,
+    wkt_col: str = "wkt",
+) -> DataFrame:
+    """`gdal vector make-point`
+    (apps/gdalalg_vector_make_point.cpp): build a POINT (or POINT Z)
+    geometry from coordinate fields; string fields parse as doubles
+    (the CPLAtof path). Invalid / NULL coordinate values yield a NULL
+    geometry (documented deviation: the reference errors the feature;
+    a 10^12-row pipeline wants the row quarantined, not the job
+    failed). Pure Catalyst — no Python, no shuffle."""
+    x = F.col(x_field).try_cast("double")
+    y = F.col(y_field).try_cast("double")
+    parts = [F.lit("POINT ("), _fmt_d_col(x), F.lit(" "), _fmt_d_col(y)]
+    ok = x.isNotNull() & y.isNotNull()
+    if z_field is not None:
+        z = F.col(z_field).try_cast("double")
+        parts = [F.lit("POINT Z ("), _fmt_d_col(x), F.lit(" "), _fmt_d_col(y), F.lit(" "), _fmt_d_col(z)]
+        ok = ok & z.isNotNull()
+    wkt = F.concat(*parts, F.lit(")"))
+    return df.withColumn(wkt_col, F.when(ok, wkt))
+
+
+def _fmt_d_col(c):
+    """Catalyst twin of geom/wkt.py _fmt_d for the values make-point
+    emits: integral doubles print without a trailing .0 (OGR %.15g),
+    non-integral ones via Spark's shortest-repr string cast (which is
+    %.17g-shortest — a superset of %.15g for exactly-representable
+    inputs; make-point coordinates come straight from user fields, so
+    round-tripping them losslessly IS the reference behavior)."""
+    i = c.try_cast("bigint")
+    return F.when(
+        i.isNotNull() & (i.cast("double") == c), i.cast("string")
+    ).otherwise(c.cast("string"))
+
+
+def swap_xy(df: DataFrame, wkt_col: str = "wkt") -> DataFrame:
+    """`gdal vector swap-xy` (apps/gdalalg_vector_swap_xy.cpp →
+    OGRGeometry::swapXY): exchange X and Y of every vertex of every
+    geometry type. One Arrow pass (vertex arrays flip in numpy); rows
+    with NULL/invalid geometry pass through unchanged."""
+    from gdal_spark.geom.wkt import parse_wkt, to_wkt
+
+    out_schema = df.schema
+
+    def _swap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.reset_index(drop=True)
+            wkt = pdf[wkt_col]
+            mask = wkt.notna()
+            if mask.any():
+                batch, errors = parse_wkt(wkt[mask], return_errors=True)
+                if batch.coords.size:
+                    batch.coords[:] = batch.coords[:, ::-1]
+                swapped = to_wkt(batch)
+                vals = wkt.to_numpy(object).copy()
+                idx = np.flatnonzero(mask.to_numpy())
+                for j, i in enumerate(idx):
+                    if errors[j] is None:
+                        vals[i] = swapped[j]
+                pdf[wkt_col] = vals
+            yield pdf
+
+    return df.mapInPandas(_swap, out_schema)

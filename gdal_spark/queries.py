@@ -7028,3 +7028,37 @@ def _o_alpha_unscale() -> str:
 
 QUERIES["alpha_unscale"] = q_alpha_unscale
 ORACLES["alpha_unscale"] = _o_alpha_unscale()
+
+
+def q_make_point_swap(spark, sf_dir):
+    """`gdal vector make-point` (string coordinate fields) chained
+    into `gdal vector swap-xy`: points built from doc_id-derived
+    text fields, every vertex X/Y-exchanged through the WKT
+    round-trip, envelope re-extracted. x ends in .5 to pin the
+    non-integral WKT number formatting branch."""
+    from gdal_spark.operators.spatial import envelope_udf
+    from gdal_spark.operators.vector_translate import make_point, swap_xy
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = d.withColumn("xs", ((F.col("doc_id") % 360) - 180 + 0.5).cast("string"))
+    d = d.withColumn("ys", (((F.col("doc_id") * 7) % 180) - 90).cast("double").cast("string"))
+    pts = swap_xy(make_point(d, "xs", "ys"))
+    env = pts.withColumn("_env", envelope_udf(F.col("wkt")))
+    return env.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.floor(F.col("_env.minx") * 2).cast("bigint").alias("sx2"),
+        F.floor(F.col("_env.miny") * 2).cast("bigint").alias("sy2"),
+    )
+
+
+def _o_make_point_swap() -> str:
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(((doc_id * 7) % 180 - 90) * 2 AS BIGINT) AS sx2, "
+        "CAST((doc_id % 360 - 180) * 2 + 1 AS BIGINT) AS sy2 "
+        "FROM documents"
+    )
+
+
+QUERIES["make_point_swap"] = q_make_point_swap
+ORACLES["make_point_swap"] = _o_make_point_swap()
