@@ -7062,3 +7062,55 @@ def _o_make_point_swap() -> str:
 
 QUERIES["make_point_swap"] = q_make_point_swap
 ORACLES["make_point_swap"] = _o_make_point_swap()
+
+
+def q_check_geometry(spark, sf_dir):
+    """`gdal vector check-geometry`: per-doc synthetic geometries —
+    a third are bowtie polygons (proper ring crossing), a third valid
+    rectangles (emit nothing), a third carry a hole outside the shell
+    — run through the IsValidDetail analog; output the reference's
+    error layer (reason + invalid location)."""
+    from gdal_spark.operators.check_geometry import check_geometry
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    w = (F.col("doc_id") % 7 + 2).cast("bigint").cast("string")
+    h = (F.col("doc_id") % 5 + 2).cast("bigint").cast("string")
+    k = (F.col("doc_id") % 4 + 10).cast("bigint").cast("string")
+    bowtie = F.concat(
+        F.lit("POLYGON ((0 0,"), w, F.lit(" "), h, F.lit(","), w,
+        F.lit(" 0,0 "), h, F.lit(",0 0))"),
+    )
+    rect = F.concat(F.lit("POLYGON ((0 0,"), w, F.lit(" 0,"), w, F.lit(" "),
+                    h, F.lit(",0 "), h, F.lit(",0 0))"))
+    holed = F.concat(
+        F.lit("POLYGON ((0 0,4 0,4 4,0 4,0 0),("), k, F.lit(" "), k,
+        F.lit(","), k, F.lit(" 5,5 "), k, F.lit(","), k, F.lit(" "), k, F.lit("))"),
+    )
+    m = F.col("doc_id") % 3
+    d = d.withColumn("wkt", F.when(m == 0, bowtie).when(m == 1, rect).otherwise(holed))
+    out = check_geometry(d)
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        "error",
+        F.floor(F.col("loc_x") * 2).cast("bigint").alias("lx2"),
+        F.floor(F.col("loc_y") * 2).cast("bigint").alias("ly2"),
+    )
+
+
+def _o_check_geometry() -> str:
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CASE WHEN doc_id % 3 = 0 THEN 'Self-intersection' "
+        "ELSE 'Hole lies outside shell' END AS error, "
+        # bowtie crossing = (w/2, h/2); hole-outside location = the
+        # hole's first vertex (k, k)
+        "CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 7 + 2 AS BIGINT) "
+        "ELSE (doc_id % 4 + 10) * 2 END AS lx2, "
+        "CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 5 + 2 AS BIGINT) "
+        "ELSE (doc_id % 4 + 10) * 2 END AS ly2 "
+        "FROM documents WHERE doc_id % 3 <> 1"
+    )
+
+
+QUERIES["check_geometry"] = q_check_geometry
+ORACLES["check_geometry"] = _o_check_geometry()
