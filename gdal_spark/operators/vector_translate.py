@@ -404,3 +404,48 @@ def swap_xy(df: DataFrame, wkt_col: str = "wkt") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(_swap, out_schema)
+
+
+def concave_hull_geom(
+    df: DataFrame, wkt_col: str = "wkt", ratio: float = 0.5, allow_holes: bool = False
+) -> DataFrame:
+    """`gdal vector concave-hull`
+    (apps/gdalalg_vector_concave_hull.cpp → OGRGeometry::ConcaveHull,
+    the JTS/GEOS edge-length-ratio algorithm): per-feature hull over
+    the geometry's vertices (geom/concave.py). ratio=1 degenerates to
+    the convex hull; degenerate inputs (<3 non-collinear vertices)
+    yield a NULL geometry. One Arrow pass, no shuffle."""
+    from gdal_spark.geom.concave import concave_hull as _hull
+
+    out_schema = df.schema
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.reset_index(drop=True)
+            wkt = pdf[wkt_col]
+            mask = wkt.notna()
+            vals = wkt.to_numpy(object).copy()
+            if mask.any():
+                batch, errors = parse_wkt(wkt[mask], return_errors=True)
+                idx = np.flatnonzero(mask.to_numpy())
+                for j, i in enumerate(idx):
+                    if errors[j] is not None or batch.is_null[j]:
+                        vals[i] = None
+                        continue
+                    s = batch.geom_part_off[j]
+                    e = batch.geom_part_off[j + 1]
+                    c0 = batch.ring_coord_off[batch.part_ring_off[s]]
+                    c1 = batch.ring_coord_off[batch.part_ring_off[e]]
+                    rings = _hull(batch.coords[c0:c1], ratio, allow_holes)
+                    if rings is None:
+                        vals[i] = None
+                        continue
+                    b = GeomBatchBuilder()
+                    b.add(GeomType.POLYGON, [rings])
+                    vals[i] = to_wkt(b.finish())[0]
+            pdf[wkt_col] = vals
+            yield pdf
+
+    return df.mapInPandas(_run, out_schema)

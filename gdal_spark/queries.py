@@ -7114,3 +7114,52 @@ def _o_check_geometry() -> str:
 
 QUERIES["check_geometry"] = q_check_geometry
 ORACLES["check_geometry"] = _o_check_geometry()
+
+
+def q_concave_hull(spark, sf_dir):
+    """`gdal vector concave-hull` at ratio=1 (the convex-hull
+    degenerate of the JTS edge-length-ratio erosion): per-doc
+    MULTIPOINT sets of rectangle corners + strictly-interior points;
+    the hull must come back as exactly the w x h rectangle — area and
+    vertex count are closed-form."""
+    from gdal_spark.operators.spatial import area_udf, envelope_udf
+    from gdal_spark.operators.vector_translate import concave_hull_geom
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    w = (F.col("doc_id") % 7 + 2).cast("bigint")
+    h = (F.col("doc_id") % 5 + 2).cast("bigint")
+    ws, hs = w.cast("string"), h.cast("string")
+
+    def interior(i):
+        px = ((F.col("doc_id") * 7 + i * 13) % (w * 4 - 4) + 1).cast("double") / 4
+        py = ((F.col("doc_id") * 11 + i * 17) % (h * 4 - 4) + 1).cast("double") / 4
+        return F.concat(px.cast("string"), F.lit(" "), py.cast("string"))
+
+    mp = F.concat(
+        F.lit("MULTIPOINT (0 0,"), ws, F.lit(" 0,"), ws, F.lit(" "), hs,
+        F.lit(",0 "), hs, F.lit(","),
+        interior(1), F.lit(","), interior(2), F.lit(","), interior(3), F.lit(")"),
+    )
+    hull = concave_hull_geom(d.withColumn("wkt", mp), ratio=1.0)
+    out = hull.withColumn("_a", area_udf(F.col("wkt"))).withColumn(
+        "_env", envelope_udf(F.col("wkt"))
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("_a").cast("bigint").alias("hull_area"),
+        (F.col("_env.maxx") - F.col("_env.minx")).cast("bigint").alias("hull_w"),
+        (F.col("_env.maxy") - F.col("_env.miny")).cast("bigint").alias("hull_h"),
+    )
+
+
+def _o_concave_hull() -> str:
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST((doc_id % 7 + 2) * (doc_id % 5 + 2) AS BIGINT) AS hull_area, "
+        "CAST(doc_id % 7 + 2 AS BIGINT) AS hull_w, "
+        "CAST(doc_id % 5 + 2 AS BIGINT) AS hull_h FROM documents"
+    )
+
+
+QUERIES["concave_hull"] = q_concave_hull
+ORACLES["concave_hull"] = _o_concave_hull()
