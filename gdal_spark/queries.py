@@ -7163,3 +7163,47 @@ def _o_concave_hull() -> str:
 
 QUERIES["concave_hull"] = q_concave_hull
 ORACLES["concave_hull"] = _o_concave_hull()
+
+
+def q_vector_combine(spark, sf_dir):
+    """`gdal vector combine`: per-source grouping of doc-derived
+    POINTs into one MULTIPOINT per group (order pinned by doc_id),
+    with add-extra-fields=sometimes-identical copying `lang` only for
+    groups where it is uniform. Envelope of the combined geometry +
+    member count replay closed-form in SQL."""
+    from gdal_spark.operators.spatial import envelope_udf
+    from gdal_spark.relational import combine
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    x = (F.col("doc_id") % 89).cast("string")
+    y = ((F.col("doc_id") * 3) % 97).cast("string")
+    d = d.withColumn("wkt", F.concat(F.lit("POINT ("), x, F.lit(" "), y, F.lit(")")))
+    out = combine(
+        d, ["source"], order_col="doc_id",
+        add_extra_fields="sometimes-identical", extra_fields=["lang"],
+    )
+    env = out.withColumn("_env", envelope_udf(F.col("wkt")))
+    return env.select(
+        "source",
+        "lang",
+        F.col("_env.minx").cast("bigint").alias("minx"),
+        F.col("_env.maxx").cast("bigint").alias("maxx"),
+        F.col("_env.miny").cast("bigint").alias("miny"),
+        F.col("_env.maxy").cast("bigint").alias("maxy"),
+    )
+
+
+def _o_vector_combine() -> str:
+    return (
+        "SELECT source, "
+        "CASE WHEN MIN(lang) = MAX(lang) THEN MIN(lang) END AS lang, "
+        "CAST(MIN(doc_id % 89) AS BIGINT) AS minx, "
+        "CAST(MAX(doc_id % 89) AS BIGINT) AS maxx, "
+        "CAST(MIN((doc_id * 3) % 97) AS BIGINT) AS miny, "
+        "CAST(MAX((doc_id * 3) % 97) AS BIGINT) AS maxy "
+        "FROM documents GROUP BY source"
+    )
+
+
+QUERIES["vector_combine"] = q_vector_combine
+ORACLES["vector_combine"] = _o_vector_combine()

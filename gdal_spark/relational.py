@@ -66,3 +66,115 @@ def partition_write(
     if max_records_per_file:
         df.sparkSession.conf.set("spark.sql.files.maxRecordsPerFile", str(max_records_per_file))
     return write_snapshot(df, path, job_id, partition_by=list(partition_cols))
+
+
+def combine(
+    df: DataFrame,
+    group_by: Sequence[str],
+    wkt_col: str = "wkt",
+    order_col: str | None = None,
+    add_extra_fields: str = "no",
+    extra_fields: Sequence[str] = (),
+) -> DataFrame:
+    """`gdal vector combine` (apps/gdalalg_vector_combine.cpp): group
+    features by field(s) and merge their geometries into ONE
+    multi-geometry per group — all members the same atomic type ->
+    MultiPoint/MultiLineString/MultiPolygon, mixed ->
+    GEOMETRYCOLLECTION; multipart members contribute their COMPONENTS
+    (the reference's default; keep-nested — nesting collections
+    inside the output — is out of scope: the flat GC model here
+    cannot represent nesting). NULL/invalid geometries are skipped.
+
+    add_extra_fields='always-identical' copies each extra field whose
+    value is identical within EVERY group (the reference's SQLITE
+    MIN==MAX probe becomes one Catalyst aggregate over the same
+    groupBy — no second scan shape).
+
+    Distributed shape: ONE groupBy shuffle carrying each geometry
+    once (plus the small key/order columns); assembly is an Arrow
+    pass over the aggregated rows. order_col pins member order inside
+    the multi (the reference preserves source order; Spark input
+    order is nondeterministic without it)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from gdal_spark.geom.batch import GeomBatchBuilder, GeomType
+    from gdal_spark.geom.wkt import parse_wkt, to_wkt
+
+    keys = list(group_by)
+    order = F.col(order_col) if order_col else F.monotonically_increasing_id()
+    aggs = [
+        F.array_sort(F.collect_list(F.struct(order.alias("o"), F.col(wkt_col).alias("w"))))
+        .alias("_members")
+    ]
+    extras = [c for c in extra_fields if c not in keys]
+    for c in extras:
+        aggs.append(F.min(c).alias(f"_min_{c}"))
+        aggs.append(F.max(c).alias(f"_max_{c}"))
+    g = df.groupBy(*keys).agg(*aggs)
+    g = g.withColumn("_wkts", F.transform(F.col("_members"), lambda s: s["w"])).drop("_members")
+
+    if add_extra_fields == "always-identical" and extras:
+        # a field is copied only if min==max (or all-null) in EVERY group
+        probe = g.select(
+            *[
+                (F.min((F.col(f"_min_{c}") == F.col(f"_max_{c}")) | F.col(f"_min_{c}").isNull()))
+                .alias(c)
+                for c in extras
+            ]
+        ).first()
+        keep = [c for c in extras if probe[c]]
+    elif add_extra_fields == "sometimes-identical":
+        keep = extras  # per-group: non-identical groups get NULL below
+    else:
+        keep = []
+
+    out_fields = [StructField(c, df.schema[c].dataType) for c in keys]
+    for c in keep:
+        out_fields.append(StructField(c, df.schema[c].dataType))
+    out_fields.append(StructField(wkt_col, StringType()))
+    out_schema = StructType(out_fields)
+
+    per_group = add_extra_fields == "sometimes-identical"
+
+    def _assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                wkts = [w for w in r["_wkts"] if w is not None]
+                members = []
+                if wkts:
+                    batch, errs = parse_wkt(pd.Series(wkts), return_errors=True)
+                    for j in range(len(wkts)):
+                        if errs[j] is not None or batch.is_null[j]:
+                            continue
+                        members.extend(batch.collection_members(j))
+                b = GeomBatchBuilder()
+                if not members:
+                    wkt_out = None
+                else:
+                    mtypes = {mt for mt, _ in members}
+                    if len(mtypes) == 1:
+                        mt = next(iter(mtypes))
+                        multi = {
+                            GeomType.POINT: GeomType.MULTIPOINT,
+                            GeomType.LINESTRING: GeomType.MULTILINESTRING,
+                            GeomType.POLYGON: GeomType.MULTIPOLYGON,
+                        }[mt]
+                        b.add(multi, [rings for _, rings in members])
+                    else:
+                        b.add_collection(members)
+                    wkt_out = to_wkt(b.finish())[0]
+                row = {k: r[k] for k in keys}
+                for c in keep:
+                    mn, mx = r[f"_min_{c}"], r[f"_max_{c}"]
+                    row[c] = mn if (not per_group or mn == mx or (pd.isna(mn) and pd.isna(mx))) else None
+                row[wkt_col] = wkt_out
+                rows.append(row)
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in out_fields])
+
+    return g.mapInPandas(_assemble, out_schema)
