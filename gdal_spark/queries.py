@@ -7207,3 +7207,45 @@ def _o_vector_combine() -> str:
 
 QUERIES["vector_combine"] = q_vector_combine
 ORACLES["vector_combine"] = _o_vector_combine()
+
+
+def q_check_coverage(spark, sf_dir):
+    """`gdal vector check-coverage`: a strip of 10-unit squares tiling
+    edge-to-edge (a valid coverage) except every 5th square is 12
+    wide, overlapping its right neighbor by 2 — both members of each
+    overlapping pair must be flagged with exactly the 10-unit boundary
+    portion that sits strictly inside the neighbor; exactly-shared
+    edges must stay silent. Candidate pairs come from the ids-only
+    cell self-join (the big x big path)."""
+    from gdal_spark.operators.cells import Grid
+    from gdal_spark.operators.coverage import check_coverage
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    x0 = (F.col("doc_id") * 10).cast("bigint")
+    w = F.when(F.col("doc_id") % 5 == 0, F.lit(12)).otherwise(F.lit(10))
+    x1 = (x0 + w).cast("string")
+    x0s = x0.cast("string")
+    wkt = F.concat(
+        F.lit("POLYGON (("), x0s, F.lit(" 0,"), x1, F.lit(" 0,"), x1,
+        F.lit(" 10,"), x0s, F.lit(" 10,"), x0s, F.lit(" 0))"),
+    )
+    zones = d.select(F.col("doc_id").alias("fid"), wkt.alias("wkt"))
+    grid = Grid(minx=0.0, miny=0.0, maxx=120000.0, maxy=10.0, nx=4096, ny=1)
+    out = check_coverage(zones, grid)
+    return out.select(
+        F.col("fid").cast("bigint").alias("doc_id"),
+        F.col("invalid_len").cast("bigint").alias("invalid_len"),
+    )
+
+
+def _o_check_coverage() -> str:
+    return (
+        "WITH mx AS (SELECT MAX(doc_id) AS m FROM documents) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(10 AS BIGINT) AS invalid_len "
+        "FROM documents, mx "
+        "WHERE (doc_id % 5 = 0 AND doc_id < mx.m) OR (doc_id >= 1 AND (doc_id - 1) % 5 = 0)"
+    )
+
+
+QUERIES["check_coverage"] = q_check_coverage
+ORACLES["check_coverage"] = _o_check_coverage()
