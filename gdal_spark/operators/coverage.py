@@ -185,3 +185,54 @@ def check_coverage(
         return invalid
     base = zones.select(F.col(fid_col).cast("long").alias("fid"))
     return base.join(invalid, "fid", "left").fillna({"invalid_len": 0.0})
+
+
+def simplify_coverage(
+    zones: DataFrame,
+    tolerance: float,
+    preserve_boundary: bool = False,
+    fid_col: str = "fid",
+    wkt_col: str = "wkt",
+    patch_col: str | None = None,
+) -> DataFrame:
+    """`gdal vector simplify-coverage`
+    (apps/gdalalg_vector_simplify_coverage.cpp →
+    GEOSCoverageSimplifyVW): topology-preserving simplification where
+    every shared boundary chain is simplified ONCE and spliced back
+    into both polygons (geom/coverage_simplify.py).
+
+    Distribution contract: chain identity is a global property of the
+    coverage, so the unit of work is a PATCH — pass patch_col to
+    process each self-contained coverage patch (an admin level, a map
+    sheet) as one task via applyInPandas; with no patch column the
+    whole input is one patch (the reference's own shape: GEOS gets
+    the entire collection in memory). Patches at 100 TB come from the
+    data model, not from this operator."""
+    from gdal_spark.geom.coverage_simplify import coverage_simplify
+
+    cols = [F.col(fid_col).alias("_fid"), F.col(wkt_col).alias("_wkt")]
+    key = patch_col if patch_col else "_patch"
+    base = zones.select(*cols, *( [F.col(patch_col).alias("_key")] if patch_col else [F.lit(0).alias("_key")] ))
+
+    out_schema = StructType(
+        [StructField("fid", LongType()), StructField(wkt_col, StringType())]
+    )
+
+    def _run(kv, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.reset_index(drop=True)
+        batch, errs = parse_wkt(pdf["_wkt"], return_errors=True)
+        polys = []
+        fids = []
+        for i in range(len(pdf)):
+            if errs[i] is not None or batch.is_null[i]:
+                continue
+            polys.append(batch.polygon_rings(i))
+            fids.append(int(pdf["_fid"].iloc[i]))
+        simplified = coverage_simplify(polys, tolerance, preserve_boundary)
+        b = GeomBatchBuilder()
+        for rings in simplified:
+            b.add(GeomType.POLYGON, [rings])
+        wkts = to_wkt(b.finish())
+        return pd.DataFrame({"fid": fids, wkt_col: wkts})
+
+    return base.groupBy("_key").applyInPandas(_run, out_schema)

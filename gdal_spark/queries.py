@@ -7249,3 +7249,41 @@ def _o_check_coverage() -> str:
 
 QUERIES["check_coverage"] = q_check_coverage
 ORACLES["check_coverage"] = _o_check_coverage()
+
+
+def q_simplify_coverage(spark, sf_dir):
+    """`gdal vector simplify-coverage`: a strip coverage of 10x10
+    squares whose shared vertical edges carry a redundant collinear
+    midpoint — coverage simplification must remove every midpoint
+    IDENTICALLY on both sides (chains simplified once, spliced back)
+    while the corner nodes pin: every output ring is exactly the
+    4-corner square, area preserved."""
+    from gdal_spark.operators.coverage import simplify_coverage
+    from gdal_spark.operators.spatial import area_udf
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    x0 = (F.col("doc_id") * 10).cast("bigint").cast("string")
+    x1 = ((F.col("doc_id") + 1) * 10).cast("bigint").cast("string")
+    wkt = F.concat(
+        F.lit("POLYGON (("), x0, F.lit(" 0,"), x1, F.lit(" 0,"), x1,
+        F.lit(" 5,"), x1, F.lit(" 10,"), x0, F.lit(" 10,"), x0,
+        F.lit(" 5,"), x0, F.lit(" 0))"),
+    )
+    zones = d.select(F.col("doc_id").alias("fid"), wkt.alias("wkt"))
+    out = simplify_coverage(zones, tolerance=1.0)
+    return out.select(
+        F.col("fid").cast("bigint").alias("doc_id"),
+        (F.size(F.split(F.col("wkt"), ",")) - 1).cast("bigint").alias("n_verts"),
+        area_udf(F.col("wkt")).cast("bigint").alias("area"),
+    )
+
+
+def _o_simplify_coverage() -> str:
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(4 AS BIGINT) AS n_verts, "
+        "CAST(100 AS BIGINT) AS area FROM documents"
+    )
+
+
+QUERIES["simplify_coverage"] = q_simplify_coverage
+ORACLES["simplify_coverage"] = _o_simplify_coverage()
