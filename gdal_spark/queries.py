@@ -7287,3 +7287,49 @@ def _o_simplify_coverage() -> str:
 
 QUERIES["simplify_coverage"] = q_simplify_coverage
 ORACLES["simplify_coverage"] = _o_simplify_coverage()
+
+
+def q_raster_update(spark, sf_dir):
+    """`gdal raster update`: a 10x10 patterned source raster
+    positioned over byte20's center is warped (identity CRS, aligned
+    grids -> nearest is bit-exact) INTO the existing raster; pixels
+    under the source take its values, everything else is untouched."""
+    import numpy as np
+
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.geom.proj import Pipeline
+    from gdal_spark.operators.raster import RasterSpec, as_features
+    from gdal_spark.operators.update import raster_update
+
+    gt = BYTE20_SPEC.gt
+    sgt = (gt[0] + 5 * gt[1], gt[1], 0.0, gt[3] + 5 * gt[5], 0.0, gt[5])
+    src_spec = RasterSpec(width=10, height=10, gt=sgt, dtype="uint8", nbands=1, tile_size=16)
+    arr = (np.arange(100, dtype=np.uint8).reshape(10, 10) * 2 + 3) % 251
+    src = spark.createDataFrame(
+        [(1, 0, 0, 10, 10, "uint8", bytes(arr.tobytes()))],
+        "band int, ty int, tx int, h int, w int, dtype string, payload binary",
+    )
+    out = raster_update(byte20_tiles(spark), BYTE20_SPEC, src, src_spec, Pipeline())
+    pix = as_features(out, BYTE20_SPEC)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("value").cast("bigint").alias("value"),
+    )
+
+
+def _o_raster_update() -> str:
+    from gdal_spark.fixtures import BYTE20
+
+    vals = ", ".join(f"({py},{px},{int(BYTE20[py, px])})" for py in range(20) for px in range(20))
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {vals}) AS t(py, px, v)) "
+        "SELECT CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px, "
+        "CAST(CASE WHEN py BETWEEN 5 AND 14 AND px BETWEEN 5 AND 14 "
+        "THEN (((py - 5) * 10 + (px - 5)) * 2 + 3) % 251 ELSE v END AS BIGINT) AS value "
+        "FROM pixels"
+    )
+
+
+QUERIES["raster_update"] = q_raster_update
+ORACLES["raster_update"] = _o_raster_update()
