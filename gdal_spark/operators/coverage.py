@@ -236,3 +236,122 @@ def simplify_coverage(
         return pd.DataFrame({"fid": fids, wkt_col: wkts})
 
     return base.groupBy("_key").applyInPandas(_run, out_schema)
+
+
+def _piece_length(pieces: list[np.ndarray]) -> float:
+    total = 0.0
+    for p in pieces:
+        d = np.diff(p, axis=0)
+        total += float(np.hypot(d[:, 0], d[:, 1]).sum())
+    return total
+
+
+def clean_coverage_patch(
+    fids: list[int], polys: list[list[np.ndarray]], merge_strategy: str = "longest-border"
+) -> list[list[np.ndarray]]:
+    """OVERLAP RESOLUTION of the GEOS 3.14 CoverageCleaner
+    (GEOSCoverageClean, `gdal vector clean-coverage`,
+    apps/gdalalg_vector_clean_coverage.cpp): every pairwise overlap
+    region is merged into exactly one of its owners per the strategy —
+      longest-border: the owner sharing the longer border with the
+        overlap (for A∩B the border toward A's remainder is the part
+        of ∂B inside A, and vice versa); ties -> lower index
+      max-area / min-area: the larger / smaller polygon wins
+      min-index: the earlier feature wins
+    — and subtracted from the loser. Declared deviations: node
+    snapping (snapping-distance) and gap closing (maximum-gap-width)
+    are not implemented; inputs are assumed vertex-matched except for
+    overlaps (the check_coverage rule detects exactly those)."""
+    from gdal_spark.geom.overlay import overlay
+
+    out = [list(rings) for rings in polys]
+
+    def area_of(rings_list: list[list[np.ndarray]]) -> float:
+        a = 0.0
+        for rings in rings_list:
+            for k, r in enumerate(rings):
+                x, y = r[:-1, 0], r[:-1, 1]
+                x2, y2 = r[1:, 0], r[1:, 1]
+                a += abs(0.5 * float(np.sum(x * y2 - x2 * y))) * (1 if k == 0 else -1)
+        return a
+
+    def env(rings):
+        xs = np.concatenate([r[:, 0] for r in rings])
+        ys = np.concatenate([r[:, 1] for r in rings])
+        return xs.min(), ys.min(), xs.max(), ys.max()
+
+    envs = [env(r) for r in out]
+    n = len(out)
+    for i in range(n):
+        for j in range(i + 1, n):
+            e1, e2 = envs[i], envs[j]
+            if e1[2] <= e2[0] or e2[2] <= e1[0] or e1[3] <= e2[1] or e2[3] <= e1[1]:
+                continue
+            inter = overlay([out[i]], [out[j]], "and")
+            if not inter:
+                continue
+            inter_area = sum(
+                abs(0.5 * float(np.sum(s[:-1, 0] * s[1:, 1] - s[1:, 0] * s[:-1, 1])))
+                for s, _ in inter
+            )
+            if inter_area == 0.0:
+                continue
+            if merge_strategy == "longest-border":
+                # border of the overlap toward i's remainder = ∂(j) inside i
+                li = _piece_length(invalid_boundary_pieces(out[j], out[i]))
+                lj = _piece_length(invalid_boundary_pieces(out[i], out[j]))
+                win = i if li >= lj else j
+            elif merge_strategy == "max-area":
+                win = i if area_of([out[i]]) >= area_of([out[j]]) else j
+            elif merge_strategy == "min-area":
+                win = i if area_of([out[i]]) <= area_of([out[j]]) else j
+            elif merge_strategy == "min-index":
+                win = i if fids[i] <= fids[j] else j
+            else:
+                raise ValueError(f"unknown merge strategy {merge_strategy!r}")
+            lose = j if win == i else i
+            diff = overlay([out[lose]], [out[win]], "a_not_b")
+            out[lose] = [r for shell, holes in diff for r in ([shell] + list(holes))]
+            envs[lose] = env(out[lose]) if out[lose] else (0, 0, 0, 0)
+    return out
+
+
+def clean_coverage(
+    zones: DataFrame,
+    merge_strategy: str = "longest-border",
+    fid_col: str = "fid",
+    wkt_col: str = "wkt",
+    patch_col: str | None = None,
+) -> DataFrame:
+    """`gdal vector clean-coverage` overlap resolution over Spark —
+    same patch contract as simplify_coverage (chain/overlap identity
+    is patch-local; the reference hands GEOS the whole collection)."""
+    base = zones.select(
+        F.col(fid_col).alias("_fid"),
+        F.col(wkt_col).alias("_wkt"),
+        *( [F.col(patch_col).alias("_key")] if patch_col else [F.lit(0).alias("_key")] ),
+    )
+    out_schema = StructType(
+        [StructField("fid", LongType()), StructField(wkt_col, StringType())]
+    )
+
+    def _run(kv, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.reset_index(drop=True)
+        batch, errs = parse_wkt(pdf["_wkt"], return_errors=True)
+        polys, fids = [], []
+        for i in range(len(pdf)):
+            if errs[i] is not None or batch.is_null[i]:
+                continue
+            polys.append(batch.polygon_rings(i))
+            fids.append(int(pdf["_fid"].iloc[i]))
+        cleaned = clean_coverage_patch(fids, polys, merge_strategy)
+        b = GeomBatchBuilder()
+        for rings in cleaned:
+            if rings:
+                b.add(GeomType.POLYGON, [rings])
+            else:
+                b.add_null()
+        wkts = to_wkt(b.finish())
+        return pd.DataFrame({"fid": fids, wkt_col: wkts})
+
+    return base.groupBy("_key").applyInPandas(_run, out_schema)

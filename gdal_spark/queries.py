@@ -7333,3 +7333,45 @@ def _o_raster_update() -> str:
 
 QUERIES["raster_update"] = q_raster_update
 ORACLES["raster_update"] = _o_raster_update()
+
+
+def q_clean_coverage(spark, sf_dir):
+    """`gdal vector clean-coverage` (overlap resolution): the same
+    strip coverage as check_coverage (every 5th square 2 units too
+    wide) — after cleaning with the longest-border strategy (tie ->
+    lower fid keeps the overlap) the wide square keeps area 120, its
+    right neighbor shrinks to 80, everyone else stays 100, and the
+    total is preserved."""
+    from gdal_spark.operators.coverage import clean_coverage
+    from gdal_spark.operators.spatial import area_udf
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    x0 = (F.col("doc_id") * 10).cast("bigint")
+    w = F.when(F.col("doc_id") % 5 == 0, F.lit(12)).otherwise(F.lit(10))
+    x1 = (x0 + w).cast("string")
+    x0s = x0.cast("string")
+    wkt = F.concat(
+        F.lit("POLYGON (("), x0s, F.lit(" 0,"), x1, F.lit(" 0,"), x1,
+        F.lit(" 10,"), x0s, F.lit(" 10,"), x0s, F.lit(" 0))"),
+    )
+    zones = d.select(F.col("doc_id").alias("fid"), wkt.alias("wkt"))
+    out = clean_coverage(zones, merge_strategy="longest-border")
+    return out.select(
+        F.col("fid").cast("bigint").alias("doc_id"),
+        area_udf(F.col("wkt")).cast("bigint").alias("area"),
+    )
+
+
+def _o_clean_coverage() -> str:
+    return (
+        "WITH mx AS (SELECT MAX(doc_id) AS m FROM documents) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(CASE WHEN doc_id % 5 = 0 AND doc_id < mx.m THEN 120 "
+        "WHEN doc_id >= 1 AND (doc_id - 1) % 5 = 0 THEN 80 "
+        "WHEN doc_id % 5 = 0 THEN 120 "
+        "ELSE 100 END AS BIGINT) AS area FROM documents, mx"
+    )
+
+
+QUERIES["clean_coverage"] = q_clean_coverage
+ORACLES["clean_coverage"] = _o_clean_coverage()
