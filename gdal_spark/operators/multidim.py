@@ -292,3 +292,172 @@ def mdim_statistics(df: DataFrame, spec: MDArraySpec):
     mean = agg["s"] / agg["n"]
     var = max(agg["s2"] / agg["n"] - mean * mean, 0.0)
     return {"min": agg["mn"], "max": agg["mx"], "mean": mean, "std": float(np.sqrt(var))}
+
+
+def mdim_mosaic(
+    sources: list,
+    increments: tuple,
+    nodata: float = 0.0,
+    out_chunks: tuple | None = None,
+    name: str = "mosaic",
+):
+    """`gdal mdim mosaic` (apps/gdalalg_mdim_mosaic.cpp): combine
+    arrays whose indexed dimensions have regularly-spaced indexing
+    variables sharing one increment per dimension — the output's
+    extent per dim is the UNION of the inputs' coordinate ranges, and
+    each input lands at the integer offset its start value implies.
+    Sources are written in order: later inputs win on overlap (the
+    VRT source order the reference emits); uncovered cells hold
+    nodata.
+
+    sources: [(chunk_df, MDArraySpec, starts)] — starts = per-dim
+    first coordinate value of that input. All offsets must land on
+    the shared lattice (the reference errors otherwise; so do we).
+
+    Distributed shape (the N-D gdal_retile): each source chunk slices
+    into the pieces that overlap output chunks, ONE exchange on the
+    output chunk key moves every byte exactly once (plus a small rank
+    int for write order), and assembly initializes the nodata canvas
+    per output chunk. No driver data movement — the driver only does
+    lattice arithmetic on dim metadata."""
+    if not sources:
+        raise ValueError("no sources")
+    ndim = sources[0][1].ndim
+    inc = [float(v) for v in increments]
+    gstart = [min(float(s[d]) for _, _, s in sources) for d in range(ndim)]
+    offs = []
+    for _, spec, starts in sources:
+        o = []
+        for d in range(ndim):
+            ratio = (float(starts[d]) - gstart[d]) / inc[d]
+            k = round(ratio)
+            if abs(ratio - k) > 1e-9:
+                raise ValueError(
+                    f"source start {starts[d]} of dim {d} is not on the shared lattice"
+                )
+            o.append(int(k))
+        offs.append(o)
+    out_size = [
+        max(offs[i][d] + sources[i][1].dims[d][1] for i in range(len(sources)))
+        for d in range(ndim)
+    ]
+    out_chunks = tuple(out_chunks or sources[0][1].chunks)
+    dtype = sources[0][1].dtype
+    out_spec = MDArraySpec(
+        name=name,
+        dims=tuple((sources[0][1].dims[d][0], out_size[d]) for d in range(ndim)),
+        chunks=out_chunks,
+        dtype=dtype,
+    )
+
+    piece_schema = StructType(
+        [
+            StructField("chunk", ArrayType(IntegerType())),
+            StructField("rank", IntegerType()),
+            StructField("pos", ArrayType(IntegerType())),  # offset in out chunk
+            StructField("shape", ArrayType(IntegerType())),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    spark = sources[0][0].sparkSession
+    piece_dfs = []
+    for rank, (df, spec, _starts) in enumerate(sources):
+        src_chunks = tuple(spec.chunks)
+        src_shape = tuple(s for _, s in spec.dims)
+        off = offs[rank]
+
+        def _slice(batches: Iterator[pd.DataFrame], _sc=src_chunks, _ss=src_shape, _off=off, _rank=rank, _dt=spec.dtype):
+            oc = out_chunks
+            for pdf in batches:
+                rows = {"chunk": [], "rank": [], "pos": [], "shape": [], "payload": []}
+                for _, r in pdf.iterrows():
+                    ci = list(r["chunk"])
+                    # this chunk's block extents in source coords
+                    lo = [ci[d] * _sc[d] for d in range(ndim)]
+                    hi = [min(lo[d] + _sc[d], _ss[d]) for d in range(ndim)]
+                    block = np.frombuffer(r["payload"], dtype=_dt).reshape(
+                        [hi[d] - lo[d] for d in range(ndim)]
+                    )
+                    # global (output) extents
+                    glo = [lo[d] + _off[d] for d in range(ndim)]
+                    ghi = [hi[d] + _off[d] for d in range(ndim)]
+                    # overlapped output chunk ranges per dim
+                    c0 = [glo[d] // oc[d] for d in range(ndim)]
+                    c1 = [(ghi[d] - 1) // oc[d] for d in range(ndim)]
+                    idx = [0] * ndim
+
+                    def emit(dim: int):
+                        if dim == ndim:
+                            sel = []
+                            pos = []
+                            shp = []
+                            out_ci = []
+                            for d in range(ndim):
+                                oc0 = idx[d] * oc[d]
+                                a = max(glo[d], oc0)
+                                b = min(ghi[d], oc0 + oc[d])
+                                sel.append(slice(a - glo[d], b - glo[d]))
+                                pos.append(a - oc0)
+                                shp.append(b - a)
+                                out_ci.append(idx[d])
+                            piece = np.ascontiguousarray(block[tuple(sel)])
+                            rows["chunk"].append(out_ci)
+                            rows["rank"].append(_rank)
+                            rows["pos"].append(pos)
+                            rows["shape"].append(shp)
+                            rows["payload"].append(piece.tobytes())
+                            return
+                        for v in range(c0[dim], c1[dim] + 1):
+                            idx[dim] = v
+                            emit(dim + 1)
+
+                    emit(0)
+                if rows["chunk"]:
+                    yield pd.DataFrame(rows)
+
+        piece_dfs.append(df.mapInPandas(_slice, piece_schema))
+
+    pieces = piece_dfs[0]
+    for p in piece_dfs[1:]:
+        pieces = pieces.unionByName(p)
+
+    # seed every output chunk key (JVM-side id decomposition) so
+    # chunks NO source covers still materialize as nodata canvases
+    n_chunks = [(out_size[d] + out_chunks[d] - 1) // out_chunks[d] for d in range(ndim)]
+    total = 1
+    for c in n_chunks:
+        total *= c
+    seed = spark.range(total).select(F.col("id"))
+    idx_cols = []
+    rem = F.col("id")
+    for d in range(ndim - 1, -1, -1):
+        idx_cols.insert(0, (rem % n_chunks[d]).cast("int"))
+        rem = (rem / n_chunks[d]).cast("long")
+    seeds = seed.select(
+        F.array(*idx_cols).alias("chunk"),
+        F.lit(-1).cast("int").alias("rank"),
+        F.array(*[F.lit(0).cast("int")] * ndim).alias("pos"),
+        F.array(*[F.lit(0).cast("int")] * ndim).alias("shape"),
+        F.lit(b"").alias("payload"),
+    )
+    pieces = pieces.unionByName(seeds)
+
+    def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ci = [int(v) for v in pdf["chunk"].iloc[0]]
+        shape = [
+            min((ci[d] + 1) * out_chunks[d], out_size[d]) - ci[d] * out_chunks[d]
+            for d in range(ndim)
+        ]
+        canvas = np.full(shape, nodata, dtype=dtype)
+        for _, r in pdf.sort_values("rank").iterrows():
+            if int(r["rank"]) < 0:  # seed row: nodata canvas only
+                continue
+            pos = [int(v) for v in r["pos"]]
+            shp = [int(v) for v in r["shape"]]
+            piece = np.frombuffer(r["payload"], dtype=dtype).reshape(shp)
+            canvas[tuple(slice(pos[d], pos[d] + shp[d]) for d in range(ndim))] = piece
+        return pd.DataFrame([{"chunk": ci, "payload": canvas.tobytes()}])
+
+    out_df = pieces.groupBy("chunk").applyInPandas(_assemble, MDCHUNK_SCHEMA)
+    return out_df, out_spec

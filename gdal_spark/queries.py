@@ -7375,3 +7375,66 @@ def _o_clean_coverage() -> str:
 
 QUERIES["clean_coverage"] = q_clean_coverage
 ORACLES["clean_coverage"] = _o_clean_coverage()
+
+
+def q_mdim_mosaic(spark, sf_dir):
+    """`gdal mdim mosaic`: two 4x6 arrays whose indexing variables
+    place the second at lattice offset (2, 4) — union extent 6x10,
+    later source wins on the overlap, nodata -1 fills the uncovered
+    corners. Every output cell replays closed-form."""
+    import numpy as np
+
+    from gdal_spark.operators.multidim import MDArraySpec, from_numpy, mdim_mosaic
+
+    a = (np.arange(24, dtype=np.float64) * 3 + 1).reshape(4, 6)
+    b = (np.arange(24, dtype=np.float64) * 7 + 2).reshape(4, 6)
+    sa = MDArraySpec("a", (("y", 4), ("x", 6)), (2, 3))
+    sb = MDArraySpec("b", (("y", 4), ("x", 6)), (2, 3))
+    out_df, out_spec = mdim_mosaic(
+        [(from_numpy(spark, a, sa), sa, (0.0, 0.0)),
+         (from_numpy(spark, b, sb), sb, (2.0, 4.0))],
+        (1.0, 1.0), nodata=-1.0,
+    )
+    cy, cx = out_spec.chunks
+
+    def _cells(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"y": [], "x": [], "value": []}
+            for _, r in pdf.iterrows():
+                ci = list(r["chunk"])
+                h = min((ci[0] + 1) * cy, out_spec.dims[0][1]) - ci[0] * cy
+                w = min((ci[1] + 1) * cx, out_spec.dims[1][1]) - ci[1] * cx
+                block = np.frombuffer(r["payload"], dtype=np.float64).reshape(h, w)
+                for yy in range(h):
+                    for xx in range(w):
+                        rows["y"].append(ci[0] * cy + yy)
+                        rows["x"].append(ci[1] * cx + xx)
+                        rows["value"].append(float(block[yy, xx]))
+            import pandas as _pd
+
+            yield _pd.DataFrame(rows)
+
+    cells = out_df.mapInPandas(_cells, "y long, x long, value double")
+    return cells.select(
+        F.col("y").cast("bigint").alias("y"),
+        F.col("x").cast("bigint").alias("x"),
+        F.col("value").cast("bigint").alias("value"),
+    )
+
+
+def _o_mdim_mosaic() -> str:
+    return (
+        "WITH g AS (SELECT y, x FROM (SELECT unnest(generate_series(0, 5)) AS y), "
+        "(SELECT unnest(generate_series(0, 9)) AS x)) "
+        "SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x, CAST("
+        "CASE WHEN y BETWEEN 2 AND 5 AND x BETWEEN 4 AND 9 "
+        "THEN ((y - 2) * 6 + (x - 4)) * 7 + 2 "
+        "WHEN y BETWEEN 0 AND 3 AND x BETWEEN 0 AND 5 THEN (y * 6 + x) * 3 + 1 "
+        "ELSE -1 END AS BIGINT) AS value FROM g"
+    )
+
+
+QUERIES["mdim_mosaic"] = q_mdim_mosaic
+ORACLES["mdim_mosaic"] = _o_mdim_mosaic()
