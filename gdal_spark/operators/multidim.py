@@ -461,3 +461,63 @@ def mdim_mosaic(
 
     out_df = pieces.groupBy("chunk").applyInPandas(_assemble, MDCHUNK_SCHEMA)
     return out_df, out_spec
+
+
+def mdim_reproject(
+    df: DataFrame,
+    spec: MDArraySpec,
+    y_dim: str,
+    x_dim: str,
+    src_gt: tuple,
+    pipeline,
+    dst_raster_spec,
+    resampling: str = "near",
+    fixed: dict[str, int] | None = None,
+):
+    """`gdal mdim reproject` (apps/gdalalg_mdim_reproject.cpp): warp
+    the (y_dim, x_dim) plane of an md array between CRSs — pure
+    composition: AsClassicDataset with the dims' real geotransform,
+    the existing distributed warp driver targeting the destination
+    grid (GridTMS), and re-chunking of the result back into an
+    MDArray table. Returns (chunk_df, 2D MDArraySpec)."""
+    from gdal_spark.operators.raster import RasterSpec
+    from gdal_spark.operators.tiles import raster_tile
+    from gdal_spark.operators.update import GridTMS
+
+    tiles, r0 = as_classic(df, spec, y_dim, x_dim, fixed)
+    rspec = RasterSpec(
+        width=r0.width, height=r0.height, gt=tuple(src_gt),
+        dtype=r0.dtype, nbands=1, tile_size=r0.tile_size,
+    )
+    warped = raster_tile(
+        tiles, rspec, pipeline, min_zoom=0, max_zoom=0,
+        resampling=resampling, tms=GridTMS(dst_raster_spec),
+    ).filter(F.col("band") == 1)
+    out_spec = MDArraySpec(
+        name=f"{spec.name}_reprojected",
+        dims=((y_dim, dst_raster_spec.height), (x_dim, dst_raster_spec.width)),
+        chunks=(dst_raster_spec.tile_size, dst_raster_spec.tile_size),
+        dtype=spec.dtype,
+    )
+    ts = dst_raster_spec.tile_size
+    H, W = dst_raster_spec.height, dst_raster_spec.width
+    dtype = spec.dtype
+
+    def _to_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                ty, tx = int(r.ty), int(r.tx)
+                h = min(ts, H - ty * ts)
+                w = min(ts, W - tx * ts)
+                if h <= 0 or w <= 0:
+                    continue
+                block = np.frombuffer(r.payload, dtype=r.dtype).reshape(ts, ts)
+                rows.append(
+                    {"chunk": [ty, tx],
+                     "payload": np.ascontiguousarray(block[:h, :w]).astype(dtype).tobytes()}
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return warped.mapInPandas(_to_chunks, MDCHUNK_SCHEMA), out_spec

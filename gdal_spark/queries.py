@@ -7438,3 +7438,66 @@ def _o_mdim_mosaic() -> str:
 
 QUERIES["mdim_mosaic"] = q_mdim_mosaic
 ORACLES["mdim_mosaic"] = _o_mdim_mosaic()
+
+
+def q_mdim_reproject(spark, sf_dir):
+    """`gdal mdim reproject` (apps/gdalalg_mdim_reproject.cpp): the
+    time=1 plane of a deterministic 2x12x10 array, nearest-downsampled
+    2x onto a 6x5 grid via the distributed GridTMS warp driver — every
+    output cell is the closed-form src pick arr[1, 2y+1, 2x+1]."""
+    import numpy as np
+
+    from gdal_spark.geom.proj import Pipeline
+    from gdal_spark.operators.multidim import MDArraySpec, from_numpy, mdim_reproject
+    from gdal_spark.operators.raster import RasterSpec
+
+    t = np.arange(2, dtype=np.float64)[:, None, None] * 1000.0
+    y = np.arange(12, dtype=np.float64)[None, :, None] * 31.0
+    x = np.arange(10, dtype=np.float64)[None, None, :] * 7.0
+    arr = t + y + x
+    spec = MDArraySpec("temp", (("time", 2), ("y", 12), ("x", 10)), (1, 4, 4))
+    dst = RasterSpec(width=5, height=6, gt=(0.0, 2.0, 0.0, 12.0, 0.0, -2.0),
+                     dtype="float64", nbands=1, tile_size=4)
+    out_df, out_spec = mdim_reproject(
+        from_numpy(spark, arr, spec), spec, "y", "x",
+        (0.0, 1.0, 0.0, 12.0, 0.0, -1.0), Pipeline(), dst,
+        resampling="near", fixed={"time": 1},
+    )
+    cy, cx = out_spec.chunks
+
+    def _cells(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = {"y": [], "x": [], "value": []}
+            for _, r in pdf.iterrows():
+                ci = list(r["chunk"])
+                h = min((ci[0] + 1) * cy, out_spec.dims[0][1]) - ci[0] * cy
+                w = min((ci[1] + 1) * cx, out_spec.dims[1][1]) - ci[1] * cx
+                block = np.frombuffer(r["payload"], dtype=np.float64).reshape(h, w)
+                for yy in range(h):
+                    for xx in range(w):
+                        rows["y"].append(ci[0] * cy + yy)
+                        rows["x"].append(ci[1] * cx + xx)
+                        rows["value"].append(float(block[yy, xx]))
+            yield _pd.DataFrame(rows)
+
+    cells = out_df.mapInPandas(_cells, "y long, x long, value double")
+    return cells.select(
+        F.col("y").cast("bigint").alias("y"),
+        F.col("x").cast("bigint").alias("x"),
+        F.col("value").cast("bigint").alias("value"),
+    )
+
+
+def _o_mdim_reproject() -> str:
+    return (
+        "WITH g AS (SELECT y, x FROM (SELECT unnest(generate_series(0, 5)) AS y), "
+        "(SELECT unnest(generate_series(0, 4)) AS x)) "
+        "SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x, "
+        "CAST(1000 + (2 * y + 1) * 31 + (2 * x + 1) * 7 AS BIGINT) AS value FROM g"
+    )
+
+
+QUERIES["mdim_reproject"] = q_mdim_reproject
+ORACLES["mdim_reproject"] = _o_mdim_reproject()
