@@ -568,10 +568,15 @@ def interpolate_at_points(
             origin = (txx * ts - 1, tyy * ts - 1)
             bounds = (spec.width, spec.height)
             if method == "nearest":
-                vals, _ = warp_nearest(padded, sx, sy, origin=origin, bounds=bounds)
+                vals, ok = warp_nearest(padded, sx, sy, origin=origin, bounds=bounds)
             else:
-                vals, _ = warp_bilinear(padded, sx, sy, origin=origin, bounds=bounds)
-            return pd.DataFrame({"pid": pts_pdf["pid"].to_numpy(), "value": vals})
+                vals, ok = warp_bilinear(padded, sx, sy, origin=origin, bounds=bounds)
+            # points beyond the raster extent that still key into an
+            # edge tile would otherwise return the CLAMPED edge value —
+            # GDALRasterInterpolateAtPoint fails there (pixel_info NULL)
+            return pd.DataFrame(
+                {"pid": pts_pdf["pid"].to_numpy()[ok], "value": vals[ok]}
+            )
 
         return (
             pieces.groupBy("ty", "tx")
@@ -591,12 +596,84 @@ def interpolate_at_points(
                 sx = sx - txx * ts
                 sy = sy - tyy * ts
                 if method == "nearest":
-                    vals, _ = warp_nearest(tile, sx, sy)
+                    vals, ok = warp_nearest(tile, sx, sy)
                 else:
-                    vals, _ = warp_bilinear(tile, sx, sy)
-                outs.append(pd.DataFrame({"pid": grp["pid"].to_numpy(), "value": vals}))
+                    vals, ok = warp_bilinear(tile, sx, sy)
+                # beyond-raster positions keying into an edge tile are
+                # invalid, not edge-clamped (InterpolateAtPoint failure)
+                outs.append(pd.DataFrame({"pid": grp["pid"].to_numpy()[ok], "value": vals[ok]}))
             yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
                 {"pid": pd.array([], dtype="int64"), "value": pd.array([], dtype="float64")}
             )
 
     return joined.mapInPandas(_sample, SAMPLE_SCHEMA)
+
+
+def pixel_info(
+    tiles: DataFrame,
+    spec: RasterSpec,
+    points: DataFrame,
+    bands: tuple = (1,),
+    interpolation: str = "nearest",
+    scales: dict | None = None,
+    offsets: dict | None = None,
+    id_col: str = "pid",
+    x_col: str = "x",
+    y_col: str = "y",
+    exact_seams: bool = False,
+) -> DataFrame:
+    """`gdal raster pixel-info` (apps/gdalalg_raster_pixel_info.cpp:
+    716-739 coordinate rule, :860-948 band loop): for each query
+    point, the fractional (column, line) via the inverse
+    geotransform, the integer cell floor(column)/floor(line), and per
+    requested band the sampled raw value (GDALRasterInterpolateAtPoint
+    at the fractional position — default nearest) plus unscaled_value
+    = raw * scale + offset (:927-936). Points outside the raster keep
+    their coordinate columns with NULL values (the reference reports
+    the position and omits the value on sample failure).
+
+    Spark shape: (column, line) is pure Catalyst; sampling reuses the
+    interpolate_at_points tile-keyed join per band (one broadcast-less
+    equi-join on (ty, tx) each); the point table LEFT-joins the
+    samples so off-raster points survive. No collect, no Python in
+    the coordinate path."""
+    scales = scales or {}
+    offsets = offsets or {}
+    g0, g1, _, g3, _, g5 = spec.gt
+    p = points.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    ).withColumns(
+        {
+            "column": (F.col("x") - F.lit(g0)) / F.lit(g1),
+            "line": (F.col("y") - F.lit(g3)) / F.lit(g5),
+        }
+    )
+    p = p.withColumns(
+        {
+            "pixel": F.floor(F.col("column")).cast("long"),
+            "line_i": F.floor(F.col("line")).cast("long"),
+        }
+    )
+    method = "nearest" if interpolation in ("near", "nearest") else interpolation
+    out = None
+    for b in bands:
+        sampled = interpolate_at_points(
+            tiles, spec, p, method=method, band=b, exact_seams=exact_seams
+        ).withColumnRenamed("value", "raw_value")
+        sc = float(scales.get(b, 1.0))
+        off = float(offsets.get(b, 0.0))
+        one = (
+            p.join(sampled, "pid", "left")
+            .withColumn("band", F.lit(int(b)))
+            .withColumn(
+                "unscaled_value", F.col("raw_value") * F.lit(sc) + F.lit(off)
+            )
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.select(
+        "pid", "x", "y", "column", "line", "pixel",
+        F.col("line_i").alias("line_cell"), "band", "raw_value",
+        "unscaled_value",
+    )

@@ -521,3 +521,163 @@ def mdim_reproject(
                 yield pd.DataFrame(rows)
 
     return warped.mapInPandas(_to_chunks, MDCHUNK_SCHEMA), out_spec
+
+
+def mdim_transpose(
+    df: DataFrame, spec: MDArraySpec, axes: tuple
+) -> tuple[DataFrame, MDArraySpec]:
+    """GDALMDArray::Transpose (gcore/multidim/
+    gdalmultidim_array_transposed.cpp:195+ — the reference builds a
+    lazy transposed view and re-orders on read): axis permutation of
+    the chunk table. Spark shape: MAP-ONLY — the chunk key permutes
+    and each block transposes inside one Arrow pass; no shuffle, the
+    chunk lattice maps 1:1."""
+    axes = tuple(int(a) for a in axes)
+    if sorted(axes) != list(range(spec.ndim)):
+        raise ValueError(f"axes must be a permutation of 0..{spec.ndim - 1}")
+    out_spec = MDArraySpec(
+        name=f"{spec.name}_transposed",
+        dims=tuple(spec.dims[a] for a in axes),
+        chunks=tuple(spec.chunks[a] for a in axes),
+        dtype=spec.dtype,
+        attrs=dict(spec.attrs),
+    )
+    src = spec
+
+    def _t(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                key = list(r.chunk)
+                shape = src.chunk_shape(key)
+                block = np.frombuffer(r.payload, dtype=src.dtype).reshape(shape)
+                rows.append(
+                    {
+                        "chunk": [key[a] for a in axes],
+                        "payload": np.ascontiguousarray(
+                            block.transpose(axes)
+                        ).tobytes(),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_t, MDCHUNK_SCHEMA), out_spec
+
+
+def mdim_compare(
+    ref_df: DataFrame,
+    ref_spec: MDArraySpec,
+    in_df: DataFrame,
+    in_spec: MDArraySpec,
+) -> dict:
+    """`gdal mdim compare` (apps/gdalalg_mdim_compare.cpp:370-585
+    CompareArray): shape/dtype report + the diff metrics — maximum
+    pixel value difference, count of differing pixels, RMSD =
+    sqrt(mean((ref-in)^2) over ALL pixels), PSNR (integer dtype:
+    20*log10((2^bits-1)/RMSD); float: 20*log10((refmax-refmin)/RMSD),
+    :537-574).
+
+    Spark shape: ONE equi-join on the chunk key (both tables already
+    live on the same lattice) + distributive per-chunk partials
+    (n_diff, max|d|, sum d^2, ref min/max) folded by a single global
+    aggregate — the same partial-aggregation pattern as
+    mdim_statistics / gdalcompare. Returns the report dict."""
+    report: list[str] = []
+    nm = ref_spec.name
+    if ref_spec.ndim != in_spec.ndim:
+        report.append(
+            f"Array {nm}: dimension count in reference is {ref_spec.ndim}, "
+            f"whereas it is {in_spec.ndim} in input"
+        )
+        return {"report": report}
+    rshape = [s for _, s in ref_spec.dims]
+    ishape = [s for _, s in in_spec.dims]
+    if rshape != ishape:
+        report.append(
+            f"Array {nm}: shape in reference is {rshape}, whereas it is "
+            f"{ishape} in input"
+        )
+        return {"report": report}
+    if ref_spec.dtype != in_spec.dtype:
+        report.append(
+            f"Array {nm}: data type in reference is {ref_spec.dtype}, "
+            f"whereas it is {in_spec.dtype} in input"
+        )
+    if ref_spec.chunks != in_spec.chunks:
+        # the reference reads both arrays through the lazy diff
+        # array's own processing chunks; our table model's analog is
+        # a shared lattice — rechunk one side first (mdim_mosaic of a
+        # single source onto the other lattice)
+        raise ValueError(
+            "mdim_compare needs both arrays on the same chunk lattice; "
+            "rechunk one side first"
+        )
+
+    src = ref_spec
+
+    def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                key = list(r.chunk)
+                shape = src.chunk_shape(key)
+                a = np.frombuffer(r.p1, dtype=src.dtype).reshape(shape).astype(np.float64)
+                b = np.frombuffer(r.p2, dtype=src.dtype).reshape(shape).astype(np.float64)
+                d = a - b
+                rows.append(
+                    {
+                        "n": int(d.size),
+                        "n_diff": int(np.count_nonzero(d)),
+                        "max_abs": float(np.max(np.abs(d))) if d.size else 0.0,
+                        "sum_sq": float(np.sum(d * d)),
+                        "rmin": float(np.min(a)) if a.size else 0.0,
+                        "rmax": float(np.max(a)) if a.size else 0.0,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    joined = ref_df.join(
+        in_df.withColumnRenamed("payload", "p2"), "chunk"
+    ).select("chunk", F.col("payload").alias("p1"), "p2")
+    agg = (
+        joined.mapInPandas(
+            _partials,
+            "n long, n_diff long, max_abs double, sum_sq double, "
+            "rmin double, rmax double",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("n_diff").alias("n_diff"),
+            F.max("max_abs").alias("max_abs"),
+            F.sum("sum_sq").alias("sum_sq"),
+            F.min("rmin").alias("rmin"),
+            F.max("rmax").alias("rmax"),
+        )
+        .collect()[0]
+    )
+    out = {
+        "report": report,
+        "n_pixels": int(agg["n"] or 0),
+        "pixels_differing": int(agg["n_diff"] or 0),
+        "max_diff": float(agg["max_abs"] or 0.0),
+    }
+    if out["pixels_differing"]:
+        report.append(
+            f"Array {nm}: maximum pixel value difference: {out['max_diff']:g}"
+        )
+        report.append(f"Array {nm}: pixels differing: {out['pixels_differing']}")
+    rmsd = float(np.sqrt(agg["sum_sq"] / agg["n"])) if agg["n"] else 0.0
+    out["rmsd"] = rmsd
+    if rmsd > 0:
+        report.append(f"Array {nm}: RMSD: {rmsd:g}")
+        dt = np.dtype(src.dtype)
+        if np.issubdtype(dt, np.integer):
+            amp = float(2.0 ** (dt.itemsize * 8) - 1)
+        else:
+            amp = float(agg["rmax"]) - float(agg["rmin"])
+        psnr = 20.0 * np.log10(amp / rmsd) if amp > 0 else float("nan")
+        out["psnr"] = float(psnr)
+        report.append(f"Array {nm}: PSNR (dB): {psnr:g}")
+    return out

@@ -7501,3 +7501,151 @@ def _o_mdim_reproject() -> str:
 
 QUERIES["mdim_reproject"] = q_mdim_reproject
 ORACLES["mdim_reproject"] = _o_mdim_reproject()
+
+
+def q_mdim_transpose(spark, sf_dir):
+    """GDALMDArray::Transpose (gdalmultidim_array_transposed.cpp):
+    axes (2,0,1) on a deterministic 3x4x5 cube arr[t,y,x] =
+    100t + 10y + x — map-only chunk permutation, every output cell
+    replays closed-form as value[a,b,c] = 100b + 10c + a."""
+    import numpy as np
+
+    from gdal_spark.operators.multidim import MDArraySpec, from_numpy, mdim_transpose
+
+    t = np.arange(3, dtype=np.float64)[:, None, None] * 100.0
+    y = np.arange(4, dtype=np.float64)[None, :, None] * 10.0
+    x = np.arange(5, dtype=np.float64)[None, None, :]
+    spec = MDArraySpec("cube", (("time", 3), ("y", 4), ("x", 5)), (2, 2, 2))
+    out_df, out_spec = mdim_transpose(from_numpy(spark, t + y + x, spec), spec, (2, 0, 1))
+    ca, cb, cc = out_spec.chunks
+
+    def _cells(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = {"a": [], "b": [], "c": [], "value": []}
+            for _, r in pdf.iterrows():
+                ci = list(r["chunk"])
+                shape = out_spec.chunk_shape(ci)
+                block = np.frombuffer(r["payload"], dtype=np.float64).reshape(shape)
+                for aa in range(shape[0]):
+                    for bb in range(shape[1]):
+                        for cc2 in range(shape[2]):
+                            rows["a"].append(ci[0] * ca + aa)
+                            rows["b"].append(ci[1] * cb + bb)
+                            rows["c"].append(ci[2] * cc + cc2)
+                            rows["value"].append(float(block[aa, bb, cc2]))
+            yield _pd.DataFrame(rows)
+
+    cells = out_df.mapInPandas(_cells, "a long, b long, c long, value double")
+    return cells.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("c").cast("bigint").alias("c"),
+        F.col("value").cast("bigint").alias("value"),
+    )
+
+
+def _o_mdim_transpose() -> str:
+    return (
+        "WITH g AS (SELECT a, b, c FROM (SELECT unnest(generate_series(0, 4)) AS a), "
+        "(SELECT unnest(generate_series(0, 2)) AS b), "
+        "(SELECT unnest(generate_series(0, 3)) AS c)) "
+        "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, "
+        "CAST(c AS BIGINT) AS c, CAST(100 * b + 10 * c + a AS BIGINT) AS value FROM g"
+    )
+
+
+QUERIES["mdim_transpose"] = q_mdim_transpose
+ORACLES["mdim_transpose"] = _o_mdim_transpose()
+
+
+def q_mdim_compare(spark, sf_dir):
+    """`gdal mdim compare` (gdalalg_mdim_compare.cpp CompareArray):
+    6x10 uint8 lattice vs a copy whose first 15 row-major cells are
+    +2 — the distributive diff metrics come out integral by
+    construction (sum d^2 = 60 over 60 px -> RMSD exactly 1)."""
+    import numpy as np
+
+    from gdal_spark.operators.multidim import MDArraySpec, from_numpy, mdim_compare
+
+    spec = MDArraySpec("b", (("y", 6), ("x", 10)), (3, 4), dtype="uint8")
+    a = (np.arange(60, dtype=np.uint8)).reshape(6, 10)
+    other = a.copy().reshape(-1)
+    other[:15] += 2
+    other = other.reshape(6, 10)
+    out = mdim_compare(
+        from_numpy(spark, a, spec), spec, from_numpy(spark, other, spec), spec
+    )
+    return spark.createDataFrame(
+        [(int(out["n_pixels"]), int(out["pixels_differing"]),
+          int(out["max_diff"]), int(out["rmsd"]))],
+        "n_pixels bigint, pixels_differing bigint, max_diff bigint, rmsd bigint",
+    )
+
+
+def _o_mdim_compare() -> str:
+    return (
+        "SELECT CAST(60 AS BIGINT) AS n_pixels, CAST(15 AS BIGINT) AS pixels_differing, "
+        "CAST(2 AS BIGINT) AS max_diff, "
+        "CAST(sqrt(15 * 4.0 / 60) AS BIGINT) AS rmsd"
+    )
+
+
+QUERIES["mdim_compare"] = q_mdim_compare
+ORACLES["mdim_compare"] = _o_mdim_compare()
+
+
+def q_pixel_info(spark, sf_dir):
+    """`gdal raster pixel-info` (gdalalg_raster_pixel_info.cpp:716-948):
+    12x10 raster value = 10*line + pixel, queried at (column, line) =
+    (2p + 0.5, 3p + 0.5) for p = 0..4 — p <= 3 in-raster (nearest pick
+    = 30p + 2p = 32p... computed closed-form), p = 4 off-raster ->
+    NULL value with coordinates preserved."""
+    import numpy as np
+
+    from gdal_spark.operators.grid import pixel_info
+    from gdal_spark.operators.raster import RasterSpec
+
+    spec = RasterSpec(width=10, height=12, gt=(500.0, 2.0, 0.0, 800.0, 0.0, -2.0),
+                      dtype="uint8", nbands=1, tile_size=8)
+    arr = (np.arange(12, dtype=np.uint8)[:, None] * 10 + np.arange(10, dtype=np.uint8)[None, :])
+    rows = []
+    for ty in range(spec.ntiles_y):
+        for tx in range(spec.ntiles_x):
+            h, w = spec.tile_shape(ty, tx)
+            oy, ox = ty * spec.tile_size, tx * spec.tile_size
+            rows.append((1, ty, tx, h, w, "uint8",
+                         bytes(arr[oy:oy + h, ox:ox + w].tobytes())))
+    tiles = spark.createDataFrame(
+        rows, "band int, ty int, tx int, h int, w int, dtype string, payload binary"
+    )
+    pts = spark.range(5).select(
+        F.col("id").alias("pid"),
+        (F.lit(500.0) + (F.col("id") * 2 + 0.5) * 2.0).alias("x"),
+        (F.lit(800.0) - (F.col("id") * 3 + 0.5) * 2.0).alias("y"),
+    )
+    out = pixel_info(tiles, spec, pts, scales={1: 2.0}, offsets={1: 5.0})
+    return out.select(
+        F.col("pid").cast("bigint").alias("pid"),
+        F.col("pixel").cast("bigint").alias("pixel"),
+        F.col("line_cell").cast("bigint").alias("line_cell"),
+        F.col("band").cast("bigint").alias("band"),
+        F.col("raw_value").cast("bigint").alias("raw_value"),
+        F.col("unscaled_value").cast("bigint").alias("unscaled_value"),
+    )
+
+
+def _o_pixel_info() -> str:
+    return (
+        "WITH p AS (SELECT unnest(generate_series(0, 4)) AS pid) "
+        "SELECT CAST(pid AS BIGINT) AS pid, CAST(2 * pid AS BIGINT) AS pixel, "
+        "CAST(3 * pid AS BIGINT) AS line_cell, CAST(1 AS BIGINT) AS band, "
+        "CAST(CASE WHEN 3 * pid < 12 AND 2 * pid < 10 THEN 30 * pid + 2 * pid END AS BIGINT) AS raw_value, "
+        "CAST(CASE WHEN 3 * pid < 12 AND 2 * pid < 10 THEN (30 * pid + 2 * pid) * 2 + 5 END AS BIGINT) AS unscaled_value "
+        "FROM p"
+    )
+
+
+QUERIES["pixel_info"] = q_pixel_info
+ORACLES["pixel_info"] = _o_pixel_info()
