@@ -7649,3 +7649,60 @@ def _o_pixel_info() -> str:
 
 QUERIES["pixel_info"] = q_pixel_info
 ORACLES["pixel_info"] = _o_pixel_info()
+
+
+def q_vector_partition_flat(spark, sf_dir):
+    """`gdal vector partition --scheme=flat`
+    (apps/gdalalg_vector_partition.cpp:35 DEFAULT_PATTERN_FLAT,
+    :461-469 FIELD_VALUE, :477-505 counter slot): orders split by
+    o_orderpriority into ONE directory of pattern-named parquet parts,
+    partitioned field KEPT in the data (the flat default). Repartition
+    by the key first so each key lands in exactly one part file
+    (deterministic counter = 1). FIELD_VALUE inherits Spark's hive
+    partition escaping, which agrees with the reference's
+    PercentEncode (:238-252, c<=32 and %=/:\\> escape as %XX) on the
+    chars that occur in practice — '4-NOT SPECIFIED' ->
+    '4-NOT%20SPECIFIED' in BOTH engines. Output: the flat file name
+    Spark actually wrote + per-file row count/key-span read back
+    through the parquet scan's _metadata.file_name."""
+    import tempfile
+
+    from gdal_spark.relational import partition_write
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(F.col("o_orderpriority"))
+    )
+    path = tempfile.mkdtemp(prefix="gdal_spark_vpart_")
+    partition_write(df, path, ["o_orderpriority"], scheme="flat",
+                    layer_name="orders")
+    back = spark.read.parquet(path).select(
+        F.col("_metadata.file_name").alias("file"),
+        "o_orderkey", "o_orderpriority",
+    )
+    return (
+        back.groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderpriority").alias("priority"),
+            F.max("o_orderpriority").alias("priority_max"),
+            F.sum("o_orderkey").alias("sum_keys"),
+        )
+        .orderBy("file")
+    )
+
+
+def _o_vector_partition_flat() -> str:
+    return (
+        "SELECT 'orders_' || replace(o_orderpriority, ' ', '%20') "
+        "|| '_0000000001.parquet' AS file, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "o_orderpriority AS priority, o_orderpriority AS priority_max, "
+        "CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys "
+        "FROM orders GROUP BY o_orderpriority ORDER BY file"
+    )
+
+
+QUERIES["vector_partition_flat"] = q_vector_partition_flat
+ORACLES["vector_partition_flat"] = _o_vector_partition_flat()

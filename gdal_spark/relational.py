@@ -60,12 +60,85 @@ def partition_write(
     partition_cols: Sequence[str],
     job_id: str = "partition-write",
     max_records_per_file: int | None = None,
+    scheme: str = "hive",
+    pattern: str | None = None,
+    layer_name: str = "layer",
+    omit_partitioned_fields: bool = False,
 ) -> dict:
-    """Hive-scheme partitioned write with lineage sidecar. The
-    feature-limit option maps to maxRecordsPerFile."""
+    """`gdal vector partition` (apps/gdalalg_vector_partition.cpp).
+
+    scheme="hive" (default): key directories `field=value/...` — the
+    layout Spark's partitionBy writes natively, including the
+    `__HIVE_DEFAULT_PARTITION__` NULL marker (:31). feature-limit maps
+    to maxRecordsPerFile (the executors enforce it during the write —
+    no second pass).
+
+    scheme="flat": every part file lands in ONE directory named by the
+    pattern, default `{LAYER_NAME}_{FIELD_VALUE}_%010d` (:35; or
+    `{LAYER_NAME}_%010d` with no partition fields), FIELD_VALUE =
+    key values joined by '_' with NULL -> `__NULL__` (:461-469), a
+    1-based per-key counter in the single %0Nd slot (:477-505). The
+    heavy lifting (hashing rows to their partition, encoding values)
+    stays on executors via the same hive write; the flat layout is a
+    metadata-only per-FILE rename pass on the committed output — one
+    rename per part file, never touching row data.
+    """
     if max_records_per_file:
         df.sparkSession.conf.set("spark.sql.files.maxRecordsPerFile", str(max_records_per_file))
-    return write_snapshot(df, path, job_id, partition_by=list(partition_cols))
+    if scheme not in ("hive", "flat"):
+        raise ValueError("scheme must be 'hive' or 'flat'")
+    # hive + parquet forces omit-partitioned-fields (:821-825, required
+    # for parquet hive partitioning — Spark's native behavior). The
+    # flat DEFAULT keeps partitioned fields in the data files: route
+    # the split through DUPLICATED key columns so partitionBy consumes
+    # the copies and the originals stay in every row.
+    pb = list(partition_cols)
+    if scheme == "flat" and partition_cols and not omit_partitioned_fields:
+        pb = [f"_pk_{c}" for c in partition_cols]
+        for c, d in zip(partition_cols, pb):
+            df = df.withColumn(d, F.col(c))
+    rec = write_snapshot(df, path, job_id, partition_by=pb)
+    if scheme == "flat":
+        import os
+        import re
+        import shutil
+
+        if pattern is None:
+            pattern = "{LAYER_NAME}_{FIELD_VALUE}_%010d" if partition_cols else "{LAYER_NAME}_%010d"
+        m = re.search(r"%(0?)(\d*)d", pattern)
+        if m is None:
+            raise ValueError("pattern must contain a single %[0N]d slot")
+        digits = int(m.group(2) or 0)
+        zero = m.group(1) == "0" or (m.group(2) or "").startswith("0")
+        counters: dict = {}
+        renames = []
+        for f in sorted(rec["files"], key=lambda r: r["file"]):
+            rel = f["file"]
+            parts = rel.split(os.sep)[:-1]
+            vals = []
+            for p in parts:
+                _k, _, v = p.partition("=")
+                vals.append("__NULL__" if v == "__HIVE_DEFAULT_PARTITION__" else v)
+            key = "/".join(parts)
+            counters[key] = counters.get(key, 0) + 1
+            c = str(counters[key])
+            if len(c) < digits:
+                c = ("0" if zero else " ") * (digits - len(c)) + c
+            name = pattern.replace("{LAYER_NAME}", layer_name)
+            name = name.replace("{FIELD_VALUE}", "_".join(vals))
+            name = re.sub(r"%(0?)(\d*)d", c, name, count=1) + ".parquet"
+            renames.append((rel, name))
+        for rel, name in renames:
+            shutil.move(os.path.join(path, rel), os.path.join(path, name))
+        # drop the emptied key directories (after the data-file moves
+        # they hold only local-FS .crc sidecars)
+        roots = {os.path.join(path, rel.split(os.sep)[0]) for rel, _ in renames if os.sep in rel}
+        for d in roots:
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        for f, (_, name) in zip(sorted(rec["files"], key=lambda r: r["file"]), renames):
+            f["file"] = name
+    return rec
 
 
 def combine(
