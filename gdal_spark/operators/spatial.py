@@ -523,6 +523,7 @@ def spatial_join_cells(
     zone_wkt_col: str = "wkt",
     wkt_col: str = "wkt",
     salt: int = 0,
+    verify_salt: int = 8,
 ) -> DataFrame:
     """Spatial join for zone sets too large to broadcast: both sides
     are exploded to covering grid cells, equi-joined on cell id, and
@@ -541,9 +542,11 @@ def spatial_join_cells(
     two booleans — at 10^12 docs this is the heaviest exchange in the
     big x big path and WKT strings must not ride it (a zone's WKT
     would otherwise be duplicated once per candidate pair).
-    Geometries re-join by id AFTER the dedup, zone side last so the
-    verify stage arrives co-partitioned by _zfid (one edge-table
-    build per zone per task).
+    Geometries re-join by id AFTER the dedup, zone side last on a
+    salted key (_zfid, hash(_did) % verify_salt) so the verify stage
+    parallelism is zones x verify_salt, not capped at the distinct
+    zone count (the verify kernel groups by _zfid inside each Arrow
+    batch, so it needs no co-partitioning for correctness).
 
     Interior-cell fast accept (the prepared-geometry "containment
     shortcut" of the reference's R-tree joins, done at grid
@@ -634,11 +637,29 @@ def spatial_join_cells(
     # geometry payloads re-join by id post-dedup, and ONLY for the
     # boundary-cell candidates: each surviving doc/zone WKT crosses
     # the wire once per unverified pair (not once per covering cell x
-    # salt, and not at all for interior accepts); the final join on
-    # _zfid leaves the verify input co-partitioned by zone
+    # salt, and not at all for interior accepts). The zone join key is
+    # (_zfid, verify-salt): partitioning the verify stage by _zfid
+    # alone caps its parallelism at the number of DISTINCT ZONES
+    # TOUCHED — with a handful of hot zones most cores idle (measured:
+    # 14.3 s at local[8] vs 14.6 s at local[32], zero 8->32 scaling).
+    # Salting by hash(_did) % verify_salt fans each zone's candidates
+    # over verify_salt tasks; the (small per-zone) WKT replicates
+    # verify_salt times, and the verify kernel never depended on
+    # co-partitioning (it rebuilds edge tables per (_zfid) group per
+    # Arrow batch), so correctness is unchanged.
     dw = docs.select(F.col(doc_id_col).alias("_did"), F.col(wkt_col).alias("_dwkt"))
     zw = zones.select(F.col(zone_fid_col).alias("_zfid"), F.col(zone_wkt_col).alias("_zwkt"))
-    paired = pairs.join(dw, "_did").join(zw, "_zfid")
+    if verify_salt > 1:
+        pairs = pairs.withColumn(
+            "_vs", (F.abs(F.hash("_did")) % verify_salt).cast("int")
+        )
+        zw = zw.withColumn(
+            "_vs",
+            F.explode(F.array(*[F.lit(s).cast("int") for s in range(verify_salt)])),
+        )
+        paired = pairs.join(dw, "_did").join(zw, ["_zfid", "_vs"]).drop("_vs")
+    else:
+        paired = pairs.join(dw, "_did").join(zw, "_zfid")
 
     out_schema = StructType(
         [StructField("doc_id", LongType()), StructField("zone_fid", LongType())]
