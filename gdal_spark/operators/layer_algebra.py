@@ -419,10 +419,17 @@ def layer_algebra_cells(
     m = method_df.select(
         F.col(method_fid_col).alias("method_fid"), F.col(method_wkt_col).alias("_mwkt")
     )
+    # method side FIRST, doc side LAST: the final exchange keys the
+    # downstream mapInPandas stages, and doc_id is the high-cardinality
+    # key — ending on method_fid would cap parallelism at the distinct
+    # method-feature count (the same trap spatial_join_cells' verify
+    # stage needed a salt for; here the kernels are row-wise/per-doc,
+    # so key order alone fixes it). The erase groupBy(doc_id) below
+    # also becomes exchange-free this way.
     joined = (
         pairs.withColumnRenamed("zone_fid", "method_fid")
-        .join(d, "doc_id")
         .join(m, "method_fid")
+        .join(d, "doc_id")
     )
 
     if op == "intersection":
