@@ -7706,3 +7706,61 @@ def _o_vector_partition_flat() -> str:
 
 QUERIES["vector_partition_flat"] = q_vector_partition_flat
 ORACLES["vector_partition_flat"] = _o_vector_partition_flat()
+
+
+def q_sozip_roundtrip(spark, sf_dir):
+    """`gdal vsi sozip` sink (cpl_minizip_zip.cpp:2380-2600,
+    cpl_vsil_gzip.cpp:2240-2300): one archive member per source, its
+    content the newline-joined doc texts in doc_id order. Chunks
+    deflate on EXECUTORS (fresh raw-deflate stream per 32 KiB chunk,
+    SYNC+FULL flush markers), the driver streams the sorted chunk
+    iterator into the zip and builds the hidden .sozip.idx members.
+    The result is read back through stdlib zipfile — an INDEPENDENT
+    reader that must see only the data members (the index members are
+    excluded from the central directory) — and hashed. Output:
+    (member, n_bytes, body_md5) per member."""
+    import tempfile
+    import zipfile
+
+    from gdal_spark.operators.sozip import write_sozip
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    members = (
+        docs.orderBy("doc_id")
+        .groupBy("source")
+        .agg(
+            F.concat_ws(
+                "\n", F.array_sort(F.collect_list(F.struct("doc_id", "text"))).getField("text")
+            ).alias("body")
+        )
+        .select(
+            F.concat(F.col("source"), F.lit(".txt")).alias("name"),
+            F.encode("body", "UTF-8").alias("data"),
+        )
+    )
+    path = tempfile.mktemp(suffix=".zip", prefix="gdal_spark_sozip_")
+    write_sozip(members, path, min_file_size=0)
+    out = []
+    with zipfile.ZipFile(path) as zf:
+        for name in zf.namelist():
+            body = zf.read(name)
+            import hashlib
+
+            out.append((name, len(body), hashlib.md5(body).hexdigest()))
+    return (
+        spark.createDataFrame(out, "member string, n_bytes long, body_md5 string")
+        .orderBy("member")
+    )
+
+
+def _o_sozip_roundtrip() -> str:
+    return (
+        "SELECT source || '.txt' AS member, "
+        "CAST(octet_length(CAST(body AS BLOB)) AS BIGINT) AS n_bytes, md5(body) AS body_md5 "
+        "FROM (SELECT source, string_agg(text, chr(10) ORDER BY doc_id) AS body "
+        "FROM documents GROUP BY source) ORDER BY member"
+    )
+
+
+QUERIES["sozip_roundtrip"] = q_sozip_roundtrip
+ORACLES["sozip_roundtrip"] = _o_sozip_roundtrip()
