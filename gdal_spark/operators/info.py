@@ -1,0 +1,144 @@
+"""`gdal raster info -stats` / `gdal vector info` analogs.
+
+raster_info: per-band exact statistics the way GDALComputeStatistics
+does them (gcore/rasterband.cpp ComputeStatistics: population stddev
+sqrt(E[x^2] - mean^2), full-raster domain) — per-tile distributive
+partials (n, sum, sumsq, min, max) in one Arrow pass, a tiny
+groupBy(band) merge, and a Catalyst-side fold of the ABSENT sparse
+tiles as init-valued pixels (the tile table is sparse by design; a
+100 TB raster's untouched tiles must contribute their init value
+without ever materializing).
+
+vector_info: ogrinfo -summary per layer (apps/ogrinfo_lib.cpp
+ReportOnLayer): feature count, geometry-type breakdown from the WKT
+tag (pure Catalyst regexp — no geometry parse), and the layer extent
+(OGRLayer::GetExtent = envelope union).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from gdal_spark.operators.raster import RasterSpec
+
+
+def _tile_stat_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            a = np.frombuffer(r.payload, dtype=r.dtype).astype(np.float64)
+            if a.size == 0:
+                continue
+            rows.append(
+                {
+                    "band": int(r.band),
+                    "n": int(a.size),
+                    "s": float(a.sum()),
+                    "s2": float((a * a).sum()),
+                    "mn": float(a.min()),
+                    "mx": float(a.max()),
+                }
+            )
+        yield pd.DataFrame(rows, columns=["band", "n", "s", "s2", "mn", "mx"])
+
+
+def raster_info(tiles: DataFrame, spec: RasterSpec) -> DataFrame:
+    """One row per band: (band, width, height, dtype, n_px, min, max,
+    mean, stddev). Exact (approx_ok=false) GDALComputeStatistics
+    semantics over the FULL raster: pixels of absent sparse tiles
+    count as spec.init."""
+    total_px = spec.width * spec.height
+    init = float(spec.init or 0.0)
+    parts = tiles.mapInPandas(
+        _tile_stat_partials, "band int, n long, s double, s2 double, mn double, mx double"
+    )
+    agg = parts.groupBy("band").agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("s2").alias("s2"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    miss = F.lit(total_px) - F.col("n")
+    s = F.col("s") + miss * F.lit(init)
+    s2 = F.col("s2") + miss * F.lit(init * init)
+    mn = F.when(miss > 0, F.least(F.col("mn"), F.lit(init))).otherwise(F.col("mn"))
+    mx = F.when(miss > 0, F.greatest(F.col("mx"), F.lit(init))).otherwise(F.col("mx"))
+    mean = s / F.lit(float(total_px))
+    var = F.greatest(s2 / F.lit(float(total_px)) - mean * mean, F.lit(0.0))
+    return agg.select(
+        "band",
+        F.lit(spec.width).alias("width"),
+        F.lit(spec.height).alias("height"),
+        F.lit(spec.dtype).alias("dtype"),
+        F.lit(total_px).cast("long").alias("n_px"),
+        mn.alias("min"),
+        mx.alias("max"),
+        mean.alias("mean"),
+        F.sqrt(var).alias("stddev"),
+    )
+
+
+_WKT_TAG = r"^\s*([A-Za-z]+)"
+
+
+def vector_info(
+    df: DataFrame,
+    wkt_col: str = "wkt",
+    env_cols: tuple[str, str, str, str] | None = None,
+) -> DataFrame:
+    """One summary row: (n_features, n_points, n_lines, n_polygons,
+    n_collections, n_other, minx, miny, maxx, maxy). Geometry class
+    from the WKT tag (pure Catalyst); extent from envelope columns if
+    given, else from a one-pass coordinate scan of the WKT numbers
+    (numeric tokens alternate x,y — fine for the extent, which is a
+    min/max over all coordinates, curve types excepted)."""
+    tag = F.upper(F.regexp_extract(F.col(wkt_col), _WKT_TAG, 1))
+    cls = (
+        F.when(tag.isin("POINT", "MULTIPOINT"), "point")
+        .when(tag.isin("LINESTRING", "MULTILINESTRING", "CIRCULARSTRING", "COMPOUNDCURVE", "MULTICURVE"), "line")
+        .when(tag.isin("POLYGON", "MULTIPOLYGON", "CURVEPOLYGON", "MULTISURFACE", "TRIANGLE", "POLYHEDRALSURFACE", "TIN"), "polygon")
+        .when(tag == "GEOMETRYCOLLECTION", "collection")
+        .otherwise("other")
+    )
+    d = df.select(F.col(wkt_col).alias("_wkt"), cls.alias("_cls"))
+    if env_cols is not None:
+        d = df.select(
+            cls.alias("_cls"),
+            F.col(env_cols[0]).cast("double").alias("_x0"),
+            F.col(env_cols[1]).cast("double").alias("_y0"),
+            F.col(env_cols[2]).cast("double").alias("_x1"),
+            F.col(env_cols[3]).cast("double").alias("_y1"),
+        )
+    else:
+        nums = F.transform(
+            F.split(F.regexp_replace(F.col("_wkt"), r"[^0-9eE+.\-]+", " "), r"\s+"),
+            lambda t: t.try_cast("double"),
+        )
+        nums = F.filter(nums, lambda v: v.isNotNull())
+        xs = F.filter(nums, lambda v, i: i % 2 == 0)
+        ys = F.filter(nums, lambda v, i: i % 2 == 1)
+        d = d.select(
+            "_cls",
+            F.array_min(xs).alias("_x0"),
+            F.array_min(ys).alias("_y0"),
+            F.array_max(xs).alias("_x1"),
+            F.array_max(ys).alias("_y1"),
+        )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.sum(F.when(F.col("_cls") == "point", 1).otherwise(0)).alias("n_points"),
+        F.sum(F.when(F.col("_cls") == "line", 1).otherwise(0)).alias("n_lines"),
+        F.sum(F.when(F.col("_cls") == "polygon", 1).otherwise(0)).alias("n_polygons"),
+        F.sum(F.when(F.col("_cls") == "collection", 1).otherwise(0)).alias("n_collections"),
+        F.sum(F.when(F.col("_cls") == "other", 1).otherwise(0)).alias("n_other"),
+        F.min("_x0").alias("minx"),
+        F.min("_y0").alias("miny"),
+        F.max("_x1").alias("maxx"),
+        F.max("_y1").alias("maxy"),
+    )

@@ -7764,3 +7764,82 @@ def _o_sozip_roundtrip() -> str:
 
 QUERIES["sozip_roundtrip"] = q_sozip_roundtrip
 ORACLES["sozip_roundtrip"] = _o_sozip_roundtrip()
+
+
+def q_raster_info(spark, sf_dir):
+    """`gdal raster info -stats` (gcore/rasterband.cpp
+    ComputeStatistics, exact path): per-band full-raster min/max/mean/
+    population-stddev as distributive per-tile partials + a Catalyst
+    fold of absent sparse tiles at spec.init. Fixed-point mean1000/
+    std1000 follow the multidim_stats convention."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.info import raster_info
+
+    inf = raster_info(byte20_tiles(spark), BYTE20_SPEC)
+    return inf.select(
+        F.col("band").cast("bigint").alias("band"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_px").cast("bigint").alias("n_px"),
+        F.col("min").cast("bigint").alias("mn"),
+        F.col("max").cast("bigint").alias("mx"),
+        F.floor(F.col("mean") * 1000 + 0.5).cast("bigint").alias("mean1000"),
+        F.floor(F.col("stddev") * 1000 + 0.5).cast("bigint").alias("std1000"),
+    )
+
+
+def _o_raster_info() -> str:
+    return (
+        f"WITH b AS (SELECT v FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)) "
+        "SELECT CAST(1 AS BIGINT) AS band, CAST(20 AS BIGINT) AS width, "
+        "CAST(20 AS BIGINT) AS height, CAST(400 AS BIGINT) AS n_px, "
+        "CAST(MIN(v) AS BIGINT) AS mn, CAST(MAX(v) AS BIGINT) AS mx, "
+        "CAST(floor(SUM(CAST(v AS DOUBLE)) / 400 * 1000 + 0.5) AS BIGINT) AS mean1000, "
+        "CAST(floor(sqrt(GREATEST(SUM(CAST(v AS DOUBLE) * v) / 400 - "
+        "(SUM(CAST(v AS DOUBLE)) / 400) * (SUM(CAST(v AS DOUBLE)) / 400), 0)) * 1000 + 0.5) AS BIGINT) AS std1000 "
+        "FROM b"
+    )
+
+
+QUERIES["raster_info"] = q_raster_info
+ORACLES["raster_info"] = _o_raster_info()
+
+
+def q_vector_info(spark, sf_dir):
+    """`gdal vector info` summary (apps/ogrinfo_lib.cpp ReportOnLayer):
+    feature count, geometry-type breakdown from the WKT tag, layer
+    extent — here via the WKT-token parse path (no envelope columns),
+    all pure Catalyst."""
+    from gdal_spark.operators.info import vector_info
+
+    g = docs_geom(spark, sf_dir).filter(
+        F.col("geom_error").isNull() & F.col("wkt").isNotNull()
+    )
+    inf = vector_info(g, wkt_col="wkt")
+    return inf.select(
+        F.col("n_features").cast("bigint").alias("n_features"),
+        F.col("n_points").cast("bigint").alias("n_points"),
+        F.col("n_polygons").cast("bigint").alias("n_polygons"),
+        F.col("minx").cast("bigint").alias("minx"),
+        F.col("miny").cast("bigint").alias("miny"),
+        F.col("maxx").cast("bigint").alias("maxx"),
+        F.col("maxy").cast("bigint").alias("maxy"),
+    )
+
+
+def _o_vector_info() -> str:
+    return (
+        f"WITH g AS ({docs_g_cte()}) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_features, "
+        "CAST(SUM(CASE WHEN NOT is_poly THEN 1 ELSE 0 END) AS BIGINT) AS n_points, "
+        "CAST(SUM(CASE WHEN is_poly THEN 1 ELSE 0 END) AS BIGINT) AS n_polygons, "
+        "CAST(MIN(CASE WHEN is_poly THEN gx - half ELSE gx END) AS BIGINT) AS minx, "
+        "CAST(MIN(CASE WHEN is_poly THEN gy - half ELSE gy END) AS BIGINT) AS miny, "
+        "CAST(MAX(CASE WHEN is_poly THEN gx + half ELSE gx END) AS BIGINT) AS maxx, "
+        "CAST(MAX(CASE WHEN is_poly THEN gy + half ELSE gy END) AS BIGINT) AS maxy "
+        "FROM g WHERE valid"
+    )
+
+
+QUERIES["vector_info"] = q_vector_info
+ORACLES["vector_info"] = _o_vector_info()
