@@ -178,15 +178,19 @@ def main() -> None:
         "",
         "## Per-query wall seconds",
         "",
-        "| query | " + " | ".join(f"local[{c}] s" for c in sizes) + f" | eff {n_small}->{n_big} |",
-        "|---|" + "---|" * (len(sizes) + 1),
+        "| query | " + " | ".join(f"local[{c}] s" for c in sizes) + f" | eff {n_small}->{n_big} | machine-normalized |",
+        "|---|" + "---|" * (len(sizes) + 2),
     ]
     effs = {}
     for q in results[n_small]["queries"]:
         ts = [results[c]["queries"][q] for c in sizes]
         eff = ts[0] / (ratio * results[n_big]["queries"][q])
         effs[q] = round(eff, 3)
-        lines.append("| " + q + " | " + " | ".join(str(t) for t in ts) + f" | {eff:.3f} |")
+        norm = eff / ctl_eff if ctl_eff else float("nan")
+        lines.append(
+            "| " + q + " | " + " | ".join(str(t) for t in ts)
+            + f" | {eff:.3f} | {norm:.3f} |"
+        )
     lines += [
         "",
         "Sub-second queries (driver tables at sf0.1) are dominated by fixed",
