@@ -7843,3 +7843,74 @@ def _o_vector_info() -> str:
 
 QUERIES["vector_info"] = q_vector_info
 ORACLES["vector_info"] = _o_vector_info()
+
+
+def q_overview_refresh(spark, sf_dir):
+    """`gdal raster overview refresh --bbox`
+    (gdalalg_raster_overview_refresh.cpp PartialRefresh :68-112):
+    incremental pyramid maintenance — a closed-form 32x32 uint8 base
+    is updated inside a dirty pixel window, the STALE overview (built
+    from the pre-update base) is refreshed through overview_refresh
+    (children-of-affected-parents key-range filter + anti-join
+    pass-through of untouched parents), and the result must equal the
+    updated base's true overview: the oracle replays base update +
+    integer (sum+2)//4 downsample + per-overview-tile sums in SQL. A
+    stale parent wrongly kept (or a fresh one wrongly dropped) shifts
+    its tile sum."""
+    import numpy as np
+
+    from gdal_spark.operators.overview_refresh import overview_refresh
+    from gdal_spark.operators.tiles import overview_level
+
+    TS, N = 8, 32
+    i = np.arange(N)
+    old = ((i[:, None] * 31 + i[None, :] * 7) % 97).astype(np.uint8)
+    new = old.copy()
+    new[5:16, 9:23] = ((new[5:16, 9:23].astype(np.int64) + 50) % 97).astype(np.uint8)
+
+    def tiles(a):
+        rows = [
+            (2, ty, tx, 1, "uint8",
+             bytes(a[ty * TS:(ty + 1) * TS, tx * TS:(tx + 1) * TS].tobytes()))
+            for ty in range(N // TS) for tx in range(N // TS)
+        ]
+        return spark.createDataFrame(
+            rows, "z int, ty int, tx int, band int, dtype string, payload binary"
+        )
+
+    stale = overview_level(tiles(old), tile_size=TS)
+    fresh = overview_refresh(tiles(new), stale, (9, 5, 14, 11), tile_size=TS)
+
+    import pandas as pd
+
+    def _sums(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = np.frombuffer(r.payload, dtype=r.dtype)
+                out.append({"ty": int(r.ty), "tx": int(r.tx), "sum_v": int(a.sum())})
+            yield pd.DataFrame(out, columns=["ty", "tx", "sum_v"])
+
+    return (
+        fresh.mapInPandas(_sums, "ty long, tx long, sum_v long")
+        .orderBy("ty", "tx")
+    )
+
+
+def _o_overview_refresh() -> str:
+    return (
+        "WITH b AS (SELECT i.range AS y, j.range AS x, "
+        "CASE WHEN j.range BETWEEN 9 AND 22 AND i.range BETWEEN 5 AND 15 "
+        "THEN ((i.range * 31 + j.range * 7) % 97 + 50) % 97 "
+        "ELSE (i.range * 31 + j.range * 7) % 97 END AS v "
+        "FROM range(0, 32) i, range(0, 32) j), "
+        "o AS (SELECT y // 2 AS p, x // 2 AS q, (SUM(v) + 2) // 4 AS v "
+        "FROM b GROUP BY y // 2, x // 2) "
+        "SELECT CAST(p // 8 AS BIGINT) AS ty, CAST(q // 8 AS BIGINT) AS tx, "
+        "CAST(SUM(v) AS BIGINT) AS sum_v FROM o GROUP BY p // 8, q // 8 "
+        "ORDER BY ty, tx"
+    )
+
+
+QUERIES["overview_refresh"] = q_overview_refresh
+ORACLES["overview_refresh"] = _o_overview_refresh()
