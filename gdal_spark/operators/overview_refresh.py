@@ -66,6 +66,47 @@ def affected_parent_range(
     )
 
 
+def overview_refresh_windows(
+    source_tiles: DataFrame,
+    existing_overview: DataFrame,
+    windows: list[tuple[int, int, int, int]],
+    resampling: str = "average",
+    tile_size: int = 256,
+) -> DataFrame:
+    """The `--like` form (PartialRefreshFromSourceExtent :279-390): one
+    dirty window per source extent, all refreshed in ONE pass — the
+    affected-parent set is the union of the window rectangles (OR of
+    key ranges in both the children filter and the pass-through
+    anti-filter), where the reference loops PartialRefresh per region.
+    Overlapping rectangles regenerate each parent exactly once (the
+    children filter is a row filter, not a fan-out)."""
+    rects = [affected_parent_range(w, tile_size) for w in windows]
+    rects = [r for r in rects if r[1] >= r[0] and r[3] >= r[2]]
+    if not rects:
+        return existing_overview
+
+    def rect_pred(ptx0, ptx1, pty0, pty1):
+        return (
+            (F.col("tx") >= ptx0) & (F.col("tx") <= ptx1)
+            & (F.col("ty") >= pty0) & (F.col("ty") <= pty1)
+        )
+
+    in_rects = rect_pred(*rects[0])
+    child_pred = rect_pred(2 * rects[0][0], 2 * rects[0][1] + 1,
+                           2 * rects[0][2], 2 * rects[0][3] + 1)
+    for r in rects[1:]:
+        in_rects = in_rects | rect_pred(*r)
+        child_pred = child_pred | rect_pred(2 * r[0], 2 * r[1] + 1,
+                                            2 * r[2], 2 * r[3] + 1)
+    # a parent inside any rect always gets its COMPLETE child block
+    # (the child ranges are exactly the rects' children), so
+    # regenerated parents == the union rect set — disjoint from kept
+    regenerated = overview_level(
+        source_tiles.filter(child_pred), resampling=resampling, tile_size=tile_size
+    )
+    return existing_overview.filter(~in_rects).unionByName(regenerated)
+
+
 def overview_refresh(
     source_tiles: DataFrame,
     existing_overview: DataFrame,
@@ -84,32 +125,16 @@ def overview_refresh(
     children through overview_level's exact kernels. For several
     levels, cascade: each level's output is the next call's source
     (with the window halved: PartialRefresh regenerates every
-    requested level from the same base window).
+    requested level from the same base window). The children filter is
+    a pure key-range predicate on the source level — prunable at the
+    scan under a (z, ty, tx) layout; a parent inside the rectangle
+    with NO children disappears, matching the sparse tile-table
+    convention.
     """
-    ptx0, ptx1, pty0, pty1 = affected_parent_range(window, tile_size)
-    if ptx1 < ptx0 or pty1 < pty0:
-        return existing_overview
-
-    in_rect = (
-        (F.col("tx") >= ptx0)
-        & (F.col("tx") <= ptx1)
-        & (F.col("ty") >= pty0)
-        & (F.col("ty") <= pty1)
+    return overview_refresh_windows(
+        source_tiles, existing_overview, [window],
+        resampling=resampling, tile_size=tile_size,
     )
-    # children of affected parents: pure key-range filter on the
-    # source level — prunable at the scan under a tile-key layout
-    children = source_tiles.filter(
-        (F.col("tx") >= 2 * ptx0)
-        & (F.col("tx") <= 2 * ptx1 + 1)
-        & (F.col("ty") >= 2 * pty0)
-        & (F.col("ty") <= 2 * pty1 + 1)
-    )
-    regenerated = overview_level(children, resampling=resampling, tile_size=tile_size)
-    # regenerated covers exactly the affected rectangle's parents that
-    # have any child data; a parent inside the rectangle with NO
-    # children disappears — matching the sparse tile-table convention
-    kept = existing_overview.filter(~in_rect)
-    return kept.unionByName(regenerated)
 
 
 def halve_window(window: tuple[int, int, int, int]) -> tuple[int, int, int, int]:

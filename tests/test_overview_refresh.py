@@ -118,3 +118,24 @@ class TestWindowMath:
         assert halve_window((8, 40, 16, 16)) == (4, 20, 8, 8)
         # source pixels 13..15 -> parent pixels 6..7 (width 2)
         assert halve_window((13, 13, 3, 3)) == (6, 6, 2, 2)
+
+
+class TestMultiWindow:
+    def test_like_form_union_of_extents(self, spark):
+        """--like form (PartialRefreshFromSourceExtent :279-390): two
+        disjoint dirty extents + one overlapping pair, refreshed in
+        one pass, equals a full recompute."""
+        from gdal_spark.operators.overview_refresh import overview_refresh_windows
+
+        old = _array(21)
+        new = old.copy()
+        wins = [(0, 0, 10, 10), (40, 48, 16, 12), (6, 4, 12, 12)]  # 1st & 3rd overlap
+        for (x, y, w, h) in wins:
+            new[y:y + h, x:x + w] = (new[y:y + h, x:x + w].astype(int) + 9) % 256
+        stale = overview_level(_tiles(spark, old), tile_size=TS)
+        got = overview_refresh_windows(_tiles(spark, new), stale, wins, tile_size=TS)
+        want = overview_level(_tiles(spark, new), tile_size=TS)
+        assert _collect_map(got) == _collect_map(want)
+        # overlapping rects must not duplicate parents
+        keys = [r for r in got.groupBy("z", "ty", "tx", "band").count().collect()]
+        assert all(r["count"] == 1 for r in keys)
