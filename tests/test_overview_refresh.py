@@ -139,3 +139,26 @@ class TestMultiWindow:
         # overlapping rects must not duplicate parents
         keys = [r for r in got.groupBy("z", "ty", "tx", "band").count().collect()]
         assert all(r["count"] == 1 for r in keys)
+
+
+class TestScanPruning:
+    def test_children_filter_pushes_to_parquet_scan(self, spark, tmp_path):
+        """The 100 TB contract: over a parquet-backed tile table the
+        children key-range filter must reach the scan as PushedFilters
+        on ty/tx — the refresh reads only the affected tiles' row
+        groups, never the whole pyramid level."""
+        from gdal_spark.operators.overview_refresh import overview_refresh
+
+        spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+        p = str(tmp_path / "tiles")
+        _tiles(spark, _array(5)).write.parquet(p)
+        base = spark.read.parquet(p)
+        stale = overview_level(_tiles(spark, _array(5)), tile_size=TS)
+        out = overview_refresh(base, stale, (21, 13, 22, 16), tile_size=TS)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        scan = [l for l in plan.splitlines() if "PushedFilters" in l]
+        assert scan, plan
+        pushed = next(l for l in scan if "GreaterThanOrEqual(tx" in l or "tx" in l)
+        for frag in ("GreaterThanOrEqual(tx,2)", "LessThanOrEqual(tx,5)",
+                     "GreaterThanOrEqual(ty,0)", "LessThanOrEqual(ty,3)"):
+            assert frag in pushed, (frag, pushed)

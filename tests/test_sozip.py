@@ -164,3 +164,47 @@ class TestPreChunked:
         idx = read_sozip_index(p, "m.bin")
         assert idx["chunk_size"] == 4096
         assert len(idx["offsets"]) == (len(data) - 1) // 4096
+
+
+class TestSOZipProperties:
+    """Hypothesis sweep over random member contents x chunk sizes:
+    archive round-trip + index random access must hold for all."""
+
+    def test_random_members_roundtrip(self, spark, tmp_path):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=8, deadline=None)
+        @given(
+            st.lists(
+                st.binary(min_size=0, max_size=40_000),
+                min_size=1, max_size=4, unique=True,
+            ),
+            st.sampled_from([512, 4096, 32768]),
+        )
+        def check(bodies, cs):
+            import uuid
+
+            rows = [(f"m{i}_{len(b)}.bin", b) for i, b in enumerate(bodies)]
+            df = spark.createDataFrame(rows, "name string, data binary")
+            p = str(tmp_path / f"prop_{uuid.uuid4().hex}.zip")
+            man = {m["name"]: m for m in write_sozip(df, p, chunk_size=cs, min_file_size=0)}
+            with zipfile.ZipFile(p) as zf:
+                assert zf.testzip() is None
+                for name, body in rows:
+                    assert zf.read(name) == body
+            for name, body in rows:
+                idx = read_sozip_index(p, name)
+                if len(body) > cs:
+                    offsets = [0] + idx["offsets"]
+                    assert len(offsets) == (len(body) + cs - 1) // cs
+                    for k, off in enumerate(offsets):
+                        got = decompress_chunk_at(
+                            p, man[name]["offset"], len(name.encode()), off, cs
+                        )
+                        assert got == body[k * cs : (k + 1) * cs]
+                else:
+                    assert idx is None
+            os.unlink(p)
+
+        check()
