@@ -110,6 +110,17 @@ def partition_write(
             raise ValueError("pattern must contain a single %[0N]d slot")
         digits = int(m.group(2) or 0)
         zero = m.group(1) == "0" or (m.group(2) or "").startswith("0")
+        # split the PATTERN at the %d slot BEFORE substituting, like
+        # the reference (:474-485 osPatternPrefix/Suffix) — a field
+        # value containing a hive-escaped '%' (e.g. 'x%d' -> 'x%25d')
+        # must never be mistaken for the counter slot
+        pat_prefix, pat_suffix = pattern[: m.start()], pattern[m.end():]
+
+        def subst(s: str, field_value: str) -> str:
+            return s.replace("{LAYER_NAME}", layer_name).replace(
+                "{FIELD_VALUE}", field_value
+            )
+
         counters: dict = {}
         renames = []
         for f in sorted(rec["files"], key=lambda r: r["file"]):
@@ -124,9 +135,8 @@ def partition_write(
             c = str(counters[key])
             if len(c) < digits:
                 c = ("0" if zero else " ") * (digits - len(c)) + c
-            name = pattern.replace("{LAYER_NAME}", layer_name)
-            name = name.replace("{FIELD_VALUE}", "_".join(vals))
-            name = re.sub(r"%(0?)(\d*)d", c, name, count=1) + ".parquet"
+            fv = "_".join(vals)
+            name = subst(pat_prefix, fv) + c + subst(pat_suffix, fv) + ".parquet"
             renames.append((rel, name))
         for rel, name in renames:
             shutil.move(os.path.join(path, rel), os.path.join(path, name))

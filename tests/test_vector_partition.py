@@ -80,3 +80,16 @@ class TestFlatScheme:
         back = spark.read.parquet(out)
         assert back.count() == 30
         assert back.filter(F.col("grp").isNull()).count() == 10
+
+    def test_percent_in_field_value_not_counter_slot(self, spark, tmp_path):
+        """A field value containing '%' (hive-escapes to %25) must not
+        be mistaken for the counter slot — the reference splits the
+        pattern at %d BEFORE substituting (:474-485)."""
+        df = spark.range(4).withColumn(
+            "grp", F.when(F.col("id") % 2 == 0, "x%d").otherwise("y")
+        ).repartition("grp")
+        out = str(tmp_path / "flat7")
+        rec = partition_write(df, out, ["grp"], scheme="flat",
+                              layer_name="L", pattern="{LAYER_NAME}_{FIELD_VALUE}_%03d")
+        names = sorted(f["file"] for f in rec["files"])
+        assert names == ["L_x%25d_001.parquet", "L_y_001.parquet"]
