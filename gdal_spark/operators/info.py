@@ -51,19 +51,24 @@ def raster_info(tiles: DataFrame, spec: RasterSpec) -> DataFrame:
     """One row per band: (band, width, height, dtype, n_px, min, max,
     mean, stddev). Exact (approx_ok=false) GDALComputeStatistics
     semantics over the FULL raster: pixels of absent sparse tiles
-    count as spec.init."""
+    count as spec.init. Bands are seeded from spec.nbands, not
+    discovered from present tiles — a band whose every tile is absent
+    (all pixels at init) still reports min=max=mean=init, stddev=0."""
     total_px = spec.width * spec.height
     init = float(spec.init or 0.0)
     parts = tiles.mapInPandas(
         _tile_stat_partials, "band int, n long, s double, s2 double, mn double, mx double"
     )
-    agg = parts.groupBy("band").agg(
+    bands = tiles.sparkSession.range(1, int(spec.nbands) + 1).select(
+        F.col("id").cast("int").alias("band")
+    )
+    agg = bands.join(parts.groupBy("band").agg(
         F.sum("n").alias("n"),
         F.sum("s").alias("s"),
         F.sum("s2").alias("s2"),
         F.min("mn").alias("mn"),
         F.max("mx").alias("mx"),
-    )
+    ), "band", "left").na.fill({"n": 0, "s": 0.0, "s2": 0.0})
     miss = F.lit(total_px) - F.col("n")
     s = F.col("s") + miss * F.lit(init)
     s2 = F.col("s2") + miss * F.lit(init * init)
@@ -96,8 +101,9 @@ def vector_info(
     n_collections, n_other, minx, miny, maxx, maxy). Geometry class
     from the WKT tag (pure Catalyst); extent from envelope columns if
     given, else from a one-pass coordinate scan of the WKT numbers
-    (numeric tokens alternate x,y — fine for the extent, which is a
-    min/max over all coordinates, curve types excepted)."""
+    (stride 2/3/4 per vertex from the Z/M header flags — fine for the
+    extent, which is a min/max over all x and y, arc curve types
+    excepted)."""
     tag = F.upper(F.regexp_extract(F.col(wkt_col), _WKT_TAG, 1))
     cls = (
         F.when(tag.isin("POINT", "MULTIPOINT"), "point")
@@ -121,8 +127,19 @@ def vector_info(
             lambda t: t.try_cast("double"),
         )
         nums = F.filter(nums, lambda v: v.isNotNull())
-        xs = F.filter(nums, lambda v, i: i % 2 == 0)
-        ys = F.filter(nums, lambda v, i: i % 2 == 1)
+        # coordinate stride from the Z/M header flags: POINT Z (1 2 5)
+        # carries 3 numbers per vertex — a fixed x,y alternation would
+        # let z values contaminate the extent
+        zm = F.upper(
+            F.regexp_extract(F.col("_wkt"), r"^\s*[A-Za-z]+\s+(ZM|Z|M)\s*\(", 1)
+        )
+        dim = (
+            F.when(zm == "ZM", F.lit(4))
+            .when(zm.isin("Z", "M"), F.lit(3))
+            .otherwise(F.lit(2))
+        )
+        xs = F.filter(nums, lambda v, i: i % dim == 0)
+        ys = F.filter(nums, lambda v, i: i % dim == 1)
         d = d.select(
             "_cls",
             F.array_min(xs).alias("_x0"),

@@ -313,7 +313,7 @@ def union_method_leftovers(
         # level 1: subtract each salt-bucket's inputs from y, emitting a
         # partial piece per (fid, salt); level 2 intersects the partials
         # (y − ∪A = ∩_buckets (y − ∪A_bucket)).
-        pairs = pairs.withColumn("_salt", F.abs(F.hash("x_wkt")) % salt)
+        pairs = pairs.withColumn("_salt", F.pmod(F.hash("x_wkt"), F.lit(salt)))
         grouped = pairs.groupBy("method_fid", "_salt").agg(F.collect_list("x_wkt").alias("xs"))
     else:
         grouped = pairs.groupBy("method_fid").agg(F.collect_list("x_wkt").alias("xs"))

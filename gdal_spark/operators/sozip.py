@@ -67,10 +67,16 @@ def _gf2_square(mat):
     return [_gf2_times(mat, mat[n]) for n in range(32)]
 
 
-def crc32_combine(crc1: int, crc2: int, len2: int) -> int:
-    """CRC32(A+B) from CRC32(A), CRC32(B), len(B) — zlib crc32_combine."""
-    if len2 <= 0:
-        return crc1
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _zeros_operator(len2: int) -> tuple:
+    """The GF(2) matrix that advances a CRC past len2 zero-feed bytes,
+    cached per length: the driver loop combines one chunk per call and
+    every non-tail chunk shares the same len2 (chunk_size), so the
+    matrix-squaring chain runs once per distinct length instead of
+    once per chunk."""
     odd = [0] * 32
     odd[0] = 0xEDB88320
     row = 1
@@ -79,20 +85,32 @@ def crc32_combine(crc1: int, crc2: int, len2: int) -> int:
         row <<= 1
     even = _gf2_square(odd)
     odd = _gf2_square(even)
+    op = [1 << n for n in range(32)]  # identity
+
+    def compose(mat, cur):
+        return [_gf2_times(mat, c) for c in cur]
+
     while True:
         even = _gf2_square(odd)
         if len2 & 1:
-            crc1 = _gf2_times(even, crc1)
+            op = compose(even, op)
         len2 >>= 1
         if len2 == 0:
             break
         odd = _gf2_square(even)
         if len2 & 1:
-            crc1 = _gf2_times(odd, crc1)
+            op = compose(odd, op)
         len2 >>= 1
         if len2 == 0:
             break
-    return (crc1 ^ crc2) & 0xFFFFFFFF
+    return tuple(op)
+
+
+def crc32_combine(crc1: int, crc2: int, len2: int) -> int:
+    """CRC32(A+B) from CRC32(A), CRC32(B), len(B) — zlib crc32_combine."""
+    if len2 <= 0:
+        return crc1
+    return (_gf2_times(_zeros_operator(len2), crc1) ^ crc2) & 0xFFFFFFFF
 
 
 # ---------------------------------------------------------------------------
@@ -263,7 +281,13 @@ def write_sozip(
                 for off in m["chunk_offsets"][1:]:
                     idx += struct.pack("<Q", off)
                 # hidden member name: dir up to the FIRST slash, then
-                # '.' + rest + '.sozip.idx' (cpl_minizip_zip.cpp:2556)
+                # '.' + rest + '.sozip.idx' — strchr, not strrchr,
+                # faithfully mirroring cpl_minizip_zip.cpp:2556 (the
+                # reader never reconstructs this name: it takes the
+                # local header immediately AFTER the member's data and
+                # accepts any name containing '.sozip.idx',
+                # cpl_vsil_gzip.cpp:4208-4220, so placement is what
+                # matters and deep paths read fine)
                 nm = m["name"]
                 slash = nm.find("/")
                 idx_name = (

@@ -610,7 +610,11 @@ def spatial_join_cells(
         # per-row salt, the (small-per-cell) zone side replicates across
         # all salt values — the join key becomes (cell, salt) so a hot
         # cell's candidates spread over `salt` tasks
-        d = d.withColumn("_salt", (F.abs(F.hash("_did")) % salt).cast("int"))
+        # pmod, not abs(hash) % n: abs(Integer.MIN_VALUE) stays negative in
+        # non-ANSI mode and Spark % keeps the dividend's sign — a doc
+        # hashing to MIN_VALUE would get a salt matching no replicated
+        # zone row and silently vanish from the join
+        d = d.withColumn("_salt", F.pmod(F.hash("_did"), F.lit(salt)).cast("int"))
         z = z.withColumn(
             "_salt", F.explode(F.array(*[F.lit(s).cast("int") for s in range(salt)]))
         )
@@ -651,7 +655,7 @@ def spatial_join_cells(
     zw = zones.select(F.col(zone_fid_col).alias("_zfid"), F.col(zone_wkt_col).alias("_zwkt"))
     if verify_salt > 1:
         pairs = pairs.withColumn(
-            "_vs", (F.abs(F.hash("_did")) % verify_salt).cast("int")
+            "_vs", F.pmod(F.hash("_did"), F.lit(verify_salt)).cast("int")
         )
         zw = zw.withColumn(
             "_vs",

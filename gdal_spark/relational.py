@@ -105,9 +105,10 @@ def partition_write(
 
         if pattern is None:
             pattern = "{LAYER_NAME}_{FIELD_VALUE}_%010d" if partition_cols else "{LAYER_NAME}_%010d"
-        m = re.search(r"%(0?)(\d*)d", pattern)
-        if m is None:
+        slots = list(re.finditer(r"%(0?)(\d*)d", pattern))
+        if len(slots) != 1:
             raise ValueError("pattern must contain a single %[0N]d slot")
+        m = slots[0]
         digits = int(m.group(2) or 0)
         zero = m.group(1) == "0" or (m.group(2) or "").startswith("0")
         # split the PATTERN at the %d slot BEFORE substituting, like
@@ -130,13 +131,20 @@ def partition_write(
             for p in parts:
                 _k, _, v = p.partition("=")
                 vals.append("__NULL__" if v == "__HIVE_DEFAULT_PARTITION__" else v)
-            key = "/".join(parts)
-            counters[key] = counters.get(key, 0) + 1
-            c = str(counters[key])
+            # counter keyed by the SUBSTITUTED name stem, not the hive
+            # key path: '_' is not hive-escaped, so two distinct keys
+            # can join to the same FIELD_VALUE (('x_y','z') vs
+            # ('x','y_z')) — per-key counters would then both emit
+            # ..._0000000001 and the second rename would silently
+            # overwrite the first file; per-stem counters give the
+            # collider counter 2 instead
+            fv = "_".join(vals)
+            stem = (subst(pat_prefix, fv), subst(pat_suffix, fv))
+            counters[stem] = counters.get(stem, 0) + 1
+            c = str(counters[stem])
             if len(c) < digits:
                 c = ("0" if zero else " ") * (digits - len(c)) + c
-            fv = "_".join(vals)
-            name = subst(pat_prefix, fv) + c + subst(pat_suffix, fv) + ".parquet"
+            name = stem[0] + c + stem[1] + ".parquet"
             renames.append((rel, name))
         for rel, name in renames:
             shutil.move(os.path.join(path, rel), os.path.join(path, name))
@@ -148,6 +156,14 @@ def partition_write(
                 shutil.rmtree(d)
         for f, (_, name) in zip(sorted(rec["files"], key=lambda r: r["file"]), renames):
             f["file"] = name
+        # rewrite the _lineage.json sidecar: write_snapshot stamped it
+        # with the pre-rename hive-relative paths, which no longer exist
+        import json
+
+        from gdal_spark.metrics import LINEAGE_FILE
+
+        with open(os.path.join(path, LINEAGE_FILE), "w") as fh:
+            json.dump(rec, fh, indent=1)
     return rec
 
 

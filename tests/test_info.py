@@ -72,3 +72,29 @@ class TestVectorInfo:
         )
         r = vector_info(df).collect()[0]
         assert (r["minx"], r["miny"]) == (100.0, -25.0)
+
+
+class TestReviewRegressions:
+    def test_all_init_band_still_reported(self, spark):
+        """A band with zero materialized tiles must report
+        min=max=mean=init, stddev=0 — bands seed from spec.nbands."""
+        from gdal_spark.operators.raster import RasterSpec
+
+        spec = RasterSpec(width=8, height=8, gt=(0, 1, 0, 8, 0, -1),
+                          dtype="uint8", nbands=2, tile_size=8, init=7.0)
+        tiles = spark.createDataFrame(
+            [(1, 0, 0, 8, 8, "uint8", bytes(bytearray(range(64))))],
+            "band int, ty int, tx int, h int, w int, dtype string, payload binary",
+        )
+        rows = {r["band"]: r for r in raster_info(tiles, spec).collect()}
+        assert set(rows) == {1, 2}
+        assert rows[2]["min"] == 7.0 and rows[2]["max"] == 7.0
+        assert rows[2]["mean"] == 7.0 and rows[2]["stddev"] == 0.0
+
+    def test_point_z_extent(self, spark):
+        df = spark.createDataFrame(
+            [("POINT Z (1 2 500)",), ("LINESTRING ZM (0 0 9 9, 10 20 9 9)",)],
+            "wkt string",
+        )
+        r = vector_info(df).collect()[0]
+        assert (r["minx"], r["miny"], r["maxx"], r["maxy"]) == (0.0, 0.0, 10.0, 20.0)

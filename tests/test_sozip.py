@@ -208,3 +208,27 @@ class TestSOZipProperties:
             os.unlink(p)
 
         check()
+
+
+class TestDeepPath:
+    def test_two_level_member_roundtrip(self, spark, tmp_path):
+        """Deep member paths: the hidden index name splits at the FIRST
+        slash (reference strchr parity, cpl_minizip_zip.cpp:2556); the
+        GDAL reader matches by position + suffix so this reads fine."""
+        data = _content(4, 8000)
+        df = spark.createDataFrame([("a/b/c.bin", data)], "name string, data binary")
+        p = str(tmp_path / "deep.zip")
+        man = write_sozip(df, p, min_file_size=0)
+        with zipfile.ZipFile(p) as zf:
+            assert zf.read("a/b/c.bin") == data
+        idx = read_sozip_index(p, "a/b/c.bin")
+        assert idx is not None and idx["uncompressed"] == len(data)
+        # the index member sits immediately after the data member (the
+        # reader's actual lookup rule) and carries the .sozip.idx suffix
+        with open(p, "rb") as fh:
+            blob = fh.read()
+        m = man[0]
+        after = m["offset"] + 30 + len(b"a/b/c.bin") + m["compressed"]
+        assert blob[after:after + 4] == b"PK\x03\x04"
+        nlen = int.from_bytes(blob[after + 26:after + 28], "little")
+        assert blob[after + 30:after + 30 + nlen].endswith(b".sozip.idx")

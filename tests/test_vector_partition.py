@@ -93,3 +93,37 @@ class TestFlatScheme:
                               layer_name="L", pattern="{LAYER_NAME}_{FIELD_VALUE}_%03d")
         names = sorted(f["file"] for f in rec["files"])
         assert names == ["L_x%25d_001.parquet", "L_y_001.parquet"]
+
+    def test_colliding_field_values_do_not_overwrite(self, spark, tmp_path):
+        """'_' is not hive-escaped, so distinct key tuples can join to
+        the same FIELD_VALUE — the counter must be per name stem, not
+        per key, or the second rename silently replaces the first."""
+        df = spark.createDataFrame(
+            [(1, "x_y", "z"), (2, "x_y", "z"), (3, "x", "y_z")],
+            "id long, a string, b string",
+        ).repartition("a", "b")
+        out = str(tmp_path / "flat8")
+        rec = partition_write(df, out, ["a", "b"], scheme="flat", layer_name="L")
+        names = sorted(f["file"] for f in rec["files"])
+        assert names == ["L_x_y_z_0000000001.parquet", "L_x_y_z_0000000002.parquet"]
+        back = spark.read.parquet(out)
+        assert back.count() == 3  # nothing lost
+
+    def test_multiple_counter_slots_rejected(self, spark, tmp_path):
+        with pytest.raises(ValueError):
+            partition_write(_df(spark), str(tmp_path / "f9"), ["grp"],
+                            scheme="flat", pattern="L_%03d_%d")
+
+    def test_lineage_sidecar_rewritten(self, spark, tmp_path):
+        import json
+        import os
+
+        out = str(tmp_path / "flat10")
+        rec = partition_write(_df(spark), out, ["grp"], scheme="flat",
+                              layer_name="docs")
+        with open(os.path.join(out, "_lineage.json")) as fh:
+            side = json.load(fh)
+        files = sorted(f["file"] for f in side["files"])
+        assert files == sorted(f["file"] for f in rec["files"])
+        for f in files:
+            assert os.path.exists(os.path.join(out, f))
