@@ -7914,3 +7914,50 @@ def _o_overview_refresh() -> str:
 
 QUERIES["overview_refresh"] = q_overview_refresh
 ORACLES["overview_refresh"] = _o_overview_refresh()
+
+
+def q_layer_algebra_cells(spark, sf_dir):
+    """Big x big cell-partitioned layer algebra Intersection
+    (operators/layer_algebra.py layer_algebra_cells — the no-broadcast
+    scale path over spatial_join_cells' candidate machinery, geometry
+    re-joined by id with the final exchange keyed on doc_id). Square
+    doc polygons x the 8 RECTANGULAR zones: every intersection piece
+    is an axis-parallel rectangle whose area the oracle computes in
+    closed form — a wrong pair set, a dropped piece, or a wrong
+    overlay result all shift (doc, zone, area) rows."""
+    from gdal_spark.operators.cells import BYTE20_GRID
+    from gdal_spark.operators.layer_algebra import layer_algebra_cells
+    from gdal_spark.operators.spatial import area_udf
+
+    g = docs_geom(spark, sf_dir).filter(
+        F.col("geom_error").isNull() & (F.col("env_minx") < F.col("env_maxx"))
+    )
+    zones = zones_table(spark).filter(F.col("fid") <= 7)
+    pieces = layer_algebra_cells(g, zones, BYTE20_GRID, op="intersection")
+    return pieces.select(
+        "doc_id",
+        F.col("method_fid").cast("bigint").alias("method_fid"),
+        F.floor(area_udf(F.col("wkt")) + 0.5).cast("bigint").alias("area"),
+    )
+
+
+def _o_layer_algebra_cells() -> str:
+    rows = []
+    for fid in range(8):
+        minx, miny, maxx, maxy = _zone_env(fid)
+        rows.append(f"({fid}, {minx}, {miny}, {maxx}, {maxy})")
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "p AS (SELECT doc_id, gx, gy, half FROM g WHERE valid AND is_poly), "
+        "z AS (SELECT * FROM (VALUES " + ", ".join(rows) + ") AS z(fid, minx, miny, maxx, maxy)) "
+        "SELECT p.doc_id, CAST(z.fid AS BIGINT) AS method_fid, "
+        "CAST((LEAST(gx + half, maxx) - GREATEST(gx - half, minx)) * "
+        "(LEAST(gy + half, maxy) - GREATEST(gy - half, miny)) AS BIGINT) AS area "
+        "FROM p, z "
+        "WHERE LEAST(gx + half, maxx) > GREATEST(gx - half, minx) "
+        "AND LEAST(gy + half, maxy) > GREATEST(gy - half, miny)"
+    )
+
+
+QUERIES["layer_algebra_cells"] = q_layer_algebra_cells
+ORACLES["layer_algebra_cells"] = _o_layer_algebra_cells()
