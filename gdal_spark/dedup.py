@@ -387,7 +387,10 @@ def segment_dedup(
     purposes; the SQL oracle hashes identically so the decision
     replicates bit-for-bit.
     """
-    toks = tokens_col(F.col(text_col))
+    # NULL text coalesces to '' (one empty segment, same as the SQL
+    # twin) — a bare NULL would ride through as _segs NULL, and
+    # F.size(NULL) = -1 would surface as n_segs = -1
+    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
     base = df.select(F.col(id_col).alias("_id"), segments_col(toks, seg_tokens).alias("_segs"))
     ex = base.select(
         "_id", F.posexplode("_segs").alias("_idx", "_seg")
@@ -429,7 +432,8 @@ def segment_dedup_sql(
     k = int(seg_tokens)
     h = hash64_sql("s", "segdedup")
     return (
-        f"WITH tok AS (SELECT {id_expr} AS id, string_split_regex(trim({text_expr}), '\\s+') AS toks FROM {table}), "
+        f"WITH tok AS (SELECT {id_expr} AS id, "
+        f"string_split_regex(trim(COALESCE({text_expr}, '')), '\\s+') AS toks FROM {table}), "
         f"seg AS (SELECT id, i AS idx, array_to_string(toks[(i*{k}+1):(i*{k}+{k})], ' ') AS s, "
         f"len(toks) AS n_toks FROM tok, unnest(generate_series(0, CAST(ceil(len(toks)/{k}.0) AS INT)-1)) AS t(i)), "
         f"hh AS (SELECT id, idx, {h} AS h FROM seg), "

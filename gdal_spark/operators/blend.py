@@ -280,6 +280,20 @@ def blend_tiles(color_tiles, overlay_tiles, mode, opacity_pct=100):
             ).reshape(int(row.h), int(row.w))
         color = [sides[0][b] for b in sorted(sides[0])]
         overlay = [sides[1][b] for b in sorted(sides[1])]
+        # sparse tile tables may cover a (ty, tx) on one side only: a
+        # missing overlay acts fully transparent (color passes through
+        # verbatim); a missing color side is an init-black canvas under
+        # the overlay — never a crash
+        if not overlay:
+            return pd.DataFrame(
+                [
+                    {"band": b, "ty": ty, "tx": tx, "h": h, "w": w,
+                     "dtype": "uint8", "payload": sides[0][b].tobytes()}
+                    for b in sorted(sides[0])
+                ]
+            )
+        if not color:
+            color = [np.zeros((h, w), dtype=np.uint8) for _ in overlay[:3]]
         out = blend_arrays(mode, color, overlay, opacity_pct)
         return pd.DataFrame(
             [

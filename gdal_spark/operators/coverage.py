@@ -225,7 +225,14 @@ def simplify_coverage(
         fids = []
         for i in range(len(pdf)):
             if errs[i] is not None or batch.is_null[i]:
-                continue
+                # a coverage REWRITE must not silently lose features —
+                # the reference errors when GEOS gets non-polygonal
+                # input (gdalalg_vector_simplify_coverage.cpp)
+                raise ValueError(
+                    f"simplify_coverage: feature {int(pdf['_fid'].iloc[i])} "
+                    f"has {'NULL' if errs[i] is None else 'invalid'} geometry"
+                    + (f": {errs[i]}" if errs[i] else "")
+                )
             polys.append(batch.polygon_rings(i))
             fids.append(int(pdf["_fid"].iloc[i]))
         simplified = coverage_simplify(polys, tolerance, preserve_boundary)
@@ -341,7 +348,11 @@ def clean_coverage(
         polys, fids = [], []
         for i in range(len(pdf)):
             if errs[i] is not None or batch.is_null[i]:
-                continue
+                raise ValueError(
+                    f"clean_coverage: feature {int(pdf['_fid'].iloc[i])} "
+                    f"has {'NULL' if errs[i] is None else 'invalid'} geometry"
+                    + (f": {errs[i]}" if errs[i] else "")
+                )
             polys.append(batch.polygon_rings(i))
             fids.append(int(pdf["_fid"].iloc[i]))
         cleaned = clean_coverage_patch(fids, polys, merge_strategy)

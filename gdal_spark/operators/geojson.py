@@ -111,14 +111,21 @@ def _member_json(gt: GeomType, rings: list) -> dict:
 
 
 def wkt_to_json_geometry(wkt: str | None) -> dict | None:
-    """WKT -> GeoJSON geometry dict via the engine's columnar parser."""
+    """WKT -> GeoJSON geometry dict via the engine's columnar parser
+    (single-value convenience; batch callers use json_geometry_at)."""
     if wkt is None:
         return None
-    batch = parse_wkt([wkt])
-    if batch.is_null[0]:
+    return json_geometry_at(parse_wkt([wkt]), 0)
+
+
+def json_geometry_at(batch, i: int) -> dict | None:
+    """GeoJSON geometry dict for element i of an already-parsed
+    GeomBatch — the Arrow-batched encode path parses ONE batch per
+    pandas chunk, not one single-element batch per row."""
+    if batch.is_null[i]:
         return None
-    gt = GeomType(batch.types[0])
-    if bool(batch.is_empty[0]):
+    gt = GeomType(batch.types[i])
+    if bool(batch.is_empty[i]):
         base = {GeomType.POINT: "Point", GeomType.LINESTRING: "LineString",
                 GeomType.POLYGON: "Polygon", GeomType.MULTIPOINT: "MultiPoint",
                 GeomType.MULTILINESTRING: "MultiLineString",
@@ -131,10 +138,11 @@ def wkt_to_json_geometry(wkt: str | None) -> dict | None:
         return {
             "type": "GeometryCollection",
             "geometries": [
-                _member_json(GeomType(mt), rings) for mt, rings in _gc_members(batch)
+                _member_json(GeomType(mt), rings)
+                for mt, rings in batch.collection_members(i)
             ],
         }
-    _gt, parts = batch.geometry(0)
+    _gt, parts = batch.geometry(i)
     if gt == GeomType.POINT:
         return _member_json(GeomType.POINT, parts[0])
     if gt == GeomType.LINESTRING:
@@ -149,11 +157,6 @@ def wkt_to_json_geometry(wkt: str | None) -> dict | None:
                 "coordinates": [_coords_list(p[0], False) for p in parts]}
     return {"type": "MultiPolygon",
             "coordinates": [[_coords_list(r, True) for r in p] for p in parts]}
-
-
-def _gc_members(batch):
-    # collection_members already yields (member_type, list-of-rings)
-    return batch.collection_members(0)
 
 
 def _feature_obj(fid, wkt, props_json: str | None) -> dict:
@@ -234,12 +237,13 @@ def geojson_lines(
             wkts = pdf["_wkt"].tolist()
             fids = pdf["_fid"].tolist() if id_col else [None] * len(wkts)
             pvals = {c: pdf[c].tolist() for c in props}
+            batch = parse_wkt(pdf["_wkt"])  # ONE columnar parse per Arrow batch
             for i, w in enumerate(wkts):
                 f = {"type": "Feature"}
                 fid = fids[i]
                 if fid is not None and not (isinstance(fid, float) and pd.isna(fid)):
                     f["id"] = int(fid) if isinstance(fid, (int, np.integer)) else fid
-                f["geometry"] = wkt_to_json_geometry(w)
+                f["geometry"] = None if w is None else json_geometry_at(batch, i)
                 f["properties"] = {
                     c: (None if pd.isna(pvals[c][i]) else
                         pvals[c][i].item() if isinstance(pvals[c][i], np.generic)

@@ -322,6 +322,13 @@ def mdim_mosaic(
     lattice arithmetic on dim metadata."""
     if not sources:
         raise ValueError("no sources")
+    dtypes = {str(spec.dtype) for _, spec, _ in sources}
+    if len(dtypes) > 1:
+        # assembly reinterprets every piece's bytes as sources[0]'s
+        # dtype — mixing would silently corrupt (same-itemsize) or
+        # crash mid-job (different itemsize); the reference errors on
+        # datatype mismatch up front
+        raise ValueError(f"mdim_mosaic sources must share one dtype, got {sorted(dtypes)}")
     ndim = sources[0][1].ndim
     inc = [float(v) for v in increments]
     gstart = [min(float(s[d]) for _, _, s in sources) for d in range(ndim)]

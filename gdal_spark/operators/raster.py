@@ -1059,8 +1059,22 @@ def band_histogram(
     if init_idx is None:
         return hist
     total = spec.width * spec.height
-    covered = tiles.groupBy("band").agg(
-        (F.lit(total) - F.sum(F.col("h").cast("long") * F.col("w"))).alias("missing")
+    # seed from spec.nbands: a band with ZERO materialized tiles has no
+    # tiles.groupBy row at all, yet its width*height init pixels still
+    # belong in the histogram (same class as raster_info's all-init
+    # band rule)
+    bands = tiles.sparkSession.range(1, int(spec.nbands) + 1).select(
+        F.col("id").cast("int").alias("band")
+    )
+    covered = bands.join(
+        tiles.groupBy("band").agg(
+            F.sum(F.col("h").cast("long") * F.col("w")).alias("_present")
+        ),
+        "band",
+        "left",
+    ).select(
+        "band",
+        (F.lit(total) - F.coalesce(F.col("_present"), F.lit(0))).alias("missing"),
     )
     extra = covered.filter(F.col("missing") > 0).select(
         "band", F.lit(init_idx).alias("bucket"), F.col("missing").alias("count")

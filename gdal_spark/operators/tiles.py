@@ -53,6 +53,33 @@ from gdal_spark.operators.raster import RasterSpec, copy_word
 TILE_EPSILON = 1e-3  # gdalalg_raster_tile.cpp:458
 
 
+def grid_tile_indices(
+    extent: tuple[float, float, float, float],
+    top_left: tuple[float, float],
+    res: float,
+    tile_size: int,
+    nx: int,
+    ny: int,
+) -> tuple[int, int, int, int]:
+    """Shared GetTileIndices rule (gdalalg_raster_tile.cpp): tile
+    rectangle covering a world extent on any north-up grid, with the
+    reference's TILE_EPSILON-before-floor snap and clamping — ONE
+    implementation for WebMercatorQuad and GridTMS (update.py)."""
+    tw = res * tile_size
+    tlx, tly = top_left
+    minx, miny, maxx, maxy = extent
+
+    def clampi(v: float, n: int) -> int:
+        return int(np.clip(np.floor(v + TILE_EPSILON), 0, n - 1))
+
+    return (
+        clampi((minx - tlx) / tw, nx),
+        clampi((tly - maxy) / tw, ny),
+        clampi((maxx - tlx) / tw, nx),
+        clampi((tly - miny) / tw, ny),
+    )
+
+
 @dataclass(frozen=True)
 class WebMercatorQuad:
     """The default tile matrix set (gcore/tilematrixset.cpp)."""
@@ -72,20 +99,9 @@ class WebMercatorQuad:
     def tile_indices(self, extent: tuple[float, float, float, float], z: int):
         """GetTileIndices: (mintx, minty, maxtx, maxty) covering extent,
         with the reference's 1e-3 epsilon and clamping."""
-        res = self.resolution(z)
-        tw = res * self.tile_size
         n = self.matrix_size(z)
-        tlx, tly = self.top_left
-        minx, miny, maxx, maxy = extent
-
-        def clampi(v: float) -> int:
-            return int(np.clip(np.floor(v + TILE_EPSILON), 0, n - 1))
-
-        return (
-            clampi((minx - tlx) / tw),
-            clampi((tly - maxy) / tw),
-            clampi((maxx - tlx) / tw),
-            clampi((tly - miny) / tw),
+        return grid_tile_indices(
+            extent, self.top_left, self.resolution(z), self.tile_size, n, n
         )
 
     def tile_origin(self, z: int, tx: int, ty: int) -> tuple[float, float]:

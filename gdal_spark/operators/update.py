@@ -52,19 +52,11 @@ class GridTMS:
         return max(self.spec.ntiles_x, self.spec.ntiles_y)
 
     def tile_indices(self, extent: tuple[float, float, float, float], z: int):
-        res = self.resolution(z)
-        tw = res * self.tile_size
-        tlx, tly = self.top_left
-        minx, miny, maxx, maxy = extent
+        from gdal_spark.operators.tiles import grid_tile_indices
 
-        def clampi(v: float, n: int) -> int:
-            return int(np.clip(np.floor(v + 1e-3), 0, n - 1))
-
-        return (
-            clampi((minx - tlx) / tw, self.spec.ntiles_x),
-            clampi((tly - maxy) / tw, self.spec.ntiles_y),
-            clampi((maxx - tlx) / tw, self.spec.ntiles_x),
-            clampi((tly - miny) / tw, self.spec.ntiles_y),
+        return grid_tile_indices(
+            extent, self.top_left, self.resolution(z), self.tile_size,
+            self.spec.ntiles_x, self.spec.ntiles_y,
         )
 
     def tile_origin(self, z: int, tx: int, ty: int) -> tuple[float, float]:
@@ -90,6 +82,14 @@ def raster_update(
     the source frame)."""
     from gdal_spark.operators.tiles import raster_tile
 
+    if src_spec.nbands != dst_spec.nbands:
+        # the reference updates band-for-band (GDALWarp onto the opened
+        # dst); a silent band mismatch would make the alpha filter
+        # select a data band (or nothing) below
+        raise ValueError(
+            f"raster_update needs matching band counts, got src "
+            f"{src_spec.nbands} vs dst {dst_spec.nbands}"
+        )
     tms = GridTMS(dst_spec)
     warped = raster_tile(
         src_tiles,
@@ -104,7 +104,7 @@ def raster_update(
         src_nodata=src_nodata,
     )
     nb = dst_spec.nbands
-    alpha_band = nb + 1
+    alpha_band = src_spec.nbands + 1  # raster_tile emits alpha after the SRC bands
     # (ty, tx) -> per-band payload + alpha, one row per touched tile
     w = warped.select(
         F.col("ty"), F.col("tx"), F.col("band"), F.col("payload").alias("_wp"),
@@ -114,11 +114,16 @@ def raster_update(
         "ty", "tx", F.col("_wp").alias("_alpha")
     )
     wdata = w.filter(F.col("band") <= nb)
+    # LEFT join: a warped update may land on a (band, ty, tx) the
+    # sparse dst table never materialized (absent tile = init-valued,
+    # the repo-wide convention) — the merge then composites over an
+    # init canvas instead of silently dropping the update
     touched = wdata.join(alpha, ["ty", "tx"]).join(
         dst_tiles.select(
             "band", "ty", "tx", "h", "w", "dtype", F.col("payload").alias("_dp")
         ),
         ["band", "ty", "tx"],
+        "left",
     )
 
     def _merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -126,14 +131,22 @@ def raster_update(
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                h, wd = int(r["h"]), int(r["w"])
-                dstv = np.frombuffer(r["_dp"], dtype=r["dtype"]).reshape(h, wd)
+                if r["_dp"] is None:
+                    # absent dst tile: init-valued canvas at its true
+                    # (edge-clipped) shape
+                    h, wd = dst_spec.tile_shape(int(r["ty"]), int(r["tx"]))
+                    dt = dst_spec.dtype
+                    dstv = np.full((h, wd), dst_spec.init or 0.0, dtype=dt)
+                else:
+                    h, wd = int(r["h"]), int(r["w"])
+                    dt = r["dtype"]
+                    dstv = np.frombuffer(r["_dp"], dtype=dt).reshape(h, wd)
                 wv = np.frombuffer(r["_wp"], dtype=r["_wdtype"]).reshape(ts, ts)[:h, :wd]
                 av = np.frombuffer(r["_alpha"], dtype=np.uint8).reshape(ts, ts)[:h, :wd]
                 out = np.where(av > 0, wv.astype(dstv.dtype), dstv)
                 rows.append(
                     {"band": int(r["band"]), "ty": int(r["ty"]), "tx": int(r["tx"]),
-                     "h": h, "w": wd, "dtype": str(r["dtype"]),
+                     "h": h, "w": wd, "dtype": str(dt),
                      "payload": out.tobytes()}
                 )
             if rows:

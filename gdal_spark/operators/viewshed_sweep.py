@@ -371,12 +371,18 @@ def viewshed_sweep(
     th = float(target_height)
 
     dem_band = tiles.filter(F.col("band") == band)
-    # one tile, one value: the observer's ground height
-    obs_row = dem_band.filter((F.col("tx") == otx) & (F.col("ty") == oty)).collect()[0]
-    obs_tile = np.frombuffer(obs_row["payload"], dtype=obs_row["dtype"]).reshape(
-        obs_row["h"], obs_row["w"]
-    )
-    zobs = float(obs_tile[oy - oty * ts, ox - otx * ts]) + float(observer_height)
+    # one tile, one value: the observer's ground height (absent tile in
+    # a SPARSE DEM table = init-valued, the repo-wide convention)
+    obs_rows = dem_band.filter((F.col("tx") == otx) & (F.col("ty") == oty)).collect()
+    if obs_rows:
+        obs_row = obs_rows[0]
+        obs_tile = np.frombuffer(obs_row["payload"], dtype=obs_row["dtype"]).reshape(
+            obs_row["h"], obs_row["w"]
+        )
+        zground = float(obs_tile[oy - oty * ts, ox - otx * ts])
+    else:
+        zground = float(spec.init or 0.0)
+    zobs = zground + float(observer_height)
 
     wave_expr = F.abs(F.col("tx") - F.lit(otx)) + F.abs(F.col("ty") - F.lit(oty))
     dem_in = dem_band.select(
@@ -388,8 +394,15 @@ def viewshed_sweep(
         txx, tyy = int(key[0]), int(key[1])
         X0, Y0 = txx * ts, tyy * ts
         dem_rows = pdf[pdf["kind"] == "dem"]
-        r = dem_rows.iloc[0]
-        dt = np.frombuffer(r["payload"], dtype=r["pdtype"]).reshape(r["h"], r["w"])
+        if len(dem_rows):
+            r = dem_rows.iloc[0]
+            dt = np.frombuffer(r["payload"], dtype=r["pdtype"]).reshape(r["h"], r["w"])
+        else:
+            # halo addressed to a tile ABSENT from a sparse DEM table:
+            # synthesize the init-valued canvas instead of IndexError —
+            # the wavefront must propagate across it
+            sh = spec.tile_shape(tyy, txx)
+            dt = np.full(sh, spec.init or 0.0, dtype=np.float64)
         hh, ww = dt.shape
         halos = {"n": None, "s": None, "w": None, "e": None}
         corners: dict = {}

@@ -105,3 +105,23 @@ def test_default_range_table():
     assert default_histogram_range("int32", 7.0, 7.0) == (6.5, 7.5, 1)
     with pytest.raises(ValueError):
         default_histogram_range("float32")
+
+
+class TestAbsentBand:
+    def test_band_with_zero_tiles_gets_init_credit(self, spark):
+        """A band with NO materialized tiles must still report its
+        width*height init pixels (bands seed from spec.nbands — same
+        rule as raster_info's all-init band)."""
+        from gdal_spark.operators.raster import RasterSpec, band_histogram
+
+        spec = RasterSpec(width=8, height=8, gt=(0, 1, 0, 8, 0, -1),
+                          dtype="uint8", nbands=3, tile_size=8, init=5.0)
+        tiles = spark.createDataFrame(
+            [(1, 0, 0, 8, 8, "uint8", bytes(bytearray(range(64))))],
+            "band int, ty int, tx int, h int, w int, dtype string, payload binary",
+        )
+        out = band_histogram(tiles, spec, 0.0, 64.0, 8)
+        rows = {(r["band"], r["bucket"]): r["count"] for r in out.collect()}
+        # bands 2 and 3 have zero tiles -> 64 init pixels in bucket of 5
+        assert rows[(2, 0)] == 64 and rows[(3, 0)] == 64
+        assert sum(v for (b, _), v in rows.items() if b == 1) == 64

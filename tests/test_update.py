@@ -65,3 +65,37 @@ class TestUpdate:
             src_spec, Pipeline(),
         )
         np.testing.assert_array_equal(materialize_full(out, BYTE20_SPEC), BYTE20)
+
+
+class TestReviewRegressions:
+    def test_band_count_mismatch_raises(self, spark):
+        import pytest
+
+        src_spec = RasterSpec(width=4, height=4, gt=BYTE20_SPEC.gt,
+                              dtype="uint8", nbands=2, tile_size=16)
+        with pytest.raises(ValueError, match="band counts"):
+            raster_update(
+                byte20_tiles(spark), BYTE20_SPEC,
+                _src(spark, np.zeros((4, 4), np.uint8), src_spec),
+                src_spec, Pipeline(),
+            )
+
+    def test_update_onto_absent_sparse_tile(self, spark):
+        """A warped update landing on a dst tile absent from the sparse
+        table must composite over an init canvas, not vanish (absent
+        tile == init-valued, the repo-wide tile-table convention)."""
+        gt = BYTE20_SPEC.gt
+        # dst missing tile (ty=0, tx=0); update patch entirely inside it
+        dst = byte20_tiles(spark).filter(~((F.col("ty") == 0) & (F.col("tx") == 0)))
+        sgt = (gt[0] + 2 * gt[1], gt[1], 0.0, gt[3] + 2 * gt[5], 0.0, gt[5])
+        src_spec = RasterSpec(width=4, height=4, gt=sgt, dtype="uint8",
+                              nbands=1, tile_size=16)
+        arr = np.full((4, 4), 200, dtype=np.uint8)
+        out = raster_update(dst, BYTE20_SPEC, _src(spark, arr, src_spec),
+                            src_spec, Pipeline())
+        full = materialize_full(out, BYTE20_SPEC)
+        want = BYTE20.copy().astype(np.uint8)
+        ts = BYTE20_SPEC.tile_size
+        want[:ts, :ts] = BYTE20_SPEC.init or 0  # the absent tile's base
+        want[2:6, 2:6] = 200
+        assert np.array_equal(full, want)

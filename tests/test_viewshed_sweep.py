@@ -190,3 +190,22 @@ class TestSparkEndToEnd:
         hadj = 0.85714 / 2000.0
         want = viewshed_sweep_scalar(dem, 9, 30, 2.0, 0.5, hadj)
         np.testing.assert_array_equal(got, want)
+
+    def test_sparse_dem_table_init_filled(self, spark):
+        """Absent tiles in a sparse DEM table act init-valued (the
+        repo-wide tile-table convention) instead of IndexError-ing the
+        wave job when a halo addresses the missing tile."""
+        dem = _rand_dem(40, 40)
+        ts = 16
+        df, spec = self._tiles(spark, dem, ts)
+        # drop tile (ty=1, tx=1); equivalent dense DEM has init=0 there
+        sparse = df.filter(~((df.ty == 1) & (df.tx == 1)))
+        out = viewshed_sweep(sparse, spec, (2, 2), observer_height=3.0)
+        got = np.zeros((40, 40), np.uint8)
+        for r in out.collect():
+            t = np.frombuffer(r.payload, dtype="uint8").reshape(r.h, r.w)
+            got[r.ty * ts:r.ty * ts + r.h, r.tx * ts:r.tx * ts + r.w] = t
+        dense = dem.copy()
+        dense[ts:2 * ts, ts:2 * ts] = spec.init or 0.0
+        want = viewshed_sweep_scalar(dense, 2, 2, 3.0, 0.0, 0.0)
+        np.testing.assert_array_equal(got, want)
