@@ -389,6 +389,21 @@ def viewshed_sweep(
         "tx", "ty", F.lit("dem").alias("kind"), "h", "w",
         F.col("dtype").alias("pdtype"), "payload",
     )
+    if not obs_rows:
+        # SPARSE table with the OBSERVER's own tile absent: wave 0 would
+        # run zero groups, so no halo is ever emitted and every later
+        # wave sees a NaN frame (all-invisible). Seed the init-valued
+        # canvas as a synthetic dem row; downstream absent tiles are
+        # covered by the halo-addressed branch in _proc.
+        sh = spec.tile_shape(oty, otx)
+        seed = np.full(sh, spec.init or 0.0, dtype=np.float64)
+        seed_df = spark.createDataFrame(
+            [(otx, oty, "dem", int(sh[0]), int(sh[1]), "float64",
+              bytearray(seed.tobytes()))],
+            "tx int, ty int, kind string, h int, w int, pdtype string, "
+            "payload binary",
+        )
+        dem_in = dem_in.unionByName(seed_df)
 
     def _proc(key, pdf: pd.DataFrame) -> pd.DataFrame:
         txx, tyy = int(key[0]), int(key[1])

@@ -209,3 +209,25 @@ class TestSparkEndToEnd:
         dense[ts:2 * ts, ts:2 * ts] = spec.init or 0.0
         want = viewshed_sweep_scalar(dense, 2, 2, 3.0, 0.0, 0.0)
         np.testing.assert_array_equal(got, want)
+
+    def test_sparse_observer_tile_absent(self, spark):
+        """The observer's OWN tile absent from a sparse table: wave 0
+        must still run (seeded init canvas) so halos propagate — without
+        the seed, zero groups run at wave 0, every later wave sees a NaN
+        frame, and the whole raster comes back invisible."""
+        dem = _rand_dem(40, 40)
+        ts = 16
+        df, spec = self._tiles(spark, dem, ts)
+        sparse = df.filter(~((df.ty == 0) & (df.tx == 0)))
+        out = viewshed_sweep(sparse, spec, (2, 2), observer_height=3.0)
+        got = np.zeros((40, 40), np.uint8)
+        nrows = 0
+        for r in out.collect():
+            nrows += 1
+            t = np.frombuffer(r.payload, dtype="uint8").reshape(r.h, r.w)
+            got[r.ty * ts:r.ty * ts + r.h, r.tx * ts:r.tx * ts + r.w] = t
+        assert nrows == spec.ntiles_x * spec.ntiles_y  # seed emits vis too
+        dense = dem.copy()
+        dense[0:ts, 0:ts] = spec.init or 0.0
+        want = viewshed_sweep_scalar(dense, 2, 2, 3.0, 0.0, 0.0)
+        np.testing.assert_array_equal(got, want)
