@@ -43,6 +43,47 @@ SEG_SCHEMA = StructType(
 )
 
 
+def _ext_grid(pdf: pd.DataFrame, tyy: int, txx: int, spec: RasterSpec):
+    """Assemble a tile + RIGHT and BOTTOM 1-px strips (each cell square
+    is owned by its top-left node's tile — no duplicates). Sparse-aware:
+    an in-bounds tile absent from the table acts init-valued (repo-wide
+    convention), for the center and for the three seam neighbors alike;
+    beyond-raster seam cells stay NaN (callers truncate the grid there).
+    Returns (ext, h, w) or None for keys outside the raster grid."""
+    center = pdf[(pdf.src_dy == 0) & (pdf.src_dx == 0)]
+    in_bounds = 0 <= tyy < spec.ntiles_y and 0 <= txx < spec.ntiles_x
+    if not len(center) and not in_bounds:
+        return None
+    init = float(spec.init or 0.0)
+    if len(center):
+        c = center.iloc[0]
+        h, w = int(c["h"]), int(c["w"])
+        t = np.frombuffer(c["payload"], dtype=c["dtype"]).reshape(h, w)
+    else:
+        h, w = spec.tile_shape(tyy, txx)
+        t = np.full((h, w), init)
+    ext = np.full((h + 1, w + 1), np.nan)
+    ext[:h, :w] = t
+    seen = set()
+    for r in pdf.itertuples(index=False):
+        if (r.src_dy, r.src_dx) == (1, 0):
+            ext[h, : r.w] = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)[0]
+        elif (r.src_dy, r.src_dx) == (0, 1):
+            ext[: r.h, w] = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)[:, 0]
+        elif (r.src_dy, r.src_dx) == (1, 1):
+            ext[h, w] = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)[0, 0]
+        else:
+            continue
+        seen.add((r.src_dy, r.src_dx))
+    if (1, 0) not in seen and tyy + 1 < spec.ntiles_y:
+        ext[h, :w] = init
+    if (0, 1) not in seen and txx + 1 < spec.ntiles_x:
+        ext[:h, w] = init
+    if (1, 1) not in seen and tyy + 1 < spec.ntiles_y and txx + 1 < spec.ntiles_x:
+        ext[h, w] = init
+    return ext, h, w
+
+
 def marching_squares(arr: np.ndarray, level: float, oy: float = 0.0, ox: float = 0.0):
     """Segments of one level over a node grid `arr` (values at pixel
     centers). Returns list of ((x1,y1),(x2,y2)) in pixel-center
@@ -152,24 +193,14 @@ def contour_polygons(
 
     def _local(key, pdf: pd.DataFrame) -> pd.DataFrame:
         _, tyy, txx = int(key[0]), int(key[1]), int(key[2])
-        center = pdf[(pdf.src_dy == 0) & (pdf.src_dx == 0)]
-        if not len(center):
+        asm = _ext_grid(pdf, tyy, txx, spec)
+        if asm is None:
             return pd.DataFrame(
                 {"lvl_min": pd.array([], dtype="float64"),
                  "lvl_max": pd.array([], dtype="float64"),
                  "wkt": pd.array([], dtype=object)}
             )
-        c = center.iloc[0]
-        h, w = int(c["h"]), int(c["w"])
-        ext = np.full((h + 1, w + 1), np.nan)
-        ext[:h, :w] = np.frombuffer(c["payload"], dtype=c["dtype"]).reshape(h, w)
-        for r in pdf.itertuples(index=False):
-            if (r.src_dy, r.src_dx) == (1, 0):
-                ext[h, : r.w] = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)[0]
-            elif (r.src_dy, r.src_dx) == (0, 1):
-                ext[: r.h, w] = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)[:, 0]
-            elif (r.src_dy, r.src_dx) == (1, 1):
-                ext[h, w] = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)[0, 0]
+        ext, h, w = asm
         vh = h + 1 if not np.isnan(ext[h, 0]) else h
         vw = w + 1 if not np.isnan(ext[0, w]) else w
         grid = ext[:vh, :vw]
@@ -297,13 +328,20 @@ def contour(
             return pd.DataFrame({"min": mn, "max": mx})
 
         row = stats.select(_rng("dtype", "payload").alias("r")).agg(
-            _F.min("r.min").alias("mn"), _F.max("r.max").alias("mx")
+            _F.min("r.min").alias("mn"), _F.max("r.max").alias("mx"),
+            _F.count(_F.lit(1)).alias("n"),
         ).first()
+        mn, mx = float(row.mn), float(row.mx)
+        if int(row.n) < spec.ntiles_y * spec.ntiles_x:
+            # sparse table: absent in-bounds tiles act init-valued
+            # (repo-wide convention) and must widen the level range
+            init = float(spec.init or 0.0)
+            mn, mx = min(mn, init), max(mx, init)
         if exp_base is not None:
-            levels = exp_levels(float(row.mn), float(row.mx), exp_base)
+            levels = exp_levels(mn, mx, exp_base)
         else:
-            k0 = int(np.ceil((row.mn - base) / interval))
-            k1 = int(np.floor((row.mx - base) / interval))
+            k0 = int(np.ceil((mn - base) / interval))
+            k1 = int(np.floor((mx - base) / interval))
             levels = [base + k * interval for k in range(k0, k1 + 1)]
 
     lv = list(levels)
@@ -311,22 +349,10 @@ def contour(
 
     def _local(key, pdf: pd.DataFrame) -> pd.DataFrame:
         _, tyy, txx = int(key[0]), int(key[1]), int(key[2])
-        center = pdf[(pdf.src_dy == 0) & (pdf.src_dx == 0)]
-        if not len(center):
+        asm = _ext_grid(pdf, tyy, txx, spec)
+        if asm is None:
             return pd.DataFrame({"level": pd.array([], dtype="float64"), "wkt": pd.array([], dtype=object)})
-        c = center.iloc[0]
-        h, w = int(c["h"]), int(c["w"])
-        # assemble tile + RIGHT and BOTTOM 1-px strips only: each cell
-        # square is owned by its top-left node's tile (no duplicates)
-        ext = np.full((h + 1, w + 1), np.nan)
-        ext[:h, :w] = np.frombuffer(c["payload"], dtype=c["dtype"]).reshape(h, w)
-        for r in pdf.itertuples(index=False):
-            if (r.src_dy, r.src_dx) == (1, 0):
-                ext[h, : r.w] = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)[0]
-            elif (r.src_dy, r.src_dx) == (0, 1):
-                ext[: r.h, w] = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)[:, 0]
-            elif (r.src_dy, r.src_dx) == (1, 1):
-                ext[h, w] = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w)[0, 0]
+        ext, h, w = asm
         valid_h = h + 1 if not np.isnan(ext[h, 0]) else h
         valid_w = w + 1 if not np.isnan(ext[0, w]) else w
         grid = ext[:valid_h, :valid_w]

@@ -97,20 +97,43 @@ def _halo_explode(tiles: DataFrame, halo: int = 1) -> DataFrame:
     return tiles.mapInPandas(_emit, HALO_SCHEMA)
 
 
-def assemble_padded(pdf: pd.DataFrame, halo: int) -> tuple[np.ndarray, int, int] | None:
+def assemble_padded(
+    pdf: pd.DataFrame,
+    halo: int,
+    spec=None,
+    ty: int | None = None,
+    tx: int | None = None,
+) -> tuple[np.ndarray, int, int] | None:
     """Rebuild one tile's (h+2*halo, w+2*halo) float64 window from its
     _halo_explode pieces: center payload + neighbor border strips, with
     edge replication at the raster boundary (the gdaldem edge rule).
-    Returns None when the key has no center piece (tile outside the
-    raster). Shared by focal_apply and the seam-exact point sampler."""
+    Shared by focal_apply and the seam-exact point sampler.
+
+    Without spec: returns None when the key has no center piece. With
+    (spec, ty, tx): SPARSE tile tables follow the repo-wide convention
+    — an in-bounds absent tile acts init-valued. An absent center
+    synthesizes the init canvas; an in-bounds absent neighbor fills its
+    halo block with init (only out-of-raster sides edge-replicate), so
+    the result is bit-identical to running over the dense equivalent.
+    Returns None only for keys outside the raster grid. Absent tiles
+    with no existing tile in their 1-ring never appear as groupBy keys
+    and stay absent from the output (use densify() first when the
+    all-init interior must be materialized)."""
     center = pdf[(pdf.src_dy == 0) & (pdf.src_dx == 0)]
-    if not len(center):
+    sparse_aware = spec is not None and ty is not None and tx is not None
+    if sparse_aware and not (0 <= ty < spec.ntiles_y and 0 <= tx < spec.ntiles_x):
         return None
-    c = center.iloc[0]
-    h, w = int(c["h"]), int(c["w"])
-    # c["dtype"], not c.dtype: the column name collides with the
-    # pandas Series.dtype property
-    t = np.frombuffer(c["payload"], dtype=c["dtype"]).reshape(h, w).astype(np.float64)
+    if not len(center):
+        if not sparse_aware:
+            return None
+        h, w = spec.tile_shape(ty, tx)
+        t = np.full((h, w), float(spec.init or 0.0))
+    else:
+        c = center.iloc[0]
+        h, w = int(c["h"]), int(c["w"])
+        # c["dtype"], not c.dtype: the column name collides with the
+        # pandas Series.dtype property
+        t = np.frombuffer(c["payload"], dtype=c["dtype"]).reshape(h, w).astype(np.float64)
     padded = np.pad(t, halo, mode="edge")
     sides = set()
     for r in pdf.itertuples(index=False):
@@ -125,6 +148,21 @@ def assemble_padded(pdf: pd.DataFrame, halo: int) -> tuple[np.ndarray, int, int]
         th = min(target.shape[0], piece.shape[0])
         tw = min(target.shape[1], piece.shape[1])
         target[:th, :tw] = piece[:th, :tw]
+    if sparse_aware:
+        # in-bounds neighbors absent from a sparse table: place a
+        # synthetic init piece (block-limited, so real corner pieces
+        # survive); out-of-raster sides fall through to replication
+        init = float(spec.init or 0.0)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if (dy == 0 and dx == 0) or (dy, dx) in sides:
+                    continue
+                if not (0 <= ty + dy < spec.ntiles_y and 0 <= tx + dx < spec.ntiles_x):
+                    continue
+                ys = slice(0, halo) if dy == -1 else (slice(halo + h, None) if dy == 1 else slice(halo, halo + h))
+                xs = slice(0, halo) if dx == -1 else (slice(halo + w, None) if dx == 1 else slice(halo, halo + w))
+                padded[ys, xs] = init
+                sides.add((dy, dx))
     # raster-boundary edge rule (gdaldem edge replication) applied
     # AFTER strip placement: a missing top neighbor replicates the
     # first interior row ACROSS the full padded width, so corner
@@ -156,7 +194,7 @@ def focal_apply(
 
     def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         band, tyy, txx = int(key[0]), int(key[1]), int(key[2])
-        asm = assemble_padded(pdf, halo)
+        asm = assemble_padded(pdf, halo, spec, tyy, txx)
         if asm is None:  # pure-halo key (tile outside raster): skip
             return pd.DataFrame(
                 {

@@ -555,11 +555,14 @@ def interpolate_at_points(
             )
             if not len(pts_pdf):
                 return empty
-            asm = assemble_padded(pieces_pdf, 1)
+            tyy, txx = int(key[0]), int(key[1])
+            # spec-aware: a point keying into an in-bounds tile ABSENT
+            # from a sparse table samples the init canvas (repo-wide
+            # convention); only out-of-raster keys drop
+            asm = assemble_padded(pieces_pdf, 1, spec, tyy, txx)
             if asm is None:  # points outside the raster: dropped (as default path)
                 return empty
             padded, _h, _w = asm
-            tyy, txx = int(key[0]), int(key[1])
             sx, sy = spec.world_to_pixel(
                 pts_pdf["x"].to_numpy(np.float64), pts_pdf["y"].to_numpy(np.float64)
             )

@@ -525,6 +525,54 @@ TILE_SCHEMA = StructType(
 )
 
 
+def densify(tiles: DataFrame, spec: RasterSpec) -> DataFrame:
+    """Materialize the dense equivalent of a SPARSE tile table: every
+    (band, ty, tx) key absent from `tiles` gains an init-valued payload
+    (the repo-wide absent-tile convention, made explicit).
+
+    Plan shape: the full key lattice is pure Catalyst (spark.range +
+    arithmetic), the anti-join ships ids only, and payload synthesis
+    runs on the missing keys alone — at most 4 distinct tile shapes, so
+    the Arrow stage is O(missing tiles) with tiny buffers reused via
+    tobytes per row. Use before stencil/contour operators when the
+    all-init interior must appear in the OUTPUT (their assemblers
+    already treat in-bounds absent tiles as init, but tiles with no
+    existing tile in their 1-ring never form a groupBy key)."""
+    spark = tiles.sparkSession
+    nty, ntx, nb = spec.ntiles_y, spec.ntiles_x, spec.nbands
+    lattice = (
+        spark.range(nb * nty * ntx)
+        .select(
+            (F.col("id") % nb + 1).cast("int").alias("band"),
+            ((F.col("id") / nb).cast("long") % nty).cast("int").alias("ty"),
+            (F.col("id") / (nb * nty)).cast("int").alias("tx"),
+        )
+    )
+    missing = lattice.join(
+        tiles.select("band", "ty", "tx"), ["band", "ty", "tx"], "left_anti"
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[tuple[int, int], bytes] = {}
+        for pdf in batches:
+            hs, ws, payloads = [], [], []
+            for ty, tx in zip(pdf["ty"], pdf["tx"]):
+                sh = spec.tile_shape(int(ty), int(tx))
+                if sh not in cache:
+                    cache[sh] = np.full(sh, spec.init, dtype=spec.dtype).tobytes()
+                hs.append(sh[0])
+                ws.append(sh[1])
+                payloads.append(cache[sh])
+            yield pd.DataFrame(
+                {"band": pdf["band"], "ty": pdf["ty"], "tx": pdf["tx"],
+                 "h": pd.array(hs, dtype="int32"), "w": pd.array(ws, dtype="int32"),
+                 "dtype": spec.dtype, "payload": payloads}
+            )
+
+    synthesized = missing.mapInPandas(_synth, TILE_SCHEMA)
+    return tiles.select([f.name for f in TILE_SCHEMA.fields]).unionByName(synthesized)
+
+
 def rasterize(
     shapes: DataFrame,
     spec: RasterSpec,
