@@ -3328,28 +3328,27 @@ def q_hilbert_cells(spark, sf_dir):
     )
 
 
-def _o_hilbert_cells() -> str:
-    # bit-identical SQL replay of hilbert_code_xy (geom/hilbert.py:25):
-    # every step is &, |, xor, >>, << on values that stay within 32
-    # bits (no additions), so BIGINT arithmetic is exact.
+def hilbert_chain_ctes(t0: str, id_col: str = "doc_id", out_col: str = "hcell") -> str:
+    """Reusable CTE fragment: bit-identical SQL replay of
+    hilbert_code_xy (geom/hilbert.py:25 / alg/hilbert.cpp:19-78) —
+    every step is &, |, xor, >>, << on values that stay within 32
+    nonneg bits (no additions), so BIGINT arithmetic is exact. `t0`
+    must select (id_col, x, y) with x/y BIGINT in [0, 65535]; the
+    returned fragment ends with a `hcodes` CTE of (id_col, out_col)."""
     M = "65535"
 
     def X(a: str, b: str) -> str:
         return f"xor({a}, {b})"
 
-    cw = "CAST(4.6875 AS DOUBLE)"  # 1200/256, exactly representable
-    cx = f"LEAST(GREATEST(CAST(floor((gx - 440720) / {cw}) AS BIGINT), 0), 255)"
-    cy = f"LEAST(GREATEST(CAST(floor((gy - 3750120) / {cw}) AS BIGINT), 0), 255)"
-
     # seed stage: a=x^y  b=M^a  c=M^(x|y)  d=x&(y^M)
     s1 = (
-        f"SELECT doc_id, x, y, {X('x', 'y')} AS a, {X(M, X('x', 'y'))} AS b, "
+        f"SELECT {id_col}, x, y, {X('x', 'y')} AS a, {X(M, X('x', 'y'))} AS b, "
         f"{X(M, '(x | y)')} AS c, (x & {X('y', M)}) AS d FROM t0"
     )
     # first doubling round (shift 1) has the seed-specific form:
     # A=a|(b>>1)  B=(a>>1)^a  C=((c>>1)^(b&(d>>1)))^c  D=((a&(c>>1))^(d>>1))^d
     s2 = (
-        "SELECT doc_id, x, y, (a | (b >> 1)) AS a, "
+        f"SELECT {id_col}, x, y, (a | (b >> 1)) AS a, "
         f"{X('(a >> 1)', 'a')} AS b, "
         f"{X(X('(c >> 1)', '(b & (d >> 1))'), 'c')} AS c, "
         f"{X(X('(a & (c >> 1))', '(d >> 1)'), 'd')} AS d FROM t1"
@@ -3361,7 +3360,7 @@ def _o_hilbert_cells() -> str:
         B = X(f"(a & (b >> {sh}))", f"(b & ({ab} >> {sh}))")
         C = X("c", X(f"(a & (c >> {sh}))", f"(b & (d >> {sh}))"))
         D = X("d", X(f"(b & (c >> {sh}))", f"({ab} & (d >> {sh}))"))
-        return f"SELECT doc_id, x, y, {A} AS a, {B} AS b, {C} AS c, {D} AS d"
+        return f"SELECT {id_col}, x, y, {A} AS a, {B} AS b, {C} AS c, {D} AS d"
 
     s3 = full_round(2) + " FROM t2"
     s4 = full_round(4) + " FROM t3"
@@ -3369,13 +3368,13 @@ def _o_hilbert_cells() -> str:
     ab = X("a", "b")
     C8 = X("c", X("(a & (c >> 8))", "(b & (d >> 8))"))
     D8 = X("d", X("(b & (c >> 8))", f"({ab} & (d >> 8))"))
-    s5 = f"SELECT doc_id, x, y, {C8} AS c, {D8} AS d FROM t4"
+    s5 = f"SELECT {id_col}, x, y, {C8} AS c, {D8} AS d FROM t4"
     # gray-code extraction: a=c^(c>>1) b=d^(d>>1); i0=x^y; i1=b|(M^(i0|a))
     ga = X("c", "(c >> 1)")
     gb = X("d", "(d >> 1)")
     i0 = X("x", "y")
     s6 = (
-        f"SELECT doc_id, {i0} AS i0, "
+        f"SELECT {id_col}, {i0} AS i0, "
         f"({gb} | {X(M, f'({i0} | {ga})')}) AS i1 FROM t5"
     )
 
@@ -3387,10 +3386,21 @@ def _o_hilbert_cells() -> str:
         return e
 
     return (
+        f"t0 AS ({t0}), "
+        f"t1 AS ({s1}), t2 AS ({s2}), t3 AS ({s3}), t4 AS ({s4}), t5 AS ({s5}), t6 AS ({s6}), "
+        f"hcodes AS (SELECT {id_col}, ((({il('i1')}) << 1) | ({il('i0')})) AS {out_col} FROM t6)"
+    )
+
+
+def _o_hilbert_cells() -> str:
+    cw = "CAST(4.6875 AS DOUBLE)"  # 1200/256, exactly representable
+    cx = f"LEAST(GREATEST(CAST(floor((gx - 440720) / {cw}) AS BIGINT), 0), 255)"
+    cy = f"LEAST(GREATEST(CAST(floor((gy - 3750120) / {cw}) AS BIGINT), 0), 255)"
+    t0 = f"SELECT doc_id, ({cx}) * 256 AS x, ({cy}) * 256 AS y FROM g WHERE valid"
+    return (
         f"WITH g AS ({docs_g_cte()}), "
-        f"t0 AS (SELECT doc_id, ({cx}) * 256 AS x, ({cy}) * 256 AS y FROM g WHERE valid), "
-        f"t1 AS ({s1}), t2 AS ({s2}), t3 AS ({s3}), t4 AS ({s4}), t5 AS ({s5}), t6 AS ({s6}) "
-        f"SELECT doc_id, ((({il('i1')}) << 1) | ({il('i0')})) AS hcell FROM t6"
+        + hilbert_chain_ctes(t0)
+        + " SELECT doc_id, hcell FROM hcodes"
     )
 
 
@@ -7961,3 +7971,102 @@ def _o_layer_algebra_cells() -> str:
 
 QUERIES["layer_algebra_cells"] = q_layer_algebra_cells
 ORACLES["layer_algebra_cells"] = _o_layer_algebra_cells()
+
+
+def q_vector_sort_hilbert(spark, sf_dir):
+    """`gdal vector sort --method hilbert`
+    (apps/gdalalg_vector_sort.cpp:302 GDALVectorHilbertSortLayer):
+    every valid doc geometry's traversal position = ascending
+    GDALHilbertCode of its envelope center scaled into the LAYER
+    extent (alg/hilbert.cpp:81-91), ties by doc_id. The oracle
+    recomputes the extent, the round()-quantization and the full bit
+    chain (hilbert_chain_ctes) in SQL, then ranks — so a wrong extent
+    merge, a floor-vs-round slip, or any drifted chain step shifts
+    (doc_id, hcode, seq) rows."""
+    from gdal_spark.operators.vector_sort import hilbert_sort
+
+    g = docs_geom(spark, sf_dir).filter(
+        F.col("geom_error").isNull() & F.col("wkt").isNotNull()
+    ).select(F.col("_id").alias("doc_id"), "env_minx", "env_miny", "env_maxx", "env_maxy")
+    out = hilbert_sort(g, id_col="doc_id")
+    return out.select(
+        "doc_id", F.col("hcode").cast("bigint").alias("hcode"),
+        F.col("seq").cast("bigint").alias("seq"),
+    )
+
+
+def _o_vector_sort_hilbert() -> str:
+    # extent over valid docs' envelopes (gx +- half, exact integers),
+    # then the identical double expression 65534*(c-min)/extent both
+    # sides -> bit-identical quantization
+    q = "CAST(round(65534.0 * ({c} - ext.{m}) / ext.{w}) AS BIGINT)"
+    t0 = (
+        "SELECT doc_id, "
+        + q.format(c="gx", m="x0", w="w") + " AS x, "
+        + q.format(c="gy", m="y0", w="h") + " AS y "
+        "FROM v, ext"
+    )
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "v AS (SELECT doc_id, CAST(gx AS DOUBLE) AS gx, CAST(gy AS DOUBLE) AS gy, "
+        "gx - half AS x0e, gy - half AS y0e, gx + half AS x1e, gy + half AS y1e "
+        "FROM g WHERE valid), "
+        "ext AS (SELECT CAST(MIN(x0e) AS DOUBLE) AS x0, CAST(MIN(y0e) AS DOUBLE) AS y0, "
+        "CAST(MAX(x1e) - MIN(x0e) AS DOUBLE) AS w, CAST(MAX(y1e) - MIN(y0e) AS DOUBLE) AS h FROM v), "
+        + hilbert_chain_ctes(t0, out_col="hcode")
+        + " SELECT doc_id, hcode, "
+        "CAST(row_number() OVER (ORDER BY hcode, doc_id) - 1 AS BIGINT) AS seq FROM hcodes"
+    )
+
+
+QUERIES["vector_sort_hilbert"] = q_vector_sort_hilbert
+ORACLES["vector_sort_hilbert"] = _o_vector_sort_hilbert()
+
+
+def q_vector_sort_strtree(spark, sf_dir):
+    """`gdal vector sort --method strtree`
+    (apps/gdalalg_vector_sort.cpp:393 GDALVectorSTRTreeSortLayer,
+    GEOSSTRtree capacity 10): leaf-traversal order of the STR
+    bulk-load over the first 60 valid doc envelopes (fixed n so the
+    tree depth — 6 leaves, one root — is known and the oracle can
+    replay BOTH packing levels with window functions: x-rank ->
+    3 slices of 20 -> per-slice y-rank -> capacity-10 leaves ->
+    leaf-center y-order as root child order). A wrong slice count,
+    slice capacity, y-ordering, envelope union, or traversal
+    composition permutes (doc_id, seq)."""
+    from gdal_spark.operators.vector_sort import strtree_sort
+
+    g = (
+        docs_geom(spark, sf_dir)
+        .filter(F.col("geom_error").isNull() & F.col("wkt").isNotNull())
+        .select(F.col("_id").alias("doc_id"), "env_minx", "env_miny", "env_maxx", "env_maxy")
+        .orderBy("doc_id")
+        .limit(60)
+    )
+    out = strtree_sort(g, id_col="doc_id")
+    return out.select("doc_id", F.col("seq").cast("bigint").alias("seq"))
+
+
+def _o_vector_sort_strtree() -> str:
+    # n=60 cap=10: sliceCount=ceil(sqrt(ceil(60/10)))=3, sliceCapacity=
+    # ceil(60/3)=20, leaves/slice=2 -> 6 leaves -> level 2: sliceCount=
+    # ceil(sqrt(ceil(6/10)))=1 -> root children = leaves y-sorted.
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "v AS (SELECT doc_id, CAST(gx AS DOUBLE) AS cx, CAST(gy AS DOUBLE) AS cy, "
+        "gx - half AS x0, gy - half AS y0, gx + half AS x1, gy + half AS y1 "
+        "FROM g WHERE valid ORDER BY doc_id LIMIT 60), "
+        "xr AS (SELECT *, row_number() OVER (ORDER BY cx, doc_id) - 1 AS rx FROM v), "
+        "sl AS (SELECT *, CAST(floor(rx / 20) AS BIGINT) AS slc FROM xr), "
+        "yr AS (SELECT *, row_number() OVER (PARTITION BY slc ORDER BY cy, doc_id) - 1 AS ry FROM sl), "
+        "lf AS (SELECT *, slc * 2 + CAST(floor(ry / 10) AS BIGINT) AS leaf, ry % 10 AS pos FROM yr), "
+        "le AS (SELECT leaf, (MIN(y0) + MAX(y1)) / 2.0 AS lcy FROM lf GROUP BY leaf), "
+        "lr AS (SELECT leaf, row_number() OVER (ORDER BY lcy, leaf) - 1 AS lrank FROM le) "
+        "SELECT lf.doc_id, "
+        "CAST(row_number() OVER (ORDER BY lr.lrank, lf.pos) - 1 AS BIGINT) AS seq "
+        "FROM lf JOIN lr ON lf.leaf = lr.leaf"
+    )
+
+
+QUERIES["vector_sort_strtree"] = q_vector_sort_strtree
+ORACLES["vector_sort_strtree"] = _o_vector_sort_strtree()
