@@ -60,8 +60,14 @@ GRID_ALGOS = (
     "range",  # GDALGridDataMetricRange
     "count",  # GDALGridDataMetricCount
     "average_distance",  # GDALGridDataMetricAverageDistance
+    "average_distance_pts",  # GDALGridDataMetricAverageDistancePts (gdalgrid.cpp:2100+)
+    "invdistnn",  # GDALGridInverseDistanceToAPowerNearestNeighbor (gdalgrid.cpp:242)
     "linear",  # GDALGridLinear (gdalgrid.cpp:2594; Delaunay barycentric)
 )
+
+# algos whose per-quadrant round-robin variant exists in the reference
+# (GDALGrid*PerQuadrant dispatch, gdalgrid.cpp:3040-3170)
+_QUADRANT_ALGOS = ("invdistnn", "average", "minimum", "maximum", "range", "count", "average_distance")
 
 
 # above this many points the LINEAR path switches from one driver-side
@@ -257,6 +263,8 @@ def grid_points(
     angle: float = 0.0,
     smoothing: float = 0.0,
     max_points: int = 0,
+    min_points_per_quadrant: int = 0,
+    max_points_per_quadrant: int = 0,
 ) -> DataFrame:
     """Vector->raster gridding, all GGA_* modes of alg/gdalgrid.cpp
     including linear (Delaunay barycentric) and the full rotated
@@ -276,11 +284,38 @@ def grid_points(
       average   mean z in ellipse, nodata when count < max(min_points,1)
       minimum/maximum/range/count  data metrics over points in ellipse
       average_distance  mean distance from the cell center
+      average_distance_pts  mean pairwise distance between in-ellipse
+                points (strict i<j pairs — the reference's scalar path
+                gdalgrid.cpp GDALGridDataMetricAverageDistancePts; its
+                quadtree path, taken above GDAL_GRID_POINT_COUNT_THRESHOLD
+                points, also counts each point paired with itself which
+                inflates n with zero-distance pairs — we implement the
+                scalar rule at every scale)
+      invdistnn GDALGridInverseDistanceToAPowerNearestNeighbor
+                (gdalgrid.cpp:242): circular radius only; points sorted
+                by smoothing-adjusted d², nearest max_points accumulated
+                with w = 1/(d²+smoothing²)^(power/2); exact-hit shortcut
+                at smoothed d² < 1e-13 (first point in deterministic
+                (x, y, z) order — the reference takes quadtree order)
+
+    min/max_points_per_quadrant (gdalgrid.cpp:3040-3170 dispatch):
+    switches invdistnn/average/minimum/maximum/range/count/
+    average_distance to the reference's PerQuadrant round-robin rule —
+    quadrant = sign pattern of the (rotated) offset, the nearest point
+    of quadrant 0,1,2,3 then the next-nearest of each in turn
+    (equivalently: eligible points ordered by (in-quadrant rank,
+    quadrant)); max_points caps the total for invdistnn/average only
+    (the reference comments it out for data metrics); a cell whose
+    selected set leaves any quadrant under min_points_per_quadrant is
+    nodata.
+
     Distributed shape: identical to IDW — points explode to the tiles
     their influence-ellipse bbox touches, one applyInPandas per tile.
     """
     return _grid_impl(points, spec, algo, power, radius, min_points, nodata, x_col, y_col, z_col,
-                      radius2=radius2, angle=angle, smoothing=smoothing, max_points=max_points)
+                      radius2=radius2, angle=angle, smoothing=smoothing, max_points=max_points,
+                      min_points_per_quadrant=min_points_per_quadrant,
+                      max_points_per_quadrant=max_points_per_quadrant)
 
 
 def idw_grid(
@@ -334,9 +369,24 @@ def _grid_impl(
     angle: float = 0.0,
     smoothing: float = 0.0,
     max_points: int = 0,
+    min_points_per_quadrant: int = 0,
+    max_points_per_quadrant: int = 0,
 ) -> DataFrame:
     if algo not in GRID_ALGOS:
         raise ValueError(f"unknown grid algo {algo}")
+    quadrant_mode = min_points_per_quadrant > 0 or max_points_per_quadrant > 0
+    if quadrant_mode and algo not in _QUADRANT_ALGOS:
+        raise ValueError(
+            f"per-quadrant options are not supported for algo {algo!r} "
+            f"(reference per-quadrant dispatch covers {_QUADRANT_ALGOS})"
+        )
+    if algo == "invdistnn":
+        # GDALGridInverseDistanceToAPowerNearestNeighborOptions carries a
+        # single circular dfRadius and no angle (gdal_alg.h)
+        if radius2 is not None or angle != 0.0:
+            raise ValueError("invdistnn supports a circular radius only (no radius2/angle)")
+        if not np.isfinite(radius):
+            raise ValueError("invdistnn requires a finite search radius")
     if algo == "linear":
         return _linear_grid(points, spec, radius, nodata, x_col, y_col, z_col)
     ts = spec.tile_size
@@ -489,7 +539,154 @@ def _grid_impl(
               "dtype": spec.dtype, "payload": copy_word(out, spec.dtype).tobytes()}]
         )
 
-    return exploded.groupBy("ty", "tx").applyInPandas(_grid, TILE_SCHEMA)
+    min_ppq, max_ppq = min_points_per_quadrant, max_points_per_quadrant
+    # global max_points caps the per-quadrant round robin for
+    # invdistnn/average only; the reference comments the break out for
+    # data metrics (gdalgrid.cpp:1298-1301)
+    cap_total = max_points if algo in ("invdistnn", "average") else 0
+
+    def _ranks_stable(keys: np.ndarray) -> np.ndarray:
+        """Per-column rank of each row under a stable ascending sort —
+        the vectorized analog of the reference's multimap iteration
+        order (ties resolve in row = deterministic point order)."""
+        order = np.argsort(keys, axis=0, kind="stable")
+        ranks = np.empty_like(order)
+        np.put_along_axis(
+            ranks, order,
+            np.broadcast_to(np.arange(keys.shape[0])[:, None], keys.shape).copy(),
+            axis=0,
+        )
+        return ranks
+
+    def _grid_select(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        """Per-cell nearest-k / per-quadrant selection kernel
+        (invdistnn, *PerQuadrant variants, average_distance_pts):
+        cell-chunked (npts x cells) distance matrices instead of the
+        per-point accumulation loop, because selection needs a sort
+        over each cell's candidate set."""
+        tyy, txx = int(key[0]), int(key[1])
+        h, w = spec.tile_shape(tyy, txx)
+        jj, ii = np.meshgrid(np.arange(w), np.arange(h))
+        cx, cy = spec.pixel_to_world(txx * ts + jj + 0.5, tyy * ts + ii + 0.5)
+        fcx, fcy = cx.ravel(), cy.ravel()
+        ncells = h * w
+        pdf = pdf[~pdf["z"].isna()]
+        pdf = pdf.sort_values(["x", "y", "z"])
+        px = pdf["x"].to_numpy(np.float64)
+        py = pdf["y"].to_numpy(np.float64)
+        pz = pdf["z"].to_numpy(np.float64)
+        npts = len(px)
+        out = np.full(ncells, nodata, dtype=np.float64)
+        if npts:
+            pair_d = None
+            if algo == "average_distance_pts":
+                # sqrt(dx²+dy²) exactly as the reference accumulates
+                # (gdalgrid.cpp AverageDistancePts; not np.hypot, whose
+                # last-ulp can differ)
+                ddx = px[:, None] - px[None, :]
+                ddy = py[:, None] - py[None, :]
+                pair_d = np.sqrt(ddx * ddx + ddy * ddy)
+            chunk = max(1, 4_000_000 // npts)
+            for c0 in range(0, ncells, chunk):
+                c1 = min(c0 + chunk, ncells)
+                dx = px[:, None] - fcx[None, c0:c1]
+                dy = py[:, None] - fcy[None, c0:c1]
+                if rotated:
+                    rx = dx * cosA + dy * sinA
+                    ry = dy * cosA - dx * sinA
+                else:
+                    rx, ry = dx, dy
+                if np.isfinite(r1sq) and np.isfinite(r2sq):
+                    valid = r2sq * rx * rx + r1sq * ry * ry <= r12sq
+                else:
+                    valid = np.ones(rx.shape, dtype=bool)
+                d2 = dx * dx + dy * dy
+
+                if algo == "average_distance_pts":
+                    m = valid.astype(np.float64)
+                    pair_sum = (m * (pair_d @ m)).sum(axis=0) * 0.5
+                    cnt = valid.sum(axis=0)
+                    npairs = cnt * (cnt - 1) // 2
+                    ok = (npairs >= min_points) & (npairs > 0)
+                    out[c0:c1] = np.where(ok, pair_sum / np.maximum(npairs, 1), nodata)
+                    continue
+
+                sel_key = d2 + smooth2 if algo == "invdistnn" else d2
+                if quadrant_mode:
+                    # quadrant from the ROTATED offset signs
+                    # (gdalgrid.cpp:808: after rotation)
+                    quad = (rx >= 0).astype(np.int8) | ((ry >= 0).astype(np.int8) << 1)
+                    take = np.zeros(valid.shape, dtype=bool)
+                    rank_all = np.zeros(valid.shape, dtype=np.int64)
+                    for q in range(4):
+                        mq = valid & (quad == q)
+                        rq = _ranks_stable(np.where(mq, sel_key, np.inf))
+                        if max_ppq > 0:
+                            mq &= rq < max_ppq
+                        take |= mq
+                        rank_all = np.where(quad == q, rq, rank_all)
+                    if cap_total > 0:
+                        # round-robin order == sort by (in-quadrant rank,
+                        # quadrant); take the first cap_total eligible
+                        seq = np.where(take, rank_all * 4 + quad, np.iinfo(np.int64).max)
+                        take &= _ranks_stable(seq) < cap_total
+                else:
+                    take = valid
+                    if cap_total > 0:
+                        take &= _ranks_stable(np.where(valid, sel_key, np.inf)) < cap_total
+
+                n_sel = take.sum(axis=0)
+                if algo == "invdistnn":
+                    wgt = np.zeros(d2.shape)
+                    smoothed = d2 + smooth2
+                    wgt[take] = 1.0 / np.power(smoothed[take], power / 2.0)
+                    den = wgt.sum(axis=0)
+                    num = (wgt * pz[:, None]).sum(axis=0)
+                    val = np.where(den > 0, num / np.maximum(den, 1e-300), nodata)
+                    ok = (n_sel >= min_points) & (den > 0)
+                    val = np.where(ok, val, nodata)
+                elif algo == "average":
+                    ssum = np.where(take, pz[:, None], 0.0).sum(axis=0)
+                    ok = n_sel >= max(min_points, 1)
+                    val = np.where(ok, ssum / np.maximum(n_sel, 1), nodata)
+                elif algo in ("minimum", "maximum", "range"):
+                    vmin = np.where(take, pz[:, None], np.inf).min(axis=0)
+                    vmax = np.where(take, pz[:, None], -np.inf).max(axis=0)
+                    ok = n_sel >= max(min_points, 1)
+                    base = vmin if algo == "minimum" else vmax if algo == "maximum" else vmax - vmin
+                    val = np.where(ok, base, nodata)
+                elif algo == "count":
+                    ok = n_sel >= min_points
+                    val = np.where(ok, n_sel.astype(np.float64), nodata)
+                else:  # average_distance
+                    dsum = np.where(take, np.sqrt(d2), 0.0).sum(axis=0)
+                    ok = (n_sel >= min_points) & (n_sel > 0)
+                    val = np.where(ok, dsum / np.maximum(n_sel, 1), nodata)
+
+                if quadrant_mode and min_ppq > 0:
+                    bad = np.zeros(c1 - c0, dtype=bool)
+                    for q in range(4):
+                        bad |= (take & (quad == q)).sum(axis=0) < min_ppq
+                    val = np.where(bad, nodata, val)
+
+                if algo == "invdistnn":
+                    # exact-hit shortcut fires during candidate collection,
+                    # BEFORE the radius test and any quadrant/min gating
+                    # (gdalgrid.cpp:289-295)
+                    ex = (d2 + smooth2) < 1e-13
+                    ex_any = ex.any(axis=0)
+                    if ex_any.any():
+                        val = np.where(ex_any, pz[ex.argmax(axis=0)], val)
+
+                out[c0:c1] = val
+        out = out.reshape(h, w)
+        return pd.DataFrame(
+            [{"band": 1, "ty": tyy, "tx": txx, "h": h, "w": w,
+              "dtype": spec.dtype, "payload": copy_word(out, spec.dtype).tobytes()}]
+        )
+
+    kernel = _grid_select if (algo in ("invdistnn", "average_distance_pts") or quadrant_mode) else _grid
+    return exploded.groupBy("ty", "tx").applyInPandas(kernel, TILE_SCHEMA)
 
 
 SAMPLE_SCHEMA = StructType(

@@ -8070,3 +8070,127 @@ def _o_vector_sort_strtree() -> str:
 
 QUERIES["vector_sort_strtree"] = q_vector_sort_strtree
 ORACLES["vector_sort_strtree"] = _o_vector_sort_strtree()
+
+
+# ---------------------------------------------------------------------------
+# invdistnn per-quadrant gridding + pairwise-distance metric
+
+
+def q_grid_invdistnn(spark, sf_dir):
+    """GDALGridInverseDistanceToAPowerNearestNeighbor with per-quadrant
+    round-robin selection (alg/gdalgrid.cpp:242,351): doc points
+    gridded with radius 90, smoothing 5, power 2, the nearest 8 points
+    taken round-robin across quadrants (at most 3 per quadrant), cells
+    with any empty quadrant or fewer than 2 selected points nodata.
+    Value x1000 floor-rounded so the oracle's SUM association order
+    cannot flip a bit."""
+    import dataclasses
+
+    from gdal_spark.fixtures import BYTE20_SPEC
+    from gdal_spark.operators.grid import grid_points
+    from gdal_spark.operators.raster import as_features
+
+    fspec = dataclasses.replace(BYTE20_SPEC, dtype="float64")
+    g = docs_geom(spark, sf_dir)
+    pts = g.filter(
+        F.col("geom_error").isNull() & (F.col("env_minx") == F.col("env_maxx"))
+    ).select(
+        F.col("env_minx").alias("x"), F.col("env_miny").alias("y"),
+        F.col("n_chars").cast("double").alias("z"),
+    )
+    t = grid_points(pts, fspec, algo="invdistnn", radius=90.0, smoothing=5.0,
+                    power=2.0, max_points=8, min_points=2, nodata=-1.0,
+                    min_points_per_quadrant=1, max_points_per_quadrant=3)
+    p = as_features(t, fspec)
+    return (
+        p.filter(F.col("value") != -1.0)
+        .select(
+            F.col("py").cast("bigint").alias("py"),
+            F.col("px").cast("bigint").alias("px"),
+            F.floor(F.col("value") * 1000 + 0.5).cast("bigint").alias("val1000"),
+        )
+    )
+
+
+def _o_grid_invdistnn() -> str:
+    # selection replay: rank per (cell, quadrant) by smoothed distance
+    # (ties in kernel point order gx, gy, z), eligibility rank <= 3,
+    # round-robin order (rank-1)*4 + quadrant, global cap 8; gates:
+    # every quadrant occupied (min_ppq=1 -> COUNT(DISTINCT q) = 4) and
+    # n >= 2. Weights replay 1/(d2+25) exactly (power 2).
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "p AS (SELECT gx, gy, CAST(n_chars AS DOUBLE) AS z FROM g WHERE valid AND NOT is_poly), "
+        "cells AS (SELECT py, px, 440720 + (px + 0.5) * 60 AS cx, 3751320 - (py + 0.5) * 60 AS cy "
+        "FROM (SELECT unnest(generate_series(0, 19)) AS py) CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS px)), "
+        "cand AS (SELECT py, px, gx, gy, z, "
+        "(p.gx - cx) * (p.gx - cx) + (p.gy - cy) * (p.gy - cy) AS d2, "
+        "(CASE WHEN p.gx - cx >= 0 THEN 1 ELSE 0 END) + 2 * (CASE WHEN p.gy - cy >= 0 THEN 1 ELSE 0 END) AS q "
+        "FROM cells JOIN p ON (p.gx - cx) * (p.gx - cx) + (p.gy - cy) * (p.gy - cy) <= 8100.0), "
+        "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY py, px, q ORDER BY d2, gx, gy, z) AS rq FROM cand), "
+        "elig AS (SELECT * FROM ranked WHERE rq <= 3), "
+        "sel AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY py, px ORDER BY (rq - 1) * 4 + q) AS pos FROM elig), "
+        "take AS (SELECT * FROM sel WHERE pos <= 8), "
+        "agg AS (SELECT py, px, COUNT(*) AS n, COUNT(DISTINCT q) AS nq, "
+        "SUM(z / (d2 + 25.0)) AS num, SUM(1.0 / (d2 + 25.0)) AS den FROM take GROUP BY py, px) "
+        "SELECT CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px, "
+        "CAST(floor(1000.0 * num / den + 0.5) AS BIGINT) AS val1000 "
+        "FROM agg WHERE nq = 4 AND n >= 2"
+    )
+
+
+QUERIES["grid_invdistnn"] = q_grid_invdistnn
+ORACLES["grid_invdistnn"] = _o_grid_invdistnn()
+
+
+def q_grid_distance_pts(spark, sf_dir):
+    """GDALGridDataMetricAverageDistancePts (strict i<j pairs — see
+    grid_points docstring for the reference quadtree path's self-pair
+    artifact we deliberately do not replicate): mean pairwise distance
+    between the doc points inside each cell's 90-unit search circle,
+    x1000 floor-rounded; cells with no pair omitted."""
+    import dataclasses
+
+    from gdal_spark.fixtures import BYTE20_SPEC
+    from gdal_spark.operators.grid import grid_points
+    from gdal_spark.operators.raster import as_features
+
+    fspec = dataclasses.replace(BYTE20_SPEC, dtype="float64")
+    g = docs_geom(spark, sf_dir)
+    pts = g.filter(
+        F.col("geom_error").isNull() & (F.col("env_minx") == F.col("env_maxx"))
+    ).select(
+        F.col("env_minx").alias("x"), F.col("env_miny").alias("y"),
+        F.col("n_chars").cast("double").alias("z"),
+    )
+    t = grid_points(pts, fspec, algo="average_distance_pts", radius=90.0, nodata=-1.0)
+    p = as_features(t, fspec)
+    return (
+        p.filter(F.col("value") != -1.0)
+        .select(
+            F.col("py").cast("bigint").alias("py"),
+            F.col("px").cast("bigint").alias("px"),
+            F.floor(F.col("value") * 1000 + 0.5).cast("bigint").alias("dist1000"),
+        )
+    )
+
+
+def _o_grid_distance_pts() -> str:
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "p AS (SELECT ROW_NUMBER() OVER (ORDER BY gx, gy, n_chars) AS pid, gx, gy "
+        "FROM g WHERE valid AND NOT is_poly), "
+        "cells AS (SELECT py, px, 440720 + (px + 0.5) * 60 AS cx, 3751320 - (py + 0.5) * 60 AS cy "
+        "FROM (SELECT unnest(generate_series(0, 19)) AS py) CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS px)), "
+        "inside AS (SELECT py, px, pid, gx, gy FROM cells JOIN p "
+        "ON (p.gx - cx) * (p.gx - cx) + (p.gy - cy) * (p.gy - cy) <= 8100.0), "
+        "pairs AS (SELECT a.py, a.px, sqrt((a.gx - b.gx) * (a.gx - b.gx) + (a.gy - b.gy) * (a.gy - b.gy)) AS d "
+        "FROM inside a JOIN inside b ON a.py = b.py AND a.px = b.px AND a.pid < b.pid) "
+        "SELECT CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px, "
+        "CAST(floor(1000.0 * SUM(d) / COUNT(*) + 0.5) AS BIGINT) AS dist1000 "
+        "FROM pairs GROUP BY py, px"
+    )
+
+
+QUERIES["grid_distance_pts"] = q_grid_distance_pts
+ORACLES["grid_distance_pts"] = _o_grid_distance_pts()
