@@ -47,7 +47,7 @@ from pyspark.sql.types import (
 )
 
 from gdal_spark.geom.batch import GeomType
-from gdal_spark.geom.wkt import parse_wkt, parse_wkt_z
+from gdal_spark.geom.wkt import _fmt_d, parse_wkt, parse_wkt_z
 
 CHECKSUM_PRIMES = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43], dtype=np.int64)
 
@@ -1177,6 +1177,142 @@ def as_features(tiles: DataFrame, spec: RasterSpec, skip_value: float | None = N
             )
 
     return tiles.mapInPandas(_explode, AS_FEATURES_SCHEMA)
+
+
+def as_features_layer(
+    tiles: DataFrame,
+    spec: RasterSpec,
+    bands: list[int] | None = None,
+    geometry_type: str = "none",
+    include_xy: bool = False,
+    include_row_col: bool = False,
+    skip_nodata: bool = False,
+    nodata: float | None = None,
+) -> DataFrame:
+    """`gdal raster as-features` full layer semantics
+    (apps/gdalalg_raster_as_features.cpp GDALRasterAsFeaturesLayer):
+    ONE feature per pixel carrying every selected band as a BAND_n real
+    field, optional CENTER_X/CENTER_Y (pixel-center geo coords, :240),
+    optional ROW/COL (global line/pixel, :236), and geometry `none` |
+    `point` (center) | `polygon` (pixel box ring (p,l)->(p,l+1)->
+    (p+1,l+1)->(p+1,l)->close, :258-276). skip_nodata omits a pixel
+    when the FIRST selected band's value equals `nodata` (NaN==NaN,
+    :305-312 IsNoData — the reference reads band 1's nodata and tests
+    only *pSrcVal; per-band masks are its own documented TODO :120).
+
+    In-bounds tiles absent from a sparse table act init-valued (the
+    repo-wide convention): the key lattice is densified before the
+    explode, so the output always covers width x height pixels.
+
+    Distributed shape: single-band streams through one Arrow map pass
+    (no shuffle); multi-band aligns a tile's band rows with one
+    groupBy on the tile key. WKT is built from per-corner formatted
+    strings — axis-aligned geotransforms (the overwhelmingly common
+    case) format only (w+1)+(h+1) distinct coordinate strings per tile
+    and assemble by index."""
+    bands = bands or list(range(1, spec.nbands + 1))
+    if geometry_type not in ("none", "point", "polygon"):
+        raise ValueError(f"geometry-type must be none|point|polygon, got {geometry_type!r}")
+    ts = spec.tile_size
+    g0, g1, g2, g3, g4, g5 = spec.gt
+    axis_aligned = g2 == 0.0 and g4 == 0.0
+
+    fields = []
+    if geometry_type != "none":
+        fields.append(("geom", "string"))
+    if include_xy:
+        fields += [("CENTER_X", "double"), ("CENTER_Y", "double")]
+    if include_row_col:
+        fields += [("ROW", "int"), ("COL", "int")]
+    fields += [(f"BAND_{b}", "double") for b in bands]
+    out_schema = ", ".join(f"`{n}` {t}" for n, t in fields)
+
+    def _is_nodata(v: np.ndarray) -> np.ndarray:
+        if nodata is None:
+            return np.zeros(v.shape, dtype=bool)
+        if np.isnan(nodata):
+            return np.isnan(v)
+        return v == nodata
+
+    def _fmt_axis(vals: np.ndarray) -> np.ndarray:
+        return np.array([_fmt_d(float(v)) for v in vals], dtype=object)
+
+    def _rows(arrs: dict[int, np.ndarray], ty: int, tx: int, h: int, w: int) -> pd.DataFrame:
+        gy0, gx0 = ty * ts, tx * ts
+        keep = np.ones((h, w), dtype=bool)
+        if skip_nodata:
+            keep = ~_is_nodata(arrs[bands[0]])
+        yy, xx = np.nonzero(keep)
+        line = (yy + gy0).astype(np.float64)
+        pixel = (xx + gx0).astype(np.float64)
+        cols: dict[str, object] = {}
+        if geometry_type == "point":
+            cx = g0 + (pixel + 0.5) * g1 + (line + 0.5) * g2
+            cy = g3 + (pixel + 0.5) * g4 + (line + 0.5) * g5
+            cols["geom"] = [f"POINT({_fmt_d(x)} {_fmt_d(y)})" for x, y in zip(cx, cy)]
+        elif geometry_type == "polygon":
+            if axis_aligned:
+                xs = _fmt_axis(g0 + (gx0 + np.arange(w + 1)) * g1)
+                ys = _fmt_axis(g3 + (gy0 + np.arange(h + 1)) * g5)
+                cols["geom"] = [
+                    f"POLYGON(({xs[j]} {ys[i]},{xs[j]} {ys[i + 1]},"
+                    f"{xs[j + 1]} {ys[i + 1]},{xs[j + 1]} {ys[i]},{xs[j]} {ys[i]}))"
+                    for i, j in zip(yy, xx)
+                ]
+            else:
+                def corner(p, ln):
+                    return (g0 + p * g1 + ln * g2, g3 + p * g4 + ln * g5)
+
+                wkts = []
+                for p, ln in zip(pixel, line):
+                    ring = [corner(p, ln), corner(p, ln + 1), corner(p + 1, ln + 1),
+                            corner(p + 1, ln), corner(p, ln)]
+                    wkts.append("POLYGON((" + ",".join(f"{_fmt_d(x)} {_fmt_d(y)}" for x, y in ring) + "))")
+                cols["geom"] = wkts
+        if include_xy:
+            cols["CENTER_X"] = g0 + (pixel + 0.5) * g1 + (line + 0.5) * g2
+            cols["CENTER_Y"] = g3 + (pixel + 0.5) * g4 + (line + 0.5) * g5
+        if include_row_col:
+            cols["ROW"] = pd.array(line.astype(np.int64), dtype="int32")
+            cols["COL"] = pd.array(pixel.astype(np.int64), dtype="int32")
+        for b in bands:
+            cols[f"BAND_{b}"] = arrs[b][yy, xx].astype(np.float64)
+        return pd.DataFrame(cols)
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({n: pd.array([], dtype="object" if t == "string" else ("int32" if t == "int" else "float64"))
+                             for n, t in fields})
+
+    dense = densify(tiles, spec)
+
+    if len(bands) == 1:
+        b0 = bands[0]
+
+        def _single(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for r in pdf.itertuples(index=False):
+                    if int(r.band) != b0:
+                        continue
+                    a = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w).astype(np.float64)
+                    out.append(_rows({b0: a}, int(r.ty), int(r.tx), int(r.h), int(r.w)))
+                yield pd.concat(out, ignore_index=True) if out else _empty()
+
+        return dense.mapInPandas(_single, out_schema)
+
+    def _multi(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ty, tx = int(key[0]), int(key[1])
+        arrs = {}
+        h = w = 0
+        for r in pdf.itertuples(index=False):
+            if int(r.band) in bands:
+                arrs[int(r.band)] = np.frombuffer(r.payload, dtype=r.dtype).reshape(r.h, r.w).astype(np.float64)
+                h, w = int(r.h), int(r.w)
+        if len(arrs) != len(bands):
+            return _empty()
+        return _rows(arrs, ty, tx, h, w)
+
+    return dense.groupBy("ty", "tx").applyInPandas(_multi, out_schema)
 
 
 def mosaic(tile_tables: list[DataFrame], nodata: float = 0.0, method: str = "last") -> DataFrame:

@@ -8194,3 +8194,50 @@ def _o_grid_distance_pts() -> str:
 
 QUERIES["grid_distance_pts"] = q_grid_distance_pts
 ORACLES["grid_distance_pts"] = _o_grid_distance_pts()
+
+
+def q_as_features(spark, sf_dir):
+    """`gdal raster as-features` full layer form
+    (apps/gdalalg_raster_as_features.cpp): byte20 pixels as features
+    with polygon geometry, CENTER_X/Y, ROW/COL and the BAND_1 field,
+    skip-nodata dropping value 107 (the raster's most common byte).
+    The oracle rebuilds the exact WKT strings (integer geotransform ->
+    integer corners, BIGINT-cast string concat) and the center/row
+    arithmetic from the pixel VALUES table."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.raster import as_features_layer
+
+    df = as_features_layer(
+        byte20_tiles(spark), BYTE20_SPEC, geometry_type="polygon",
+        include_xy=True, include_row_col=True, skip_nodata=True, nodata=107.0,
+    )
+    return df.select(
+        "geom",
+        F.col("CENTER_X").alias("center_x"),
+        F.col("CENTER_Y").alias("center_y"),
+        F.col("ROW").cast("bigint").alias("row_i"),
+        F.col("COL").cast("bigint").alias("col_i"),
+        F.col("BAND_1").alias("band_1"),
+    )
+
+
+def _o_as_features() -> str:
+    x0 = "CAST(CAST(440720 + px * 60 AS BIGINT) AS VARCHAR)"
+    x1 = "CAST(CAST(440720 + (px + 1) * 60 AS BIGINT) AS VARCHAR)"
+    y0 = "CAST(CAST(3751320 - py * 60 AS BIGINT) AS VARCHAR)"
+    y1 = "CAST(CAST(3751320 - (py + 1) * 60 AS BIGINT) AS VARCHAR)"
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)) "
+        "SELECT 'POLYGON((' || " + x0 + " || ' ' || " + y0 + " || ',' || "
+        + x0 + " || ' ' || " + y1 + " || ',' || " + x1 + " || ' ' || " + y1 + " || ',' || "
+        + x1 + " || ' ' || " + y0 + " || ',' || " + x0 + " || ' ' || " + y0 + " || '))' AS geom, "
+        "CAST(440720 + (px + 0.5) * 60 AS DOUBLE) AS center_x, "
+        "CAST(3751320 - (py + 0.5) * 60 AS DOUBLE) AS center_y, "
+        "CAST(py AS BIGINT) AS row_i, CAST(px AS BIGINT) AS col_i, "
+        "CAST(v AS DOUBLE) AS band_1 "
+        "FROM pixels WHERE v <> 107"
+    )
+
+
+QUERIES["as_features"] = q_as_features
+ORACLES["as_features"] = _o_as_features()
