@@ -28,7 +28,7 @@ from typing import Iterator, Sequence
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import ArrayType, BooleanType, StringType, StructField, StructType
 
 from gdal_spark.geom.batch import GeomBatchBuilder, GeomType
 from gdal_spark.geom.ops import make_valid as _make_valid
@@ -449,3 +449,135 @@ def concave_hull_geom(
             yield pdf
 
     return df.mapInPandas(_run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# `gdal vector explode` — zip-explode list fields (+ geometry parts)
+
+
+def vector_explode(
+    df: DataFrame,
+    fields: Sequence[str] = (),
+    index_field: str | None = None,
+    geometry: bool = False,
+    wkt_col: str = "geom",
+    fid_col: str | None = None,
+) -> DataFrame:
+    """`gdal vector explode` (apps/gdalalg_vector_explode.cpp
+    TranslateFeature): each source feature becomes
+    N = max(1, exploded list lengths, exploded collection sizes)
+    features; element i of every exploded list field rides feature i
+    (STRICT zip — a list shorter than N errors with the reference's
+    "does not have enough elements" message, which also catches NULL
+    lists), `index_field` (when set) holds i as the FIRST field
+    (:287), and with geometry=True a collection geometry contributes
+    its i-th member in order (exhausted/empty collection errors,
+    :400-414) while a NON-collection geometry rides feature 0 only
+    (feature 1 gets NULL, N>2 errors "is not a collection",
+    :418-431; a NULL geometry never errors and yields NULL rows).
+    FIDs are not reassigned (the repo carries no FID column; the
+    reference renumbers sequentially).
+
+    Distributed shape: pure Catalyst — N, every length guard
+    (raise_error inside when/otherwise) and the element gathers are
+    whole-stage-codegen expressions over one explode(sequence());
+    geometry=True prepends ONE Arrow pass that splits collection WKTs
+    into an array<string> parts column (the only Python crossing)."""
+    fields = list(fields)
+    for f in fields:
+        if not df.schema[f].dataType.typeName().startswith("array"):
+            raise ValueError(f"field {f!r} is not list-typed")
+
+    fid_expr = F.col(fid_col).cast("string") if fid_col else F.lit("?")
+
+    if geometry:
+        in_fields = df.schema.fields
+        parts_schema = StructType(
+            list(in_fields)
+            + [StructField("_parts", ArrayType(StringType())),
+               StructField("_is_coll", BooleanType())]
+        )
+
+        def _split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf.reset_index(drop=True)
+                batch = parse_wkt(pdf[wkt_col])
+                parts_col: list[list[str] | None] = []
+                coll_col: list[bool] = []
+                empty = batch.is_empty
+                for i in range(len(batch)):
+                    if batch.is_null[i]:
+                        parts_col.append(None)
+                        coll_col.append(False)
+                        continue
+                    gtype = GeomType(batch.types[i])
+                    if gtype in _EXPLODED:
+                        if empty[i]:
+                            parts_col.append([])
+                            coll_col.append(True)
+                            continue
+                        _, parts = batch.geometry(i)
+                        parts_col.append([_emit([p], _EXPLODED[gtype]) for p in parts])
+                        coll_col.append(True)
+                    elif gtype == GeomType.GEOMETRYCOLLECTION:
+                        members = [] if empty[i] else batch.collection_members(i)
+                        parts_col.append([_emit([rings], mt) for mt, rings in members])
+                        coll_col.append(True)
+                    else:
+                        parts_col.append(None)
+                        coll_col.append(False)
+                pdf["_parts"] = parts_col
+                pdf["_is_coll"] = coll_col
+                yield pdf
+
+        df = df.mapInPandas(_split, parts_schema)
+
+    n_terms = [F.lit(1)] + [F.size(F.col(f)) for f in fields]
+    if geometry:
+        n_terms.append(F.when(F.col("_is_coll"), F.size("_parts")).otherwise(F.lit(1)))
+    n = F.greatest(*n_terms) if len(n_terms) > 1 else n_terms[0]
+
+    df = df.withColumn("_N", n).withColumn(
+        "_i", F.explode(F.sequence(F.lit(0), F.col("_N") - F.lit(1)))
+    )
+
+    out_cols = []
+    if index_field:
+        out_cols.append(F.col("_i").cast("int").alias(index_field))
+    for fld in df.schema.fields:
+        name = fld.name
+        if name in ("_N", "_i", "_parts", "_is_coll"):
+            continue
+        if name in fields:
+            out_cols.append(
+                F.when(
+                    F.coalesce(F.size(F.col(name)), F.lit(-1)) < F.col("_N"),
+                    F.raise_error(F.concat(
+                        F.lit(f"Field '{name}' of source feature "), fid_expr,
+                        F.lit(" does not have enough elements."))),
+                ).otherwise(F.col(name)[F.col("_i")]).alias(name)
+            )
+        elif geometry and name == wkt_col:
+            out_cols.append(
+                F.when(
+                    F.col("_is_coll"),
+                    F.when(
+                        F.size("_parts") < F.col("_N"),
+                        F.raise_error(F.concat(
+                            F.lit("Geometry field of source feature "), fid_expr,
+                            F.lit(" has "), F.size("_parts").cast("string"),
+                            F.lit(" elements (expected "), F.col("_N").cast("string"),
+                            F.lit(")"))),
+                    ).otherwise(F.col("_parts")[F.col("_i")]),
+                ).otherwise(
+                    F.when(
+                        F.col(wkt_col).isNotNull() & (F.col("_N") > 2) & (F.col("_i") >= 2),
+                        F.raise_error(F.concat(
+                            F.lit("Geometry field of source feature "), fid_expr,
+                            F.lit(" is not a collection."))),
+                    ).otherwise(F.when(F.col("_i") == 0, F.col(wkt_col)))
+                ).alias(name)
+            )
+        else:
+            out_cols.append(F.col(name))
+    return df.select(*out_cols)

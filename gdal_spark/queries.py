@@ -8241,3 +8241,62 @@ def _o_as_features() -> str:
 
 QUERIES["as_features"] = q_as_features
 ORACLES["as_features"] = _o_as_features()
+
+
+def q_vector_explode(spark, sf_dir):
+    """`gdal vector explode` (apps/gdalalg_vector_explode.cpp): strict
+    zip-explode of a 3-element list field together with a 3-part
+    MULTIPOINT geometry, index field first — element i and geometry
+    member i ride output feature i. A wrong zip pairing, index, part
+    order, or a pad-instead-of-zip explode all shift rows."""
+    from gdal_spark.operators.vector_translate import vector_explode
+
+    g = docs_geom(spark, sf_dir)
+    base = g.filter(
+        F.col("geom_error").isNull() & (F.col("env_minx") == F.col("env_maxx"))
+    ).select(
+        F.col("_id").alias("doc_id"),
+        F.col("env_minx").cast("bigint").alias("gx"),
+        F.col("env_miny").cast("bigint").alias("gy"),
+        F.col("n_chars"),
+    )
+    src = base.select(
+        "doc_id",
+        F.array(
+            F.col("n_chars").cast("bigint"),
+            (F.col("n_chars") + 10).cast("bigint"),
+            (F.col("n_chars") * 2).cast("bigint"),
+        ).alias("vals"),
+        F.format_string(
+            "MULTIPOINT(%d %d,%d %d,%d %d)",
+            F.col("gx"), F.col("gy"),
+            F.col("gx") + 1, F.col("gy"),
+            F.col("gx"), F.col("gy") + 1,
+        ).alias("geom"),
+    )
+    out = vector_explode(src, fields=["vals"], index_field="part_idx",
+                         geometry=True, fid_col="doc_id")
+    return out.select(
+        F.col("part_idx").cast("bigint").alias("part_idx"),
+        "doc_id",
+        F.col("vals").alias("val"),
+        "geom",
+    )
+
+
+def _o_vector_explode() -> str:
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "p AS (SELECT doc_id, CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy, n_chars "
+        "FROM g WHERE valid AND NOT is_poly), "
+        "i AS (SELECT unnest(generate_series(0, 2)) AS part_idx) "
+        "SELECT CAST(part_idx AS BIGINT) AS part_idx, doc_id, "
+        "CAST(CASE part_idx WHEN 0 THEN n_chars WHEN 1 THEN n_chars + 10 ELSE n_chars * 2 END AS BIGINT) AS val, "
+        "'POINT (' || CAST(gx + CASE WHEN part_idx = 1 THEN 1 ELSE 0 END AS VARCHAR) || ' ' || "
+        "CAST(gy + CASE WHEN part_idx = 2 THEN 1 ELSE 0 END AS VARCHAR) || ')' AS geom "
+        "FROM p CROSS JOIN i"
+    )
+
+
+QUERIES["vector_explode"] = q_vector_explode
+ORACLES["vector_explode"] = _o_vector_explode()
