@@ -581,3 +581,100 @@ def vector_explode(
         else:
             out_cols.append(F.col(name))
     return df.select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# `gdal vector set-geom-type`
+
+
+_SINGLE_OF = {
+    GeomType.MULTIPOINT: GeomType.POINT,
+    GeomType.MULTILINESTRING: GeomType.LINESTRING,
+    GeomType.MULTIPOLYGON: GeomType.POLYGON,
+}
+
+
+def set_geom_type(
+    df: DataFrame,
+    geom_type: str | None = None,
+    multi: bool = False,
+    single: bool = False,
+    skip: bool = False,
+    wkt_col: str = "geom",
+) -> DataFrame:
+    """`gdal vector set-geom-type`
+    (apps/gdalalg_vector_set_geom_type.cpp TranslateFeature/ConvertType):
+    per feature, the target type is the explicit `geom_type` when
+    given, else GetCollection(current) under `multi` (already-multi /
+    GC unchanged), else GetSingle(current) under `single`; the
+    geometry converts via OGRGeometryFactory::forceTo (geom/force.py —
+    the full linear-lattice rule set: closed-line->polygon, ring
+    aggregation, endpoint merge, GC promotion, single-member escape).
+    A conversion forceTo leaves undone keeps the original geometry —
+    unless `skip`, which DROPS features whose converted type still
+    differs from the target (:277-283). NULL geometries pass through
+    untouched (and are never skipped — the reference only converts
+    non-null geometries).
+
+    Distributed shape: one Arrow map pass (no shuffle)."""
+    from gdal_spark.geom.force import ATOMIC, COLLECTION_OF, force_to
+
+    target_fixed = GeomType[geom_type.upper()] if geom_type else None
+    if multi and single:
+        raise ValueError("multi and single are mutually exclusive")
+    if target_fixed is None and not (multi or single):
+        raise ValueError("set_geom_type needs geom_type, multi or single")
+
+    out_fields = list(df.schema.fields)
+    out_schema = StructType(out_fields)
+
+    def _member_list(batch, i):
+        gtype = GeomType(batch.types[i])
+        if gtype == GeomType.GEOMETRYCOLLECTION:
+            return gtype, list(batch.collection_members(i))
+        _, parts = batch.geometry(i)
+        if gtype in _SINGLE_OF:
+            return gtype, [(_SINGLE_OF[gtype], p) for p in parts]
+        return gtype, [(gtype, parts[0])]
+
+    def _wkt_out(gtype, members):
+        if not members:
+            return f"{gtype.name} EMPTY"
+        if gtype in ATOMIC:
+            return _emit([members[0][1]], gtype)
+        if gtype == GeomType.GEOMETRYCOLLECTION:
+            return ("GEOMETRYCOLLECTION ("
+                    + ",".join(_emit([rings], mt) for mt, rings in members) + ")")
+        return _emit([rings for _, rings in members], gtype)
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            batch = parse_wkt(pdf[wkt_col])
+            empty = batch.is_empty
+            vals: list[str | None] = []
+            keep: list[bool] = []
+            for i in range(len(batch)):
+                if batch.is_null[i]:
+                    vals.append(None)
+                    keep.append(True)
+                    continue
+                gtype = GeomType(batch.types[i])
+                members = [] if empty[i] else _member_list(batch, i)[1]
+                if target_fixed is not None:
+                    target = target_fixed
+                elif multi:
+                    target = COLLECTION_OF.get(gtype, gtype)
+                else:
+                    target = _SINGLE_OF.get(gtype, gtype)
+                t2, m2 = force_to(gtype, members, target)
+                if skip and t2 != target:
+                    keep.append(False)
+                    vals.append(None)
+                    continue
+                keep.append(True)
+                vals.append(_wkt_out(t2, m2))
+            pdf[wkt_col] = vals
+            yield pdf[pd.Series(keep, dtype=bool)]
+
+    return df.mapInPandas(_run, out_schema)

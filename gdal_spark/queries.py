@@ -8300,3 +8300,39 @@ def _o_vector_explode() -> str:
 
 QUERIES["vector_explode"] = q_vector_explode
 ORACLES["vector_explode"] = _o_vector_explode()
+
+
+def q_set_geom_type(spark, sf_dir):
+    """`gdal vector set-geom-type --multi`
+    (apps/gdalalg_vector_set_geom_type.cpp + forceTo,
+    ogrgeometryfactory.cpp:5229): promote every valid doc geometry to
+    its MULTI type — POINT wraps to MULTIPOINT, the doc squares to
+    MULTIPOLYGON. The oracle rebuilds both WKT forms from the datagen
+    integer arithmetic, so a wrong wrap, ring order, or formatting
+    shifts rows."""
+    from gdal_spark.operators.vector_translate import set_geom_type
+
+    g = docs_geom(spark, sf_dir).filter(
+        F.col("geom_error").isNull() & F.col("wkt").isNotNull()
+    ).select(F.col("_id").alias("doc_id"), F.col("wkt").alias("geom"))
+    out = set_geom_type(g, multi=True, wkt_col="geom")
+    return out.select("doc_id", "geom")
+
+
+def _o_set_geom_type() -> str:
+    s = lambda v: f"CAST(CAST({v} AS BIGINT) AS VARCHAR)"  # noqa: E731
+    x1, y1 = s("gx - half"), s("gy - half")
+    x2, y2 = s("gx + half"), s("gy + half")
+    ring = (f"{x1} || ' ' || {y1} || ',' || {x1} || ' ' || {y2} || ',' || "
+            f"{x2} || ' ' || {y2} || ',' || {x2} || ' ' || {y1} || ',' || {x1} || ' ' || {y1}")
+    return (
+        f"WITH g AS ({docs_g_cte()}) "
+        "SELECT doc_id, CASE WHEN is_poly "
+        f"THEN 'MULTIPOLYGON (((' || {ring} || ')))' "
+        f"ELSE 'MULTIPOINT ((' || {s('gx')} || ' ' || {s('gy')} || '))' END AS geom "
+        "FROM g WHERE valid"
+    )
+
+
+QUERIES["set_geom_type"] = q_set_geom_type
+ORACLES["set_geom_type"] = _o_set_geom_type()
