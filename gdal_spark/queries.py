@@ -8336,3 +8336,43 @@ def _o_set_geom_type() -> str:
 
 QUERIES["set_geom_type"] = q_set_geom_type
 ORACLES["set_geom_type"] = _o_set_geom_type()
+
+
+def q_set_field_type(spark, sf_dir):
+    """`gdal vector set-field-type`
+    (apps/gdalalg_vector_set_field_type.cpp -> OGRFeature::SetFrom
+    coercions, ogr/ogrfeature.cpp:3981,:4181): retype synthesized doc
+    fields through the OGR rules — string prefix-parses to int
+    (strtoll: 'Nx9' -> N), double truncates toward zero to int, and
+    double formats to string with C %.16g. A Spark-cast shortcut (NULL
+    on 'x9' suffix, or JVM %g formatting) shifts every row."""
+    from gdal_spark.relational import set_field_type
+
+    base = docs(spark, sf_dir).select(
+        F.col("_id").alias("doc_id"),
+        F.concat(F.col("_id").cast("string"), F.lit("x9")).alias("s_int"),
+        (F.col("n_chars") / 7.0).alias("d_val"),
+        (F.col("n_chars") / 7.0).alias("d_str"),
+    )
+    out = set_field_type(base, "s_int", "int")
+    out = set_field_type(out, "d_val", "bigint")
+    out = set_field_type(out, "d_str", "string")
+    return out.select(
+        "doc_id",
+        F.col("s_int").cast("bigint").alias("s_int"),
+        F.col("d_val").alias("d_val"),
+        F.col("d_str"),
+    )
+
+
+def _o_set_field_type() -> str:
+    return (
+        "SELECT doc_id, CAST(doc_id AS BIGINT) AS s_int, "
+        "CAST(trunc(n_chars / 7.0) AS BIGINT) AS d_val, "
+        "printf('%.16g', n_chars / 7.0) AS d_str "
+        "FROM documents"
+    )
+
+
+QUERIES["set_field_type"] = q_set_field_type
+ORACLES["set_field_type"] = _o_set_field_type()

@@ -277,3 +277,94 @@ def combine(
                 yield pd.DataFrame(rows, columns=[f.name for f in out_fields])
 
     return g.mapInPandas(_assemble, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# `gdal vector set-field-type` — OGRFeature::SetFrom coercions
+
+
+_INT32_MIN, _INT32_MAX = -2147483648, 2147483647
+_INT64_MIN, _INT64_MAX = -9223372036854775808, 9223372036854775807
+
+
+def set_field_type(df: DataFrame, field: str, new_type: str) -> DataFrame:
+    """`gdal vector set-field-type`
+    (apps/gdalalg_vector_set_field_type.cpp): retype one field with
+    OGRFeature::SetFrom/SetField coercion semantics
+    (ogr/ogrfeature.cpp:3981 SetField(double), :4181 SetField(char*)):
+
+      string -> int/bigint  strtoll/CPLAtoGIntBig PREFIX parse (leading
+                            spaces + sign + digits; no digits -> 0),
+                            clamped to the integer range
+      string -> double      CPLStrtod prefix parse (decimal/exponent
+                            forms; no parse -> 0.0)
+      double -> int/bigint  truncate toward zero, clamp to range,
+                            NaN -> type minimum (:3997-4004)
+      double -> string      C "%.16g" (:4083) — one Arrow pass, the
+                            only non-Catalyst conversion (JVM printf
+                            %g is not C %g)
+      int    -> string      "%d" (Spark cast matches)
+      bigint -> int         clamp to int32 range
+
+    NULL (OGR unset) stays NULL through every conversion. new_type in
+    {"string", "int", "bigint", "double"} (the OGR core types; list /
+    date coercions are format-specific and out of scope)."""
+    src = dict(df.dtypes)[field]
+    col = F.col(field)
+    if new_type not in ("string", "int", "bigint", "double"):
+        raise ValueError(f"unsupported target type {new_type!r}")
+    if src == new_type:
+        return df
+
+    if new_type in ("int", "bigint"):
+        lo, hi = (_INT32_MIN, _INT32_MAX) if new_type == "int" else (_INT64_MIN, _INT64_MAX)
+        if src == "string":
+            # strtoll prefix: optional whitespace, sign, digits
+            digits = F.regexp_extract(col, r"^\s*([+-]?[0-9]+)", 1)
+            as64 = F.when(digits == "", F.lit(0)).otherwise(
+                # beyond-int64 literals clamp (strtoll ERANGE); DECIMAL(38)
+                # carries the magnitude so the comparison is exact
+                F.when(digits.cast("decimal(38,0)") > hi, F.lit(hi))
+                .when(digits.cast("decimal(38,0)") < lo, F.lit(lo))
+                .otherwise(digits.cast("bigint"))
+            )
+            conv = F.when(col.isNull(), F.lit(None)).otherwise(
+                F.greatest(F.least(as64.cast("bigint"), F.lit(hi)), F.lit(lo))
+            ).cast(new_type)
+        elif src == "double":
+            conv = (
+                F.when(col.isNull(), F.lit(None).cast(new_type))
+                .when(F.isnan(col), F.lit(lo).cast(new_type))
+                .when(col < lo, F.lit(lo).cast(new_type))
+                .when(col > hi, F.lit(hi).cast(new_type))
+                .otherwise(col.cast(new_type))
+            )
+        else:  # int <-> bigint (greatest/least skip NULLs -> guard)
+            conv = F.when(col.isNull(), F.lit(None).cast(new_type)).otherwise(
+                F.greatest(F.least(col.cast("bigint"), F.lit(hi)), F.lit(lo)).cast(new_type))
+    elif new_type == "double":
+        if src == "string":
+            # CPLStrtod prefix: decimal with optional exponent
+            num = F.regexp_extract(col, r"^\s*([+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)", 1)
+            conv = F.when(col.isNull(), F.lit(None)).otherwise(
+                F.when(num == "", F.lit(0.0)).otherwise(num.cast("double"))
+            ).cast("double")
+        else:
+            conv = col.cast("double")
+    else:  # string
+        if src == "double":
+            import pandas as pd
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("string")
+            def _g16(v):
+                # NULL rows reach the UDF as NaN (float64 has no NULL);
+                # the outer when() masks them back to NULL, so a real
+                # NaN VALUE correctly formats as "nan"
+                return pd.Series([f"{x:.16g}" for x in v])
+
+            conv = F.when(col.isNull(), F.lit(None)).otherwise(_g16(col))
+        else:
+            conv = col.cast("string")
+
+    return df.withColumn(field, conv)
