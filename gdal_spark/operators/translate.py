@@ -376,3 +376,35 @@ def nodata_to_alpha(
 
     alpha_tiles = tiles.groupBy("ty", "tx").applyInPandas(_alpha, TILE_SCHEMA)
     return tiles.unionByName(alpha_tiles)
+
+
+def select_bands(tiles: DataFrame, spec: RasterSpec, bands: list[int]) -> tuple[DataFrame, RasterSpec]:
+    """`gdal raster select` (apps/gdalalg_raster_select.cpp): subset,
+    REORDER and/or DUPLICATE bands — output band i+1 is input
+    bands[i]. Pure Catalyst: one broadcast join against the (src, dst)
+    band map (a duplicated source band fans out to several dst rows
+    sharing one payload; no pixel bytes are copied)."""
+    import dataclasses
+
+    for b in bands:
+        if not 1 <= b <= spec.nbands:
+            raise ValueError(f"band {b} out of range 1..{spec.nbands}")
+    spark = tiles.sparkSession
+    mapping = spark.createDataFrame(
+        [(b, i + 1) for i, b in enumerate(bands)], "band int, _dst int")
+    out = (
+        tiles.join(F.broadcast(mapping), "band")
+        .drop("band")
+        .withColumnRenamed("_dst", "band")
+        .select("band", "ty", "tx", "h", "w", "dtype", "payload")
+    )
+    return out, dataclasses.replace(spec, nbands=len(bands))
+
+
+def resize(tiles: DataFrame, spec: RasterSpec, width: int, height: int,
+           resampling: str = "near") -> tuple[DataFrame, RasterSpec]:
+    """`gdal raster resize` (apps/gdalalg_raster_resize.cpp): change
+    the pixel size, keep the georeferenced extent — exactly translate
+    with a full-raster srcwin and outsize (same composition the
+    reference uses: GDALTranslate -outsize)."""
+    return translate(tiles, spec, outsize=(width, height), resampling=resampling)

@@ -368,3 +368,21 @@ def set_field_type(df: DataFrame, field: str, new_type: str) -> DataFrame:
             conv = col.cast("string")
 
     return df.withColumn(field, conv)
+
+
+def select_fields(df: DataFrame, fields: Sequence[str], exclude: bool = False,
+                  ignore_missing: bool = False) -> DataFrame:
+    """`gdal vector select` (apps/gdalalg_vector_select.cpp): keep (or
+    with exclude=True drop) the named fields, in the requested order;
+    an unknown name errors unless ignore_missing (--ignore-missing-
+    fields). Pure Catalyst projection — column pruning reaches the
+    scan."""
+    have = set(df.columns)
+    missing = [f for f in fields if f not in have]
+    if missing and not ignore_missing:
+        raise ValueError(f"field(s) not found: {missing}")
+    wanted = [f for f in fields if f in have]
+    if exclude:
+        drop = set(wanted)
+        return df.select(*[c for c in df.columns if c not in drop])
+    return df.select(*wanted)
