@@ -8376,3 +8376,32 @@ def _o_set_field_type() -> str:
 
 QUERIES["set_field_type"] = q_set_field_type
 ORACLES["set_field_type"] = _o_set_field_type()
+
+
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic seeded global shuffle (training-order
+    randomization): rank 0..n-1 of documents under the minstd(id,seed)
+    permutation key, computed WITHOUT a single-partition window
+    (dense_seq range buckets). The oracle replays the LCG arithmetic
+    and the (key, id) total order with one SQL window — any
+    nondeterminism, bucket-offset error, or tie-order drift shifts
+    ranks."""
+    from gdal_spark.text import global_shuffle
+
+    d = docs(spark, sf_dir).select(F.col("_id").alias("doc_id"))
+    out = global_shuffle(d, id_col="doc_id", seed=20260819)
+    return out.select("doc_id", F.col("shuffle_seq").cast("bigint").alias("shuffle_seq"))
+
+
+def _o_global_shuffle() -> str:
+    from gdal_spark.text import minstd_mix_sql
+
+    h = minstd_mix_sql("doc_id", 20260819)
+    return (
+        f"SELECT doc_id, ROW_NUMBER() OVER (ORDER BY {h}, doc_id) - 1 AS shuffle_seq "
+        "FROM documents"
+    )
+
+
+QUERIES["global_shuffle"] = q_global_shuffle
+ORACLES["global_shuffle"] = _o_global_shuffle()

@@ -198,3 +198,58 @@ def winnow_fingerprints_sql(id_expr: str, text_expr: str, k: int = 8, window: in
         f"ELSE list_transform(generate_series(1, len(hs) - {window - 1}), j -> list_min(hs[j:j+{window - 1}])) END AS mins FROM h) "
         f"SELECT id AS doc_id, unnest(list_distinct(mins)) AS fp FROM m"
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle (training-order randomization)
+
+_SHUF_P = 2147483647  # 2^31 - 1 (Mersenne prime; minstd modulus)
+_SHUF_A = 48271  # minstd_rand multiplier
+
+
+def _minstd_mix(x: Column, seed: int) -> Column:
+    """Two rounds of the minstd LCG over the id (+seed), entirely in
+    BIGINT arithmetic that cannot overflow ((p-1)*48271 < 2^47) and is
+    bit-identical in Spark and DuckDB — a seeded pseudo-random but
+    DETERMINISTIC permutation key. Collisions (ids congruent mod p)
+    break by id, so the order stays total and reproducible."""
+    h = ((x % _SHUF_P + _SHUF_P) % _SHUF_P + seed % _SHUF_P) % _SHUF_P
+    h = h * _SHUF_A % _SHUF_P
+    h = h * _SHUF_A % _SHUF_P
+    return h
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out_col: str = "shuffle_seq",
+    nbuckets: int = 1024,
+) -> DataFrame:
+    """Seeded deterministic global shuffle: every row gets a dense rank
+    0..n-1 under a pseudo-random total order keyed by
+    minstd(id, seed) — the training-pipeline primitive for epoch-order
+    randomization (same seed => same order on any cluster size;
+    different seed => a different permutation).
+
+    Scale shape: the permutation key is pure Catalyst; the global rank
+    reuses dense_seq (operators/vector_sort.py) — arithmetic key-range
+    buckets + per-bucket row_number + a broadcast offset join, never a
+    single-partition window. One shuffle total (the rank exchange),
+    exactly what a range-partitioned sort costs. To SORT the data by
+    the permutation (e.g. before a sharded write), follow with
+    repartitionByRange(out_col) — the ordering key is already
+    uniformly distributed, so ranges balance."""
+    from gdal_spark.operators.vector_sort import dense_seq
+
+    keyed = df.withColumn("_shuf", _minstd_mix(F.col(id_col).cast("bigint"), seed))
+    out = dense_seq(keyed, "_shuf", id_col, out_col=out_col, nbuckets=nbuckets)
+    return out.drop("_shuf")
+
+
+def minstd_mix_sql(id_expr: str, seed: int) -> str:
+    """DuckDB/ANSI replay of _minstd_mix for oracles."""
+    p, a = _SHUF_P, _SHUF_A
+    h0 = f"((({id_expr}) % {p} + {p}) % {p} + {seed % p}) % {p}"
+    h1 = f"(({h0}) * {a}) % {p}"
+    return f"(({h1}) * {a}) % {p}"
