@@ -8405,3 +8405,47 @@ def _o_global_shuffle() -> str:
 
 QUERIES["global_shuffle"] = q_global_shuffle
 ORACLES["global_shuffle"] = _o_global_shuffle()
+
+
+def q_weighted_interleave(spark, sf_dir):
+    """Deterministic weighted corpus interleaving: documents split by
+    id parity into two 'sources' mixed 0.7/0.3 — source 0's k-th
+    shuffled doc at virtual position (k+1)/0.7, source 1's at
+    (k+1)/0.3, dense global rank over (position, source, id). The
+    oracle replays both per-source minstd shuffles and the mixture
+    order with SQL windows; a wrong per-source permutation, weight
+    division, or tie rule shifts ranks."""
+    from gdal_spark.text import weighted_interleave
+
+    d = docs(spark, sf_dir).select(F.col("_id").alias("doc_id"))
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    out = weighted_interleave([a, b], [0.7, 0.3], id_col="doc_id", seed=7)
+    return out.select(
+        "doc_id",
+        F.col("source_id").cast("bigint").alias("source_id"),
+        F.col("interleave_seq").cast("bigint").alias("interleave_seq"),
+    )
+
+
+def _o_weighted_interleave() -> str:
+    from gdal_spark.text import minstd_mix_sql
+
+    h0 = minstd_mix_sql("doc_id", 7)
+    h1 = minstd_mix_sql("doc_id", 8)
+    return (
+        "WITH a AS (SELECT doc_id, 0 AS source_id, "
+        f"(ROW_NUMBER() OVER (ORDER BY {h0}, doc_id)) / CAST(0.7 AS DOUBLE) AS ikey "
+        "FROM documents WHERE doc_id % 2 = 0), "
+        "b AS (SELECT doc_id, 1 AS source_id, "
+        f"(ROW_NUMBER() OVER (ORDER BY {h1}, doc_id)) / CAST(0.3 AS DOUBLE) AS ikey "
+        "FROM documents WHERE doc_id % 2 = 1), "
+        "u AS (SELECT * FROM a UNION ALL SELECT * FROM b) "
+        "SELECT doc_id, CAST(source_id AS BIGINT) AS source_id, "
+        "ROW_NUMBER() OVER (ORDER BY ikey, source_id, doc_id) - 1 AS interleave_seq "
+        "FROM u"
+    )
+
+
+QUERIES["weighted_interleave"] = q_weighted_interleave
+ORACLES["weighted_interleave"] = _o_weighted_interleave()

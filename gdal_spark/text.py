@@ -253,3 +253,48 @@ def minstd_mix_sql(id_expr: str, seed: int) -> str:
     h0 = f"((({id_expr}) % {p} + {p}) % {p} + {seed % p}) % {p}"
     h1 = f"(({h0}) * {a}) % {p}"
     return f"(({h1}) * {a}) % {p}"
+
+
+def weighted_interleave(
+    sources: list[DataFrame],
+    weights: list[float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out_col: str = "interleave_seq",
+    src_col: str = "source_id",
+    nbuckets: int = 1024,
+) -> DataFrame:
+    """Deterministic weighted interleaving of N corpora into one
+    training order: source i's k-th document (under its own seeded
+    global_shuffle permutation) sits at virtual position (k+1)/w_i, so
+    a weight-0.7 source appears ~7/3 as often as a weight-0.3 source
+    at every prefix of the stream — the standard mixture-sampling
+    order, made reproducible (same seeds + weights => same sequence on
+    any cluster size).
+
+    All sources must share a schema. Scale shape: per-source
+    permutation keys are pure Catalyst; ONE dense_seq pass ranks the
+    union (range buckets + broadcast offsets, no single-partition
+    window). Ties ((k+1)/w exactly equal across sources — guaranteed
+    at equal weights) break by (source index, id), so the order stays
+    total."""
+    if len(sources) != len(weights) or not sources:
+        raise ValueError("sources and weights must be same-length and non-empty")
+    if any(w <= 0 for w in weights):
+        raise ValueError("weights must be positive")
+    tagged = []
+    for i, (df, w) in enumerate(zip(sources, weights)):
+        s = global_shuffle(df, id_col=id_col, seed=seed + i, out_col="_sseq",
+                           nbuckets=nbuckets)
+        tagged.append(
+            s.withColumn(src_col, F.lit(i))
+            .withColumn("_ikey", (F.col("_sseq") + F.lit(1)).cast("double") / F.lit(float(w)))
+        )
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    from gdal_spark.operators.vector_sort import dense_seq
+
+    u = u.withColumn("_tie", F.struct(F.col(src_col), F.col(id_col)))
+    out = dense_seq(u, "_ikey", "_tie", out_col=out_col, nbuckets=nbuckets)
+    return out.drop("_sseq", "_ikey", "_tie")

@@ -40,3 +40,35 @@ def test_many_buckets_still_dense(spark):
     out = global_shuffle(df, seed=7, nbuckets=64)
     seqs = [r.shuffle_seq for r in out.collect()]
     assert sorted(seqs) == list(range(1000))
+
+
+def test_weighted_interleave_proportions(spark):
+    from gdal_spark.text import weighted_interleave
+
+    a = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(0, 1400, 2))}))
+    b = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(1, 601, 2))}))
+    out = weighted_interleave([a, b], [0.7, 0.3], seed=3)
+    rows = sorted(out.collect(), key=lambda r: r.interleave_seq)
+    seqs = [r.interleave_seq for r in rows]
+    assert seqs == list(range(1000))
+    # mixture property: any early prefix holds ~w_i proportion of each
+    # source (source 0's k-th doc at (k+1)/0.7, source 1's at (k+1)/0.3)
+    prefix = [r.source_id for r in rows[:200]]
+    share0 = prefix.count(0) / 200
+    assert 0.65 <= share0 <= 0.75
+    # determinism
+    again = sorted(weighted_interleave([a, b], [0.7, 0.3], seed=3).collect(),
+                   key=lambda r: r.interleave_seq)
+    assert [(r.doc_id, r.source_id) for r in again] == [(r.doc_id, r.source_id) for r in rows]
+
+
+def test_weighted_interleave_validation(spark):
+    import pytest
+
+    from gdal_spark.text import weighted_interleave
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1]}))
+    with pytest.raises(ValueError, match="same-length"):
+        weighted_interleave([df], [0.5, 0.5])
+    with pytest.raises(ValueError, match="positive"):
+        weighted_interleave([df], [0.0])
