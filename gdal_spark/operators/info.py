@@ -159,3 +159,45 @@ def vector_info(
         F.max("_x1").alias("maxx"),
         F.max("_y1").alias("maxy"),
     )
+
+
+# OGR field type per Spark column type (export-schema's "type" strings
+# match ogrinfo -schema JSON: Integer/Integer64/Real/String + lists)
+_OGR_TYPE = {
+    "int": "Integer", "smallint": "Integer", "tinyint": "Integer",
+    "bigint": "Integer64", "float": "Real", "double": "Real",
+    "string": "String", "boolean": "Integer", "date": "Date",
+    "timestamp": "DateTime", "binary": "Binary",
+    "array<int>": "IntegerList", "array<bigint>": "Integer64List",
+    "array<double>": "RealList", "array<string>": "StringList",
+}
+
+
+def export_schema(
+    df: DataFrame,
+    layer_name: str = "layer",
+    wkt_col: str | None = "wkt",
+) -> dict:
+    """`gdal vector export-schema`
+    (apps/gdalalg_vector_export_schema.cpp — delegates to
+    GDALVectorInfo -schema): one JSON-shaped dict
+    {"layers": [{"name", "fields": [{"name","type"}...],
+    "geometry_fields": [...]}]} describing the layer. Column types map
+    to the OGR field-type names ogrinfo prints; unmapped Spark types
+    (struct, map, nested arrays) report their Spark typeName —
+    deviation: the reference has no such columns to describe. Pure
+    metadata — touches the DataFrame SCHEMA only, launches no job."""
+    fields = []
+    geom_fields = []
+    for f in df.schema.fields:
+        simple = f.dataType.simpleString()
+        if wkt_col is not None and f.name == wkt_col:
+            geom_fields.append({"name": f.name, "type": "Unknown"})
+            continue
+        fields.append({
+            "name": f.name,
+            "type": _OGR_TYPE.get(simple, simple),
+            "nullable": bool(f.nullable),
+        })
+    return {"layers": [{"name": layer_name, "fields": fields,
+                        "geometry_fields": geom_fields}]}

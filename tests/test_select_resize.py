@@ -55,3 +55,21 @@ def test_select_fields(spark):
     assert select_fields(df, ["y", "nope"], ignore_missing=True).columns == ["y"]
     with pytest.raises(ValueError, match="not found"):
         select_fields(df, ["nope"])
+
+
+def test_export_schema(spark):
+    from gdal_spark.operators.info import export_schema
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0, [1], 12345678901, "POINT (1 2)")],
+        "i int, s string, d double, l array<int>, b bigint, wkt string")
+    out = export_schema(df, "docs")
+    lyr = out["layers"][0]
+    assert lyr["name"] == "docs"
+    assert [(f["name"], f["type"]) for f in lyr["fields"]] == [
+        ("i", "Integer"), ("s", "String"), ("d", "Real"),
+        ("l", "IntegerList"), ("b", "Integer64")]
+    assert lyr["geometry_fields"] == [{"name": "wkt", "type": "Unknown"}]
+    # no geometry column
+    out2 = export_schema(df.drop("wkt"), "t", wkt_col=None)
+    assert out2["layers"][0]["geometry_fields"] == []
