@@ -75,6 +75,11 @@ _QUADRANT_ALGOS = ("invdistnn", "average", "minimum", "maximum", "range", "count
 # triangulation over halo-joined points
 LINEAR_DRIVER_MAX_POINTS = 500_000
 
+# above this many per-tile candidates, average_distance_pts streams the
+# pairwise-distance matrix in row blocks instead of materializing the
+# full (npts, npts) array (8192² doubles = 512 MB)
+_PAIR_MATRIX_MAX_PTS = 8192
+
 
 def _fill_tile_linear(cs, zv, tr, tyy, txx, spec, radius, nodata):
     """Barycentric fill of one tile from a triangulation (shared by
@@ -540,6 +545,8 @@ def _grid_impl(
         )
 
     min_ppq, max_ppq = min_points_per_quadrant, max_points_per_quadrant
+    # captured at plan time (driver) so tests can monkeypatch the limit
+    pair_limit = _PAIR_MATRIX_MAX_PTS
     # global max_points caps the per-quadrant round robin for
     # invdistnn/average only; the reference comments the break out for
     # data metrics (gdalgrid.cpp:1298-1301)
@@ -579,10 +586,12 @@ def _grid_impl(
         out = np.full(ncells, nodata, dtype=np.float64)
         if npts:
             pair_d = None
-            if algo == "average_distance_pts":
+            if algo == "average_distance_pts" and npts <= pair_limit:
                 # sqrt(dx²+dy²) exactly as the reference accumulates
                 # (gdalgrid.cpp AverageDistancePts; not np.hypot, whose
-                # last-ulp can differ)
+                # last-ulp can differ). Above 8192 candidates the
+                # (npts, npts) matrix would exceed 512 MB — the kernel
+                # then streams D in row blocks instead
                 ddx = px[:, None] - px[None, :]
                 ddy = py[:, None] - py[None, :]
                 pair_d = np.sqrt(ddx * ddx + ddy * ddy)
@@ -604,7 +613,18 @@ def _grid_impl(
 
                 if algo == "average_distance_pts":
                     m = valid.astype(np.float64)
-                    pair_sum = (m * (pair_d @ m)).sum(axis=0) * 0.5
+                    if pair_d is not None:
+                        s = pair_d @ m
+                    else:
+                        # npts too large for an (npts, npts) matrix:
+                        # accumulate S = D @ M in row blocks of D
+                        s = np.zeros_like(m)
+                        for b0 in range(0, npts, 2048):
+                            b1 = min(b0 + 2048, npts)
+                            bdx = px[b0:b1, None] - px[None, :]
+                            bdy = py[b0:b1, None] - py[None, :]
+                            s[b0:b1] = np.sqrt(bdx * bdx + bdy * bdy) @ m
+                    pair_sum = (m * s).sum(axis=0) * 0.5
                     cnt = valid.sum(axis=0)
                     npairs = cnt * (cnt - 1) // 2
                     ok = (npairs >= min_points) & (npairs > 0)

@@ -323,8 +323,12 @@ def set_field_type(df: DataFrame, field: str, new_type: str) -> DataFrame:
             digits = F.regexp_extract(col, r"^\s*([+-]?[0-9]+)", 1)
             as64 = F.when(digits == "", F.lit(0)).otherwise(
                 # beyond-int64 literals clamp (strtoll ERANGE); DECIMAL(38)
-                # carries the magnitude so the comparison is exact
-                F.when(digits.cast("decimal(38,0)") > hi, F.lit(hi))
+                # carries the magnitude so the comparison is exact, and
+                # beyond-38-digit literals (decimal cast -> NULL) clamp
+                # by sign
+                F.when(F.length(F.regexp_replace(digits, r"^[+-]", "")) > 38,
+                       F.when(digits.startswith("-"), F.lit(lo)).otherwise(F.lit(hi)))
+                .when(digits.cast("decimal(38,0)") > hi, F.lit(hi))
                 .when(digits.cast("decimal(38,0)") < lo, F.lit(lo))
                 .otherwise(digits.cast("bigint"))
             )

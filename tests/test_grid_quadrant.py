@@ -272,3 +272,20 @@ def test_average_distance_pts_matches_scalar(spark, kw):
             x, y, z, cx, cy, kw["radius"], kw.get("radius2", kw["radius"]),
             kw.get("angle", 0.0), kw["min_points"], -9.0))
     np.testing.assert_allclose(arr, exp, rtol=0, atol=1e-9)
+
+
+def test_average_distance_pts_blocked_path_matches(spark, monkeypatch):
+    # force the row-blocked D @ M accumulation by dropping the matrix
+    # limit below npts, and require bitwise-equal output to the full
+    # (npts, npts) path
+    import gdal_spark.operators.grid as gridmod
+
+    xs, ys, zs = _pts(60, seed=5)
+    pts = spark.createDataFrame(pd.DataFrame({"x": xs, "y": ys, "z": zs}))
+    dense = grid_points(pts, SPEC16, algo="average_distance_pts", radius=5.0, nodata=-1.0)
+    arr_dense = materialize_full(dense, SPEC16)
+    monkeypatch.setattr(gridmod, "_PAIR_MATRIX_MAX_PTS", 8)
+    blocked = grid_points(pts, SPEC16, algo="average_distance_pts", radius=5.0, nodata=-1.0)
+    arr_blocked = materialize_full(blocked, SPEC16)
+    np.testing.assert_allclose(arr_blocked, arr_dense, rtol=0, atol=1e-12)
+    assert (arr_dense != -1.0).any()

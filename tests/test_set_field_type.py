@@ -60,3 +60,9 @@ def test_same_type_passthrough_and_bad_target(spark):
     assert set_field_type(df, "f", "string") is df
     with pytest.raises(ValueError, match="unsupported target"):
         set_field_type(df, "f", "date")
+
+
+def test_string_to_int_beyond_decimal38(spark):
+    huge = "9" * 45
+    got = _vals(spark, "string", [huge, "-" + huge], "bigint")
+    assert got == [9223372036854775807, -9223372036854775808]
