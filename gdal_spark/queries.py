@@ -8449,3 +8449,72 @@ def _o_weighted_interleave() -> str:
 
 QUERIES["weighted_interleave"] = q_weighted_interleave
 ORACLES["weighted_interleave"] = _o_weighted_interleave()
+
+
+def q_stream_window(spark, sf_dir):
+    """Structured Streaming watermarked event-time windowed aggregation
+    run END TO END: the events table staged as three time-ordered
+    arrival files (days [0,10) / [10,20) / [20,31)), consumed one file
+    per micro-batch, watermarked 3 days (in-file disorder spans 10
+    days of event time, so the watermark admits every late row while
+    the state store still evicts closed windows batch over batch),
+    1-day tumbling windows per event_type, complete-mode memory sink
+    read back after termination. sum(value) x1000 floor-rounded so the
+    oracle's SUM association order cannot flip a bit."""
+    import os
+    import shutil
+    import tempfile
+
+    from gdal_spark.streaming.ingest import stream_docs_from_files
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="gdal_spark_stream_window_")
+    src = os.path.join(tmp, "src")
+    try:
+        day = F.dayofmonth("ts")
+        for lo, hi in ((1, 11), (11, 21), (21, 32)):
+            ev.filter((day >= lo) & (day < hi)).coalesce(1).write.mode("append").parquet(src)
+        stream = stream_docs_from_files(spark, src, ev.schema)
+        # watermarks need TimestampType; the parquet ts is NTZ — session
+        # tz is pinned UTC (session.py), so the reinterpretation is exact
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        agg = (
+            stream.withWatermark("ts", "3 days")
+            .groupBy(F.window(F.col("ts"), "1 day").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        )
+        _STREAM_SEQ[0] += 1
+        name = f"stream_window_sink_{_STREAM_SEQ[0]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = spark.table(name).select(
+            F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.floor(F.col("sv") * 1000 + 0.5).cast("bigint").alias("sv1000"),
+        )
+        out = spark.createDataFrame(
+            res.collect(), "w_start timestamp_ntz, event_type string, n bigint, sv1000 bigint"
+        )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _o_stream_window() -> str:
+    return (
+        "SELECT date_trunc('day', ts) AS w_start, event_type, "
+        "COUNT(*) AS n, CAST(floor(SUM(value) * 1000 + 0.5) AS BIGINT) AS sv1000 "
+        "FROM events GROUP BY 1, 2"
+    )
+
+
+QUERIES["stream_window"] = q_stream_window
+ORACLES["stream_window"] = _o_stream_window()

@@ -133,3 +133,28 @@ class TestStatefulDedup:
         assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
         kept = {r.text: r.doc_id for r in rows}
         assert kept["alpha beta"] == 0  # the FIRST batch's copy won
+
+
+def test_stream_window_query_matches_batch(spark):
+    """q_stream_window (watermarked 1-day tumbling windows, 3
+    time-ordered micro-batches, complete mode) == plain batch agg."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.queries import load, q_stream_window
+    from tests.conftest import SF_DIR
+
+    sf = SF_DIR
+    got = {(r.w_start, r.event_type): (r.n, r.sv1000)
+           for r in q_stream_window(spark, sf).collect()}
+    ev = load(spark, sf, "events")
+    exp = {
+        (r.w_start, r.event_type): (r.n, r.sv1000)
+        for r in ev.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("w_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.floor(F.sum("value") * 1000 + 0.5).cast("bigint").alias("sv1000"))
+        .collect()
+    }
+    assert got == exp
