@@ -105,11 +105,38 @@ def proximity(
     band: int = 1,
     out_dtype: str = "float64",
     squared: bool = False,
+    distunits: str = "PIXEL",
+    fixed_buf_val: float | None = None,
+    use_input_nodata: bool = False,
+    src_nodata: float | None = None,
 ) -> DataFrame:
     """Distance in pixels to the nearest target. Returns a tile table.
     squared=True emits exact integer-valued squared distances (useful
     for bit-exact cross-engine checks; maxdist still compares the
-    euclidean distance)."""
+    euclidean distance).
+
+    The full GDALComputeProximity option set
+    (alg/gdalproximity.cpp:64-92,355-393):
+      distunits="GEO"   distances (and the MAXDIST threshold) in
+                        georeferenced units — multiplier |gt[1]|
+                        (:110-127; the reference only warns on
+                        non-square pixels and still uses |gt1|)
+      fixed_buf_val     every pixel with 0 < dist <= maxdist gets this
+                        value instead of its distance; target pixels
+                        stay 0 (:385-391 — the >0 guard)
+      use_input_nodata  src pixels equal to src_nodata emit the OUTPUT
+                        nodata (:168; they still conduct distances —
+                        the reference gates only the write-back)"""
+    if distunits not in ("PIXEL", "GEO"):
+        raise ValueError("DISTUNITS must be PIXEL or GEO (gdalproximity.cpp:131)")
+    if distunits == "GEO" and squared:
+        raise ValueError("squared distances are a pixel-space debugging aid; no GEO form")
+    if use_input_nodata and src_nodata is None:
+        raise ValueError("use_input_nodata requires src_nodata")
+    distmult = abs(spec.gt[1]) if distunits == "GEO" else 1.0
+    # the reference converts MAXDIST into pixel units before the scan
+    # (gdalproximity.cpp:144)
+    pix_maxdist = None if maxdist is None else maxdist / distmult
     ts = spec.tile_size
     W, H = spec.width, spec.height
     tv = target_values
@@ -136,23 +163,43 @@ def proximity(
         return pd.DataFrame(rows)
 
     rowpass = tiles.groupBy("ty").applyInPandas(_xpass, TILE_SCHEMA)
+    ypass_in = rowpass
+    if use_input_nodata:
+        # ship the src band alongside the row-pass strips (band -2
+        # marker) so the column task can mask nodata pixels in place —
+        # same (tx) exchange, no extra shuffle
+        src_rows = tiles.filter(F.col("band") == band).withColumn("band", F.lit(-2))
+        ypass_in = rowpass.unionByName(src_rows.select([f.name for f in TILE_SCHEMA.fields]))
 
     # phase B: column strips of the row-pass result
     def _ypass(key, pdf: pd.DataFrame) -> pd.DataFrame:
         txx = int(key[0])
         sw = min(ts, W - txx * ts)
         strip = np.full((H, sw), _INF)
+        src_strip = np.zeros((H, sw)) if use_input_nodata else None
         for r in pdf.itertuples(index=False):
+            if int(r.band) == -2:
+                src_strip[r.ty * ts : r.ty * ts + r.h, :] = np.frombuffer(
+                    r.payload, dtype=r.dtype
+                ).reshape(r.h, r.w).astype(np.float64)
+                continue
             strip[r.ty * ts : r.ty * ts + r.h, :] = np.frombuffer(
                 r.payload, dtype=np.float64
             ).reshape(r.h, r.w)
         d2 = _edt_1d(np.ascontiguousarray(strip.T)).T
         d = np.sqrt(np.where(d2 >= _INF, np.inf, d2))
-        if maxdist is not None:
-            d = np.where(d > maxdist, nodata, d)
+        if pix_maxdist is not None:
+            d = np.where(d > pix_maxdist, nodata, d)
         if squared:
             d = np.where(np.isinf(d) | (d == nodata), nodata, np.where(d2 >= _INF, nodata, d2))
         d = np.where(np.isinf(d), nodata, d)
+        inrange = (d != nodata) & (d > 0)
+        if fixed_buf_val is not None:
+            d = np.where(inrange, fixed_buf_val, d)
+        elif distmult != 1.0:
+            d = np.where(inrange, d * distmult, d)
+        if use_input_nodata:
+            d = np.where(src_strip == src_nodata, nodata, d)
         rows = []
         for ty in range(spec.ntiles_y):
             h = min(ts, H - ty * ts)
@@ -163,4 +210,4 @@ def proximity(
             )
         return pd.DataFrame(rows)
 
-    return rowpass.groupBy("tx").applyInPandas(_ypass, TILE_SCHEMA)
+    return ypass_in.groupBy("tx").applyInPandas(_ypass, TILE_SCHEMA)

@@ -8518,3 +8518,48 @@ def _o_stream_window() -> str:
 
 QUERIES["stream_window"] = q_stream_window
 ORACLES["stream_window"] = _o_stream_window()
+
+
+def q_proximity_geo(spark, sf_dir):
+    """GDALComputeProximity full option set
+    (alg/gdalproximity.cpp:64-92): distances from byte20's 107-valued
+    pixels in GEOREFERENCED units (DISTUNITS=GEO, 60 m pixels),
+    MAXDIST=180 m (3 px), USE_INPUT_NODATA masking the raster's
+    99-valued pixels; x1000 floor-rounded, nodata -1 -> -1000. The
+    oracle recomputes every pixel's exact min target distance from the
+    VALUES table (the separable EDT is exact, so a brute-force min
+    join replays it bit-for-bit)."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.proximity import proximity
+    from gdal_spark.operators.raster import as_features
+
+    out = proximity(
+        byte20_tiles(spark), BYTE20_SPEC, target_values=[107],
+        distunits="GEO", maxdist=180.0, nodata=-1.0,
+        use_input_nodata=True, src_nodata=99.0,
+    )
+    pix = as_features(out, BYTE20_SPEC)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("bigint").alias("dist1000"),
+    )
+
+
+def _o_proximity_geo() -> str:
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)), "
+        "tgt AS (SELECT py, px FROM pixels WHERE v = 107), "
+        "d AS (SELECT p.py, p.px, p.v, "
+        "MIN((p.px - t.px) * (p.px - t.px) + (p.py - t.py) * (p.py - t.py)) AS d2 "
+        "FROM pixels p CROSS JOIN tgt t GROUP BY p.py, p.px, p.v) "
+        "SELECT CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px, "
+        "CASE WHEN v = 99 THEN -1000 "
+        "WHEN sqrt(CAST(d2 AS DOUBLE)) > 3.0 THEN -1000 "
+        "ELSE CAST(floor(sqrt(CAST(d2 AS DOUBLE)) * 60.0 * 1000 + 0.5) AS BIGINT) END AS dist1000 "
+        "FROM d"
+    )
+
+
+QUERIES["proximity_geo"] = q_proximity_geo
+ORACLES["proximity_geo"] = _o_proximity_geo()
