@@ -275,8 +275,48 @@ def _horn_xy(p: np.ndarray, ewres: float, nsres: float):
     return x, y
 
 
+def _zt_xy(p: np.ndarray, ewres: float, nsres: float):
+    """Gradient<ZEVENBERGEN_THORNE>::calc (gdaldem_lib.cpp:798): plain
+    W-E / S-N differences over the SIGNED resolutions, before the z/2
+    factor (the reference's z divisor is 2 for ZT, 8 for Horn —
+    :1196)."""
+    d, f = p[1:-1, :-2], p[1:-1, 2:]
+    b, h = p[:-2, 1:-1], p[2:, 1:-1]
+    return (d - f) / ewres, (h - b) / nsres
+
+
+def _grad_zf(alg: str, z: float):
+    if alg == "zevenbergen_thorne":
+        return _zt_xy, z / 2.0
+    if alg == "horn":
+        return _horn_xy, z / 8.0
+    raise ValueError(f"unknown gradient alg {alg!r} (Horn|ZevenbergenThorne)")
+
+
+def hillshade_gradient_kernel(
+    ewres: float, nsres: float, azimuth: float = 315.0, altitude: float = 45.0,
+    z: float = 1.0, alg: str = "zevenbergen_thorne",
+):
+    """GDALHillshadeAlg for an explicit gradient choice
+    (gdaldem_lib.cpp:1015+ templated on GradientAlg): cang =
+    (sin(alt) - (y cos(az) cos(alt) zf - x sin(az) cos(alt) zf)) /
+    sqrt(1 + zf^2 (x^2+y^2)), <= 0 -> 1 else 1 + 254 cang."""
+    grad, zf = _grad_zf(alg, z)
+    az = np.radians(azimuth)
+    alt = np.radians(altitude)
+
+    def k(p: np.ndarray) -> np.ndarray:
+        x, y = grad(p, ewres, nsres)
+        num = np.sin(alt) - (y * np.cos(az) * np.cos(alt) * zf - x * np.sin(az) * np.cos(alt) * zf)
+        cang = 254.0 * num / np.sqrt(1.0 + zf * zf * (x * x + y * y))
+        return np.where(cang <= 0.0, 1.0, 1.0 + cang)
+
+    return k
+
+
 def hillshade_combined_kernel(
-    ewres: float, nsres: float, azimuth: float = 315.0, altitude: float = 45.0, z: float = 1.0
+    ewres: float, nsres: float, azimuth: float = 315.0, altitude: float = 45.0, z: float = 1.0,
+    alg: str = "horn",
 ):
     """gdaldem hillshade -combined (GDALHillshadeCombinedAlg,
     gdaldem_lib.cpp:1151-1181): lambertian shade multiplied into the
@@ -284,10 +324,10 @@ def hillshade_combined_kernel(
     4/pi^2; <= 0 maps to 1, else 1 + 254 * cang."""
     az = np.radians(azimuth)
     alt = np.radians(altitude)
-    zf = z / 8.0
+    grad, zf = _grad_zf(alg, z)
 
     def k(p: np.ndarray) -> np.ndarray:
-        x, y = _horn_xy(p, ewres, nsres)
+        x, y = grad(p, ewres, nsres)
         slope = (x * x + y * y) * zf * zf
         num = np.sin(alt) - (
             y * np.cos(az) * np.cos(alt) * zf - x * np.sin(az) * np.cos(alt) * zf
@@ -300,20 +340,20 @@ def hillshade_combined_kernel(
 
 
 def hillshade_multidirectional_kernel(
-    ewres: float, nsres: float, altitude: float = 45.0, z: float = 1.0
+    ewres: float, nsres: float, altitude: float = 45.0, z: float = 1.0, alg: str = "horn"
 ):
     """gdaldem hillshade -multidirectional (USGS OF 92-422;
     GDALHillshadeMultiDirectionalAlg, gdaldem_lib.cpp:1256-1311):
     aspect-weighted blend of the 225/270/315/360-degree shades, each
     floored at 0; flat cells return 1 + 254 * sin(alt)."""
     alt = np.radians(altitude)
-    zf = z / 8.0
+    grad, zf = _grad_zf(alg, z)
     sin_alt = np.sin(alt)
     cos_alt_z = np.cos(alt) * zf
     cos225 = np.cos(np.radians(225.0))
 
     def k(p: np.ndarray) -> np.ndarray:
-        x, y = _horn_xy(p, ewres, nsres)
+        x, y = grad(p, ewres, nsres)
         xx, yy = x * x, y * y
         xxyy = xx + yy
         v225 = np.maximum(sin_alt + (x - y) * cos225 * cos_alt_z, 0.0)
@@ -333,7 +373,8 @@ def hillshade_multidirectional_kernel(
 
 
 def hillshade_igor_kernel(
-    ewres: float, nsres: float, azimuth: float = 315.0, altitude: float = 45.0, z: float = 1.0
+    ewres: float, nsres: float, azimuth: float = 315.0, altitude: float = 45.0, z: float = 1.0,
+    alg: str = "horn",
 ):
     """gdaldem hillshade -igor (GDALHillshadeIgorAlg,
     gdaldem_lib.cpp:946-1012): shadowness = 1 - slopeStrength *
@@ -341,16 +382,22 @@ def hillshade_igor_kernel(
     signature parity but unused (as in the reference)."""
     del altitude
     az = np.radians(azimuth)
-    zf = z / 8.0
+    grad, zf = _grad_zf(alg, z)
 
     def k(p: np.ndarray) -> np.ndarray:
-        x, y = _horn_xy(p, ewres, nsres)
+        x, y = grad(p, ewres, nsres)
         slope_deg = np.degrees(np.arctan(np.sqrt(x * x + y * y) * zf))
-        a, b, c = p[:-2, :-2], p[:-2, 1:-1], p[:-2, 2:]
-        d, f = p[1:-1, :-2], p[1:-1, 2:]
-        g, h, i = p[2:, :-2], p[2:, 1:-1], p[2:, 2:]
-        dxa = (c + 2 * f + i) - (a + 2 * d + g)
-        dya = (g + 2 * h + i) - (a + 2 * b + c)
+        if alg == "zevenbergen_thorne":
+            # aspect from the plain E-W / S-N differences
+            # (gdaldem_lib.cpp GDALHillshadeIgorAlg ZT branch)
+            dxa = p[1:-1, 2:] - p[1:-1, :-2]
+            dya = p[2:, 1:-1] - p[:-2, 1:-1]
+        else:
+            a, b, c = p[:-2, :-2], p[:-2, 1:-1], p[:-2, 2:]
+            d, f = p[1:-1, :-2], p[1:-1, 2:]
+            g, h, i = p[2:, :-2], p[2:, 1:-1], p[2:, 2:]
+            dxa = (c + 2 * f + i) - (a + 2 * d + g)
+            dya = (g + 2 * h + i) - (a + 2 * b + c)
         aspect = np.arctan2(dya, -dxa)
         target = 1.5 * np.pi - az
         diff = np.abs(np.mod(aspect, 2 * np.pi) - np.mod(target, 2 * np.pi))
@@ -381,8 +428,28 @@ def focal_mean_kernel(size: int = 3):
     return k
 
 
-def slope(tiles: DataFrame, spec: RasterSpec, scale: float = 1.0, degrees: bool = True) -> DataFrame:
-    return focal_apply(tiles, spec, horn_slope_kernel(abs(spec.gt[1]), abs(spec.gt[5]), scale, degrees))
+def zt_slope_kernel(cellsize_x: float, cellsize_y: float, scale: float = 1.0, degrees: bool = True):
+    """Zevenbergen-Thorne slope (gdaldem_lib.cpp:1390
+    GDALSlopeZevenbergenThorneAlg): plain central differences over the
+    4-neighborhood, slope = atan(sqrt(dx^2+dy^2) * 0.5)."""
+
+    def k(p: np.ndarray) -> np.ndarray:
+        d, f = p[1:-1, :-2], p[1:-1, 2:]
+        b, h = p[:-2, 1:-1], p[2:, 1:-1]
+        dx = (d - f) / (cellsize_x * scale)
+        dy = (h - b) / (cellsize_y * scale)
+        slope = np.arctan(np.sqrt(dx * dx + dy * dy) * 0.5)
+        return np.degrees(slope) if degrees else slope
+
+    return k
+
+
+def slope(tiles: DataFrame, spec: RasterSpec, scale: float = 1.0, degrees: bool = True,
+          alg: str = "horn") -> DataFrame:
+    """alg: horn (default) | zevenbergen_thorne (gdaldem -alg,
+    gdaldem_lib.cpp:3067)."""
+    kf = zt_slope_kernel if alg == "zevenbergen_thorne" else horn_slope_kernel
+    return focal_apply(tiles, spec, kf(abs(spec.gt[1]), abs(spec.gt[5]), scale, degrees))
 
 
 def hillshade(
@@ -392,17 +459,23 @@ def hillshade(
     altitude: float = 45.0,
     variant: str = "regular",
     z: float = 1.0,
+    alg: str = "horn",
 ) -> DataFrame:
     """variant: regular | combined | multidirectional | igor
-    (gdaldem hillshade's four shading modes)."""
+    (gdaldem hillshade's four shading modes); alg: horn |
+    zevenbergen_thorne (gdaldem -alg — ZT gradients carry the z/2
+    factor, Horn z/8)."""
     if variant == "regular":
-        k = hillshade_kernel(abs(spec.gt[1]), abs(spec.gt[5]), azimuth, altitude, z)
+        if alg == "zevenbergen_thorne":
+            k = hillshade_gradient_kernel(spec.gt[1], spec.gt[5], azimuth, altitude, z, alg)
+        else:
+            k = hillshade_kernel(abs(spec.gt[1]), abs(spec.gt[5]), azimuth, altitude, z)
     elif variant == "combined":
-        k = hillshade_combined_kernel(spec.gt[1], spec.gt[5], azimuth, altitude, z)
+        k = hillshade_combined_kernel(spec.gt[1], spec.gt[5], azimuth, altitude, z, alg)
     elif variant == "multidirectional":
-        k = hillshade_multidirectional_kernel(spec.gt[1], spec.gt[5], altitude, z)
+        k = hillshade_multidirectional_kernel(spec.gt[1], spec.gt[5], altitude, z, alg)
     elif variant == "igor":
-        k = hillshade_igor_kernel(spec.gt[1], spec.gt[5], azimuth, altitude, z)
+        k = hillshade_igor_kernel(spec.gt[1], spec.gt[5], azimuth, altitude, z, alg)
     else:
         raise ValueError(f"unknown hillshade variant {variant!r}")
     return focal_apply(tiles, spec, k)
@@ -489,8 +562,30 @@ def roughness_kernel():
     return k
 
 
-def aspect(tiles: DataFrame, spec: RasterSpec, angle_as_azimuth: bool = True) -> DataFrame:
-    return focal_apply(tiles, spec, aspect_kernel(angle_as_azimuth))
+def zt_aspect_kernel(angle_as_azimuth: bool = True, nodata: float = -9999.0):
+    """GDALAspectZevenbergenThorneAlg (gdaldem_lib.cpp:1482): plain
+    E-W / S-N differences; flat -> nodata; azimuth flip; exact-360
+    wraps to 0 (the reference applies the wrap in this variant)."""
+
+    def k(p: np.ndarray) -> np.ndarray:
+        dx = p[1:-1, 2:] - p[1:-1, :-2]
+        dy = p[2:, 1:-1] - p[:-2, 1:-1]
+        asp = np.degrees(np.arctan2(dy, -dx))
+        if angle_as_azimuth:
+            asp = np.where(asp > 90.0, 450.0 - asp, 90.0 - asp)
+        else:
+            asp = np.where(asp < 0.0, asp + 360.0, asp)
+        asp = np.where(asp == 360.0, 0.0, asp)
+        asp = np.where((dx == 0) & (dy == 0), nodata, asp)
+        return asp
+
+    return k
+
+
+def aspect(tiles: DataFrame, spec: RasterSpec, angle_as_azimuth: bool = True,
+           alg: str = "horn") -> DataFrame:
+    kf = zt_aspect_kernel if alg == "zevenbergen_thorne" else aspect_kernel
+    return focal_apply(tiles, spec, kf(angle_as_azimuth))
 
 
 def tpi(tiles: DataFrame, spec: RasterSpec) -> DataFrame:

@@ -8563,3 +8563,75 @@ def _o_proximity_geo() -> str:
 
 QUERIES["proximity_geo"] = q_proximity_geo
 ORACLES["proximity_geo"] = _o_proximity_geo()
+
+
+def q_dem_zt(spark, sf_dir):
+    """gdaldem -alg ZevenbergenThorne (gdaldem_lib.cpp:1390 slope,
+    :1482 aspect, Gradient<ZT> :798 hillshade with the z/2 factor):
+    the three ZT derivatives over byte20, x1000 quantized — a Horn/ZT
+    mixup, a wrong z divisor, or a dropped flat-cell rule all shift
+    values."""
+    import dataclasses
+
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.focal import aspect, hillshade, slope
+    from gdal_spark.operators.raster import as_features
+
+    fspec = dataclasses.replace(BYTE20_SPEC, dtype="float64")
+    t = byte20_tiles(spark)
+
+    def pix(df, name):
+        return as_features(df, fspec).select(
+            "py", "px", F.floor(F.col("value") * 1000 + 0.5).cast("bigint").alias(name))
+
+    s = pix(slope(t, fspec, alg="zevenbergen_thorne"), "slope1000")
+    a = pix(aspect(t, fspec, alg="zevenbergen_thorne"), "aspect1000")
+    h = pix(hillshade(t, fspec, z=2.0, alg="zevenbergen_thorne"), "shade1000")
+    out = s.join(a, ["py", "px"]).join(h, ["py", "px"])
+    return out.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        "slope1000", "aspect1000", "shade1000",
+    )
+
+
+def _o_dem_zt() -> str:
+    def nb(dy: int, dx: int) -> str:
+        return (
+            "(SELECT CAST(q.v AS DOUBLE) FROM pixels q "
+            f"WHERE q.py = LEAST(GREATEST(p.py + ({dy}), 0), 19) "
+            f"AND q.px = LEAST(GREATEST(p.px + ({dx}), 0), 19))"
+        )
+
+    b, d_, f, h = nb(-1, 0), nb(0, -1), nb(0, 1), nb(1, 0)
+    # slope: dx=(W-E)/60, dy=(S-N)/-60; atan(sqrt(key)*0.5)
+    sdx = f"((({d_}) - ({f})) / 60.0)"
+    sdy = f"((({h}) - ({b})) / 60.0)"
+    slope = f"degrees(atan(sqrt(({sdx}) * ({sdx}) + ({sdy}) * ({sdy})) * 0.5))"
+    # aspect: dx=E-W, dy=S-N, atan2(dy,-dx), azimuth flip, flat -> -9999
+    adx = f"(({f}) - ({d_}))"
+    ady = f"(({h}) - ({b}))"
+    araw = f"degrees(atan2({ady}, -({adx})))"
+    asp = (f"CASE WHEN {adx} = 0 AND {ady} = 0 THEN -9999.0 "
+           f"WHEN {araw} > 90.0 THEN (CASE WHEN 450.0 - {araw} = 360.0 THEN 0.0 ELSE 450.0 - {araw} END) "
+           f"ELSE (CASE WHEN 90.0 - {araw} = 360.0 THEN 0.0 ELSE 90.0 - {araw} END) END")
+    # hillshade regular: x=(W-E)/ewres, y=(S-N)/nsres (SIGNED: 60 / -60),
+    # zf = z/2 = 1.0, az=315, alt=45
+    hx = f"((({d_}) - ({f})) / 60.0)"
+    hy = f"((({h}) - ({b})) / -60.0)"
+    azr, altr = "radians(315.0)", "radians(45.0)"
+    num = f"(sin({altr}) - (({hy}) * cos({azr}) * cos({altr}) * 1.0 - ({hx}) * sin({azr}) * cos({altr}) * 1.0))"
+    cang = f"(254.0 * {num} / sqrt(1.0 + 1.0 * (({hx}) * ({hx}) + ({hy}) * ({hy}))))"
+    shade = f"(CASE WHEN {cang} <= 0.0 THEN 1.0 ELSE 1.0 + {cang} END)"
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)) "
+        "SELECT CAST(p.py AS BIGINT) AS py, CAST(p.px AS BIGINT) AS px, "
+        f"CAST(floor(({slope}) * 1000 + 0.5) AS BIGINT) AS slope1000, "
+        f"CAST(floor(({asp}) * 1000 + 0.5) AS BIGINT) AS aspect1000, "
+        f"CAST(floor(({shade}) * 1000 + 0.5) AS BIGINT) AS shade1000 "
+        "FROM pixels p"
+    )
+
+
+QUERIES["dem_zt"] = q_dem_zt
+ORACLES["dem_zt"] = _o_dem_zt()
