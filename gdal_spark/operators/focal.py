@@ -218,9 +218,11 @@ def focal_apply(
 # kernels (numpy, reference formulas)
 
 
-def horn_slope_kernel(cellsize_x: float, cellsize_y: float, scale: float = 1.0, degrees: bool = True):
+def horn_slope_kernel(cellsize_x: float, cellsize_y: float, scale: float = 1.0,
+                      degrees: bool = True, percent: bool = False):
     """Horn's method (gdaldem_lib.cpp GDALSlopeHornAlg): 3x3 weighted
-    central differences; slope = atan(sqrt(dx^2+dy^2))."""
+    central differences; slope = atan(sqrt(dx^2+dy^2)), or with
+    `gdaldem slope -p` 100*sqrt(dx^2+dy^2) (gdaldem_lib.cpp:1386)."""
 
     def k(p: np.ndarray) -> np.ndarray:
         a, b, c = p[:-2, :-2], p[:-2, 1:-1], p[:-2, 2:]
@@ -231,6 +233,8 @@ def horn_slope_kernel(cellsize_x: float, cellsize_y: float, scale: float = 1.0, 
         # sqrt of the squared sum, NOT np.hypot: the reference computes
         # atan(sqrt(x*x + y*y)) (GDALSlopeHornAlg) and the two can
         # differ in the last ulp
+        if percent:
+            return 100.0 * np.sqrt(dzdx * dzdx + dzdy * dzdy)
         slope = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
         return np.degrees(slope) if degrees else slope
 
@@ -428,7 +432,8 @@ def focal_mean_kernel(size: int = 3):
     return k
 
 
-def zt_slope_kernel(cellsize_x: float, cellsize_y: float, scale: float = 1.0, degrees: bool = True):
+def zt_slope_kernel(cellsize_x: float, cellsize_y: float, scale: float = 1.0,
+                    degrees: bool = True, percent: bool = False):
     """Zevenbergen-Thorne slope (gdaldem_lib.cpp:1390
     GDALSlopeZevenbergenThorneAlg): plain central differences over the
     4-neighborhood, slope = atan(sqrt(dx^2+dy^2) * 0.5)."""
@@ -438,6 +443,9 @@ def zt_slope_kernel(cellsize_x: float, cellsize_y: float, scale: float = 1.0, de
         b, h = p[:-2, 1:-1], p[2:, 1:-1]
         dx = (d - f) / (cellsize_x * scale)
         dy = (h - b) / (cellsize_y * scale)
+        if percent:
+            # (100/2) * sqrt(key) (gdaldem_lib.cpp:1406)
+            return 50.0 * np.sqrt(dx * dx + dy * dy)
         slope = np.arctan(np.sqrt(dx * dx + dy * dy) * 0.5)
         return np.degrees(slope) if degrees else slope
 
@@ -445,11 +453,13 @@ def zt_slope_kernel(cellsize_x: float, cellsize_y: float, scale: float = 1.0, de
 
 
 def slope(tiles: DataFrame, spec: RasterSpec, scale: float = 1.0, degrees: bool = True,
-          alg: str = "horn") -> DataFrame:
+          alg: str = "horn", percent: bool = False) -> DataFrame:
     """alg: horn (default) | zevenbergen_thorne (gdaldem -alg,
-    gdaldem_lib.cpp:3067)."""
+    gdaldem_lib.cpp:3067); percent replicates `gdaldem slope -p`
+    (slopeFormat 0, gdaldem_lib.cpp:1386,1406 — 100*tan form)."""
     kf = zt_slope_kernel if alg == "zevenbergen_thorne" else horn_slope_kernel
-    return focal_apply(tiles, spec, kf(abs(spec.gt[1]), abs(spec.gt[5]), scale, degrees))
+    return focal_apply(
+        tiles, spec, kf(abs(spec.gt[1]), abs(spec.gt[5]), scale, degrees, percent))
 
 
 def hillshade(
@@ -583,9 +593,13 @@ def zt_aspect_kernel(angle_as_azimuth: bool = True, nodata: float = -9999.0):
 
 
 def aspect(tiles: DataFrame, spec: RasterSpec, angle_as_azimuth: bool = True,
-           alg: str = "horn") -> DataFrame:
+           alg: str = "horn", zero_for_flat: bool = False) -> DataFrame:
+    """zero_for_flat replicates `gdaldem aspect -zero_for_flat`
+    (gdaldem_lib.cpp:3290,3921): dst nodata is left unset so flat
+    cells receive the default 0.0 instead of -9999."""
     kf = zt_aspect_kernel if alg == "zevenbergen_thorne" else aspect_kernel
-    return focal_apply(tiles, spec, kf(angle_as_azimuth))
+    nodata = 0.0 if zero_for_flat else -9999.0
+    return focal_apply(tiles, spec, kf(angle_as_azimuth, nodata))
 
 
 def tpi(tiles: DataFrame, spec: RasterSpec) -> DataFrame:

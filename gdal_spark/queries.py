@@ -8635,3 +8635,71 @@ def _o_dem_zt() -> str:
 
 QUERIES["dem_zt"] = q_dem_zt
 ORACLES["dem_zt"] = _o_dem_zt()
+
+
+def q_dem_slope_opts(spark, sf_dir):
+    """gdaldem slope -p (percent, Horn and ZevenbergenThorne forms —
+    gdaldem_lib.cpp:1386,1406) and aspect -zero_for_flat
+    (gdaldem_lib.cpp:3290,3921: flat cells get 0.0 instead of the
+    -9999 nodata) over byte20, x1000 quantized."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.focal import aspect, slope
+    from gdal_spark.operators.raster import as_features
+
+    src = byte20_tiles(spark)
+
+    def pix(df, name):
+        p = as_features(df, BYTE20_SPEC)
+        return p.select(
+            "py", "px", F.floor(F.col("value") * 1000 + 0.5).cast("bigint").alias(name)
+        )
+
+    out = (
+        pix(slope(src, BYTE20_SPEC, percent=True), "hpct1000")
+        .join(pix(slope(src, BYTE20_SPEC, percent=True, alg="zevenbergen_thorne"),
+                  "ztpct1000"), ["py", "px"])
+        .join(pix(aspect(src, BYTE20_SPEC, alg="zevenbergen_thorne",
+                         zero_for_flat=True), "ztasp1000"), ["py", "px"])
+    )
+    return out.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        "hpct1000", "ztpct1000", "ztasp1000",
+    )
+
+
+def _o_dem_slope_opts() -> str:
+    def nb(dy: int, dx: int) -> str:
+        return (
+            "(SELECT CAST(q.v AS DOUBLE) FROM pixels q "
+            f"WHERE q.py = LEAST(GREATEST(p.py + ({dy}), 0), 19) "
+            f"AND q.px = LEAST(GREATEST(p.px + ({dx}), 0), 19))"
+        )
+
+    a, b, c = nb(-1, -1), nb(-1, 0), nb(-1, 1)
+    d_, f = nb(0, -1), nb(0, 1)
+    g, h, i = nb(1, -1), nb(1, 0), nb(1, 1)
+    hdx = f"(((({c}) + 2 * ({f}) + ({i})) - (({a}) + 2 * ({d_}) + ({g}))) / 480.0)"
+    hdy = f"(((({g}) + 2 * ({h}) + ({i})) - (({a}) + 2 * ({b}) + ({c}))) / 480.0)"
+    hpct = f"(100.0 * sqrt(({hdx}) * ({hdx}) + ({hdy}) * ({hdy})))"
+    zdx = f"(((({d_}) - ({f}))) / 60.0)"
+    zdy = f"(((({h}) - ({b}))) / 60.0)"
+    ztpct = f"(50.0 * sqrt(({zdx}) * ({zdx}) + ({zdy}) * ({zdy})))"
+    adx = f"(({f}) - ({d_}))"
+    ady = f"(({h}) - ({b}))"
+    araw = f"degrees(atan2({ady}, -({adx})))"
+    zasp = (f"CASE WHEN {adx} = 0 AND {ady} = 0 THEN 0.0 "
+            f"WHEN {araw} > 90.0 THEN (CASE WHEN 450.0 - {araw} = 360.0 THEN 0.0 ELSE 450.0 - {araw} END) "
+            f"ELSE (CASE WHEN 90.0 - {araw} = 360.0 THEN 0.0 ELSE 90.0 - {araw} END) END")
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)) "
+        "SELECT CAST(p.py AS BIGINT) AS py, CAST(p.px AS BIGINT) AS px, "
+        f"CAST(floor(({hpct}) * 1000 + 0.5) AS BIGINT) AS hpct1000, "
+        f"CAST(floor(({ztpct}) * 1000 + 0.5) AS BIGINT) AS ztpct1000, "
+        f"CAST(floor(({zasp}) * 1000 + 0.5) AS BIGINT) AS ztasp1000 "
+        "FROM pixels p"
+    )
+
+
+QUERIES["dem_slope_opts"] = q_dem_slope_opts
+ORACLES["dem_slope_opts"] = _o_dem_slope_opts()
