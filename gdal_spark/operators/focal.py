@@ -180,16 +180,82 @@ def assemble_padded(
     return padded, h, w
 
 
+def apply_edge_rule(
+    out: np.ndarray,
+    padded: np.ndarray,
+    kernel: Callable[[np.ndarray], np.ndarray],
+    spec,
+    ty: int,
+    tx: int,
+    edges: str,
+    edge_nodata: float,
+) -> np.ndarray:
+    """Rewrite this tile's raster-boundary output rows/cols per the
+    gdaldem edge rule (GDALGeneric3x3Processing,
+    gdaldem_lib.cpp:461-760). edges="nodata" is the reference default
+    (border pixels = dst nodata); edges="interpol" is -compute_edges:
+    the missing window cells extrapolate linearly (INTERPOL = 2a - b,
+    gdaldem_lib.cpp:292) — vertically for the top/bottom output rows
+    (side cells column-clamped), horizontally for the left/right
+    output columns of interior rows. Top/bottom own the corners, so
+    they are applied last. Only tiles touching the raster boundary do
+    extra work; everything stays O(perimeter)."""
+    top, bot = ty == 0, ty == spec.ntiles_y - 1
+    lef, rig = tx == 0, tx == spec.ntiles_x - 1
+    if not (top or bot or lef or rig):
+        return out
+    if edges == "nodata":
+        if top:
+            out[0, :] = edge_nodata
+        if bot:
+            out[-1, :] = edge_nodata
+        if lef:
+            out[:, 0] = edge_nodata
+        if rig:
+            out[:, -1] = edge_nodata
+        return out
+    if spec.width < 2 or spec.height < 2:
+        raise ValueError("edges='interpol' needs a raster of at least 2x2")
+    if lef:
+        strip = padded[:, 0:3].copy()
+        strip[:, 0] = 2.0 * strip[:, 1] - strip[:, 2]
+        out[:, 0] = kernel(strip)[:, 0]
+    if rig:
+        strip = padded[:, -3:].copy()
+        strip[:, 2] = 2.0 * strip[:, 1] - strip[:, 0]
+        out[:, -1] = kernel(strip)[:, 0]
+    if top:
+        strip = padded[0:3, :].copy()
+        strip[0, :] = 2.0 * strip[1, :] - strip[2, :]
+        out[0, :] = kernel(strip)[0, :]
+    if bot:
+        strip = padded[-3:, :].copy()
+        strip[2, :] = 2.0 * strip[1, :] - strip[0, :]
+        out[-1, :] = kernel(strip)[0, :]
+    return out
+
+
 def focal_apply(
     tiles: DataFrame,
     spec: RasterSpec,
     kernel: Callable[[np.ndarray], np.ndarray],
     halo: int = 1,
     out_dtype: str = "float64",
+    edges: str = "replicate",
+    edge_nodata: float = -9999.0,
 ) -> DataFrame:
     """Apply kernel(padded)->(h,w) per tile after halo reassembly.
-    `padded` is (h+2*halo, w+2*halo) with edge replication at the
-    raster boundary (the gdaldem edge rule)."""
+    `padded` is (h+2*halo, w+2*halo). edges: "replicate" (this repo's
+    default — raster-boundary pads replicate the edge pixel, matching
+    the driver oracles' LEAST/GREATEST clamp), "interpol" (`gdaldem
+    -compute_edges`: INTERPOL 2a-b linear extrapolation,
+    gdaldem_lib.cpp:292,461) or "nodata" (the reference DEFAULT when
+    -compute_edges is absent: border pixels = edge_nodata,
+    gdaldem_lib.cpp:488-502). The last two require halo == 1."""
+    if edges not in ("replicate", "interpol", "nodata"):
+        raise ValueError(f"unknown edges mode {edges!r}")
+    if edges != "replicate" and halo != 1:
+        raise ValueError("edges='interpol'/'nodata' require halo=1 (3x3 kernels)")
     exploded = _halo_explode(tiles, halo)
 
     def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -206,6 +272,8 @@ def focal_apply(
             )
         padded, h, w = asm
         out = kernel(padded)
+        if edges != "replicate":
+            out = apply_edge_rule(out, padded, kernel, spec, tyy, txx, edges, edge_nodata)
         return pd.DataFrame(
             [{"band": band, "ty": tyy, "tx": txx, "h": h, "w": w,
               "dtype": out_dtype, "payload": out.astype(out_dtype).tobytes()}]
@@ -453,13 +521,16 @@ def zt_slope_kernel(cellsize_x: float, cellsize_y: float, scale: float = 1.0,
 
 
 def slope(tiles: DataFrame, spec: RasterSpec, scale: float = 1.0, degrees: bool = True,
-          alg: str = "horn", percent: bool = False) -> DataFrame:
+          alg: str = "horn", percent: bool = False,
+          edges: str = "replicate") -> DataFrame:
     """alg: horn (default) | zevenbergen_thorne (gdaldem -alg,
     gdaldem_lib.cpp:3067); percent replicates `gdaldem slope -p`
-    (slopeFormat 0, gdaldem_lib.cpp:1386,1406 — 100*tan form)."""
+    (slopeFormat 0, gdaldem_lib.cpp:1386,1406 — 100*tan form);
+    edges: see focal_apply (dst nodata -9999, gdaldem_lib.cpp:3901)."""
     kf = zt_slope_kernel if alg == "zevenbergen_thorne" else horn_slope_kernel
     return focal_apply(
-        tiles, spec, kf(abs(spec.gt[1]), abs(spec.gt[5]), scale, degrees, percent))
+        tiles, spec, kf(abs(spec.gt[1]), abs(spec.gt[5]), scale, degrees, percent),
+        edges=edges, edge_nodata=-9999.0)
 
 
 def hillshade(
@@ -470,6 +541,7 @@ def hillshade(
     variant: str = "regular",
     z: float = 1.0,
     alg: str = "horn",
+    edges: str = "replicate",
 ) -> DataFrame:
     """variant: regular | combined | multidirectional | igor
     (gdaldem hillshade's four shading modes); alg: horn |
@@ -488,7 +560,7 @@ def hillshade(
         k = hillshade_igor_kernel(spec.gt[1], spec.gt[5], azimuth, altitude, z, alg)
     else:
         raise ValueError(f"unknown hillshade variant {variant!r}")
-    return focal_apply(tiles, spec, k)
+    return focal_apply(tiles, spec, k, edges=edges, edge_nodata=0.0)
 
 
 def focal_mean(tiles: DataFrame, spec: RasterSpec, size: int = 3) -> DataFrame:
@@ -593,25 +665,28 @@ def zt_aspect_kernel(angle_as_azimuth: bool = True, nodata: float = -9999.0):
 
 
 def aspect(tiles: DataFrame, spec: RasterSpec, angle_as_azimuth: bool = True,
-           alg: str = "horn", zero_for_flat: bool = False) -> DataFrame:
+           alg: str = "horn", zero_for_flat: bool = False,
+           edges: str = "replicate") -> DataFrame:
     """zero_for_flat replicates `gdaldem aspect -zero_for_flat`
     (gdaldem_lib.cpp:3290,3921): dst nodata is left unset so flat
     cells receive the default 0.0 instead of -9999."""
     kf = zt_aspect_kernel if alg == "zevenbergen_thorne" else aspect_kernel
     nodata = 0.0 if zero_for_flat else -9999.0
-    return focal_apply(tiles, spec, kf(angle_as_azimuth, nodata))
+    return focal_apply(tiles, spec, kf(angle_as_azimuth, nodata),
+                       edges=edges, edge_nodata=nodata)
 
 
-def tpi(tiles: DataFrame, spec: RasterSpec) -> DataFrame:
-    return focal_apply(tiles, spec, tpi_kernel())
+def tpi(tiles: DataFrame, spec: RasterSpec, edges: str = "replicate") -> DataFrame:
+    return focal_apply(tiles, spec, tpi_kernel(), edges=edges, edge_nodata=-9999.0)
 
 
-def tri(tiles: DataFrame, spec: RasterSpec, alg: str = "Wilson") -> DataFrame:
-    return focal_apply(tiles, spec, tri_kernel(alg))
+def tri(tiles: DataFrame, spec: RasterSpec, alg: str = "Wilson",
+        edges: str = "replicate") -> DataFrame:
+    return focal_apply(tiles, spec, tri_kernel(alg), edges=edges, edge_nodata=-9999.0)
 
 
-def roughness(tiles: DataFrame, spec: RasterSpec) -> DataFrame:
-    return focal_apply(tiles, spec, roughness_kernel())
+def roughness(tiles: DataFrame, spec: RasterSpec, edges: str = "replicate") -> DataFrame:
+    return focal_apply(tiles, spec, roughness_kernel(), edges=edges, edge_nodata=-9999.0)
 
 
 # ---------------------------------------------------------------------------

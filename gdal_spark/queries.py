@@ -8703,3 +8703,66 @@ def _o_dem_slope_opts() -> str:
 
 QUERIES["dem_slope_opts"] = q_dem_slope_opts
 ORACLES["dem_slope_opts"] = _o_dem_slope_opts()
+
+
+def q_dem_edges(spark, sf_dir):
+    """gdaldem slope -compute_edges (gdaldem_lib.cpp:461-760): raster
+    border pixels computed with INTERPOL (2a-b) extrapolated window
+    cells — vertical for the top/bottom rows (side columns clamped),
+    horizontal for interior-row left/right columns; x1000 quantized.
+    The oracle replays the full position-dependent window rule in SQL."""
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.operators.focal import slope
+    from gdal_spark.operators.raster import as_features
+
+    out = slope(byte20_tiles(spark), BYTE20_SPEC, edges="interpol")
+    pix = as_features(out, BYTE20_SPEC)
+    return pix.select(
+        F.col("py").cast("bigint").alias("py"),
+        F.col("px").cast("bigint").alias("px"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("bigint").alias("slope1000"),
+    )
+
+
+def _o_dem_edges() -> str:
+    def v(py: str, px: str) -> str:
+        return ("(SELECT CAST(q.v AS DOUBLE) FROM pixels q "
+                f"WHERE q.py = ({py}) AND q.px = ({px}))")
+
+    def cell(dy: int, dx: int) -> str:
+        # clamped column for the top/bottom-row branches
+        cc = f"LEAST(GREATEST(p.px + ({dx}), 0), 19)"
+        top_v = (f"(2.0 * ({v('0', cc)}) - ({v('1', cc)}))" if dy == -1
+                 else v(str(dy), cc))
+        bot_v = (f"(2.0 * ({v('19', cc)}) - ({v('18', cc)}))" if dy == 1
+                 else v(f"19 + ({dy})", cc))
+        row = f"p.py + ({dy})"
+        if dx == 0:
+            mid_v = v(row, "p.px")
+        else:
+            lef = f"(2.0 * ({v(row, '0')}) - ({v(row, '1')}))"
+            rig = f"(2.0 * ({v(row, '19')}) - ({v(row, '18')}))"
+            gen = v(row, f"p.px + ({dx})")
+            if dx == -1:
+                mid_v = f"(CASE WHEN p.px = 0 THEN {lef} ELSE {gen} END)"
+            else:
+                mid_v = f"(CASE WHEN p.px = 19 THEN {rig} ELSE {gen} END)"
+        return (f"(CASE WHEN p.py = 0 THEN {top_v} "
+                f"WHEN p.py = 19 THEN {bot_v} "
+                f"ELSE {mid_v} END)")
+
+    a, b, c = cell(-1, -1), cell(-1, 0), cell(-1, 1)
+    d_, f = cell(0, -1), cell(0, 1)
+    g, h, i = cell(1, -1), cell(1, 0), cell(1, 1)
+    dzdx = f"((({c}) + 2 * ({f}) + ({i})) - (({a}) + 2 * ({d_}) + ({g}))) / 480.0"
+    dzdy = f"((({g}) + 2 * ({h}) + ({i})) - (({a}) + 2 * ({b}) + ({c}))) / 480.0"
+    return (
+        f"WITH pixels AS (SELECT * FROM (VALUES {_byte20_vals_sql()}) AS t(py, px, v)) "
+        "SELECT CAST(p.py AS BIGINT) AS py, CAST(p.px AS BIGINT) AS px, "
+        f"CAST(floor(degrees(atan(sqrt(({dzdx}) * ({dzdx}) + ({dzdy}) * ({dzdy})))) * 1000 + 0.5) AS BIGINT) AS slope1000 "
+        "FROM pixels p"
+    )
+
+
+QUERIES["dem_edges"] = q_dem_edges
+ORACLES["dem_edges"] = _o_dem_edges()
