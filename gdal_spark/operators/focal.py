@@ -612,9 +612,10 @@ def tpi_kernel():
     return k
 
 
-def tri_kernel(alg: str = "Wilson"):
-    """GDALTRIAlgWilson: mean |neighbor - center|; Riley: sqrt of the
-    sum of squared differences."""
+def tri_kernel(alg: str = "Riley"):
+    """GDALTRIAlgRiley (the reference DEFAULT, gdaldem_lib.cpp:175):
+    sqrt of the sum of squared differences; Wilson (-alg Wilson):
+    mean |neighbor - center|."""
 
     def k(p: np.ndarray) -> np.ndarray:
         ctr = p[1:-1, 1:-1]
@@ -680,8 +681,10 @@ def tpi(tiles: DataFrame, spec: RasterSpec, edges: str = "replicate") -> DataFra
     return focal_apply(tiles, spec, tpi_kernel(), edges=edges, edge_nodata=-9999.0)
 
 
-def tri(tiles: DataFrame, spec: RasterSpec, alg: str = "Wilson",
+def tri(tiles: DataFrame, spec: RasterSpec, alg: str = "Riley",
         edges: str = "replicate") -> DataFrame:
+    """Reference default is Riley (gdaldem_lib.cpp:175 eTRIAlg =
+    TRIAlg::RILEY); pass alg="Wilson" for -alg Wilson."""
     return focal_apply(tiles, spec, tri_kernel(alg), edges=edges, edge_nodata=-9999.0)
 
 

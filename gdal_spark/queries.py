@@ -3073,7 +3073,7 @@ def q_dem_derivatives(spark, sf_dir):
     out = (
         pix(aspect_kernel(), "aspect1000")
         .join(pix(tpi_kernel(), "tpi1000"), ["py", "px"])
-        .join(pix(tri_kernel(), "tri1000"), ["py", "px"])
+        .join(pix(tri_kernel("Wilson"), "tri1000"), ["py", "px"])
         .join(pix(roughness_kernel(), "rough1000"), ["py", "px"])
     )
     return out.select(
