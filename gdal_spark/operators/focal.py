@@ -164,19 +164,34 @@ def assemble_padded(
                 padded[ys, xs] = init
                 sides.add((dy, dx))
     # raster-boundary edge rule (gdaldem edge replication) applied
-    # AFTER strip placement: a missing top neighbor replicates the
-    # first interior row ACROSS the full padded width, so corner
-    # cells above an existing side neighbor pick up that
-    # neighbor's replicated value, exactly like padding the whole
-    # raster at once
-    if (-1, 0) not in sides:
-        padded[0:halo, :] = padded[halo : halo + 1, :]
-    if (1, 0) not in sides:
-        padded[halo + h :, :] = padded[halo + h - 1 : halo + h, :]
-    if (0, -1) not in sides:
-        padded[:, 0:halo] = padded[:, halo : halo + 1]
-    if (0, 1) not in sides:
-        padded[:, halo + w :] = padded[:, halo + w - 1 : halo + w]
+    # AFTER strip placement: pad rows/cols beyond the RASTER extent
+    # replicate the outermost real row/col across the full padded
+    # width/height, so corner cells above an existing side neighbor
+    # pick up that neighbor's replicated value, exactly like padding
+    # the whole raster at once. With spec the number of REAL pad
+    # rows/cols per side comes from the raster extent, which also
+    # covers remainder neighbor tiles SMALLER than the halo (their
+    # piece fills part of the block; the rest replicates it) — the
+    # sides-based fallback assumes neighbor tiles >= halo.
+    if sparse_aware:
+        y0, x0 = ty * spec.tile_size, tx * spec.tile_size
+        at = min(halo, y0)
+        ab = min(halo, spec.height - (y0 + h))
+        al = min(halo, x0)
+        ar = min(halo, spec.width - (x0 + w))
+    else:
+        at = halo if (-1, 0) in sides else 0
+        ab = halo if (1, 0) in sides else 0
+        al = halo if (0, -1) in sides else 0
+        ar = halo if (0, 1) in sides else 0
+    if at < halo:
+        padded[0 : halo - at, :] = padded[halo - at : halo - at + 1, :]
+    if ab < halo:
+        padded[halo + h + ab :, :] = padded[halo + h + ab - 1 : halo + h + ab, :]
+    if al < halo:
+        padded[:, 0 : halo - al] = padded[:, halo - al : halo - al + 1]
+    if ar < halo:
+        padded[:, halo + w + ar :] = padded[:, halo + w + ar - 1 : halo + w + ar]
     return padded, h, w
 
 
@@ -592,6 +607,13 @@ def aspect_kernel(angle_as_azimuth: bool = True, nodata: float = -9999.0):
         asp = np.degrees(np.arctan2(dy, -dx))
         if angle_as_azimuth:
             asp = np.where(asp > 90.0, 450.0 - asp, 90.0 - asp)
+        else:
+            # -trigonometric keeps math convention but still 0..360
+            asp = np.where(asp < 0.0, asp + 360.0, asp)
+        # the ==360 wrap sits OUTSIDE the branch in the reference
+        # (gdaldem_lib.cpp GDALAspectAlg tail) — reachable in the trig
+        # branch when a tiny negative angle rounds to 360.0
+        asp = np.where(asp == 360.0, 0.0, asp)
         asp = np.where((dx == 0) & (dy == 0), nodata, asp)
         return asp
 

@@ -176,7 +176,10 @@ def proximity(
         txx = int(key[0])
         sw = min(ts, W - txx * ts)
         strip = np.full((H, sw), _INF)
-        src_strip = np.zeros((H, sw)) if use_input_nodata else None
+        # absent sparse tiles act init-valued (repo-wide convention)
+        src_strip = (
+            np.full((H, sw), float(spec.init or 0.0)) if use_input_nodata else None
+        )
         for r in pdf.itertuples(index=False):
             if int(r.band) == -2:
                 src_strip[r.ty * ts : r.ty * ts + r.h, :] = np.frombuffer(

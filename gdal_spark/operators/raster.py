@@ -1211,6 +1211,14 @@ def as_features_layer(
     case) format only (w+1)+(h+1) distinct coordinate strings per tile
     and assemble by index."""
     bands = bands or list(range(1, spec.nbands + 1))
+    if len(set(bands)) != len(bands):
+        # _multi keys tile arrays by band id, so a duplicate selection
+        # could never satisfy len(arrs) == len(bands) and would emit an
+        # EMPTY layer silently; duplicate a band upstream with
+        # select_bands (which renumbers) instead
+        raise ValueError(f"duplicate band ids in bands: {bands}")
+    if any(b < 1 or b > spec.nbands for b in bands):
+        raise ValueError(f"band ids out of range 1..{spec.nbands}: {bands}")
     if geometry_type not in ("none", "point", "polygon"):
         raise ValueError(f"geometry-type must be none|point|polygon, got {geometry_type!r}")
     ts = spec.tile_size

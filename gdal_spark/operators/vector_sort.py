@@ -102,8 +102,12 @@ def dense_seq(
     if span <= 0:
         bucket = F.lit(0)
     else:
+        # divide by the true span (key == mx hits exactly nbuckets and
+        # the least() clamps it); dividing by span+1 collapsed every
+        # float key with span << 1 into bucket 0 — a single-partition
+        # window in disguise
         bucket = F.least(
-            F.floor((F.col(key_col) - F.lit(mn)) * nbuckets / F.lit(span + 1.0)).cast("int"),
+            F.floor((F.col(key_col) - F.lit(mn)) * nbuckets / F.lit(span)).cast("int"),
             F.lit(nbuckets - 1),
         )
     b = df.withColumn("_bkt", bucket)
@@ -270,7 +274,11 @@ def strtree_sort(
             "_nid", "_x0", "_y0", "_x1", "_y1",
             (F.col("_slice") * leaves_per_slice + F.floor(F.col("_yr") / capacity)).alias("_parent"),
             (F.col("_yr") % capacity).alias("_pos"),
-        )
+        ).localCheckpoint()
+        # checkpoint per level: dense_seq/count fire several actions per
+        # iteration and the compose-down loop re-joins every lv — without
+        # truncating lineage each one re-executes all prior levels'
+        # windows from the source
         assignments.append(lv.select("_nid", "_parent", "_pos"))
         cur = lv.groupBy("_parent").agg(
             F.min("_x0").alias("_x0"), F.min("_y0").alias("_y0"),

@@ -324,9 +324,10 @@ def set_field_type(df: DataFrame, field: str, new_type: str) -> DataFrame:
             as64 = F.when(digits == "", F.lit(0)).otherwise(
                 # beyond-int64 literals clamp (strtoll ERANGE); DECIMAL(38)
                 # carries the magnitude so the comparison is exact, and
-                # beyond-38-digit literals (decimal cast -> NULL) clamp
-                # by sign
-                F.when(F.length(F.regexp_replace(digits, r"^[+-]", "")) > 38,
+                # beyond-38-SIGNIFICANT-digit literals (decimal cast ->
+                # NULL) clamp by sign — leading zeros stripped first so
+                # zero-padded small numbers parse instead of clamping
+                F.when(F.length(F.regexp_replace(digits, r"^[+-]?0*", "")) > 38,
                        F.when(digits.startswith("-"), F.lit(lo)).otherwise(F.lit(hi)))
                 .when(digits.cast("decimal(38,0)") > hi, F.lit(hi))
                 .when(digits.cast("decimal(38,0)") < lo, F.lit(lo))

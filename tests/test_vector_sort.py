@@ -65,8 +65,9 @@ class TestHilbertSort:
         got = {r.fid: r.hcode for r in hilbert_sort(df).collect()}
         x0, y0 = minx.min(), miny.min()
         W, H = maxx.max() - x0, maxy.max() - y0
-        xq = np.round(HILBERT_MAX * ((minx + maxx) / 2 - x0) / W).astype(np.uint32)
-        yq = np.round(HILBERT_MAX * ((miny + maxy) / 2 - y0) / H).astype(np.uint32)
+        # std::round = half away from zero (np.round is half-to-even)
+        xq = np.floor(HILBERT_MAX * ((minx + maxx) / 2 - x0) / W + 0.5).astype(np.uint32)
+        yq = np.floor(HILBERT_MAX * ((miny + maxy) / 2 - y0) / H + 0.5).astype(np.uint32)
         want = hilbert_code_xy(xq, yq)
         assert all(got[i] == int(want[i]) for i in range(400))
 
