@@ -8766,3 +8766,52 @@ def _o_dem_edges() -> str:
 
 QUERIES["dem_edges"] = q_dem_edges
 ORACLES["dem_edges"] = _o_dem_edges()
+
+
+def q_partition_write_roundtrip(spark, sf_dir):
+    """`gdal vector partition` (hive scheme) END-TO-END through the
+    driver gate: write orders partitioned by o_orderpriority to a
+    deterministic temp dir, read the committed dataset back, and
+    report per-partition row counts + revenue sums. A broken writer
+    (dropped rows, wrong NULL marker, partition column loss) shifts
+    the read-back aggregates; the oracle recomputes them straight
+    from the source table."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from gdal_spark.relational import partition_write
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = Path(tempfile.gettempdir()) / "gdal_spark_q_partition_write"
+    shutil.rmtree(out, ignore_errors=True)
+    partition_write(
+        orders.select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        str(out), ["o_orderpriority"], job_id="q-partition-write",
+    )
+    back = spark.read.parquet(str(out))
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.sum("o_totalprice") * 100 + 0.5).alias("cents"),
+        )
+        .select(
+            F.col("o_orderpriority").cast("string").alias("prio"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("cents").cast("bigint").alias("cents"),
+        )
+    )
+
+
+def _o_partition_write_roundtrip() -> str:
+    return (
+        "SELECT CAST(o_orderpriority AS VARCHAR) AS prio, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(floor(SUM(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents "
+        "FROM orders GROUP BY o_orderpriority"
+    )
+
+
+QUERIES["partition_write_roundtrip"] = q_partition_write_roundtrip
+ORACLES["partition_write_roundtrip"] = _o_partition_write_roundtrip()
