@@ -8815,3 +8815,70 @@ def _o_partition_write_roundtrip() -> str:
 
 QUERIES["partition_write_roundtrip"] = q_partition_write_roundtrip
 ORACLES["partition_write_roundtrip"] = _o_partition_write_roundtrip()
+
+
+def q_vector_index(spark, sf_dir):
+    """ogrtindex / gdal vector index (apps/gdalalg_vector_index.cpp):
+    every valid doc is a feature of synthetic layer (dataset
+    'mem://set_<doc_id%7>', layer doc_id%3); the index aggregates each
+    layer's extent as ONE map-side-combinable groupBy and writes the
+    reference's OGRPolygon(OGREnvelope) ring (minx miny, minx MAXY,
+    maxx maxy, maxx MINY, close — ogr/ogrpolygon.cpp:40-48) with
+    location '<ds>,<li>' (:509-512). Layer 2 of every dataset carries
+    a different CRS and is skipped (the !accept-different-crs warning
+    path :522-546); 'mem://set_3,0' pre-seeds the existing index to
+    exercise the resume anti-join (:421). Envelope coords are exact
+    integer-valued doubles, so the WKT strings compare bit-exactly."""
+    from gdal_spark.operators.tindex import vector_index
+
+    g = docs_geom(spark, sf_dir).filter(F.col("geom_error").isNull())
+    feats = g.select(
+        F.concat(F.lit("mem://set_"), (F.col("_id") % 7).cast("string")).alias("location"),
+        (F.col("_id") % 3).cast("int").alias("layer_idx"),
+        "env_minx", "env_miny", "env_maxx", "env_maxy",
+    )
+    meta = feats.select("location", "layer_idx").distinct().select(
+        "location",
+        "layer_idx",
+        F.when(F.col("layer_idx") == 2, F.lit("EPSG:32611"))
+        .otherwise(F.lit("EPSG:4326"))
+        .alias("crs"),
+        F.array(F.lit("v:Integer:0:0")).alias("schema"),
+    )
+    existing = spark.createDataFrame([("mem://set_3,0",)], "location string")
+    idx = vector_index(feats, meta, source_crs_name="src_srs", existing=existing)
+    return idx.select(
+        "location",
+        "src_srs",
+        "wkt",
+        F.col("minx").cast("bigint").alias("minx"),
+        F.col("miny").cast("bigint").alias("miny"),
+        F.col("maxx").cast("bigint").alias("maxx"),
+        F.col("maxy").cast("bigint").alias("maxy"),
+    )
+
+
+def _o_vector_index() -> str:
+    pt = lambda x, y: f"CAST({x} AS VARCHAR) || ' ' || CAST({y} AS VARCHAR)"  # noqa: E731
+    return (
+        f"WITH g AS ({docs_g_cte()}), "
+        "f AS (SELECT 'mem://set_' || CAST(doc_id % 7 AS VARCHAR) AS ds, "
+        "CAST(doc_id % 3 AS INTEGER) AS li, "
+        "CAST(gx - half AS DOUBLE) AS mnx, CAST(gy - half AS DOUBLE) AS mny, "
+        "CAST(gx + half AS DOUBLE) AS mxx, CAST(gy + half AS DOUBLE) AS mxy "
+        "FROM g WHERE valid), "
+        "e AS (SELECT ds, li, MIN(mnx) AS mnx, MIN(mny) AS mny, "
+        "MAX(mxx) AS mxx, MAX(mxy) AS mxy FROM f GROUP BY ds, li) "
+        "SELECT ds || ',' || CAST(li AS VARCHAR) AS location, "
+        "'EPSG:4326' AS src_srs, "
+        "'POLYGON ((' || " + pt("mnx", "mny") + " || ',' || "
+        + pt("mnx", "mxy") + " || ',' || " + pt("mxx", "mxy") + " || ',' || "
+        + pt("mxx", "mny") + " || ',' || " + pt("mnx", "mny") + " || '))' AS wkt, "
+        "CAST(mnx AS BIGINT) AS minx, CAST(mny AS BIGINT) AS miny, "
+        "CAST(mxx AS BIGINT) AS maxx, CAST(mxy AS BIGINT) AS maxy "
+        "FROM e WHERE li <> 2 AND ds || ',' || CAST(li AS VARCHAR) <> 'mem://set_3,0'"
+    )
+
+
+QUERIES["vector_index"] = q_vector_index
+ORACLES["vector_index"] = _o_vector_index()
