@@ -8882,3 +8882,73 @@ def _o_vector_index() -> str:
 
 QUERIES["vector_index"] = q_vector_index
 ORACLES["vector_index"] = _o_vector_index()
+
+
+def q_raster_create(spark, sf_dir):
+    """gdal raster create (apps/gdalalg_raster_create.cpp): a 3-band
+    37x23 canvas (tile_size 16 — remainder tiles on both axes), per-band
+    burn values derived from the events table (count(event_type)%200
+    + 0.5, exercising the GDALCopyWord round-half-away write), sized by
+    bbox+resolution (ceil(extent/res - EPSILON), :476-491). The burn
+    lattice synthesizes distributively; the query folds it back to one
+    row per band (n_tiles, n_px, sum of pixel values) so a wrong tile
+    shape, remainder clamp, band wiring or rounding all shift the
+    aggregate. Oracle recomputes everything in closed form from events."""
+    from gdal_spark.operators.create import raster_create
+
+    ev = load(spark, sf_dir, "events")
+    cnts = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    burn = [cnts.get(t, 0) % 200 + 0.5 for t in ("click", "error", "purchase")]
+    spec, tiles = raster_create(
+        bbox=(0.0, 0.0, 37.0, 23.0),
+        resolution=(1.0, 1.0),
+        band_count=3,
+        burn=burn,
+        tile_size=16,
+        spark=spark,
+    )
+    assert (spec.width, spec.height) == (37, 23)
+
+    def _fold(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = [
+                int(np.frombuffer(p, dtype=np.uint8).astype(np.int64).sum())
+                for p in pdf["payload"]
+            ]
+            out = pdf[["band", "h", "w"]].copy()
+            out["px_sum"] = np.asarray(vals, dtype=np.int64)
+            yield out
+
+    folded = tiles.mapInPandas(_fold, "band int, h int, w int, px_sum long")
+    return (
+        folded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum(F.col("h").cast("long") * F.col("w")).alias("n_px"),
+            F.sum("px_sum").alias("val_sum"),
+        )
+        .select("band", "n_tiles", "n_px", "val_sum")
+    )
+
+
+def _o_raster_create() -> str:
+    # copy_word(cnt%200 + 0.5) = cnt%200 + 1 (round half away, positive)
+    return (
+        "WITH c AS (SELECT event_type, COUNT(*) AS n FROM events "
+        "WHERE event_type IN ('click','error','purchase') GROUP BY event_type), "
+        "b AS (SELECT CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 "
+        "ELSE 3 END AS band, n % 200 + 1 AS v FROM c) "
+        "SELECT CAST(band AS INTEGER) AS band, "
+        "CAST(6 AS BIGINT) AS n_tiles, "  # 3 tx (16,16,5) x 2 ty (16,7)
+        "CAST(37 * 23 AS BIGINT) AS n_px, "
+        "CAST(37 * 23 * v AS BIGINT) AS val_sum FROM b"
+    )
+
+
+QUERIES["raster_create"] = q_raster_create
+ORACLES["raster_create"] = _o_raster_create()
