@@ -8952,3 +8952,114 @@ def _o_raster_create() -> str:
 
 QUERIES["raster_create"] = q_raster_create
 ORACLES["raster_create"] = _o_raster_create()
+
+
+def q_vsi_sync(spark, sf_dir):
+    """`gdal vsi sync` decision plane END-TO-END (VSISync,
+    port/cpl_vsil.cpp:1084): one file per documents.lang whose content
+    is the lang's doc count; after a first full sync, langs with an ODD
+    count are rewritten one byte longer, so the second sync must decide
+    copy (size differs) exactly for the odd langs and skip for the even
+    ones (same size, target newer). The oracle recomputes names, sizes
+    and decisions straight from the table."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from gdal_spark.operators.fsops import vsi_sync
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    base = Path(tempfile.gettempdir()) / "gdal_spark_q_vsi_sync"
+    shutil.rmtree(base, ignore_errors=True)
+    src, dst = base / "src", base / "dst"
+    src.mkdir(parents=True)
+    for lang, n in counts.items():
+        (src / f"{lang}.txt").write_text(f"{n}\n")
+    vsi_sync(spark, f"{src}/", str(dst))
+    for lang, n in counts.items():
+        if n % 2 == 1:
+            (src / f"{lang}.txt").write_text(f"{n}\nx")
+    out = vsi_sync(spark, f"{src}/", str(dst))
+    return out.select(
+        F.col("relpath").cast("string").alias("relpath"),
+        F.col("src_size").cast("bigint").alias("src_size"),
+        F.col("action").cast("string").alias("action"),
+    )
+
+
+def _o_vsi_sync() -> str:
+    return (
+        "SELECT lang || '.txt' AS relpath, "
+        "CAST(LENGTH(CAST(COUNT(*) AS VARCHAR)) + 1 "
+        "     + CASE WHEN COUNT(*) % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS src_size, "
+        "CASE WHEN COUNT(*) % 2 = 1 THEN 'copy' ELSE 'skip' END AS action "
+        "FROM documents GROUP BY lang"
+    )
+
+
+QUERIES["vsi_sync"] = q_vsi_sync
+ORACLES["vsi_sync"] = _o_vsi_sync()
+
+
+def q_dataset_identify(spark, sf_dir):
+    """`gdal dataset identify` END-TO-END: a temp tree holding one of
+    each format this engine emits — a parquet snapshot dataset (with
+    lineage sidecar, so the DIRECTORY identifies once and is not
+    descended), a PMTiles v3 archive, a SOZip archive (tail-probe finds
+    the hidden index member), a GeoJSON file, a CSV — plus an
+    unidentifiable noise file that must be absent from the output.
+    Executors sniff only header (+ bounded ZIP tail) bytes."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from gdal_spark.metrics import write_snapshot
+    from gdal_spark.operators.fsops import dataset_identify
+    from gdal_spark.operators.pmtiles import write_pmtiles
+    from gdal_spark.operators.sozip import write_sozip
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = Path(tempfile.gettempdir()) / "gdal_spark_q_dataset_identify"
+    shutil.rmtree(base, ignore_errors=True)
+    base.mkdir(parents=True)
+
+    sample = docs.orderBy("doc_id").limit(20).select("doc_id", "n_chars")
+    write_snapshot(sample.coalesce(1), str(base / "ds"), job_id="q-identify")
+
+    tiles = spark.createDataFrame(
+        [(0, 0, 0, b"\x1a\x05tile0"), (1, 0, 0, b"\x1a\x05tile1")],
+        "z int, tx int, ty int, payload binary",
+    )
+    write_pmtiles(tiles, str(base / "t.pmtiles"))
+
+    text = "\n".join(str(r["doc_id"]) for r in sample.collect()).encode()
+    members = spark.createDataFrame([("docs.txt", text * 40)], "name string, data binary")
+    write_sozip(members, str(base / "a.zip"), chunk_size=1024, min_file_size=0)
+
+    (base / "t.geojson").write_text(
+        '{"type": "FeatureCollection", "features": []}'
+    )
+    (base / "t.csv").write_text("doc_id,n\nx,1\n")
+    (base / "noise.bin").write_bytes(b"\x00\x01\x02\x03")
+
+    ident = dataset_identify(spark, str(base), recursive=True)
+    return (
+        ident.groupBy("driver")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("driver").cast("string"), F.col("n").cast("bigint"))
+    )
+
+
+def _o_dataset_identify() -> str:
+    return (
+        "SELECT * FROM (VALUES ('Parquet', CAST(1 AS BIGINT)), ('PMTiles', 1), "
+        "('SOZip', 1), ('GeoJSON', 1), ('CSV', 1)) AS t(driver, n)"
+    )
+
+
+QUERIES["dataset_identify"] = q_dataset_identify
+ORACLES["dataset_identify"] = _o_dataset_identify()
