@@ -188,10 +188,12 @@ def raster_create(
         for bv in (burn if len(burn) == nbands else burn * nbands)
     ]
     nty, ntx = spec.ntiles_y, spec.ntiles_x
+    # integer `div`, not float `/`: at 2^53+ lattice ids double division
+    # stops being exact and tiles would silently collide/vanish
     lattice = spark.range(nbands * nty * ntx).select(
         (F.col("id") % nbands + 1).cast("int").alias("band"),
-        ((F.col("id") / nbands).cast("long") % nty).cast("int").alias("ty"),
-        (F.col("id") / (nbands * nty)).cast("int").alias("tx"),
+        (F.expr(f"id div {nbands}") % nty).cast("int").alias("ty"),
+        F.expr(f"id div {nbands * nty}").cast("int").alias("tx"),
     )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -8971,7 +8971,10 @@ def q_vsi_sync(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     counts = {
         r["lang"]: r["n"]
-        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in docs.filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
     base = Path(tempfile.gettempdir()) / "gdal_spark_q_vsi_sync"
     shutil.rmtree(base, ignore_errors=True)
@@ -8997,7 +9000,7 @@ def _o_vsi_sync() -> str:
         "CAST(LENGTH(CAST(COUNT(*) AS VARCHAR)) + 1 "
         "     + CASE WHEN COUNT(*) % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS src_size, "
         "CASE WHEN COUNT(*) % 2 = 1 THEN 'copy' ELSE 'skip' END AS action "
-        "FROM documents GROUP BY lang"
+        "FROM documents WHERE lang IS NOT NULL GROUP BY lang"
     )
 
 
