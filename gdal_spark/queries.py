@@ -9066,3 +9066,68 @@ def _o_dataset_identify() -> str:
 
 QUERIES["dataset_identify"] = q_dataset_identify
 ORACLES["dataset_identify"] = _o_dataset_identify()
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing + BPE-ish pretokenizer END-TO-END: synthetic
+    email/IP/phone strings derived from doc_id are appended to each
+    document's real text, then the typed-token redaction chain
+    (text.PII_PATTERNS, dialect-shared Java∩RE2 regexes), the per-kind
+    match counts and the pretokenizer count run in pure Catalyst —
+    zero shuffle, zero Python. The oracle rebuilds the same injected
+    text and replays every regex in DuckDB's RE2; counts, redacted
+    lengths and pretoken counts must agree bit-for-bit on real corpus
+    text, not just the injected suffix."""
+    from gdal_spark.text import bpe_token_count, pii_counts, pii_redact
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t2 = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com ip 10."),
+        (did % 256).cast("string"),
+        F.lit("."),
+        ((did * 7) % 256).cast("string"),
+        F.lit("."),
+        ((did * 13) % 256).cast("string"),
+        F.lit(" tel 555-"),
+        F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    base = d.select(did.alias("doc_id"), t2.alias("t"), F.col("text"))
+    c = pii_counts(F.col("t"))
+    return base.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        c["email"].alias("n_email"),
+        c["ip"].alias("n_ip"),
+        c["phone"].alias("n_phone"),
+        F.length(pii_redact(F.col("t"))).cast("bigint").alias("redacted_len"),
+        bpe_token_count(F.col("text")).alias("n_pretokens"),
+    )
+
+
+def _o_pii_redact() -> str:
+    from gdal_spark.text import bpe_token_count_sql, pii_counts_sql, pii_redact_sql
+
+    c = pii_counts_sql("t")
+    return (
+        "WITH b AS (SELECT doc_id, COALESCE(text, '') || ' contact user' || "
+        "CAST(doc_id AS VARCHAR) || '@example.com ip 10.' || "
+        "CAST(doc_id % 256 AS VARCHAR) || '.' || "
+        "CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || "
+        "CAST((doc_id * 13) % 256 AS VARCHAR) || ' tel 555-' || "
+        "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t, text "
+        "FROM documents) "
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {c['email']} AS n_email, "
+        f"{c['ip']} AS n_ip, {c['phone']} AS n_phone, "
+        f"CAST(LENGTH({pii_redact_sql('t')}) AS BIGINT) AS redacted_len, "
+        f"{bpe_token_count_sql('text')} AS n_pretokens FROM b"
+    )
+
+
+QUERIES["pii_redact"] = q_pii_redact
+ORACLES["pii_redact"] = _o_pii_redact()

@@ -298,3 +298,79 @@ def weighted_interleave(
     u = u.withColumn("_tie", F.struct(F.col(src_col), F.col(id_col)))
     out = dense_seq(u, "_ikey", "_tie", out_col=out_col, nbuckets=nbuckets)
     return out.drop("_sseq", "_ikey", "_tie")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (the public email/IP/phone regex rule-set every released
+# pipeline ships some variant of — e.g. Dolma's and ROOTS' scrubbers).
+# Patterns stay in the Java-regex ∩ RE2 dialect (no lookaround, no
+# backrefs, ASCII \b) so the Spark plan and any DuckDB/Trino oracle
+# apply bit-identical semantics.
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+", "|||EMAIL|||"),
+    ("ip", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "|||IP_ADDRESS|||"),
+    ("phone", r"\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b", "|||PHONE_NUMBER|||"),
+]
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """{kind: match count} — pure Catalyst regexp_count, zero shuffle."""
+    t = F.coalesce(text, F.lit(""))
+    return {
+        name: F.regexp_count(t, F.lit(pat)).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every PII match with its typed token, in PII_PATTERNS
+    order (emails first so their digit runs can't half-match the
+    phone/IP patterns)."""
+    out = F.coalesce(text, F.lit(""))
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts_sql(text_expr: str) -> dict[str, str]:
+    e = f"COALESCE({text_expr}, '')"
+    return {
+        name: f"CAST(len(regexp_extract_all({e}, '{pat}')) AS BIGINT)"
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_redact_sql(text_expr: str) -> str:
+    out = f"COALESCE({text_expr}, '')"
+    for _, pat, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish pretokenizer count: the GPT-2 pretokenizer with its two
+# lookahead-bearing whitespace alternatives collapsed into one plain
+# \s+ (RE2 — hence DuckDB and any oracle — has no lookahead; the
+# collapse only changes how runs of 2+ spaces split, documented).
+
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Pretoken count under BPE_PRETOKEN_PATTERN — the unit quality
+    filters and token-budget accounting use, as opposed to the plain
+    whitespace token_count above."""
+    return F.regexp_count(F.coalesce(text, F.lit("")), F.lit(BPE_PRETOKEN_PATTERN)).cast(
+        "long"
+    )
+
+
+def bpe_token_count_sql(text_expr: str) -> str:
+    pat = BPE_PRETOKEN_PATTERN.replace("'", "''")  # SQL-literal quoting
+    return (
+        f"CAST(len(regexp_extract_all(COALESCE({text_expr}, ''), "
+        f"'{pat}')) AS BIGINT)"
+    )
