@@ -9131,3 +9131,92 @@ def _o_pii_redact() -> str:
 
 QUERIES["pii_redact"] = q_pii_redact
 ORACLES["pii_redact"] = _o_pii_redact()
+
+
+def q_vector_update(spark, sf_dir):
+    """`gdal vector update` keyed upsert
+    (apps/gdalalg_vector_update.cpp:169-346, relational.vector_update):
+    merge-mode update of a documents-derived dst layer from a src
+    layer whose key derivation deliberately hits every match
+    cardinality — unique hits (exactly-one dst match: SetFrom with the
+    LAST src row, dst-only field nulled, FID kept), misses (ONE
+    appended row per key carrying the last src row), ambiguous keys
+    (>= 2 dst matches: EVERY src row appends), and NULL keys
+    (skipped).  Appended FIDs are max(dst)+1.. in creation order.  The
+    oracle replays the closed form of the reference's sequential
+    replay in SQL windows — any drift in the cardinality split, the
+    last-wins rule, the null-out, or the FID sequence shifts rows."""
+    d = load(spark, sf_dir, "documents")
+    dst = d.filter(F.col("doc_id") % 7 < 5).select(
+        F.col("doc_id").alias("_id"),
+        F.when(F.col("doc_id") % 10 < 6, F.col("doc_id"))
+        .otherwise(F.lit(1000000000) + F.expr("(doc_id - doc_id % 40) div 4"))
+        .alias("k"),
+        F.col("lang").alias("name"),
+        F.col("n_chars").alias("extra"),
+    )
+    src = d.filter(F.col("doc_id") % 11 < 4).select(
+        (F.lit(2000000000) + F.col("doc_id")).alias("_id"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("long"))
+        .when(F.col("doc_id") % 3 == 0, F.col("doc_id"))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.lit(1000000000) + F.expr("(doc_id - doc_id % 40) div 4"),
+        )
+        .otherwise(F.lit(3000000000) + F.col("doc_id") % 97)
+        .alias("k"),
+        F.upper(F.col("lang")).alias("name"),
+        F.col("doc_id").alias("srconly"),
+    )
+    from gdal_spark.relational import vector_update
+
+    return vector_update(dst, src, keys=["k"], mode="merge")
+
+
+def _o_vector_update() -> str:
+    dst = (
+        "SELECT doc_id AS _id, CASE WHEN doc_id % 10 < 6 THEN doc_id "
+        "ELSE 1000000000 + (doc_id - doc_id % 40) // 4 END AS k, "
+        "lang AS name, n_chars AS extra FROM documents WHERE doc_id % 7 < 5"
+    )
+    src = (
+        "SELECT 2000000000 + doc_id AS _id, CASE "
+        "WHEN doc_id % 13 = 0 THEN CAST(NULL AS BIGINT) "
+        "WHEN doc_id % 3 = 0 THEN doc_id "
+        "WHEN doc_id % 3 = 1 THEN 1000000000 + (doc_id - doc_id % 40) // 4 "
+        "ELSE 3000000000 + doc_id % 97 END AS k, "
+        "upper(lang) AS name FROM documents WHERE doc_id % 11 < 4"
+    )
+    return (
+        f"WITH dst AS ({dst}), src0 AS ({src}), "
+        "src AS (SELECT * FROM src0 WHERE k IS NOT NULL), "
+        "cnts AS (SELECT k, COUNT(*) AS cnt FROM dst GROUP BY k), "
+        "ranked AS (SELECT *, "
+        "ROW_NUMBER() OVER (PARTITION BY k ORDER BY _id) AS rn_a, "
+        "ROW_NUMBER() OVER (PARTITION BY k ORDER BY _id DESC) AS rn_d "
+        "FROM src), "
+        "lastk AS (SELECT k, _id, name FROM ranked WHERE rn_d = 1), "
+        "firstk AS (SELECT k, _id FROM ranked WHERE rn_a = 1), "
+        "upd AS (SELECT l.k, l.name, 1 AS hit FROM lastk l "
+        "JOIN cnts c USING(k) WHERE c.cnt = 1), "
+        "updated AS (SELECT d._id, d.k, "
+        "CASE WHEN u.hit IS NOT NULL THEN u.name ELSE d.name END AS name, "
+        "CASE WHEN u.hit IS NOT NULL THEN CAST(NULL AS BIGINT) "
+        "ELSE d.extra END AS extra "
+        "FROM dst d LEFT JOIN upd u ON d.k = u.k), "
+        "app0 AS (SELECT f._id AS ord, l.k, l.name FROM firstk f "
+        "JOIN lastk l USING(k) LEFT JOIN cnts c USING(k) WHERE c.k IS NULL), "
+        "appm AS (SELECT s._id AS ord, s.k, s.name FROM src s "
+        "JOIN cnts c USING(k) WHERE c.cnt >= 2), "
+        "apps AS (SELECT * FROM app0 UNION ALL SELECT * FROM appm), "
+        "base AS (SELECT MAX(_id) + 1 AS b FROM dst), "
+        "appf AS (SELECT (SELECT b FROM base) "
+        "+ ROW_NUMBER() OVER (ORDER BY ord) - 1 AS _id, "
+        "k, name, CAST(NULL AS BIGINT) AS extra FROM apps) "
+        "SELECT _id, k, name, extra FROM updated "
+        "UNION ALL SELECT _id, k, name, extra FROM appf"
+    )
+
+
+QUERIES["vector_update"] = q_vector_update
+ORACLES["vector_update"] = _o_vector_update()

@@ -391,3 +391,143 @@ def select_fields(df: DataFrame, fields: Sequence[str], exclude: bool = False,
         drop = set(wanted)
         return df.select(*[c for c in df.columns if c not in drop])
     return df.select(*wanted)
+
+def vector_update(
+    dst: DataFrame,
+    src: DataFrame,
+    keys: Sequence[str] | None = None,
+    mode: str = "merge",
+    fid_col: str = "_id",
+) -> DataFrame:
+    """`gdal vector update` (apps/gdalalg_vector_update.cpp:169-346):
+    keyed upsert of src features into dst.  The reference replays src
+    features sequentially against the LIVE dst layer; the distributed
+    form below is the closed-form of that replay (proved case-by-case
+    in tests/test_vector_update.py against a literal sequential
+    simulator):
+
+      * key = field list (--key, types String/Integer/Integer64/Real
+        only, :172-205) or FID (the default, :164; GetFeature lookup
+        :242-246).  A src feature with ANY unset key field is skipped
+        (:250-255).
+      * a src feature matches iff EXACTLY ONE dst feature carries its
+        key (:286-297: a second GetNextFeature() resets the match —
+        ambiguous keys fall through to the append branch).
+      * matched + mode merge/update-only: the dst feature is rewritten
+        via OGRFeature::SetFrom keeping its FID (:313-324) — shared
+        fields take src values, dst-only fields go null.  Sequential
+        replay => the LAST src feature (FID order) wins.
+      * unmatched + mode merge: the FIRST src feature of the key
+        appends one new feature (:333-343); later src rows of the same
+        key then match it (count 1) and SetFrom it => one appended row
+        at the first row's position carrying the LAST row's fields.
+      * unmatched + mode append-only: the first src row appends; later
+        rows match it but append-only never updates => the FIRST row's
+        fields survive.
+      * ambiguous (>= 2 dst matches): EVERY src row appends (each
+        append only grows the match count, keeping it ambiguous);
+        update-only appends nothing anywhere.
+
+    Appended features get FIDs max(dst)+1.. in creation order (=
+    first-src-FID order), via the dense_seq range-bucket rank — no
+    single-partition window.  Output schema = dst schema.  One
+    dst-side key count + one key equi-join; at scale src is typically
+    the small side (broadcastable by AQE)."""
+    if mode not in ("merge", "update-only", "append-only"):
+        raise ValueError(f"unknown mode {mode!r}")
+    fid_match = not keys or list(keys) == ["FID"]
+    key_cols = [fid_col] if fid_match else list(keys)
+    for k in key_cols:
+        if k not in src.columns:
+            raise ValueError(f"Cannot find field '{k}' in input layer")
+        if k not in dst.columns:
+            raise ValueError(f"Cannot find field '{k}' in output layer")
+        st = src.schema[k].dataType.simpleString()
+        dt = dst.schema[k].dataType.simpleString()
+        if not fid_match:
+            if st not in ("string", "int", "bigint", "double"):
+                raise ValueError(
+                    f"Type of field '{k}' is not one of those supported "
+                    "for a key field: String, Integer, Integer64, Real"
+                )
+            if st != dt:
+                raise ValueError(
+                    f"Type of field '{k}' is not the same in input and "
+                    "output layers"
+                )
+
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & F.col(k).isNotNull()
+    s = src.filter(cond)
+
+    # dst-side match cardinality per key (FID is unique: always 1)
+    cnts = dst.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_cnt"))
+
+    # first/last src row per key, by src FID order (struct min/max —
+    # FID leads, so the struct order IS the FID order)
+    others = [c for c in s.columns if c != fid_col]
+    per_key = s.groupBy(*key_cols).agg(
+        F.min(F.struct(F.col(fid_col), *[F.col(c) for c in others])).alias("_first"),
+        F.max(F.struct(F.col(fid_col), *[F.col(c) for c in others])).alias("_last"),
+    )
+
+    shared = [c for c in dst.columns if c in src.columns and c != fid_col]
+    dst_only = [c for c in dst.columns if c not in src.columns and c != fid_col]
+
+    # --- update path: keys with exactly one dst match ---------------
+    if mode == "append-only":
+        updated = dst
+    else:
+        upd = per_key.join(cnts, key_cols).filter(F.col("_cnt") == 1).select(
+            *key_cols, F.col("_last").alias("_u")
+        )
+        j = dst.join(upd, key_cols, "left")
+        cols = []
+        for c in dst.columns:
+            if c == fid_col or c in key_cols:
+                cols.append(F.col(c))
+            elif c in shared:
+                cols.append(
+                    F.when(F.col("_u").isNotNull(), F.col("_u")[c]).otherwise(F.col(c)).alias(c)
+                )
+            else:  # dst-only field: SetFrom leaves it unset (null)
+                cols.append(
+                    F.when(F.col("_u").isNotNull(), F.lit(None)).otherwise(F.col(c)).alias(c)
+                )
+        updated = j.select(*cols)
+
+    # --- append path -------------------------------------------------
+    if mode == "update-only":
+        return updated
+
+    with_cnt = per_key.join(cnts, key_cols, "left").withColumn(
+        "_cnt", F.coalesce(F.col("_cnt"), F.lit(0))
+    )
+    pick = "_first" if mode == "append-only" else "_last"
+    app_new = with_cnt.filter(F.col("_cnt") == 0).select(
+        F.col(f"_first.{fid_col}").alias("_ord"),
+        F.col(pick).alias("_row"),
+    )
+    # ambiguous keys: every src row appends, in its own FID position
+    amb = with_cnt.filter(F.col("_cnt") >= 2).select(*key_cols)
+    app_amb = s.join(amb, key_cols).select(
+        F.col(fid_col).alias("_ord"),
+        F.struct(F.col(fid_col), *[F.col(c) for c in others]).alias("_row"),
+    )
+    appends = app_new.unionByName(app_amb)
+
+    max_fid = dst.agg(F.max(fid_col).alias("m")).first().m
+    base = (max_fid if max_fid is not None else -1) + 1
+    from gdal_spark.operators.vector_sort import dense_seq
+
+    appends = dense_seq(appends, "_ord", "_ord", out_col="_seq")
+    app_cols = []
+    for c in dst.columns:
+        if c == fid_col:
+            app_cols.append((F.lit(base) + F.col("_seq")).cast(dst.schema[fid_col].dataType).alias(c))
+        elif c in shared or c in key_cols:
+            app_cols.append(F.col(f"_row.{c}").alias(c))
+        else:
+            app_cols.append(F.lit(None).cast(dst.schema[c].dataType).alias(c))
+    return updated.unionByName(appends.select(*app_cols))
