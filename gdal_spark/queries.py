@@ -9220,3 +9220,94 @@ def _o_vector_update() -> str:
 
 QUERIES["vector_update"] = q_vector_update
 ORACLES["vector_update"] = _o_vector_update()
+
+
+def q_dataset_check(spark, sf_dir):
+    """`gdal dataset check` (apps/gdalalg_dataset_check.cpp:288-530,
+    fsops.dataset_check) END-TO-END through the driver gate: three
+    datasets written to a deterministic temp dir — a vector snapshot
+    of filtered documents, a raster tile table sized from the
+    corpus's distinct-lang count (2 bands x 32x32 per lang), and a
+    copy of the vector snapshot whose _lineage.json records a phantom
+    part file.  The distributed full-read check must report exact
+    feature/pixel totals, the reference's pixels + 100*features
+    content metric, ret code 0 for the intact datasets and 1 for the
+    tampered one.  A checker that skips bytes, loses the sidecar
+    cross-check, or misclassifies tile rows as features shifts the
+    numbers."""
+    import json
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import numpy as np
+
+    from gdal_spark.metrics import LINEAGE_FILE, write_snapshot
+    from gdal_spark.operators.fsops import check_summary, dataset_check
+    from gdal_spark.operators.raster import TILE_SCHEMA
+
+    base = Path(tempfile.gettempdir()) / "gdal_spark_q_dataset_check"
+    shutil.rmtree(base, ignore_errors=True)
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 < 3)
+    write_snapshot(
+        docs.select("doc_id", "lang", "n_chars").repartition(4),
+        str(base / "vec"), job_id="q-dataset-check",
+    )
+
+    langs = sorted(
+        r.lang for r in docs.select("lang").distinct().collect() if r.lang is not None
+    )
+    rows = []
+    for i, _lang in enumerate(langs):
+        for band in (1, 2):
+            pay = np.full(32 * 32, (i + band) % 256, dtype=np.uint8).tobytes()
+            rows.append((band, 0, i, 32, 32, "uint8", pay))
+    write_snapshot(
+        spark.createDataFrame(rows, TILE_SCHEMA), str(base / "ras"),
+        job_id="q-dataset-check",
+    )
+
+    shutil.copytree(base / "vec", base / "bad")
+    lin = base / "bad" / LINEAGE_FILE
+    rec = json.loads(lin.read_text())
+    rec["files"].append({"file": "part-phantom.parquet", "rows": 7})
+    lin.write_text(json.dumps(rec))
+
+    parts = []
+    for name in ("vec", "ras", "bad"):
+        parts.append(
+            check_summary(dataset_check(spark, str(base / name))).select(
+                F.lit(name).alias("ds"),
+                F.col("n_features").cast("bigint").alias("n_features"),
+                F.col("n_pixels").cast("bigint").alias("n_pixels"),
+                F.col("total_content").cast("bigint").alias("total_content"),
+                F.col("ret_code").cast("bigint").alias("ret_code"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _o_dataset_check() -> str:
+    feats = "SELECT COUNT(*) AS n FROM documents WHERE doc_id % 5 < 3"
+    nlang = (
+        "SELECT COUNT(DISTINCT lang) AS nl FROM documents "
+        "WHERE doc_id % 5 < 3 AND lang IS NOT NULL"
+    )
+    return (
+        f"WITH f AS ({feats}), l AS ({nlang}) "
+        "SELECT 'vec' AS ds, CAST(n AS BIGINT) AS n_features, "
+        "CAST(0 AS BIGINT) AS n_pixels, CAST(n * 100 AS BIGINT) AS total_content, "
+        "CAST(0 AS BIGINT) AS ret_code FROM f "
+        "UNION ALL SELECT 'ras', 0, CAST(nl * 2 * 1024 AS BIGINT), "
+        "CAST(nl * 2 * 1024 AS BIGINT), 0 FROM l "
+        "UNION ALL SELECT 'bad', CAST(n AS BIGINT), 0, "
+        "CAST(n * 100 AS BIGINT), 1 FROM f"
+    )
+
+
+QUERIES["dataset_check"] = q_dataset_check
+ORACLES["dataset_check"] = _o_dataset_check()
