@@ -9311,3 +9311,78 @@ def _o_dataset_check() -> str:
 
 QUERIES["dataset_check"] = q_dataset_check
 ORACLES["dataset_check"] = _o_dataset_check()
+
+
+def q_raster_edit(spark, sf_dir):
+    """`gdal raster edit` (apps/gdalalg_raster_edit.cpp:322-871,
+    edit.raster_edit): every edit argument derives from corpus
+    aggregates — bbox corner from COUNT(*)%97 (the reference's
+    bbox->geotransform division :404-410 lands on exact integers),
+    nodata from COUNT(*)%251, per-band scale through the implicit
+    positional grammar, offset through the bare-single broadcast rule,
+    color interpretation through the all= escape, and a GCP whose
+    pixel/line comes from the doc count.  The flattened (spec, aux)
+    record is replayed in SQL — a drift in the grammar (wrong band
+    assignment, wrong syntax-mix handling) or the bbox math shifts
+    rows."""
+    from gdal_spark.operators.edit import raster_edit
+    from gdal_spark.operators.raster import RasterSpec
+
+    cnt = load(spark, sf_dir, "documents").count()
+    a = cnt % 97
+    spec = RasterSpec(width=40, height=20, gt=(0, 1, 0, 20, 0, -1),
+                      dtype="uint8", nbands=3)
+    spec2, aux = raster_edit(
+        spec,
+        bbox=[float(a), 0.0, float(a + 80), 40.0],
+        nodata=cnt % 251,
+        scale=[str((cnt + 7) % 50), str((cnt + 14) % 50), str((cnt + 21) % 50)],
+        offset=str(cnt % 31),
+        color_interp=["all=gray"],
+        metadata={"SOURCE": f"docs{cnt % 10}"},
+    )
+    _, aux = raster_edit(spec, aux=aux,
+                         gcps=[f"{cnt % 5},{cnt % 3},{a},{a + 1}"],
+                         crs="EPSG:4326")
+    rows = [
+        ("gt0", float(spec2.gt[0]), ""),
+        ("gt1", float(spec2.gt[1]), ""),
+        ("gt3", float(spec2.gt[3]), ""),
+        ("gt5", float(spec2.gt[5]), ""),
+        ("nodata", float(aux["nodata"]), ""),
+        ("scale_1", float(aux["scale"]["1"]), ""),
+        ("scale_2", float(aux["scale"]["2"]), ""),
+        ("scale_3", float(aux["scale"]["3"]), ""),
+        ("offset_2", float(aux["offset"]["2"]), ""),
+        ("ci_2", 0.0, aux["color_interp"]["2"]),
+        ("md", 0.0, aux["metadata"][""]["SOURCE"]),
+        ("gcp_px", float(aux["gcps"][0]["pixel"]), ""),
+        ("gcp_x", float(aux["gcps"][0]["x"]), ""),
+        ("gcp_crs", 0.0, aux["gcp_crs"]),
+    ]
+    return spark.createDataFrame(rows, "k string, num double, txt string")
+
+
+def _o_raster_edit() -> str:
+    return (
+        "WITH c AS (SELECT COUNT(*) AS n FROM documents) "
+        "SELECT k, CAST(num AS DOUBLE) AS num, txt FROM ("
+        "SELECT 'gt0' AS k, n % 97 AS num, '' AS txt FROM c "
+        "UNION ALL SELECT 'gt1', 2, '' FROM c "
+        "UNION ALL SELECT 'gt3', 40, '' FROM c "
+        "UNION ALL SELECT 'gt5', -2, '' FROM c "
+        "UNION ALL SELECT 'nodata', n % 251, '' FROM c "
+        "UNION ALL SELECT 'scale_1', (n + 7) % 50, '' FROM c "
+        "UNION ALL SELECT 'scale_2', (n + 14) % 50, '' FROM c "
+        "UNION ALL SELECT 'scale_3', (n + 21) % 50, '' FROM c "
+        "UNION ALL SELECT 'offset_2', n % 31, '' FROM c "
+        "UNION ALL SELECT 'ci_2', 0, 'Gray' FROM c "
+        "UNION ALL SELECT 'md', 0, 'docs' || CAST(n % 10 AS VARCHAR) FROM c "
+        "UNION ALL SELECT 'gcp_px', n % 5, '' FROM c "
+        "UNION ALL SELECT 'gcp_x', n % 97, '' FROM c "
+        "UNION ALL SELECT 'gcp_crs', 0, 'EPSG:4326' FROM c)"
+    )
+
+
+QUERIES["raster_edit"] = q_raster_edit
+ORACLES["raster_edit"] = _o_raster_edit()
