@@ -266,8 +266,12 @@ def raster_edit_stats(tiles: DataFrame, spec: RasterSpec,
     hists = None
     for r in stats.select("band", "min", "max").collect():
         mn, mx, buckets = default_histogram_range(spec.dtype, r.min, r.max)
-        h = band_histogram(tiles, spec, mn, mx, buckets).filter(
-            F.col("band") == r.band)
+        # pre-filter the scan to this band — the per-band predicate
+        # pushes into the parquet read, so the loop costs ONE pass over
+        # the raster total, not one pass per band
+        h = band_histogram(
+            tiles.filter(F.col("band") == r.band), spec, mn, mx, buckets
+        ).filter(F.col("band") == r.band)
         hists = h if hists is None else hists.unionByName(h)
     return stats, hists
 

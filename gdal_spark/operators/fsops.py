@@ -636,7 +636,10 @@ def _check_one(fs, base: str, rel: str, expect_rows) -> dict:
     TILE_SCHEMA, where each payload must be exactly h*w*itemsize bytes
     (the band read's "did the driver hand back the window it promised"
     check) and pixels accumulate.  ZIP members fully decompress (CRC
-    verified by the decoder); anything else byte-scans."""
+    verified by the decoder); anything else byte-scans.  n_bytes
+    counts bytes DECODED (Arrow table nbytes / decompressed member
+    bytes) for structured formats, raw bytes for the byte-scan
+    fallback."""
     import numpy as np
 
     fp = posixpath.join(base, rel) if rel != "." else base
@@ -651,6 +654,8 @@ def _check_one(fs, base: str, rel: str, expect_rows) -> dict:
 
                 out["driver"] = "Parquet"
                 pf = pq.ParquetFile(f)
+                import pyarrow.compute as pc
+
                 names = set(pf.schema_arrow.names)
                 is_tiles = _TILE_COLS <= names
                 for rg in range(pf.num_row_groups):
@@ -658,29 +663,33 @@ def _check_one(fs, base: str, rel: str, expect_rows) -> dict:
                     out["n_rows"] += t.num_rows
                     out["n_bytes"] += t.nbytes
                     if is_tiles:
+                        pay = t.column("payload")
+                        lens = pc.binary_length(pay).to_numpy(zero_copy_only=False)
+                        if pay.null_count:
+                            raise ValueError("NULL tile payload")
                         hs = t.column("h").to_numpy(zero_copy_only=False)
                         ws = t.column("w").to_numpy(zero_copy_only=False)
-                        dts = t.column("dtype").to_pylist()
-                        pls = t.column("payload").to_pylist()
-                        for h, w, dt, pl in zip(hs, ws, dts, pls):
-                            want = int(h) * int(w) * np.dtype(dt).itemsize
-                            if pl is None or len(pl) != want:
-                                raise ValueError(
-                                    f"tile payload {0 if pl is None else len(pl)}"
-                                    f" bytes, expected {want} ({h}x{w} {dt})"
-                                )
-                            out["n_pixels"] += int(h) * int(w)
-                if expect_rows is not None and out["n_rows"] != expect_rows:
-                    raise ValueError(
-                        f"lineage records {expect_rows} rows, decoded {out['n_rows']}"
-                    )
+                        sizes = np.array(
+                            [np.dtype(dt).itemsize for dt in t.column("dtype").to_pylist()],
+                            dtype=np.int64,
+                        )
+                        want = hs.astype(np.int64) * ws.astype(np.int64) * sizes
+                        bad = np.nonzero(lens.astype(np.int64) != want)[0]
+                        if bad.size:
+                            i = int(bad[0])
+                            raise ValueError(
+                                f"tile payload {int(lens[i])} bytes, expected "
+                                f"{int(want[i])} ({hs[i]}x{ws[i]} "
+                                f"{t.column('dtype')[i].as_py()})"
+                            )
+                        out["n_pixels"] += int(
+                            (hs.astype(np.int64) * ws.astype(np.int64)).sum())
             elif header[:4] == b"PK\x03\x04":
                 import io
                 import zipfile
 
                 out["driver"] = "ZIP"
                 data = f.read()
-                out["n_bytes"] = len(data)
                 with zipfile.ZipFile(io.BytesIO(data)) as z:
                     for m in z.infolist():  # full decompress => CRC check
                         out["n_rows"] += 1
@@ -692,6 +701,16 @@ def _check_one(fs, base: str, rel: str, expect_rows) -> dict:
                     if not chunk:
                         break
                     out["n_bytes"] += len(chunk)
+            # lineage cross-check applies to EVERY recorded file — a
+            # part whose header no longer even reads PAR1 must still
+            # flag against its recorded footer row count
+            if expect_rows is not None and (
+                out["driver"] != "Parquet" or out["n_rows"] != expect_rows
+            ):
+                raise ValueError(
+                    f"lineage records {expect_rows} rows, decoded "
+                    f"{out['n_rows'] if out['driver'] == 'Parquet' else 'a non-parquet file'}"
+                )
     except Exception as e:  # noqa: BLE001 — the verb's job is to report
         out["ok"] = False
         out["error"] = f"{type(e).__name__}: {e}"
@@ -725,8 +744,7 @@ def dataset_check(spark: SparkSession, path: str) -> DataFrame:
 
     expected: dict[str, int] = {}
     if inf.type == pafs.FileType.Directory:
-        files = [i.path for i in fs.get_file_info(pafs.FileSelector(p, recursive=True))
-                 if i.type != pafs.FileType.Directory]
+        files = [i.path for i in _walk_files(fs, p)]
         lin_path = posixpath.join(p, LINEAGE_FILE)
         if _info(fs, lin_path) is not None:
             with fs.open_input_stream(lin_path) as f:
@@ -777,18 +795,25 @@ def check_summary(report: DataFrame) -> DataFrame:
     """Fold a dataset_check() report to the reference's result shape:
     total content = pixels + 100 * features (the reference's arbitrary
     RATIO_FEATURE_TO_PIXEL equivalence, gdalalg_dataset_check.cpp:317)
-    and ret_code 0/1 (:47 return-code output arg)."""
+    and ret_code 0/1 (:47 return-code output arg).  Failed files
+    contribute NOTHING to the content sums — a file that errored
+    mid-read carries partial counts that would otherwise make two runs
+    failing at different offsets report different totals for the same
+    dataset; ret_code already records the failure."""
     from pyspark.sql import functions as F
 
-    feats = F.sum(F.when(F.col("n_pixels") == 0, F.col("n_rows")).otherwise(0))
+    ok = F.col("ok")
+    feats = F.sum(
+        F.when(ok & (F.col("n_pixels") == 0), F.col("n_rows")).otherwise(0))
+    px = F.sum(F.when(ok, F.col("n_pixels")).otherwise(0))
     return report.agg(
         F.count(F.lit(1)).alias("n_files"),
         feats.alias("n_features"),
-        F.sum("n_pixels").alias("n_pixels"),
-        F.sum("n_bytes").alias("n_bytes"),
-        (F.sum("n_pixels") + feats * F.lit(100)).alias("total_content"),
-        F.max(F.when(~F.col("ok"), 1).otherwise(0)).alias("ret_code"),
-        F.min(F.when(~F.col("ok"), F.col("error"))).alias("first_error"),
+        px.alias("n_pixels"),
+        F.sum(F.when(ok, F.col("n_bytes")).otherwise(0)).alias("n_bytes"),
+        (px + feats * F.lit(100)).alias("total_content"),
+        F.max(F.when(~ok, 1).otherwise(0)).alias("ret_code"),
+        F.min(F.when(~ok, F.col("error"))).alias("first_error"),
     )
 
 

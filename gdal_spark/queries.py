@@ -9246,8 +9246,9 @@ def q_dataset_check(spark, sf_dir):
     from gdal_spark.operators.fsops import check_summary, dataset_check
     from gdal_spark.operators.raster import TILE_SCHEMA
 
-    base = Path(tempfile.gettempdir()) / "gdal_spark_q_dataset_check"
-    shutil.rmtree(base, ignore_errors=True)
+    # per-run dir: a fixed shared name would let two concurrent runs
+    # rmtree each other's datasets mid-check
+    base = Path(tempfile.mkdtemp(prefix="gdal_spark_q_dataset_check_"))
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 < 3)
     write_snapshot(

@@ -430,9 +430,13 @@ def vector_update(
 
     Appended features get FIDs max(dst)+1.. in creation order (=
     first-src-FID order), via the dense_seq range-bucket rank — no
-    single-partition window.  Output schema = dst schema.  One
-    dst-side key count + one key equi-join; at scale src is typically
-    the small side (broadcastable by AQE)."""
+    single-partition window.  In FID-match mode a later src feature
+    whose FID equals a freshly ASSIGNED one matches it live
+    (GetFeature hits the new row) — the closed form of that
+    interaction is derived inline at the fid_match append branch.
+    Output schema = dst schema.  One dst-side key count + one key
+    equi-join; at scale src is typically the small side
+    (broadcastable by AQE)."""
     if mode not in ("merge", "update-only", "append-only"):
         raise ValueError(f"unknown mode {mode!r}")
     fid_match = not keys or list(keys) == ["FID"]
@@ -501,9 +505,58 @@ def vector_update(
     if mode == "update-only":
         return updated
 
+    max_fid = dst.agg(F.max(fid_col).alias("m")).first().m
+    base = (max_fid if max_fid is not None else -1) + 1
+    from gdal_spark.operators.vector_sort import dense_seq
+
     with_cnt = per_key.join(cnts, key_cols, "left").withColumn(
         "_cnt", F.coalesce(F.col("_cnt"), F.lit(0))
     )
+
+    def _emit(appends: DataFrame) -> DataFrame:
+        app_cols = []
+        for c in dst.columns:
+            if c == fid_col:
+                app_cols.append(
+                    F.col("_fid").cast(dst.schema[fid_col].dataType).alias(c))
+            elif c in shared or c in key_cols:
+                app_cols.append(F.col(f"_row.{c}").alias(c))
+            else:
+                app_cols.append(F.lit(None).cast(dst.schema[c].dataType).alias(c))
+        return updated.unionByName(appends.select(*app_cols))
+
+    if fid_match:
+        # Closed form of the live-layer FID interaction: CreateFeature
+        # assigns max+1.. (SetFrom unset the FID, :333-343), so a LATER
+        # src feature whose FID equals a freshly assigned one MATCHES it
+        # via GetFeature (:242-246).  Since src iterates in FID order,
+        # src FIDs are unique, and the assigned-FID watermark only
+        # grows: holes (f < base, f not in dst) all append FIRST taking
+        # FIDs base..base+H-1 in f order; src rows with
+        # base <= f < base+H then match those appended features (merge
+        # SetFroms them — the f-th assigned FID is exactly f — while
+        # append-only leaves them); and once f clears the watermark
+        # (f >= base+H) every later row appends, because a strictly
+        # increasing f can never fall back under a watermark that grows
+        # by one per append.  Proved against the sequential simulator
+        # in tests/test_vector_update.py (colliding cases included).
+        miss = with_cnt.filter(F.col("_cnt") == 0).select(
+            F.col(f"_first.{fid_col}").alias("_f"), F.col("_first").alias("_row"))
+        holes = miss.filter(F.col("_f") < base)
+        n_holes = holes.count()
+        holes = dense_seq(holes, "_f", "_f", out_col="_seq").select(
+            (F.lit(base) + F.col("_seq")).alias("_fid"), "_row")
+        if mode == "merge":
+            coll = miss.filter(
+                (F.col("_f") >= base) & (F.col("_f") < base + n_holes)
+            ).select(F.col("_f").alias("_fid"), F.col("_row").alias("_crow"))
+            holes = holes.join(coll, "_fid", "left").select(
+                "_fid", F.coalesce(F.col("_crow"), F.col("_row")).alias("_row"))
+        tail = dense_seq(
+            miss.filter(F.col("_f") >= base + n_holes), "_f", "_f", out_col="_seq"
+        ).select((F.lit(base + n_holes) + F.col("_seq")).alias("_fid"), "_row")
+        return _emit(holes.unionByName(tail))
+
     pick = "_first" if mode == "append-only" else "_last"
     app_new = with_cnt.filter(F.col("_cnt") == 0).select(
         F.col(f"_first.{fid_col}").alias("_ord"),
@@ -515,19 +568,7 @@ def vector_update(
         F.col(fid_col).alias("_ord"),
         F.struct(F.col(fid_col), *[F.col(c) for c in others]).alias("_row"),
     )
-    appends = app_new.unionByName(app_amb)
-
-    max_fid = dst.agg(F.max(fid_col).alias("m")).first().m
-    base = (max_fid if max_fid is not None else -1) + 1
-    from gdal_spark.operators.vector_sort import dense_seq
-
-    appends = dense_seq(appends, "_ord", "_ord", out_col="_seq")
-    app_cols = []
-    for c in dst.columns:
-        if c == fid_col:
-            app_cols.append((F.lit(base) + F.col("_seq")).cast(dst.schema[fid_col].dataType).alias(c))
-        elif c in shared or c in key_cols:
-            app_cols.append(F.col(f"_row.{c}").alias(c))
-        else:
-            app_cols.append(F.lit(None).cast(dst.schema[c].dataType).alias(c))
-    return updated.unionByName(appends.select(*app_cols))
+    appends = dense_seq(
+        app_new.unionByName(app_amb), "_ord", "_ord", out_col="_seq"
+    ).select((F.lit(base) + F.col("_seq")).alias("_fid"), "_row")
+    return _emit(appends)

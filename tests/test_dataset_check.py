@@ -100,6 +100,25 @@ class TestCheckFailures:
         bad = [r for r in rep.collect() if not r.ok]
         assert len(bad) == 1 and "lineage records" in bad[0].error
 
+    def test_recorded_part_with_non_parquet_header_flags(self, spark, tmp_path):
+        """A lineage-recorded part whose magic no longer reads PAR1
+        falls to the byte-scan branch — the row-count cross-check must
+        still fire there, not just in the parquet branch."""
+        _write_vec(spark, tmp_path / "ds")
+        part = _parts(tmp_path / "ds")[0]
+        data = bytearray(open(part, "rb").read())
+        data[:4] = b"\x00\x00\x00\x00"
+        with open(part, "wb") as f:
+            f.write(bytes(data))
+        rep = dataset_check(spark, str(tmp_path / "ds"))
+        bad = [r for r in rep.collect() if not r.ok]
+        assert len(bad) == 1 and "lineage records" in bad[0].error
+        s = check_summary(rep).first()
+        assert s.ret_code == 1
+        # failed files contribute nothing to the content sums
+        ok_rows = sum(r.n_rows for r in rep.collect() if r.ok and r.driver == "Parquet")
+        assert s.n_features == ok_rows < 50
+
     def test_missing_recorded_part_flags(self, spark, tmp_path):
         _write_vec(spark, tmp_path / "ds")
         part = _parts(tmp_path / "ds")[0]

@@ -106,6 +106,61 @@ def test_fid_key(spark, mode):
     assert norm(got) == norm(want)
 
 
+@pytest.mark.parametrize("mode", ["merge", "update-only", "append-only"])
+def test_fid_key_collides_with_assigned_fid(spark, mode):
+    """The live-layer interaction: holes 3,4 append as FIDs 6,7; src
+    FID 6 then MATCHES the appended FID 6 (GetFeature hits the fresh
+    row) — merge SetFroms it, append-only leaves it, and NO duplicate
+    FID 6 row may appear."""
+    src = [
+        {"_id": 3, "k": "h3", "name": "n3", "srconly": "y"},  # hole
+        {"_id": 4, "k": "h4", "name": "n4", "srconly": "y"},  # hole
+        {"_id": 6, "k": "c6", "name": "n6", "srconly": "y"},  # collides w/ assigned 6
+    ]
+    got = run(spark, DST, src, ["FID"], mode)
+    want = simulate(DST, src, ["FID"], mode)
+    assert norm(got) == norm(want)
+    if mode == "merge":
+        six = [r for r in got if r["_id"] == 6]
+        assert len(six) == 1 and six[0]["name"] == "n6"
+    if mode == "append-only":
+        six = [r for r in got if r["_id"] == 6]
+        assert len(six) == 1 and six[0]["name"] == "n3"
+
+
+@pytest.mark.parametrize("mode", ["merge", "append-only"])
+def test_fid_key_watermark_tail(spark, mode):
+    """Past the assigned watermark (base+H) every later row appends:
+    src 3 (hole -> FID 6), src 7 (> 6 = base+H-1+1? base=6, H=1,
+    watermark 7: f=7 >= 7 appends as 7... the simulator decides) and
+    src 20 far past the watermark."""
+    src = [
+        {"_id": 3, "k": "h", "name": "n3", "srconly": "y"},
+        {"_id": 7, "k": "t", "name": "n7", "srconly": "y"},
+        {"_id": 20, "k": "u", "name": "n20", "srconly": "y"},
+    ]
+    got = run(spark, DST, src, ["FID"], mode)
+    want = simulate(DST, src, ["FID"], mode)
+    assert norm(got) == norm(want)
+
+
+def test_fid_key_randomized_against_replay(spark):
+    rng = random.Random(7)
+    for trial in range(4):
+        dst = [
+            {"_id": f, "k": f"d{f}", "name": f"dn{f}", "extra": f"x{f}"}
+            for f in sorted(rng.sample(range(12), rng.randint(2, 8)))
+        ]
+        src = [
+            {"_id": f, "k": f"s{f}", "name": f"sn{f}", "srconly": f"y{f}"}
+            for f in sorted(rng.sample(range(18), rng.randint(3, 10)))
+        ]
+        for mode in ("merge", "update-only", "append-only"):
+            got = run(spark, dst, src, ["FID"], mode)
+            want = simulate(dst, src, ["FID"], mode)
+            assert norm(got) == norm(want), (trial, mode)
+
+
 def test_update_nulls_dst_only_field(spark):
     got = run(spark, DST, SRC[:1], ["k"], "merge")
     row = next(r for r in got if r["k"] == "a")
