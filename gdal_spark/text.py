@@ -304,14 +304,27 @@ def weighted_interleave(
 # PII scrubbing (the public email/IP/phone regex rule-set every released
 # pipeline ships some variant of — e.g. Dolma's and ROOTS' scrubbers).
 # Patterns stay in the Java-regex ∩ RE2 dialect (no lookaround, no
-# backrefs, ASCII \b) so the Spark plan and any DuckDB/Trino oracle
-# apply bit-identical semantics.
+# backrefs) so the Spark plan and any DuckDB/Trino oracle apply
+# bit-identical semantics.  The dialect intersection has NO shared
+# zero-width word boundary — Java's \b is Unicode-aware (a letter like
+# 'é' adjacent to a digit suppresses the boundary) while RE2's \b is
+# ASCII-only, so 'é1.2.3.4' counts 0 in Spark and 1 in DuckDB if \b is
+# used.  The patterns are therefore boundary-free: the documented
+# deviation from \b-anchored rule-sets is that a PII-shaped substring
+# inside a longer run also matches ('1.2.3.4567' redacts its first
+# '1.2.3.456'; over-redaction, never under-redaction).
 
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+", "|||EMAIL|||"),
-    ("ip", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "|||IP_ADDRESS|||"),
-    ("phone", r"\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b", "|||PHONE_NUMBER|||"),
+    ("ip", r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}", "|||IP_ADDRESS|||"),
+    ("phone", r"[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}", "|||PHONE_NUMBER|||"),
 ]
+
+
+def _sql_quote(s: str) -> str:
+    """SQL string-literal escaping shared by every *_sql generator —
+    a pattern or token carrying a quote must not break the oracle."""
+    return s.replace("'", "''")
 
 
 def pii_counts(text: Column) -> dict[str, Column]:
@@ -336,7 +349,7 @@ def pii_redact(text: Column) -> Column:
 def pii_counts_sql(text_expr: str) -> dict[str, str]:
     e = f"COALESCE({text_expr}, '')"
     return {
-        name: f"CAST(len(regexp_extract_all({e}, '{pat}')) AS BIGINT)"
+        name: f"CAST(len(regexp_extract_all({e}, '{_sql_quote(pat)}')) AS BIGINT)"
         for name, pat, _ in PII_PATTERNS
     }
 
@@ -344,18 +357,22 @@ def pii_counts_sql(text_expr: str) -> dict[str, str]:
 def pii_redact_sql(text_expr: str) -> str:
     out = f"COALESCE({text_expr}, '')"
     for _, pat, repl in PII_PATTERNS:
-        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+        out = f"regexp_replace({out}, '{_sql_quote(pat)}', '{_sql_quote(repl)}', 'g')"
     return out
 
 
 # ---------------------------------------------------------------------------
 # BPE-ish pretokenizer count: the GPT-2 pretokenizer with its two
 # lookahead-bearing whitespace alternatives collapsed into one plain
-# \s+ (RE2 — hence DuckDB and any oracle — has no lookahead; the
-# collapse only changes how runs of 2+ spaces split, documented).
+# whitespace run (RE2 — hence DuckDB and any oracle — has no
+# lookahead; the collapse only changes how runs of 2+ spaces split,
+# documented).  Whitespace is the EXPLICIT class [ \t\n\r\f\x0B], not
+# \s: Java's \s includes vertical tab, RE2's does not, so a VT in the
+# corpus would split pretokens differently across engines.
 
+_WS = r" \t\n\r\f\x0B"
 BPE_PRETOKEN_PATTERN = (
-    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^" + _WS + r"\p{L}\p{N}]+|[" + _WS + r"]+"
 )
 
 
@@ -369,7 +386,7 @@ def bpe_token_count(text: Column) -> Column:
 
 
 def bpe_token_count_sql(text_expr: str) -> str:
-    pat = BPE_PRETOKEN_PATTERN.replace("'", "''")  # SQL-literal quoting
+    pat = _sql_quote(BPE_PRETOKEN_PATTERN)
     return (
         f"CAST(len(regexp_extract_all(COALESCE({text_expr}, ''), "
         f"'{pat}')) AS BIGINT)"

@@ -27,6 +27,13 @@ SAMPLES = [
     "a@b.c x@y-z.co.uk 1.2.3.4.5",
     "tab\tsep  double  spaces\nnewline 'quote'",
     "v4-ish 1.2.3.4567 is no phone; 123-456-7890 is",
+    # dialect-divergence triggers: Java's \b is Unicode-aware, RE2's is
+    # ASCII — boundary-free patterns must agree on all of these
+    "é1.2.3.4 and 宽1.2.3.4",
+    "é123-456-7890 phone after a letter",
+    # Java \s includes vertical tab, RE2's does not — the explicit
+    # whitespace class must agree
+    "a\x0b b\x0bc",
 ]
 
 
@@ -93,7 +100,21 @@ class TestCrossEngine:
             assert (s["email"], s["ip"], s["phone"], s["bpe"], s["red"]) == tuple(d)
 
     def test_patterns_stay_in_shared_dialect(self):
-        # no lookaround, no backrefs — the constructs RE2 lacks
+        # no lookaround, no backrefs — the constructs RE2 lacks — and
+        # no \b or bare \s, whose semantics DIFFER between Java and
+        # RE2 (Unicode vs ASCII word chars; VT in \s)
         for _, pat, _ in PII_PATTERNS + [("bpe", BPE_PRETOKEN_PATTERN, "")]:
             assert "(?=" not in pat and "(?!" not in pat and "(?<" not in pat
             assert "\\1" not in pat
+            assert "\\b" not in pat and "\\s" not in pat
+
+    def test_substring_match_is_the_documented_deviation(self, spark):
+        # boundary-free: a PII-shaped substring inside a longer run
+        # matches (over-redaction) — identically on both engines
+        texts = ["1.2.3.4567", "x4123-456-7890"]
+        s = _spark_rows(spark, texts)
+        d = _duck_rows(texts)
+        assert (s[0]["ip"], s[1]["phone"]) == (1, 1)
+        for srow, drow in zip(s, d):
+            assert (srow["email"], srow["ip"], srow["phone"], srow["bpe"],
+                    srow["red"]) == tuple(drow)
