@@ -9387,3 +9387,33 @@ def _o_raster_edit() -> str:
 
 QUERIES["raster_edit"] = q_raster_edit
 ORACLES["raster_edit"] = _o_raster_edit()
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, similarity.semantic_dedup):
+    k-means clusters (the existing exact integer-quantized Lloyd loop,
+    md5-ordered seeds) then the paper's upper-triangular max-cosine
+    drop rule within each cluster — a doc drops iff some lower-id
+    cluster member has quantized cosine > tau.  The oracle replays
+    training AND the pair rule bit-identically in SQL; drift in the
+    cluster assignment, the pair ordering, or the cosine arithmetic
+    shifts the dropped set."""
+    from gdal_spark.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, dims=64, n_cells=8, iters=2, tau=0.3)
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cell").cast("bigint").alias("cell"),
+        "dropped",
+    )
+
+
+def _o_semantic_dedup() -> str:
+    from gdal_spark.similarity import semantic_dedup_sql
+
+    return semantic_dedup_sql(64, n_cells=8, iters=2, tau=0.3)
+
+
+QUERIES["semantic_dedup"] = q_semantic_dedup
+ORACLES["semantic_dedup"] = _o_semantic_dedup()

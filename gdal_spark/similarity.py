@@ -375,28 +375,19 @@ def ivf_topk(
     )
 
 
-def ivf_topk_sql(
-    dims: int,
-    k: int = 10,
-    n_cells: int = 8,
-    iters: int = 2,
-    nprobe: int = 2,
-    query_vec_id: int = 0,
-) -> str:
-    """DuckDB twin of ivf_topk(query = embedding of `query_vec_id`):
-    replays the ENTIRE pipeline — quantization, md5-ordered seeding,
-    every Lloyd iteration, cell assignment, probe selection and the
-    exact-cosine re-rank — with the same integer arithmetic and the
-    same left-fold double reductions, so the result is bit-identical
-    to the Spark plan."""
+def _dist_sql(dims: int, qe: str, se: str, ne: str) -> str:
+    diff = f"(CAST(({qe})[i] AS DOUBLE) - CAST(({se})[i] AS DOUBLE) / CAST({ne} AS DOUBLE))"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dims}), "
+        f"i -> {diff} * {diff}), (a, b) -> a + b)"
+    )
 
-    def dist(qe: str, se: str, ne: str) -> str:
-        diff = f"(CAST(({qe})[i] AS DOUBLE) - CAST(({se})[i] AS DOUBLE) / CAST({ne} AS DOUBLE))"
-        return (
-            f"list_reduce(list_transform(generate_series(1, {dims}), "
-            f"i -> {diff} * {diff}), (a, b) -> a + b)"
-        )
 
+def _ivf_train_ctes(dims: int, n_cells: int, iters: int) -> list[str]:
+    """Shared CTE prefix replaying ivf_train bit-identically:
+    quantization, md5-ordered seeding, every Lloyd iteration.  Ends
+    with `c{iters}` = the final (cid, s, n) centroid table and `qemb`
+    = (vec_id, embedding, q)."""
     rn_seed = "row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)"
     ctes = [
         "qemb AS (SELECT vec_id, embedding, "
@@ -406,7 +397,7 @@ def ivf_topk_sql(
         f"FROM qemb QUALIFY {rn_seed} <= {n_cells})",
     ]
     for t in range(iters):
-        d = dist("e.q", "c.s", "c.n")
+        d = _dist_sql(dims, "e.q", "c.s", "c.n")
         ctes.append(
             f"a{t} AS (SELECT vec_id, q, cid FROM ("
             f"SELECT e.vec_id, e.q, c.cid, row_number() OVER "
@@ -423,9 +414,27 @@ def ivf_topk_sql(
             f"c{t + 1} AS (SELECT c.cid, COALESCE(l.s, c.s) AS s, COALESCE(n2.n, c.n) AS n "
             f"FROM c{t} c LEFT JOIN l{t} l ON l.cid = c.cid LEFT JOIN n{t} n2 ON n2.cid = c.cid)"
         )
+    return ctes
+
+
+def ivf_topk_sql(
+    dims: int,
+    k: int = 10,
+    n_cells: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    query_vec_id: int = 0,
+) -> str:
+    """DuckDB twin of ivf_topk(query = embedding of `query_vec_id`):
+    replays the ENTIRE pipeline — quantization, md5-ordered seeding,
+    every Lloyd iteration, cell assignment, probe selection and the
+    exact-cosine re-rank — with the same integer arithmetic and the
+    same left-fold double reductions, so the result is bit-identical
+    to the Spark plan."""
+    ctes = _ivf_train_ctes(dims, n_cells, iters)
     T = iters
-    dq = dist("qv.qq", "c.s", "c.n")
-    df_ = dist("e.q", "c.s", "c.n")
+    dq = _dist_sql(dims, "qv.qq", "c.s", "c.n")
+    df_ = _dist_sql(dims, "e.q", "c.s", "c.n")
     ctes.append(f"qv AS (SELECT q AS qq FROM qemb WHERE vec_id = {query_vec_id})")
     ctes.append(
         f"pr AS (SELECT c.cid FROM c{T} c CROSS JOIN qv ORDER BY {dq}, c.cid LIMIT {nprobe})"
@@ -451,4 +460,81 @@ def ivf_topk_sql(
         "SELECT vec_id, CAST(cell AS BIGINT) AS cell, "
         f"CAST(row_number() OVER (ORDER BY cs DESC, vec_id) AS BIGINT) AS rank "
         f"FROM scored ORDER BY cs DESC, vec_id LIMIT {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al. 2023, arXiv:2303.09540)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dims: int,
+    n_cells: int = 8,
+    iters: int = 2,
+    tau: float = 0.3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: k-means-cluster the embedding space, then drop every
+    document whose cosine similarity to a LOWER-id document in the
+    SAME cluster exceeds tau — the paper's upper-triangular max-sim
+    rule (keep a doc iff max cos to lower-indexed cluster members
+    <= tau), with vec_id as the index order so the result is
+    deterministic.  Returns (id, cell, dropped).
+
+    Scale shape: clustering is the existing exact integer-quantized
+    Lloyd loop (k x (dims+1) numbers of driver state per iteration;
+    train on a sample at 10^12 rows); the pair stage is a
+    WITHIN-CLUSTER self-join — never all-pairs — whose cost is
+    sum(cluster_size^2), controlled by n_cells exactly as the paper
+    controls it (50k clusters for LAION).  Cosines reuse the
+    cross-engine-exact quantized arithmetic, so `> tau` decides
+    identically in any IEEE engine."""
+    cents = ivf_train(df, dims, n_cells, iters, id_col, emb_col)
+    a = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(emb_col).alias("_e"),
+        ivf_assign(cents, _quantized(emb_col)).alias("cell"),
+    )
+    left = a.select("cell", F.col("_id").alias("_ida"), F.col("_e").alias("_ea"))
+    right = a.select("cell", F.col("_id").alias("_idb"), F.col("_e").alias("_eb"))
+    pairs = left.join(right, "cell").filter(F.col("_ida") < F.col("_idb"))
+    dropped = (
+        pairs.filter(_quant_cosine(F.col("_ea"), F.col("_eb")) > tau)
+        .select(F.col("_idb").alias("_id"))
+        .distinct()
+        .withColumn("_d", F.lit(True))
+    )
+    return a.join(dropped, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "cell",
+        F.coalesce(F.col("_d"), F.lit(False)).alias("dropped"),
+    )
+
+
+def semantic_dedup_sql(dims: int, n_cells: int = 8, iters: int = 2,
+                       tau: float = 0.3) -> str:
+    """DuckDB twin of semantic_dedup over the `embeddings` view —
+    training replayed via the shared _ivf_train_ctes prefix, the
+    within-cluster pair rule in plain SQL."""
+    ctes = _ivf_train_ctes(dims, n_cells, iters)
+    T = iters
+    df_ = _dist_sql(dims, "e.q", "c.s", "c.n")
+    ctes.append(
+        f"af AS (SELECT vec_id, embedding, cid AS cell FROM ("
+        f"SELECT e.vec_id, e.embedding, c.cid, row_number() OVER "
+        f"(PARTITION BY e.vec_id ORDER BY {df_}, c.cid) AS rn "
+        f"FROM qemb e CROSS JOIN c{T} c) WHERE rn = 1)"
+    )
+    cs = quant_cosine_sql("a.embedding", "b.embedding", dims)
+    ctes.append(
+        "dropped AS (SELECT DISTINCT b.vec_id FROM af a JOIN af b "
+        f"ON a.cell = b.cell AND a.vec_id < b.vec_id WHERE {cs} > {tau!r})"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell, "
+        "(d.vec_id IS NOT NULL) AS dropped "
+        "FROM af f LEFT JOIN dropped d ON d.vec_id = f.vec_id"
     )

@@ -401,3 +401,52 @@ class TestJaccardPairs:
         df = _docs(spark, ["same tokens in here fine ok", "same tokens in here fine ok"])
         got = jaccard_pairs(df, threshold=0.9).collect()
         assert len(got) == 1 and got[0].jaccard == 1.0
+
+
+class TestSemanticDedup:
+    """SemDeDup (similarity.semantic_dedup — Abbas et al. 2023): the
+    upper-triangular within-cluster max-cosine drop rule, verified
+    against a literal numpy replay of the paper's rule."""
+
+    def test_matches_brute_force_replay(self, spark):
+        from gdal_spark.similarity import ivf_assign, ivf_train, _quantized, semantic_dedup
+
+        df, vecs = TestIVF._corpus(spark, n_clusters=4, per=10, dims=16, seed=5)
+        tau = 0.6
+        out = {r.vec_id: (r.cell, r.dropped)
+               for r in semantic_dedup(df, dims=16, n_cells=4, iters=2, tau=tau).collect()}
+        # independent replay: same clustering (via the operator's own
+        # deterministic assignment), numpy quantized cosines
+        cents = ivf_train(df, dims=16, n_cells=4, iters=2)
+        cells = {r.vec_id: r.c for r in df.select(
+            "vec_id", ivf_assign(cents, _quantized("embedding")).alias("c")).collect()}
+        q = np.round(vecs.astype(np.float64) * 1e6)
+        want = {}
+        for i in range(len(vecs)):
+            dropped = False
+            for j in range(i):
+                if cells[j] != cells[i]:
+                    continue
+                cos = float(q[i] @ q[j]) / (np.sqrt(q[i] @ q[i]) * np.sqrt(q[j] @ q[j]))
+                if cos > tau:
+                    dropped = True
+                    break
+            want[i] = (cells[i], dropped)
+        assert out == want
+        # tight clusters at tau=0.6: every cluster keeps at least its
+        # lowest-id member and drops at least one near-duplicate
+        assert any(d for _, d in out.values())
+        for cell in {c for c, _ in out.values()}:
+            kept = [v for v, (c, d) in out.items() if c == cell and not d]
+            members = [v for v, (c, _) in out.items() if c == cell]
+            assert min(members) in kept
+
+    def test_tau_monotonicity(self, spark):
+        from gdal_spark.similarity import semantic_dedup
+
+        df, _ = TestIVF._corpus(spark, n_clusters=3, per=8, dims=16, seed=9)
+        drops = {}
+        for tau in (0.2, 0.6, 0.95):
+            out = semantic_dedup(df, dims=16, n_cells=3, iters=2, tau=tau)
+            drops[tau] = {r.vec_id for r in out.collect() if r.dropped}
+        assert drops[0.95] <= drops[0.6] <= drops[0.2]
