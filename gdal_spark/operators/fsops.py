@@ -185,19 +185,24 @@ def vsi_copy(src: str, dst: str, recursive: bool = False) -> int:
     Returns the number of files copied. Directory sources without
     recursive raise, matching the reference's required -r.
     """
+    from pyarrow import fs as pafs
+
     src_fs, sp = _fs_path(src)
     dst_fs, dp = _fs_path(dst)
     if _is_dir(src_fs, sp):
         if not recursive:
             raise ValueError(f"{src} is a directory (use recursive=True)")
         dst_root = _resolve_dst(src, dst, dst_fs, dp)
+        dst_fs.create_dir(dst_root, recursive=True)
         n = 0
-        for inf in _walk_files(src_fs, sp):
+        # dirs first so EMPTY subdirectories survive the copy
+        for inf in src_fs.get_file_info(pafs.FileSelector(sp, recursive=True)):
             rel = posixpath.relpath(inf.path, sp)
-            _copy_one(src_fs, inf.path, dst_fs, posixpath.join(dst_root, rel))
-            n += 1
-        if n == 0:
-            dst_fs.create_dir(dst_root, recursive=True)
+            if inf.type == pafs.FileType.Directory:
+                dst_fs.create_dir(posixpath.join(dst_root, rel), recursive=True)
+            elif inf.type == pafs.FileType.File:
+                _copy_one(src_fs, inf.path, dst_fs, posixpath.join(dst_root, rel))
+                n += 1
         return n
     if _info(src_fs, sp) is None:
         raise FileNotFoundError(src)
@@ -206,17 +211,24 @@ def vsi_copy(src: str, dst: str, recursive: bool = False) -> int:
 
 
 def vsi_move(src: str, dst: str) -> None:
-    """`gdal vsi move` / VSIMove: rename when the filesystems match,
-    otherwise copy (recursively) then delete the source."""
+    """`gdal vsi move` / VSIMove: rename when the filesystems match
+    (fs.equals — same INSTANCE configuration, not merely the same
+    class: two S3 stores with different endpoints must not rename
+    within one), otherwise — or when the rename itself fails, e.g.
+    EXDEV across mount points of one local filesystem — copy
+    (recursively) then delete the source."""
     src_fs, sp = _fs_path(src)
     dst_fs, dp = _fs_path(dst)
     target = _resolve_dst(src, dst, dst_fs, dp)
-    if type(src_fs) is type(dst_fs):
+    if src_fs.equals(dst_fs):
         parent = posixpath.dirname(target)
         if parent:
             dst_fs.create_dir(parent, recursive=True)
-        src_fs.move(sp, target)
-        return
+        try:
+            src_fs.move(sp, target)
+            return
+        except OSError:
+            pass  # e.g. EXDEV: fall through to copy+delete
     vsi_copy(src, dst, recursive=True)
     vsi_delete(src, recursive=True)
 
@@ -285,14 +297,25 @@ def vsi_sync(
     if src_inf is None:
         raise FileNotFoundError(src)
 
+    def _mt(i) -> int:
+        # object stores may omit mtime; 0 = "older than anything", so
+        # TIMESTAMP still copies and the other strategies never look
+        return 0 if i.mtime_ns is None else int(i.mtime_ns)
+
     if _is_dir(src_fs, sp):
         dst_root = dp if contents_only else posixpath.join(dp, posixpath.basename(sp))
         src_rows = [
-            (r, r, int(i.size), int(i.mtime_ns))
+            (r, r, int(i.size), _mt(i))
             for i in _walk_files(src_fs, sp)
             for r in (posixpath.relpath(i.path, sp),)
         ]
         src_root = sp
+        dst_rows = []
+        if _is_dir(dst_fs, dst_root):
+            dst_rows = [
+                (posixpath.relpath(i.path, dst_root), int(i.size), _mt(i))
+                for i in _walk_files(dst_fs, dst_root)
+            ]
     else:
         target = _resolve_dst(src, dst, dst_fs, dp)
         dst_root = posixpath.dirname(target)
@@ -301,17 +324,21 @@ def vsi_sync(
                 posixpath.basename(target),
                 posixpath.basename(sp),
                 int(src_inf.size),
-                int(src_inf.mtime_ns),
+                _mt(src_inf),
             )
         ]
         src_root = posixpath.dirname(sp)
+        # single-file sync: probe the ONE target path instead of
+        # recursively listing the whole destination parent (which may
+        # hold millions of unrelated objects)
+        from pyarrow import fs as pafs
 
-    dst_rows = []
-    if _is_dir(dst_fs, dst_root):
-        dst_rows = [
-            (posixpath.relpath(i.path, dst_root), int(i.size), int(i.mtime_ns))
-            for i in _walk_files(dst_fs, dst_root)
-        ]
+        tinf = _info(dst_fs, target)
+        dst_rows = (
+            [(posixpath.basename(target), int(tinf.size), _mt(tinf))]
+            if tinf is not None and tinf.type == pafs.FileType.File
+            else []
+        )
 
     from pyspark.sql import functions as F
 
@@ -401,9 +428,10 @@ def vsi_sync(
                         )
                 yield pdf
 
-        decided = spark.createDataFrame(
-            decided.mapInPandas(_copy, out_schema).collect(), out_schema
-        )
+        # eager localCheckpoint forces the copy side effect exactly once
+        # and pins the decisions WITHOUT round-tripping a row per synced
+        # file through the driver (a million-file sync stays executor-side)
+        decided = decided.mapInPandas(_copy, out_schema).localCheckpoint(eager=True)
     return decided.select("relpath", "src_size", "action")
 
 
@@ -481,12 +509,19 @@ def dataset_identify(
             dirs_as_ds.append((d, drv))
             if not force_recursive:
                 return
-        elif not (recursive or force_recursive) and d != p:
-            return
         for i in fs.get_file_info(pafs.FileSelector(d, recursive=False)):
             if i.type == pafs.FileType.Directory:
                 if recursive or force_recursive:
                     visit_dir(i.path)
+                else:
+                    # non-recursive: probe the child dir as a dataset
+                    # (report, never descend) — deviation from the
+                    # reference, which skips entries entirely without
+                    # -r; we treat a directory target like a shell
+                    # would treat its immediate listing
+                    cdrv = _identify_dir(fs, i.path)
+                    if cdrv:
+                        dirs_as_ds.append((i.path, cdrv))
             else:
                 files.append(i.path)
 
@@ -511,7 +546,11 @@ def dataset_identify(
                         size = f.size()
                         f.seek(max(0, size - _ZIP_TAIL_PROBE))
                         tail = f.read(_ZIP_TAIL_PROBE)
-                drvs.append(_sniff(header, tail, rel))
+                # a direct single-file target maps to relpath '.' —
+                # sniff by the real basename so extension rules (CSV)
+                # still apply
+                name = rel if rel != "." else posixpath.basename(lbase)
+                drvs.append(_sniff(header, tail, name))
             yield pd.DataFrame({"relpath": pdf["relpath"], "driver": drvs})
 
     rels = [posixpath.relpath(f, base) if f != base else "." for f in files]
@@ -573,15 +612,18 @@ def dataset_rename(src: str, dst: str, overwrite: bool = False) -> None:
         if not overwrite:
             raise FileExistsError(dst)
         dataset_delete(dst)
-    if type(src_fs) is type(dst_fs):
-        if _is_dir(src_fs, sp):
-            src_fs.move(sp, dp)
-        else:
-            for pth in _dataset_paths(src_fs, sp):
-                src_fs.move(pth, dp + pth[len(sp):])
-    else:
-        dataset_copy(src, dst)
-        dataset_delete(src)
+    if src_fs.equals(dst_fs):
+        try:
+            if _is_dir(src_fs, sp):
+                src_fs.move(sp, dp)
+            else:
+                for pth in _dataset_paths(src_fs, sp):
+                    src_fs.move(pth, dp + pth[len(sp):])
+            return
+        except OSError:
+            pass  # e.g. EXDEV: fall through to copy+delete
+    dataset_copy(src, dst)
+    dataset_delete(src)
 
 
 def dataset_delete(path: str) -> None:
@@ -824,9 +866,14 @@ def check_summary(report: DataFrame) -> DataFrame:
 def tee(df: DataFrame, paths: list[str] | str, job_id: str = "tee") -> DataFrame:
     """`tee` pipeline step (gdalalg_tee.h): write the current dataset to
     each side output (snapshot + lineage sidecar) and pass it through
-    unchanged for the next step."""
+    for the next step.  With multiple outputs the dataset is
+    materialized ONCE (eager localCheckpoint) so an expensive upstream
+    plan does not re-execute per output — the reference likewise
+    writes the already-computed dataset to each tee target."""
     if isinstance(paths, str):
         paths = [paths]
+    if len(paths) > 1:
+        df = df.localCheckpoint(eager=True)
     for p in paths:
         write_snapshot(df, p, job_id=job_id)
     return df

@@ -349,3 +349,66 @@ class TestTeeMaterialize:
         df = spark.range(100).toDF("i")
         m = fsops.materialize(df)
         assert sorted(r.i for r in m.collect()) == list(range(100))
+
+
+class TestReviewFixesR4d:
+    """Regressions from the round-4 adversarial review of the fsops
+    batch (single-file CSV identify, empty-dir copy survival,
+    mtime-less filesystems, single-file sync probe, non-recursive
+    child-dataset probe)."""
+
+    def test_identify_single_csv_file(self, spark, tmp_path):
+        _mk({"t.csv": "a,b\n1,2\n"}, str(tmp_path))
+        got = fsops.dataset_identify(spark, str(tmp_path / "t.csv")).collect()
+        assert [(r.relpath, r.driver) for r in got] == [(".", "CSV")]
+
+    def test_copy_preserves_empty_subdirs(self, tmp_path):
+        _mk({"src": {"a.txt": "a"}}, str(tmp_path))
+        os.makedirs(tmp_path / "src" / "emptydir")
+        n = fsops.vsi_copy(str(tmp_path / "src"), str(tmp_path / "dst"), recursive=True)
+        assert n == 1
+        # dst does not pre-exist -> rsync rule: contents land AT dst
+        assert (tmp_path / "dst" / "a.txt").read_text() == "a"
+        assert (tmp_path / "dst" / "emptydir").is_dir()
+
+    def test_move_preserves_empty_subdirs_cross_fallback(self, tmp_path):
+        # same-fs move path keeps the tree; the copy fallback must too
+        _mk({"m": {"f.txt": "x"}}, str(tmp_path))
+        os.makedirs(tmp_path / "m" / "hollow")
+        fsops.vsi_move(str(tmp_path / "m"), str(tmp_path / "out"))
+        assert (tmp_path / "out" / "m" / "hollow").is_dir() or (
+            tmp_path / "out" / "hollow"
+        ).is_dir()
+        assert not (tmp_path / "m").exists()
+
+    def test_single_file_sync_does_not_need_dst_listing(self, spark, tmp_path):
+        _mk({"a.txt": "data", "dstdir": {}}, str(tmp_path))
+        out = fsops.vsi_sync(
+            spark, str(tmp_path / "a.txt"), str(tmp_path / "dstdir") + "/"
+        ).collect()
+        assert [(r.relpath, r.action) for r in out] == [("a.txt", "copy")]
+        assert (tmp_path / "dstdir" / "a.txt").read_text() == "data"
+        # second run: size-equal + not newer -> skip, decided via the
+        # single-target probe
+        out = fsops.vsi_sync(
+            spark, str(tmp_path / "a.txt"), str(tmp_path / "dstdir") + "/"
+        ).collect()
+        assert [(r.relpath, r.action) for r in out] == [("a.txt", "skip")]
+
+    def test_identify_nonrecursive_probes_child_datasets(self, spark, tmp_path):
+        _mk(
+            {
+                "ds": {
+                    LINEAGE_FILE: "{}",
+                    "part-00000.parquet": b"PAR1" + b"\x00" * 8,
+                },
+                "loose.parquet": b"PAR1" + b"\x00" * 8,
+            },
+            str(tmp_path),
+        )
+        got = {
+            r.relpath: r.driver
+            for r in fsops.dataset_identify(spark, str(tmp_path)).collect()
+        }
+        # child dataset dir reported once, NOT descended; loose file sniffed
+        assert got == {"ds": "Parquet", "loose.parquet": "Parquet"}
