@@ -595,6 +595,10 @@ def _grid_impl(
                 ddx = px[:, None] - px[None, :]
                 ddy = py[:, None] - py[None, :]
                 pair_d = np.sqrt(ddx * ddx + ddy * ddy)
+                # release the two factor matrices NOW: keeping them live
+                # through the cell-chunk loop would hold 3x the 512 MB
+                # budget the pair_limit guard promises
+                del ddx, ddy
             chunk = max(1, 4_000_000 // npts)
             for c0 in range(0, ncells, chunk):
                 c1 = min(c0 + chunk, ncells)
@@ -804,14 +808,29 @@ def interpolate_at_points(
             .applyInPandas(_sample_padded, SAMPLE_SCHEMA)
         )
 
-    joined = p.join(t, ["ty", "tx"])
+    # LEFT join + in-bounds key filter: a point keying into an
+    # in-bounds tile ABSENT from a sparse table samples the init
+    # canvas (the repo-wide absent-tile convention — the exact_seams
+    # path above already does this); out-of-range keys drop as before
+    p_in = p.filter(
+        (F.col("ty") >= 0) & (F.col("ty") < spec.ntiles_y)
+        & (F.col("tx") >= 0) & (F.col("tx") < spec.ntiles_x)
+    )
+    joined = p_in.join(t, ["ty", "tx"], "left")
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
             for (tyy, txx), grp in pdf.groupby(["ty", "tx"]):
                 r = grp.iloc[0]
-                tile = np.frombuffer(r["payload"], dtype=r["dtype"]).reshape(r["h"], r["w"]).astype(np.float64)
+                if r["payload"] is None:
+                    sh = spec.tile_shape(int(tyy), int(txx))
+                    tile = np.full(sh, spec.init, dtype=np.float64)
+                else:
+                    # int() casts: the left join makes h/w nullable, so
+                    # pandas holds them as float64 even for present rows
+                    tile = np.frombuffer(r["payload"], dtype=r["dtype"]).reshape(
+                        int(r["h"]), int(r["w"])).astype(np.float64)
                 sx, sy = spec.world_to_pixel(grp["x"].to_numpy(np.float64), grp["y"].to_numpy(np.float64))
                 sx = sx - txx * ts
                 sy = sy - tyy * ts

@@ -130,8 +130,11 @@ def vector_info(
         # coordinate stride from the Z/M header flags: POINT Z (1 2 5)
         # carries 3 numbers per vertex — a fixed x,y alternation would
         # let z values contaminate the extent
+        # (?i): the repo's WKT parser accepts lowercase 'point z (...)'
+        # (geom/wkt.py IGNORECASE) — a case-sensitive probe here would
+        # fall back to stride 2 and let Z values contaminate the extent
         zm = F.upper(
-            F.regexp_extract(F.col("_wkt"), r"^\s*[A-Za-z]+\s+(ZM|Z|M)\s*\(", 1)
+            F.regexp_extract(F.col("_wkt"), r"(?i)^\s*[A-Za-z]+\s+(ZM|Z|M)\s*\(", 1)
         )
         dim = (
             F.when(zm == "ZM", F.lit(4))

@@ -525,7 +525,8 @@ TILE_SCHEMA = StructType(
 )
 
 
-def densify(tiles: DataFrame, spec: RasterSpec) -> DataFrame:
+def densify(tiles: DataFrame, spec: RasterSpec,
+            bands: list[int] | None = None) -> DataFrame:
     """Materialize the dense equivalent of a SPARSE tile table: every
     (band, ty, tx) key absent from `tiles` gains an init-valued payload
     (the repo-wide absent-tile convention, made explicit).
@@ -540,14 +541,20 @@ def densify(tiles: DataFrame, spec: RasterSpec) -> DataFrame:
     existing tile in their 1-ring never form a groupBy key)."""
     spark = tiles.sparkSession
     nty, ntx, nb = spec.ntiles_y, spec.ntiles_x, spec.nbands
+    # integer `div`, not float `/`: at 2^53+ lattice ids double division
+    # stops being exact and keys silently collide (same fix as create.py)
     lattice = (
         spark.range(nb * nty * ntx)
         .select(
             (F.col("id") % nb + 1).cast("int").alias("band"),
-            ((F.col("id") / nb).cast("long") % nty).cast("int").alias("ty"),
-            (F.col("id") / (nb * nty)).cast("int").alias("tx"),
+            (F.expr(f"id div {nb}") % nty).cast("int").alias("ty"),
+            F.expr(f"id div {nb * nty}").cast("int").alias("tx"),
         )
     )
+    if bands is not None:
+        # band-subset callers (as_features with bands=[...]) never pay
+        # synthesis or shipping for bands they will not read
+        lattice = lattice.filter(F.col("band").isin([int(b) for b in bands]))
     missing = lattice.join(
         tiles.select("band", "ty", "tx"), ["band", "ty", "tx"], "left_anti"
     )
@@ -1291,7 +1298,11 @@ def as_features_layer(
         return pd.DataFrame({n: pd.array([], dtype="object" if t == "string" else ("int32" if t == "int" else "float64"))
                              for n, t in fields})
 
-    dense = densify(tiles, spec)
+    # prune to the SELECTED bands before densify/explode — otherwise a
+    # 10-band raster with bands=[1] synthesizes and ships 9 bands of
+    # payload bytes across Arrow only to drop them in Python
+    sel = F.col("band").isin([int(b) for b in bands])
+    dense = densify(tiles.filter(sel), spec, bands=bands)
 
     if len(bands) == 1:
         b0 = bands[0]

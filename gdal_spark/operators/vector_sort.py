@@ -95,21 +95,28 @@ def dense_seq(
     row = df.agg(
         F.min(key_col).alias("mn"), F.max(key_col).alias("mx")
     ).first()
-    if row.mn is None:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
-    mn, mx = float(row.mn), float(row.mx)
-    span = mx - mn
-    if span <= 0:
-        bucket = F.lit(0)
+    if row is None or row.mn is None:
+        # empty df, or every key NULL: one bucket, tie-ordered
+        bucket = F.lit(-1)
     else:
-        # divide by the true span (key == mx hits exactly nbuckets and
-        # the least() clamps it); dividing by span+1 collapsed every
-        # float key with span << 1 into bucket 0 — a single-partition
-        # window in disguise
-        bucket = F.least(
-            F.floor((F.col(key_col) - F.lit(mn)) * nbuckets / F.lit(span)).cast("int"),
-            F.lit(nbuckets - 1),
-        )
+        mn, mx = float(row.mn), float(row.mx)
+        span = mx - mn
+        if span <= 0:
+            bucket = F.lit(0)
+        else:
+            # divide by the true span (key == mx hits exactly nbuckets and
+            # the least() clamps it); dividing by span+1 collapsed every
+            # float key with span << 1 into bucket 0 — a single-partition
+            # window in disguise
+            bucket = F.least(
+                F.floor((F.col(key_col) - F.lit(mn)) * nbuckets / F.lit(span)).cast("int"),
+                F.lit(nbuckets - 1),
+            )
+    # NULL keys rank FIRST (the repo-wide OGR NULLS-FIRST order): their
+    # own bucket -1 ahead of every value bucket — a NULL bucket would
+    # otherwise crash the driver cumsum (None vs int sort) or silently
+    # drop the rows through the offset join
+    bucket = F.when(F.col(key_col).isNull(), F.lit(-1)).otherwise(bucket).cast("int")
     b = df.withColumn("_bkt", bucket)
     counts = {
         r._bkt: r.n

@@ -8465,8 +8465,6 @@ def q_stream_window(spark, sf_dir):
     import shutil
     import tempfile
 
-    from gdal_spark.streaming.ingest import stream_docs_from_files
-
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
     tmp = tempfile.mkdtemp(prefix="gdal_spark_stream_window_")
     src = os.path.join(tmp, "src")
@@ -8474,7 +8472,15 @@ def q_stream_window(spark, sf_dir):
         day = F.dayofmonth("ts")
         for lo, hi in ((1, 11), (11, 21), (21, 32)):
             ev.filter((day >= lo) & (day < hi)).coalesce(1).write.mode("append").parquet(src)
-        stream = stream_docs_from_files(spark, src, ev.schema)
+        # ONE file per micro-batch: without maxFilesPerTrigger,
+        # availableNow would swallow all three arrival files in a
+        # single batch and the cross-batch watermark/window state this
+        # query exists to exercise would never form
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
         # watermarks need TimestampType; the parquet ts is NTZ — session
         # tz is pinned UTC (session.py), so the reinterpretation is exact
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))

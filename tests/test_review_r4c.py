@@ -130,3 +130,64 @@ def test_proximity_sparse_use_input_nodata_init(spark):
     np.testing.assert_array_equal(dense, sparse)
     assert dense[18, 18] == 65535.0  # init==src_nodata pixel masked
     assert dense[10, 10] != 65535.0
+
+
+# --- round-4 late review batch regressions -------------------------------
+
+
+def test_dense_seq_null_keys_rank_first(spark):
+    """NULL ordering keys: OGR NULLS-FIRST — their own bucket ahead of
+    every value bucket; previously the driver cumsum crashed (None vs
+    int) or the offset inner join silently dropped the rows."""
+    df = spark.createDataFrame(
+        [(None, 10), (5.0, 11), (None, 12), (1.0, 13)], "k double, fid int"
+    )
+    got = {r.fid: r.seq for r in dense_seq(df, "k", "fid").collect()}
+    assert got == {10: 0, 12: 1, 13: 2, 11: 3}
+    # all-NULL keys: pure tie order
+    df2 = spark.createDataFrame([(None, 3), (None, 1)], "k double, fid int")
+    got2 = {r.fid: r.seq for r in dense_seq(df2, "k", "fid").collect()}
+    assert got2 == {1: 0, 3: 1}
+
+
+def test_vector_info_lowercase_z_stride(spark):
+    """'point z (1 2 5)' (accepted by the IGNORECASE WKT parser): the
+    Z value 5 must not contaminate the extent."""
+    from gdal_spark.operators.info import vector_info
+
+    df = spark.createDataFrame([("point z (1 2 5)",)], "wkt string")
+    r = vector_info(df).first()
+    assert (r.minx, r.miny, r.maxx, r.maxy) == (1.0, 2.0, 1.0, 2.0)
+
+
+def test_interp_points_sparse_absent_tile_init(spark):
+    """Default (non-exact-seams) path: a point keying into an
+    in-bounds tile ABSENT from a sparse table samples the init canvas
+    instead of silently dropping (parity with the exact_seams path)."""
+    from gdal_spark.operators.grid import interpolate_at_points
+
+    spec = RasterSpec(width=32, height=32, gt=(0, 1, 0, 32, 0, -1),
+                      dtype="float64", tile_size=16, init=7.0)
+    arr = np.arange(32 * 32, dtype=np.float64).reshape(32, 32)
+    tiles = _tiles_from(spark, arr, spec, drop={(1, 1)})  # drop (ty=1, tx=1)
+    pts = spark.createDataFrame(
+        [(0, 24.5, 2.5), (1, 2.5, 29.5)], "pid int, x double, y double"
+    )  # pid 0 -> absent tile (ty=1,tx=1); pid 1 -> present tile
+    for seams in (False, True):
+        got = {r.pid: r.value for r in interpolate_at_points(
+            tiles, spec, pts, method="nearest", exact_seams=seams).collect()}
+        assert got[0] == 7.0, seams
+        assert got[1] == arr[2, 2], seams
+
+
+def test_densify_band_subset(spark):
+    """densify(bands=[...]) synthesizes keys only for the selected
+    bands — nothing ships for bands the caller will not read."""
+    from gdal_spark.operators.raster import TILE_SCHEMA, densify
+
+    spec = RasterSpec(width=32, height=16, gt=(0, 1, 0, 16, 0, -1),
+                      dtype="uint8", nbands=3, tile_size=16)
+    pay = np.zeros((16, 16), np.uint8).tobytes()
+    tiles = spark.createDataFrame([(2, 0, 0, 16, 16, "uint8", pay)], TILE_SCHEMA)
+    out = densify(tiles, spec, bands=[2]).select("band", "ty", "tx").collect()
+    assert sorted((r.band, r.ty, r.tx) for r in out) == [(2, 0, 0), (2, 0, 1)]
