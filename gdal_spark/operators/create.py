@@ -111,8 +111,15 @@ def raster_create(
             if w > _INT_MAX or h > _INT_MAX:
                 raise ValueError("Computed size is too large")
 
-    # size from bbox + resolution (:476-491)
+    # size from bbox + resolution (:476-491); the zero-axis
+    # substitution applies here too, not only under `like`
     if w is None and bbox is not None and res is not None:
+        if res[0] == 0:
+            res[0] = res[1]
+        if res[1] == 0:
+            res[1] = res[0]
+        if res[0] == 0 or res[1] == 0:
+            raise ValueError("Invalid resolution")
         if bbox[2] - bbox[0] != 0 and bbox[3] - bbox[1] != 0:
             w = math.ceil((bbox[2] - bbox[0]) / res[0] - _EPSILON)
             h = math.ceil((bbox[3] - bbox[1]) / res[1] - _EPSILON)
@@ -135,6 +142,9 @@ def raster_create(
             w = math.ceil(h * ratio - _EPSILON)
         else:
             h = math.ceil(w / ratio - _EPSILON)
+
+    if not w or not h or w < 0 or h < 0:
+        raise ValueError(f"Invalid raster size {w}x{h}")
 
     nbands = 1 if band_count is None else int(band_count)
     dt = dtype or "uint8"
@@ -166,13 +176,23 @@ def raster_create(
         nodata = None if nodata.lower() == "none" else float(nodata)
 
     uniform = burn is None or len(set(burn)) == 1
-    init = float(burn[0]) if (burn and uniform) else 0.0
+    # uniform burns round through GDALCopyWord exactly like the
+    # per-band lattice path — otherwise densify's C-truncating np.full
+    # and materialize_full's copy_word would disagree on the pixel value
+    init = (
+        float(copy_word(np.array([float(burn[0])], dtype=np.float64), dt)[0])
+        if (burn and uniform)
+        else 0.0
+    )
     spec = RasterSpec(
         width=int(w), height=int(h), gt=tuple(float(v) for v in gt),
         dtype=dt, nbands=nbands, init=init, tile_size=tile_size,
     )
     # nodata rides as an attribute-style sidecar (RasterSpec is frozen
-    # and nodata-free by design; sinks take nodata explicitly)
+    # and nodata-free by design; sinks take nodata explicitly and read
+    # it back via getattr(spec, "nodata", None))
+    if nodata is not None:
+        object.__setattr__(spec, "nodata", float(nodata))
     if spark is None:
         if not uniform:
             raise ValueError("per-band burn values need a SparkSession to materialize")

@@ -100,17 +100,16 @@ def _halo_explode(tiles: DataFrame, halo: int = 1) -> DataFrame:
 def assemble_padded(
     pdf: pd.DataFrame,
     halo: int,
-    spec=None,
-    ty: int | None = None,
-    tx: int | None = None,
+    spec,
+    ty: int,
+    tx: int,
 ) -> tuple[np.ndarray, int, int] | None:
     """Rebuild one tile's (h+2*halo, w+2*halo) float64 window from its
     _halo_explode pieces: center payload + neighbor border strips, with
     edge replication at the raster boundary (the gdaldem edge rule).
     Shared by focal_apply and the seam-exact point sampler.
 
-    Without spec: returns None when the key has no center piece. With
-    (spec, ty, tx): SPARSE tile tables follow the repo-wide convention
+    SPARSE tile tables follow the repo-wide convention
     — an in-bounds absent tile acts init-valued. An absent center
     synthesizes the init canvas; an in-bounds absent neighbor fills its
     halo block with init (only out-of-raster sides edge-replicate), so
@@ -120,12 +119,9 @@ def assemble_padded(
     and stay absent from the output (use densify() first when the
     all-init interior must be materialized)."""
     center = pdf[(pdf.src_dy == 0) & (pdf.src_dx == 0)]
-    sparse_aware = spec is not None and ty is not None and tx is not None
-    if sparse_aware and not (0 <= ty < spec.ntiles_y and 0 <= tx < spec.ntiles_x):
+    if not (0 <= ty < spec.ntiles_y and 0 <= tx < spec.ntiles_x):
         return None
     if not len(center):
-        if not sparse_aware:
-            return None
         h, w = spec.tile_shape(ty, tx)
         t = np.full((h, w), float(spec.init or 0.0))
     else:
@@ -148,21 +144,20 @@ def assemble_padded(
         th = min(target.shape[0], piece.shape[0])
         tw = min(target.shape[1], piece.shape[1])
         target[:th, :tw] = piece[:th, :tw]
-    if sparse_aware:
-        # in-bounds neighbors absent from a sparse table: place a
-        # synthetic init piece (block-limited, so real corner pieces
-        # survive); out-of-raster sides fall through to replication
-        init = float(spec.init or 0.0)
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if (dy == 0 and dx == 0) or (dy, dx) in sides:
-                    continue
-                if not (0 <= ty + dy < spec.ntiles_y and 0 <= tx + dx < spec.ntiles_x):
-                    continue
-                ys = slice(0, halo) if dy == -1 else (slice(halo + h, None) if dy == 1 else slice(halo, halo + h))
-                xs = slice(0, halo) if dx == -1 else (slice(halo + w, None) if dx == 1 else slice(halo, halo + w))
-                padded[ys, xs] = init
-                sides.add((dy, dx))
+    # in-bounds neighbors absent from a sparse table: place a
+    # synthetic init piece (block-limited, so real corner pieces
+    # survive); out-of-raster sides fall through to replication
+    init = float(spec.init or 0.0)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if (dy == 0 and dx == 0) or (dy, dx) in sides:
+                continue
+            if not (0 <= ty + dy < spec.ntiles_y and 0 <= tx + dx < spec.ntiles_x):
+                continue
+            ys = slice(0, halo) if dy == -1 else (slice(halo + h, None) if dy == 1 else slice(halo, halo + h))
+            xs = slice(0, halo) if dx == -1 else (slice(halo + w, None) if dx == 1 else slice(halo, halo + w))
+            padded[ys, xs] = init
+            sides.add((dy, dx))
     # raster-boundary edge rule (gdaldem edge replication) applied
     # AFTER strip placement: pad rows/cols beyond the RASTER extent
     # replicate the outermost real row/col across the full padded
@@ -171,19 +166,14 @@ def assemble_padded(
     # the whole raster at once. With spec the number of REAL pad
     # rows/cols per side comes from the raster extent, which also
     # covers remainder neighbor tiles SMALLER than the halo (their
-    # piece fills part of the block; the rest replicates it) — the
-    # sides-based fallback assumes neighbor tiles >= halo.
-    if sparse_aware:
-        y0, x0 = ty * spec.tile_size, tx * spec.tile_size
-        at = min(halo, y0)
-        ab = min(halo, spec.height - (y0 + h))
-        al = min(halo, x0)
-        ar = min(halo, spec.width - (x0 + w))
-    else:
-        at = halo if (-1, 0) in sides else 0
-        ab = halo if (1, 0) in sides else 0
-        al = halo if (0, -1) in sides else 0
-        ar = halo if (0, 1) in sides else 0
+    # piece fills part of the block; the rest replicates it) — a
+    # sides-based guess would assume neighbor tiles >= halo, which is
+    # wrong for remainder tiles; spec is therefore MANDATORY.
+    y0, x0 = ty * spec.tile_size, tx * spec.tile_size
+    at = min(halo, y0)
+    ab = min(halo, spec.height - (y0 + h))
+    al = min(halo, x0)
+    ar = min(halo, spec.width - (x0 + w))
     if at < halo:
         padded[0 : halo - at, :] = padded[halo - at : halo - at + 1, :]
     if ab < halo:

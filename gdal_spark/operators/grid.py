@@ -600,6 +600,18 @@ def _grid_impl(
                 # budget the pair_limit guard promises
                 del ddx, ddy
             chunk = max(1, 4_000_000 // npts)
+            # blocked average_distance_pts: the per-chunk valid masks
+            # are computed ONCE (stored bit-packed, npts*ncells/8 bytes)
+            # and the O(npts^2) distance matrix is streamed in row
+            # blocks ONCE for the whole tile — nesting the block loop
+            # inside the chunk loop would recompute all npts^2
+            # distances per chunk (~2 orders of magnitude more flops)
+            blocked_avg = algo == "average_distance_pts" and pair_d is None
+            packed_masks: list[np.ndarray] = []
+            chunk_bounds: list[tuple[int, int]] = []
+            if blocked_avg:
+                npairs_all = np.zeros(ncells, dtype=np.int64)
+                ok_all = np.zeros(ncells, dtype=bool)
             for c0 in range(0, ncells, chunk):
                 c1 = min(c0 + chunk, ncells)
                 dx = px[:, None] - fcx[None, c0:c1]
@@ -616,22 +628,17 @@ def _grid_impl(
                 d2 = dx * dx + dy * dy
 
                 if algo == "average_distance_pts":
-                    m = valid.astype(np.float64)
-                    if pair_d is not None:
-                        s = pair_d @ m
-                    else:
-                        # npts too large for an (npts, npts) matrix:
-                        # accumulate S = D @ M in row blocks of D
-                        s = np.zeros_like(m)
-                        for b0 in range(0, npts, 2048):
-                            b1 = min(b0 + 2048, npts)
-                            bdx = px[b0:b1, None] - px[None, :]
-                            bdy = py[b0:b1, None] - py[None, :]
-                            s[b0:b1] = np.sqrt(bdx * bdx + bdy * bdy) @ m
-                    pair_sum = (m * s).sum(axis=0) * 0.5
                     cnt = valid.sum(axis=0)
                     npairs = cnt * (cnt - 1) // 2
                     ok = (npairs >= min_points) & (npairs > 0)
+                    if blocked_avg:
+                        packed_masks.append(np.packbits(valid))
+                        chunk_bounds.append((c0, c1))
+                        npairs_all[c0:c1] = npairs
+                        ok_all[c0:c1] = ok
+                        continue
+                    m = valid.astype(np.float64)
+                    pair_sum = (m * (pair_d @ m)).sum(axis=0) * 0.5
                     out[c0:c1] = np.where(ok, pair_sum / np.maximum(npairs, 1), nodata)
                     continue
 
@@ -703,6 +710,26 @@ def _grid_impl(
                         val = np.where(ex_any, pz[ex.argmax(axis=0)], val)
 
                 out[c0:c1] = val
+
+            if blocked_avg and packed_masks:
+                # block pass: each O(block x npts) distance slab is
+                # computed exactly once for the whole tile and applied
+                # to every chunk's unpacked mask
+                pair_sums = np.zeros(ncells)
+                for b0 in range(0, npts, 2048):
+                    b1 = min(b0 + 2048, npts)
+                    bdx = px[b0:b1, None] - px[None, :]
+                    bdy = py[b0:b1, None] - py[None, :]
+                    bD = np.sqrt(bdx * bdx + bdy * bdy)
+                    del bdx, bdy
+                    for packed, (c0, c1) in zip(packed_masks, chunk_bounds):
+                        nc = c1 - c0
+                        m = np.unpackbits(packed, count=npts * nc).reshape(
+                            npts, nc).astype(np.float64)
+                        pair_sums[c0:c1] += (m[b0:b1] * (bD @ m)).sum(axis=0)
+                pair_sums *= 0.5
+                out[:] = np.where(
+                    ok_all, pair_sums / np.maximum(npairs_all, 1), nodata)
         out = out.reshape(h, w)
         return pd.DataFrame(
             [{"band": 1, "ty": tyy, "tx": txx, "h": h, "w": w,

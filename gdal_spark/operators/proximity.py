@@ -141,6 +141,20 @@ def proximity(
     W, H = spec.width, spec.height
     tv = target_values
 
+    # absent-tile-is-init convention: when the INIT value itself is a
+    # target, absent sparse tiles are all-target blocks (distance 0
+    # conducting outward) — seed them explicitly, since a fully absent
+    # row strip never even forms a groupBy key; when init is not a
+    # target the _INF strip base below already models absence exactly
+    init_val = float(spec.init or 0.0)
+    init_is_target = (
+        any(init_val == float(v) for v in tv) if tv is not None else init_val != 0
+    )
+    if init_is_target:
+        from gdal_spark.operators.raster import densify
+
+        tiles = densify(tiles, spec, bands=[band])
+
     # phase A: row strips
     def _xpass(key, pdf: pd.DataFrame) -> pd.DataFrame:
         tyy = int(key[0])

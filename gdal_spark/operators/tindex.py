@@ -20,6 +20,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _wkt_num(x):
+    """Plain-decimal WKT coordinate: Spark's double->string cast flips
+    to scientific notation at |v| >= 1e7 ('1.0E7'), which is not legal
+    WKT syntax — a UTM false northing (10000000.0) would corrupt the
+    index geometry.  Integer-valued doubles (every envelope corner the
+    reference writes, false northings included) render as exact plain
+    decimals; residual limit: NON-integral values >= 1e7 still cast."""
+    as_int = x.cast("bigint")
+    return F.when(
+        as_int.cast("double") == x,
+        F.concat(as_int.cast("string"), F.lit(".0")),
+    ).otherwise(x.cast("string"))
+
+
+def _pt(x, y):
+    return F.concat(_wkt_num(x), F.lit(" "), _wkt_num(y))
+
+
 def tile_index(
     meta: DataFrame,
     min_pixel_size: float | None = None,
@@ -54,7 +72,7 @@ def tile_index(
             df[location_col] == F.col("_loc"),
             "left_anti",
         )
-    pt = lambda x, y: F.concat(x.cast("string"), F.lit(" "), y.cast("string"))  # noqa: E731
+    pt = _pt
     out = df.select(
         F.col(location_col).alias("location"),
         F.concat(
@@ -190,7 +208,7 @@ def vector_index(
             "left_anti",
         ).drop("_loc", "_xloc")
 
-    pt = lambda x, y: F.concat(x.cast("string"), F.lit(" "), y.cast("string"))  # noqa: E731
+    pt = _pt
     mnx, mny, mxx, mxy = (F.col(c) for c in ("minx", "miny", "maxx", "maxy"))
     cols = [
         (

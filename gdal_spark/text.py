@@ -296,6 +296,11 @@ def weighted_interleave(
     from gdal_spark.operators.vector_sort import dense_seq
 
     u = u.withColumn("_tie", F.struct(F.col(src_col), F.col(id_col)))
+    # the outer dense_seq fires several driver actions (min/max agg,
+    # bucket-count collect, final job); without a plan cut each one
+    # re-executes every per-source shuffle pipeline — same repeated-
+    # action pattern strtree_sort checkpoints
+    u = u.localCheckpoint(eager=True)
     out = dense_seq(u, "_ikey", "_tie", out_col=out_col, nbuckets=nbuckets)
     return out.drop("_sseq", "_ikey", "_tie")
 

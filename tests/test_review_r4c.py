@@ -191,3 +191,61 @@ def test_densify_band_subset(spark):
     tiles = spark.createDataFrame([(2, 0, 0, 16, 16, "uint8", pay)], TILE_SCHEMA)
     out = densify(tiles, spec, bands=[2]).select("band", "ty", "tx").collect()
     assert sorted((r.band, r.ty, r.tx) for r in out) == [(2, 0, 0), (2, 0, 1)]
+
+
+def test_proximity_init_is_target_sparse(spark):
+    """When spec.init itself is a target value, absent sparse tiles
+    are all-target blocks (distance 0 conducting outward) — parity
+    with the dense equivalent."""
+    spec = RasterSpec(width=32, height=32, gt=(0, 1, 0, 32, 0, -1),
+                      dtype="float64", nbands=1, tile_size=16, init=1.0)
+    arr = np.full((32, 32), 1.0)   # everything target at init
+    arr[0:16, 0:16] = 0.0          # except the top-left tile
+    dense = materialize_full(
+        proximity(_tiles_from(spark, arr, spec), spec, target_values=[1.0]), spec)
+    sparse = materialize_full(
+        proximity(_tiles_from(spark, arr, spec, drop={(1, 1)}), spec,
+                  target_values=[1.0]), spec)
+    np.testing.assert_array_equal(dense, sparse)
+    assert dense[0, 0] > 0 and dense[20, 20] == 0.0
+
+
+def test_raster_create_nodata_sidecar_and_uniform_rounding():
+    from gdal_spark.operators.create import raster_create
+
+    spec, _ = raster_create(size=(8, 8), nodata=5.0)
+    assert getattr(spec, "nodata", None) == 5.0
+    spec, _ = raster_create(size=(8, 8), nodata="none")
+    assert getattr(spec, "nodata", None) is None
+    # uniform burn rounds through GDALCopyWord (250.9 -> 251), so
+    # densify's np.full and materialize_full agree on the pixel value
+    spec, _ = raster_create(size=(8, 8), burn=[250.9])
+    assert spec.init == 251.0
+
+
+def test_raster_create_degenerate_sizing_errors():
+    import pytest as _pytest
+
+    from gdal_spark.operators.create import raster_create
+
+    with _pytest.raises(ValueError, match="Invalid raster size"):
+        raster_create(size=(0, 50))
+    # res zero-axis substitution applies in the bbox branch too
+    spec, _ = raster_create(bbox=(0.0, 0.0, 100.0, 50.0), resolution=(10.0, 0.0))
+    assert (spec.width, spec.height) == (10, 5)
+    with _pytest.raises(ValueError, match="Invalid resolution"):
+        raster_create(bbox=(0.0, 0.0, 100.0, 50.0), resolution=(0.0, 0.0))
+
+
+def test_tile_index_utm_false_northing_wkt(spark):
+    """Coordinates >= 1e7 (UTM false northing) must render as plain
+    decimals — Spark's cast would emit '1.0E7', which is not WKT."""
+    from gdal_spark.operators.tindex import tile_index
+
+    meta = spark.createDataFrame(
+        [("a.tif", 100, 100, [500000.0, 10.0, 0.0, 10000000.0, 0.0, -10.0])],
+        "location string, width int, height int, gt array<double>",
+    )
+    r = tile_index(meta).first()
+    assert "E" not in r.wkt and "e" not in r.wkt.replace("POLYGON", "")
+    assert "10000000.0" in r.wkt and "500000.0" in r.wkt
