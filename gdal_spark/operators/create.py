@@ -36,6 +36,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 from gdal_spark.operators.raster import TILE_SCHEMA, RasterSpec, copy_word
 
@@ -238,3 +239,313 @@ def raster_create(
             yield out
 
     return spec, lattice.mapInPandas(_synth, TILE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# gdal vector create (apps/gdalalg_vector_create.cpp)
+# ---------------------------------------------------------------------------
+
+# OGR field-type names (OGRFieldDefn::GetFieldTypeByName, EQUAL =
+# case-insensitive) -> Spark column types. "Time" has no Spark scalar
+# type; OGR prints HH:MM:SS strings, so it maps to string (the same
+# mapping csv/gpkg layers use).
+_OGR_FIELD_TO_SPARK = {
+    "integer": "int",
+    "integerlist": "array<int>",
+    "real": "double",
+    "reallist": "array<double>",
+    "string": "string",
+    "stringlist": "array<string>",
+    "binary": "binary",
+    "date": "date",
+    "time": "string",
+    "datetime": "timestamp",
+    "integer64": "bigint",
+    "integer64list": "array<bigint>",
+}
+
+# canonical capitalization for echoing back in schema records
+_OGR_FIELD_CANON = {
+    "integer": "Integer", "integerlist": "IntegerList", "real": "Real",
+    "reallist": "RealList", "string": "String", "stringlist": "StringList",
+    "binary": "Binary", "date": "Date", "time": "Time",
+    "datetime": "DateTime", "integer64": "Integer64",
+    "integer64list": "Integer64List",
+}
+
+# GDALAlgorithm::ParseFieldDefinition regex (gdalalgorithm.cpp:5388):
+# ^([^:]+):([^(\s]+)(?:\((\d+)(?:,(\d+))?\))?$
+import re as _re
+
+_FIELD_DEF_RE = _re.compile(r"^([^:]+):([^(\s]+)(?:\((\d+)(?:,(\d+))?\))?$")
+
+# OGRFromOGCGeomType prefix table (ogrgeometry.cpp:2646); order
+# matters (CURVE/SURFACE after their longer composites, exactly as the
+# reference's if-chain)
+_OGC_GEOM_PREFIXES = (
+    "POINT", "LINESTRING", "POLYGON", "MULTIPOINT", "MULTILINESTRING",
+    "MULTIPOLYGON", "GEOMETRYCOLLECTION", "CIRCULARSTRING",
+    "COMPOUNDCURVE", "CURVEPOLYGON", "MULTICURVE", "MULTISURFACE",
+    "TRIANGLE", "POLYHEDRALSURFACE", "TIN", "CURVE", "SURFACE",
+)
+
+
+def parse_field_definition(text: str) -> dict:
+    """<NAME>:<TYPE>[(<WIDTH>[,<PRECISION>])] -> field record
+    (gdalalgorithm.cpp:5384 ParseFieldDefinition). Unknown type names
+    resolve to String in the reference's GetFieldTypeByName, which
+    ParseFieldDefinition rejects unless the text literally equals
+    "String" (case-insensitive)."""
+    m = _FIELD_DEF_RE.match(text)
+    if not m:
+        raise ValueError(
+            "Invalid field definition format. Expected "
+            "<NAME>:<TYPE>[(<WIDTH>[,<PRECISION>])]"
+        )
+    name, typ = m.group(1), m.group(2)
+    key = typ.lower()
+    if key not in _OGR_FIELD_TO_SPARK:
+        raise ValueError(f"Unsupported field type: {typ}")
+    return {
+        "name": name,
+        "type": _OGR_FIELD_CANON[key],
+        "spark_type": _OGR_FIELD_TO_SPARK[key],
+        "width": int(m.group(3)) if m.group(3) else 0,
+        "precision": int(m.group(4)) if m.group(4) else 0,
+    }
+
+
+def parse_ogc_geom_type(text: str) -> str:
+    """OGRFromOGCGeomType (ogrgeometry.cpp:2646): case-insensitive
+    prefix match + trailing Z/M flags; unknown -> 'Unknown' (the
+    caller errors unless the text starts with GEOMETRY)."""
+    base = "Unknown"
+    up = text.upper()
+    for p in _OGC_GEOM_PREFIXES:
+        if up.startswith(p):
+            base = p
+            break
+    z = m = False
+    if text:
+        ch = text[-1].upper()
+        if ch == "M":
+            m = True
+            if len(text) > 1:
+                ch = text[-2].upper()
+        if ch == "Z":
+            z = True
+    return base + (" Z" if z and not m else " M" if m and not z else " ZM" if z and m else "")
+
+
+def vector_create(
+    spark: SparkSession,
+    path: str,
+    *,
+    layer_name: str | None = None,
+    fields=(),
+    geometry_type: str | None = None,
+    geometry_field: str | None = None,
+    crs: str | None = None,
+    fid: str | None = None,
+    schema: dict | None = None,
+    like: DataFrame | None = None,
+    like_name: str = "layer",
+    like_wkt_col: str | None = "wkt",
+    input_layers=(),
+    update: bool = False,
+    overwrite_layer: bool = False,
+    job_id: str = "vector_create",
+) -> dict:
+    """`gdal vector create` (apps/gdalalg_vector_create.cpp): create an
+    empty vector dataset/layer with a declared schema — from --field
+    definitions, an OGR_SCHEMA-shaped dict (--schema), or a template
+    DataFrame (--like, whose schema exports through the same
+    export_schema JSON the reference round-trips via GDALVectorInfo
+    -schema, :186-210).
+
+    Spark shape: the dataset is the multi-layer directory convention of
+    fsops (immediate subdirectories are layers; the dataset-level
+    `_lineage.json` records the layer list). Each layer lands as a
+    ZERO-ROW parquet snapshot carrying the mapped Spark schema plus a
+    per-layer metadata record (OGR field types with width/precision,
+    geometry field name/type, CRS, FID column) — writing an empty
+    parquet costs one metadata-only task regardless of eventual table
+    size, the exact analog of CreateLayer-without-features.
+
+    Reference validations replicated (:102-118, :135-143, :297-303,
+    :360-369, :438-474): schema/like exclude the per-layer args;
+    existing dataset requires update; existing layer requires
+    overwrite_layer (and overwrite_layer without the layer is "Cannot
+    find layer"); unknown geometry types error unless they start with
+    GEOMETRY; explicit output layer name + multi-layer schema errors;
+    duplicate field names error.
+
+    Returns the dataset-level record {"path", "layers": {name: layer
+    record}}."""
+    import json as _json
+    import os as _os
+
+    from gdal_spark.metrics import LINEAGE_FILE, write_snapshot
+
+    if (schema is not None or like is not None) and (
+        geometry_field is not None
+        or geometry_type is not None
+        or len(tuple(fields))
+        or crs is not None
+        or fid is not None
+    ):
+        raise ValueError(
+            "When --schema or --like is specified, --geometry-field, "
+            "--geometry-type, --field, --crs and --fid options must "
+            "not be specified."
+        )
+    if schema is not None and like is not None:
+        raise ValueError("--schema and --like are mutually exclusive.")
+
+    exists = _os.path.exists(path)
+    if exists and not update:
+        raise FileExistsError(
+            f"Dataset {path} already exists. Specify the --update option "
+            "to open it in update mode."
+        )
+
+    # CPLGetBasenameSafe: file name without directory or last extension
+    base = _os.path.basename(path.rstrip("/"))
+    default_layer = base.rsplit(".", 1)[0] if "." in base else base
+
+    if like is not None:
+        from gdal_spark.operators.info import export_schema
+
+        schema = export_schema(like, layer_name=like_name, wkt_col=like_wkt_col)
+
+    # resolve the set of layer records to create
+    if schema is not None:
+        layer_descs = {ly["name"]: ly for ly in schema.get("layers", [])}
+        if not layer_descs:
+            raise ValueError("Cannot parse OGR_SCHEMA: no layers.")
+        for want in input_layers:
+            if want not in layer_descs:
+                raise ValueError(
+                    f"The specified input layer name '{want}' doesn't exist "
+                    "in the provided template or schema."
+                )
+        names = [n for n in layer_descs if not input_layers or n in input_layers]
+        if layer_name and len(names) > 1 and len(tuple(input_layers)) != 1:
+            raise ValueError(
+                "Output layer name should not be specified when there are "
+                "multiple layers in the schema."
+            )
+        to_create = {}
+        for n in names:
+            ly = layer_descs[n]
+            out_name = layer_name if (layer_name and len(names) == 1) else n
+            flds = []
+            for f in ly.get("fields", []):
+                key = str(f.get("type", "String")).lower()
+                if key not in _OGR_FIELD_TO_SPARK:
+                    raise ValueError(f"Unsupported field type: {f.get('type')}")
+                flds.append({
+                    "name": f["name"],
+                    "type": _OGR_FIELD_CANON[key],
+                    "spark_type": _OGR_FIELD_TO_SPARK[key],
+                    "width": int(f.get("width", 0)),
+                    "precision": int(f.get("precision", 0)),
+                })
+            gfs = ly.get("geometry_fields", [])
+            if len(gfs) > 1:
+                raise ValueError("Multiple geometry fields are not supported.")
+            to_create[out_name] = {
+                "fields": flds,
+                "geometry_fields": [
+                    {"name": g.get("name", "geom"),
+                     "type": g.get("type", "Unknown"),
+                     "crs": g.get("crs")}
+                    for g in gfs
+                ],
+                "fid": ly.get("fid") or None,
+            }
+    else:
+        parsed = []
+        for fdef in fields:
+            rec = parse_field_definition(fdef) if isinstance(fdef, str) else dict(fdef)
+            for p in parsed:
+                if p["name"].lower() == rec["name"].lower():
+                    raise ValueError(f"Duplicate field name: '{rec['name']}'")
+            parsed.append(rec)
+        gfs = []
+        if geometry_type is not None:
+            gt = parse_ogc_geom_type(geometry_type)
+            if gt == "Unknown" and not geometry_type.upper().startswith("GEOMETRY"):
+                raise ValueError(f"Unsupported geometry type: '{geometry_type}'.")
+            gfs.append({
+                "name": geometry_field if geometry_field is not None else "geom",
+                "type": gt,
+                "crs": crs,
+            })
+        to_create = {
+            (layer_name or default_layer): {
+                "fields": parsed,
+                "geometry_fields": gfs,
+                "fid": fid,
+            }
+        }
+
+    # existing layers: the overwrite_layer contract (:438-474)
+    existing_layers: list[str] = []
+    lineage_path = _os.path.join(path, LINEAGE_FILE)
+    rec = {}
+    if exists and _os.path.exists(lineage_path):
+        with open(lineage_path) as f:
+            rec = _json.load(f)
+        existing_layers = list(rec.get("layers", []))
+    for name in to_create:
+        if name in existing_layers and not overwrite_layer:
+            raise FileExistsError(
+                f"Layer '{name}' already exists. Specify the "
+                "--overwrite-layer option to overwrite it."
+            )
+        if name not in existing_layers and overwrite_layer and exists:
+            raise ValueError(f"Cannot find layer '{name}'.")
+
+    _os.makedirs(path, exist_ok=True)
+    out_layers = dict(rec.get("layer_meta", {}))
+    for name, ly in to_create.items():
+        cols = [
+            StructField(f["name"], _parse_spark_type(f["spark_type"]))
+            for f in ly["fields"]
+        ] + [StructField(g["name"], StringType()) for g in ly["geometry_fields"]]
+        empty = spark.createDataFrame([], StructType(cols))
+        write_snapshot(
+            empty, _os.path.join(path, name), job_id=job_id,
+            params={"op": "vector_create", "layer": name},
+        )
+        out_layers[name] = {
+            "fields": [
+                {k: f[k] for k in ("name", "type", "width", "precision")}
+                for f in ly["fields"]
+            ],
+            "geometry_fields": ly["geometry_fields"],
+            "fid": ly.get("fid"),
+        }
+
+    layers = existing_layers + [n for n in to_create if n not in existing_layers]
+    rec.update({"layers": layers, "layer_meta": out_layers})
+    with open(lineage_path, "w") as f:
+        _json.dump(rec, f)
+    return {"path": path, "layers": out_layers}
+
+
+def _parse_spark_type(name: str):
+    from pyspark.sql.types import (
+        ArrayType, BinaryType, DateType, DoubleType, IntegerType,
+        LongType, StringType, TimestampType,
+    )
+
+    table = {
+        "int": IntegerType(), "bigint": LongType(), "double": DoubleType(),
+        "string": StringType(), "binary": BinaryType(), "date": DateType(),
+        "timestamp": TimestampType(),
+    }
+    if name.startswith("array<"):
+        return ArrayType(table[name[6:-1]])
+    return table[name]

@@ -688,3 +688,143 @@ def mdim_compare(
         out["psnr"] = float(psnr)
         report.append(f"Array {nm}: PSNR (dB): {psnr:g}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# gdal mdim info (apps/gdalalg_mdim_info.cpp -> gdalmdiminfo_lib.cpp)
+# ---------------------------------------------------------------------------
+
+# numpy dtype -> GDALExtendedDataType name (gcore/gdal.h GDT_* table)
+_GDAL_TYPE_NAME = {
+    "uint8": "Byte", "int8": "Int8", "uint16": "UInt16", "int16": "Int16",
+    "uint32": "UInt32", "int32": "Int32", "uint64": "UInt64",
+    "int64": "Int64", "float16": "Float16", "float32": "Float32",
+    "float64": "Float64", "complex64": "CFloat32", "complex128": "CFloat64",
+}
+
+
+def mdim_info(
+    arrays: dict,
+    *,
+    driver: str | None = None,
+    group_name: str = "/",
+    group_attrs: dict | None = None,
+    array: str | None = None,
+    summary: bool = False,
+    detailed: bool = False,
+    stats: bool = False,
+) -> dict:
+    """`gdal mdim info` (apps/gdalalg_mdim_info.cpp; JSON shape from
+    gdalmdiminfo_lib.cpp DumpGroup :1086 / DumpArray :818): a
+    JSON-shaped dict describing a group of MDArrays.
+
+    `arrays` maps array name -> MDArraySpec or (MDArraySpec, chunk
+    DataFrame). Pure metadata except --stats (delegates to the
+    distributive mdim_statistics, :958-979's ComputeStatistics call)
+    and --detailed values (gathers chunks driver-side — the reference
+    also serializes every value into one report there, so a driver
+    gather IS the reference cost shape; fine at info scale, not a data
+    path).
+
+    Key order and presence mirror the reference serializer: group =
+    type/driver/name/attributes/dimensions/arrays; per-array =
+    datatype/dimensions/dimension_size/block_size/attributes/unit/
+    nodata_value/offset/scale; first dimension occurrence dumps the
+    full record, repeats collapse to the "/name" reference string
+    (DumpDimensions' alreadyDumpedDimensions set). --summary reports
+    only the hierarchy (:856-857, :1121-1144); --array restricts to
+    one array serialized standalone with type/name (:73 DumpArray
+    bOutputObjType/bOutputName true)."""
+
+    def _pair(v):
+        return v if isinstance(v, tuple) else (v, None)
+
+    if array is not None:
+        if array not in arrays:
+            raise ValueError(f"Cannot find array '{array}'.")
+        spec, df = _pair(arrays[array])
+        rec = {"type": "array", "name": array}
+        if not summary:
+            rec.update(_array_body(spec, df, set(), detailed, stats))
+        return rec
+
+    dumped_dims: set[str] = set()
+    out: dict = {"type": "group"}
+    if driver:
+        out["driver"] = driver
+    out["name"] = group_name
+    if not summary:
+        if group_attrs:
+            out["attributes"] = dict(group_attrs)
+        # group-level dimensions: union over member arrays, first-seen
+        # order (GDALGroup::GetDimensions of the flat MEM group)
+        dims = []
+        for name in arrays:
+            spec, _df = _pair(arrays[name])
+            for dname, size in spec.dims:
+                if "/" + dname not in dumped_dims:
+                    dumped_dims.add("/" + dname)
+                    dims.append({"name": dname, "full_name": "/" + dname,
+                                 "size": int(size)})
+        if dims:
+            out["dimensions"] = dims
+    arrs = {}
+    for name in arrays:
+        spec, df = _pair(arrays[name])
+        rec = {"full_name": "/" + name}
+        if not summary:
+            rec.update(_array_body(spec, df, dumped_dims, detailed, stats))
+        arrs[name] = rec
+    if arrs:
+        out["arrays"] = arrs
+    return out
+
+
+def _array_body(spec, df, dumped_dims: set, detailed: bool, stats: bool) -> dict:
+    rec: dict = {"datatype": _GDAL_TYPE_NAME.get(spec.dtype, spec.dtype)}
+    dims_out = []
+    for dname, size in spec.dims:
+        full = "/" + dname
+        if full in dumped_dims:
+            dims_out.append(full)
+        else:
+            dumped_dims.add(full)
+            dims_out.append({"name": dname, "full_name": full, "size": int(size)})
+    if dims_out:
+        rec["dimensions"] = dims_out
+        rec["dimension_size"] = [int(s) for _n, s in spec.dims]
+    if any(spec.chunks):
+        rec["block_size"] = [int(c) for c in spec.chunks]
+    # reserved attribute keys surface as their dedicated JSON keys
+    # (GetUnit/GetRawNoDataValue/GetOffset/GetScale); the rest stay
+    # under "attributes"
+    attrs = {k: v for k, v in spec.attrs.items()
+             if k not in ("unit", "nodata", "offset", "scale")}
+    if attrs:
+        rec["attributes"] = attrs
+    if "unit" in spec.attrs:
+        rec["unit"] = spec.attrs["unit"]
+    if "nodata" in spec.attrs:
+        rec["nodata_value"] = spec.attrs["nodata"]
+    if "offset" in spec.attrs:
+        rec["offset"] = spec.attrs["offset"]
+    if "scale" in spec.attrs:
+        rec["scale"] = spec.attrs["scale"]
+    if detailed and df is not None:
+        full = np.zeros([s for _n, s in spec.dims], dtype=spec.dtype)
+        for row in df.collect():
+            key = tuple(row["chunk"])
+            shape = spec.chunk_shape(key)
+            sl = tuple(
+                slice(key[d] * spec.chunks[d], key[d] * spec.chunks[d] + shape[d])
+                for d in range(spec.ndim)
+            )
+            full[sl] = np.frombuffer(row["payload"], dtype=spec.dtype).reshape(shape)
+        rec["values"] = full.tolist()
+    if stats and df is not None:
+        s = mdim_statistics(df, spec)
+        rec["statistics"] = {
+            "min": float(s["min"]), "max": float(s["max"]),
+            "mean": float(s["mean"]), "stddev": float(s["std"]),
+        }
+    return rec

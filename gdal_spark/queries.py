@@ -9423,3 +9423,129 @@ def _o_semantic_dedup() -> str:
 
 QUERIES["semantic_dedup"] = q_semantic_dedup
 ORACLES["semantic_dedup"] = _o_semantic_dedup()
+
+
+def q_vector_create(spark, sf_dir):
+    """`gdal vector create` (apps/gdalalg_vector_create.cpp,
+    create.vector_create): every field definition derives from corpus
+    aggregates — one field per distinct documents.lang, its OGR type
+    cycling by length(lang) %% 3, its width from the per-lang doc
+    count — goes through the reference grammar parse
+    (<NAME>:<TYPE>(<WIDTH>)), the empty-layer parquet write, and a
+    schema read-back.  The flattened (field, ogr_type, width,
+    spark_type) record is replayed in SQL; drift in the grammar, the
+    OGR->Spark type map, or the width capture shifts rows."""
+    import os
+    import tempfile
+
+    from gdal_spark.operators.create import vector_create
+
+    langs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull())
+        .groupBy("lang").count().collect()
+    )
+    types = ["Integer", "Real", "String"]
+    fields = [
+        f"{r['lang']}:{types[len(r['lang']) % 3]}({int(r['count']) % 40 + 1})"
+        for r in sorted(langs, key=lambda r: r["lang"])
+    ]
+    path = os.path.join(tempfile.mkdtemp(prefix="veccreate_"), "corpus.db")
+    rec = vector_create(
+        spark, path, layer_name="docs", fields=fields,
+        geometry_type="POINT", crs="EPSG:4326",
+    )
+    back = spark.read.parquet(os.path.join(path, "docs"))
+    spark_types = {f.name: f.dataType.simpleString() for f in back.schema.fields}
+    meta = rec["layers"]["docs"]
+    rows = [
+        (f["name"], f["type"], f["width"], spark_types[f["name"]])
+        for f in meta["fields"]
+    ] + [
+        (g["name"], g["type"], 0, spark_types[g["name"]])
+        for g in meta["geometry_fields"]
+    ]
+    return spark.createDataFrame(
+        rows, "field_name string, ogr_type string, width int, spark_type string"
+    ).select(
+        "field_name", "ogr_type", F.col("width").cast("bigint").alias("width"),
+        "spark_type",
+    )
+
+
+def _o_vector_create() -> str:
+    return (
+        "WITH l AS (SELECT lang, COUNT(*) AS n FROM documents "
+        "WHERE lang IS NOT NULL GROUP BY lang) "
+        "SELECT lang AS field_name, "
+        "CASE length(lang) % 3 WHEN 0 THEN 'Integer' WHEN 1 THEN 'Real' "
+        "ELSE 'String' END AS ogr_type, "
+        "CAST(n % 40 + 1 AS BIGINT) AS width, "
+        "CASE length(lang) % 3 WHEN 0 THEN 'int' WHEN 1 THEN 'double' "
+        "ELSE 'string' END AS spark_type FROM l "
+        "UNION ALL SELECT 'geom', 'POINT', CAST(0 AS BIGINT), 'string'"
+    )
+
+
+QUERIES["vector_create"] = q_vector_create
+ORACLES["vector_create"] = _o_vector_create()
+
+
+def q_mdim_info(spark, sf_dir):
+    """`gdal mdim info` (apps/gdalalg_mdim_info.cpp,
+    multidim.mdim_info): array sized from the events count (time =
+    n %% 5 + 2), filled with arange, described with --stats.  The
+    flattened record (dims, block size, datatype, distributive
+    statistics) is replayed in SQL with the closed forms for an
+    arange array: mean = (N-1)/2, stddev = sqrt((N^2-1)/12)."""
+    from gdal_spark.operators.multidim import MDArraySpec, from_numpy, mdim_info
+
+    n = load(spark, sf_dir, "events").count()
+    t = n % 5 + 2
+    spec = MDArraySpec(
+        name="a", dims=(("time", t), ("y", 6), ("x", 8)),
+        chunks=(2, 3, 4), dtype="float64", attrs={"unit": "K"},
+    )
+    arr = np.arange(t * 6 * 8, dtype=np.float64).reshape(t, 6, 8)
+    info = mdim_info({"a": (spec, from_numpy(spark, arr, spec))}, driver="MEM",
+                     stats=True)
+    a = info["arrays"]["a"]
+    rows = [
+        ("time_size", float(a["dimension_size"][0]), ""),
+        ("y_size", float(a["dimension_size"][1]), ""),
+        ("x_size", float(a["dimension_size"][2]), ""),
+        ("block_0", float(a["block_size"][0]), ""),
+        ("datatype", 0.0, a["datatype"]),
+        ("unit", 0.0, a["unit"]),
+        ("stat_min", float(a["statistics"]["min"]), ""),
+        ("stat_max", float(a["statistics"]["max"]), ""),
+        ("stat_mean", float(a["statistics"]["mean"]), ""),
+        # variance of arange(N) is exactly (N^2-1)/12, so var*12 rounds
+        # to the integer N^2-1 on both engines regardless of summation
+        # order (a stddev*1e6 floor could flip on a last-ulp delta)
+        ("stat_var12", float(round(a["statistics"]["stddev"] ** 2 * 12)), ""),
+    ]
+    return spark.createDataFrame(rows, "k string, num double, txt string")
+
+
+def _o_mdim_info() -> str:
+    return (
+        "WITH c AS (SELECT COUNT(*) % 5 + 2 AS t, "
+        "(COUNT(*) % 5 + 2) * 48 AS n FROM events) "
+        "SELECT k, CAST(num AS DOUBLE) AS num, txt FROM ("
+        "SELECT 'time_size' AS k, CAST(t AS DOUBLE) AS num, '' AS txt FROM c "
+        "UNION ALL SELECT 'y_size', 6, '' FROM c "
+        "UNION ALL SELECT 'x_size', 8, '' FROM c "
+        "UNION ALL SELECT 'block_0', 2, '' FROM c "
+        "UNION ALL SELECT 'datatype', 0, 'Float64' FROM c "
+        "UNION ALL SELECT 'unit', 0, 'K' FROM c "
+        "UNION ALL SELECT 'stat_min', 0, '' FROM c "
+        "UNION ALL SELECT 'stat_max', n - 1, '' FROM c "
+        "UNION ALL SELECT 'stat_mean', (n - 1) / 2.0, '' FROM c "
+        "UNION ALL SELECT 'stat_var12', "
+        "CAST(n AS DOUBLE) * n - 1, '' FROM c)"
+    )
+
+
+QUERIES["mdim_info"] = q_mdim_info
+ORACLES["mdim_info"] = _o_mdim_info()
