@@ -9549,3 +9549,33 @@ def _o_mdim_info() -> str:
 
 QUERIES["mdim_info"] = q_mdim_info
 ORACLES["mdim_info"] = _o_mdim_info()
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (text.pack_sequences): concatenate
+    every document's whitespace tokens in doc_id order and cut the
+    stream into 256-token training windows — one row per (window,
+    doc-slice), every window except the last exactly full.  The oracle
+    replays the prefix sum and the window fan-out as one SQL window +
+    generate_series; drift in the cumsum bucketing, the integer-div
+    window assignment, or the slice arithmetic shifts rows."""
+    from gdal_spark.text import pack_sequences
+
+    d = load(spark, sf_dir, "documents")
+    return pack_sequences(d, 256).select(
+        F.col("window_id").cast("bigint").alias("window_id"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("slice_start").cast("bigint").alias("slice_start"),
+        F.col("slice_end").cast("bigint").alias("slice_end"),
+        F.col("win_off").cast("bigint").alias("win_off"),
+    )
+
+
+def _o_pack_sequences() -> str:
+    from gdal_spark.text import pack_sequences_sql
+
+    return pack_sequences_sql(256)
+
+
+QUERIES["pack_sequences"] = q_pack_sequences
+ORACLES["pack_sequences"] = _o_pack_sequences()

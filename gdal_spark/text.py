@@ -396,3 +396,129 @@ def bpe_token_count_sql(text_expr: str) -> str:
         f"CAST(len(regexp_extract_all(COALESCE({text_expr}, ''), "
         f"'{pat}')) AS BIGINT)"
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    weight_col: str | None = None,
+    text_col: str = "text",
+    nbuckets: int = 1024,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate every document's tokens
+    in a deterministic order (ascending id) and cut the stream into
+    fixed windows of `seq_len` tokens — the standard pretraining
+    batcher (each training sequence is completely full; documents
+    spanning a boundary split across consecutive windows). Returns one
+    row per (window, document-slice):
+
+      window_id    0-based training-sequence index
+      <id_col>     the contributing document
+      slice_start  first token of the doc going into this window
+      slice_end    one past the last token (doc-relative, so
+                   slice_end - slice_start tokens ship)
+      win_off      where the slice lands inside the window
+
+    Every window except the last is exactly full by construction:
+    SUM(slice_end - slice_start) GROUP BY window_id == seq_len.
+
+    Scale shape: the only data-dependent state is the exclusive prefix
+    sum of token counts in id order, computed the dense_seq way
+    (operators/vector_sort.py:79) — arithmetic id-range buckets,
+    per-bucket token totals cumsum'd on the driver (<= nbuckets rows),
+    then a per-bucket running-sum window + broadcast offset join. One
+    shuffle total, no single-partition window at any size; the
+    window fan-out is a pure-Catalyst explode(sequence()). Window ids
+    divide with integer `div`, not float `/` — at 2^53+ total tokens
+    double division stops being exact and a document would silently
+    land in the wrong training sequence."""
+    from pyspark.sql import Window
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    df = docs
+    if weight_col is None:
+        df = df.withColumn("_w", token_count(F.col(text_col)))
+        weight_col = "_w"
+    d = df.select(
+        F.col(id_col).cast("long").alias("_pid"),
+        F.col(weight_col).cast("long").alias("_wt"),
+    ).filter(F.col("_wt") > 0)
+
+    row = d.agg(F.min("_pid").alias("mn"), F.max("_pid").alias("mx")).first()
+    if row is None or row.mn is None:
+        spark = docs.sparkSession
+        return spark.createDataFrame(
+            [], f"window_id long, {id_col} long, slice_start long, "
+                f"slice_end long, win_off long")
+    mn, mx = int(row.mn), int(row.mx)
+    span = mx - mn
+    if span <= 0:
+        bucket = F.lit(0)
+    else:
+        bucket = F.least(
+            F.floor((F.col("_pid") - F.lit(mn)) * nbuckets / F.lit(span)).cast("int"),
+            F.lit(nbuckets - 1),
+        )
+    b = d.withColumn("_bkt", bucket.cast("int"))
+    totals = {
+        r._bkt: r.t
+        for r in b.groupBy("_bkt").agg(F.sum("_wt").alias("t")).collect()
+    }
+    off, offs = 0, []
+    for k in sorted(totals):
+        offs.append((k, off))
+        off += int(totals[k])
+    odf = F.broadcast(
+        docs.sparkSession.createDataFrame(offs, "_bkt int, _off long")
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("_pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = (
+        b.join(odf, "_bkt")
+        .withColumn("_start", F.col("_off") + F.coalesce(F.sum("_wt").over(w), F.lit(0)))
+        .withColumn("_end", F.col("_start") + F.col("_wt"))
+    )
+    L = int(seq_len)
+    out = (
+        staged.withColumn(
+            "window_id",
+            F.explode(F.sequence(
+                F.expr(f"_start div {L}"), F.expr(f"(_end - 1) div {L}")
+            )),
+        )
+        .withColumn("_wlo", F.col("window_id") * L)
+        .select(
+            "window_id",
+            F.col("_pid").alias(id_col),
+            (F.greatest("_wlo", "_start") - F.col("_start")).alias("slice_start"),
+            (F.least(F.col("_wlo") + L, F.col("_end")) - F.col("_start")).alias("slice_end"),
+            (F.greatest("_wlo", "_start") - F.col("_wlo")).alias("win_off"),
+        )
+    )
+    return out
+
+
+def pack_sequences_sql(seq_len: int, tokens_expr: str | None = None,
+                       table: str = "documents", id_expr: str = "doc_id") -> str:
+    """DuckDB replay of pack_sequences (same whitespace token count as
+    token_stats' oracle; the prefix sum is one SQL window)."""
+    w = tokens_expr or r"CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)"
+    L = int(seq_len)
+    return (
+        f"WITH t AS (SELECT {id_expr} AS pid, {w} AS wt FROM {table}), "
+        "p AS (SELECT pid, wt, CAST(COALESCE(SUM(wt) OVER (ORDER BY pid "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s "
+        "FROM t WHERE wt > 0), "
+        "e AS (SELECT pid, s, CAST(s + wt AS BIGINT) AS e FROM p), "
+        f"x AS (SELECT pid, s, e, UNNEST(generate_series(s // {L}, (e-1) // {L}))"
+        " AS window_id FROM e) "
+        "SELECT window_id, pid AS doc_id, "
+        f"GREATEST(window_id * {L}, s) - s AS slice_start, "
+        f"LEAST((window_id + 1) * {L}, e) - s AS slice_end, "
+        f"GREATEST(window_id * {L}, s) - window_id * {L} AS win_off FROM x"
+    )
