@@ -9579,3 +9579,32 @@ def _o_pack_sequences() -> str:
 
 QUERIES["pack_sequences"] = q_pack_sequences
 ORACLES["pack_sequences"] = _o_pack_sequences()
+
+
+def q_unigram_surprisal(spark, sf_dir):
+    """CCNet-shaped corpus-trained unigram LM filter
+    (text.unigram_surprisal): two-pass — corpus word counts, top-K
+    vocabulary broadcast, per-doc integer-quantized surprisal
+    (bitlen(N) - bitlen(c+1) per token; no float log so the value hash
+    is engine-exact).  The oracle replays both passes in SQL; drift in
+    the vocabulary cut (count desc, word asc), the OOV rule, or the
+    bitlen quantization shifts values."""
+    from gdal_spark.text import unigram_surprisal
+
+    d = load(spark, sf_dir, "documents")
+    return unigram_surprisal(d, vocab_size=40).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_oov").cast("bigint").alias("n_oov"),
+        F.col("surprisal_bits").cast("bigint").alias("surprisal_bits"),
+    )
+
+
+def _o_unigram_surprisal() -> str:
+    from gdal_spark.text import unigram_surprisal_sql
+
+    return unigram_surprisal_sql(vocab_size=40)
+
+
+QUERIES["unigram_surprisal"] = q_unigram_surprisal
+ORACLES["unigram_surprisal"] = _o_unigram_surprisal()

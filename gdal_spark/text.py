@@ -522,3 +522,83 @@ def pack_sequences_sql(seq_len: int, tokens_expr: str | None = None,
         f"LEAST((window_id + 1) * {L}, e) - s AS slice_end, "
         f"GREATEST(window_id * {L}, s) - window_id * {L} AS win_off FROM x"
     )
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+) -> DataFrame:
+    """CCNet-shaped language-model quality filter (Wenzek et al. 2020
+    train a 5-gram LM and drop high-perplexity documents; the unigram
+    variant is the same two-pass corpus-trained signal): score every
+    document by its mean token surprisal under the corpus's own
+    unigram distribution.
+
+    Engine-exact arithmetic: -log2 p(w) = log2 N' - log2 c'_w is
+    integer-quantized as bitlen(N') - bitlen(c_w + 1) where bitlen is
+    the binary-representation length (floor(log2 x) + 1, computed via
+    bin() string length — exact in any engine, no float log whose last
+    ulp could flip a fixed-point floor across engines). Add-one
+    smoothing: out-of-vocabulary tokens score with c_w = 0.
+
+    Output: (id, n_tokens, n_oov, surprisal_bits) — surprisal_bits =
+    sum over tokens of the quantized surprisal; filter on
+    surprisal_bits / n_tokens.
+
+    Scale shape (100 TB): pass 1 is one map-side-combinable
+    groupBy(word) count; the top-`vocab_size` vocabulary is a bounded
+    TakeOrdered (count desc, word asc tie) and BROADCASTS — the corpus
+    re-joins it map-side after an explode, and the per-doc groupBy
+    ships only map-combined per-doc partials, never raw tokens. Two
+    shuffles total (vocab count + per-doc fold), both on bounded or
+    combinable keys."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = docs.select(F.explode(toks).alias("_w"))
+    counts = words.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    total = counts.agg(F.sum("_c").alias("t")).first().t or 0
+    if total == 0:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, n_tokens long, n_oov long, surprisal_bits long")
+    vocab = counts.orderBy(F.col("_c").desc(), F.col("_w").asc()).limit(vocab_size)
+    nbits = len(bin(int(total))) - 2  # bitlen(N)
+    per_tok = (
+        docs.select(F.col(id_col).alias("_id"), F.explode(toks).alias("_w"))
+        .join(F.broadcast(vocab), "_w", "left")
+        .select(
+            "_id",
+            F.col("_c").isNull().cast("long").alias("_oov"),
+            # bitlen(c+1) = length(bin(c+1)); OOV c=0 -> bitlen 1
+            (F.lit(nbits) - F.length(F.bin(F.coalesce(F.col("_c"), F.lit(0)) + 1)))
+            .cast("long").alias("_s"),
+        )
+    )
+    return per_tok.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("_oov").alias("n_oov"),
+        F.sum("_s").alias("surprisal_bits"),
+    ).select(
+        F.col("_id").alias(id_col), "n_tokens", "n_oov", "surprisal_bits"
+    )
+
+
+def unigram_surprisal_sql(
+    vocab_size: int = 50_000,
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB replay of unigram_surprisal (same bitlen quantization)."""
+    return (
+        f"WITH w AS (SELECT {id_expr} AS id, "
+        f"UNNEST(string_split_regex(trim({text_expr}), '\\s+')) AS tok FROM {table}), "
+        "c AS (SELECT tok, COUNT(*) AS n FROM w GROUP BY tok), "
+        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c), "
+        f"v AS (SELECT tok, n FROM c ORDER BY n DESC, tok ASC LIMIT {vocab_size}) "
+        "SELECT w.id AS doc_id, COUNT(*) AS n_tokens, "
+        "CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, "
+        "CAST(SUM(length(bin(CAST((SELECT t FROM tot) AS BIGINT))) "
+        "- length(bin(CAST(COALESCE(v.n, 0) + 1 AS BIGINT)))) AS BIGINT) AS surprisal_bits "
+        "FROM w LEFT JOIN v ON w.tok = v.tok GROUP BY w.id"
+    )
