@@ -9608,3 +9608,32 @@ def _o_unigram_surprisal() -> str:
 
 QUERIES["unigram_surprisal"] = q_unigram_surprisal
 ORACLES["unigram_surprisal"] = _o_unigram_surprisal()
+
+
+def q_line_quality(spark, sf_dir):
+    """C4/FineWeb line-level quality signals
+    (text.line_quality_signals): the single-line corpus docs are split
+    into lines by replacing ' the ' separators with newlines (the same
+    non-overlapping literal replace on both engines), then every line
+    rule (terminal punctuation, bullets, ellipsis, short lines, lorem
+    ipsum, code brace) is counted per doc.  Counts are integers, so
+    the hash compare is exact."""
+    from gdal_spark.text import line_quality_signals
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace(F.col("text"), " the ", "\n")
+    )
+    return line_quality_signals(d)
+
+
+def _o_line_quality() -> str:
+    from gdal_spark.text import line_quality_signals_sql
+
+    return line_quality_signals_sql(
+        table="(SELECT doc_id, replace(text, ' the ', chr(10)) AS text "
+              "FROM documents) s"
+    )
+
+
+QUERIES["line_quality"] = q_line_quality
+ORACLES["line_quality"] = _o_line_quality()

@@ -602,3 +602,77 @@ def unigram_surprisal_sql(
         "- length(bin(CAST(COALESCE(v.n, 0) + 1 AS BIGINT)))) AS BIGINT) AS surprisal_bits "
         "FROM w LEFT JOIN v ON w.tok = v.tok GROUP BY w.id"
     )
+
+
+def line_quality_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4/FineWeb-style line-level quality signals (Raffel et al. 2020
+    §2.2's line rules; FineWeb/Gopher's bullet- and ellipsis-line
+    fractions): per-document counts over newline-split lines —
+
+      n_lines        lines after splitting on \\n
+      n_end_punct    lines whose trimmed text ends in . ! ? or "
+                     (C4 keeps only such lines)
+      n_bullet       trimmed lines starting with -, * or • (Gopher
+                     drops docs with >90%% bullet lines)
+      n_ellipsis     trimmed lines ending in ... (Gopher >30%% rule)
+      n_short        lines with fewer than 3 whitespace tokens (C4's
+                     short-line rule)
+      has_lorem      1 if the lowercased doc contains 'lorem ipsum'
+      has_brace      1 if the doc contains '{' (C4's code filter)
+
+    Counts stay integers (callers derive fractions) so the DuckDB twin
+    is hash-exact. Pure Catalyst array expressions — no Python, no
+    shuffle; rows are independent so the operator scales linearly."""
+    t = F.col(text_col)
+    staged = docs.withColumn("_ls", F.split(t, "\n"))
+    ls = F.col("_ls")
+    trimmed = F.transform(ls, lambda x: F.trim(x))
+    endp = F.filter(
+        trimmed,
+        lambda x: x.endswith(".") | x.endswith("!") | x.endswith("?")
+        | x.endswith('"'),
+    )
+    bullets = F.filter(
+        trimmed,
+        lambda x: x.startswith("-") | x.startswith("*") | x.startswith("•"),
+    )
+    ellipsis = F.filter(trimmed, lambda x: x.endswith("..."))
+    short = F.filter(trimmed, lambda x: F.size(F.split(x, r"\s+")) < 3)
+    return staged.select(
+        F.col(id_col),
+        F.size(ls).cast("long").alias("n_lines"),
+        F.size(endp).cast("long").alias("n_end_punct"),
+        F.size(bullets).cast("long").alias("n_bullet"),
+        F.size(ellipsis).cast("long").alias("n_ellipsis"),
+        F.size(short).cast("long").alias("n_short"),
+        F.lower(t).contains("lorem ipsum").cast("long").alias("has_lorem"),
+        t.contains("{").cast("long").alias("has_brace"),
+    )
+
+
+def line_quality_signals_sql(
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB replay of line_quality_signals."""
+    return (
+        f"WITH l AS (SELECT {id_expr} AS id, {text_expr} AS t, "
+        f"list_transform(string_split({text_expr}, chr(10)), x -> trim(x)) AS ls "
+        f"FROM {table}) "
+        "SELECT id AS doc_id, CAST(len(ls) AS BIGINT) AS n_lines, "
+        "CAST(len(list_filter(ls, x -> x LIKE '%.' OR x LIKE '%!' "
+        "OR x LIKE '%?' OR x LIKE '%\"')) AS BIGINT) AS n_end_punct, "
+        "CAST(len(list_filter(ls, x -> x LIKE '-%' OR x LIKE '*%' "
+        "OR x LIKE chr(8226) || '%')) AS BIGINT) AS n_bullet, "
+        "CAST(len(list_filter(ls, x -> x LIKE '%...')) AS BIGINT) AS n_ellipsis, "
+        "CAST(len(list_filter(ls, x -> len(string_split_regex(x, '\\s+')) < 3)) "
+        "AS BIGINT) AS n_short, "
+        "CAST(CASE WHEN lower(t) LIKE '%lorem ipsum%' THEN 1 ELSE 0 END AS BIGINT) AS has_lorem, "
+        "CAST(CASE WHEN t LIKE '%{%' THEN 1 ELSE 0 END AS BIGINT) AS has_brace "
+        "FROM l"
+    )
