@@ -9637,3 +9637,29 @@ def _o_line_quality() -> str:
 
 QUERIES["line_quality"] = q_line_quality
 ORACLES["line_quality"] = _o_line_quality()
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunker (text.chunk_documents): 64-char windows
+    advancing by 48 (16-char overlap) over the corpus text — one row
+    per chunk with its offset, length and text.  The oracle replays
+    the window lattice with generate_series + substr; drift in the
+    step arithmetic, the final-chunk clamp, or the substring indexing
+    shifts rows."""
+    from gdal_spark.text import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    return chunk_documents(d, 64, 16).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "chunk_id", "chunk_start", "chunk_len", "chunk_text",
+    )
+
+
+def _o_chunk_documents() -> str:
+    from gdal_spark.text import chunk_documents_sql
+
+    return chunk_documents_sql(64, 16)
+
+
+QUERIES["chunk_documents"] = q_chunk_documents
+ORACLES["chunk_documents"] = _o_chunk_documents()

@@ -676,3 +676,66 @@ def line_quality_signals_sql(
         "CAST(CASE WHEN t LIKE '%{%' THEN 1 ELSE 0 END AS BIGINT) AS has_brace "
         "FROM l"
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking for embedding/retrieval
+    pipelines: cut each document's characters into windows of
+    `chunk_size` advancing by `chunk_size - overlap`, so consecutive
+    chunks share `overlap` characters (the standard RAG chunker
+    shape). Chunk k covers [k*step, k*step + chunk_size); windows
+    start while strictly inside the text, so the final chunk may be
+    shorter. Empty documents produce no chunks.
+
+    Output: (id, chunk_id, chunk_start, chunk_len, chunk_text).
+
+    Pure Catalyst — explode(sequence()) + substring, no Python and no
+    shuffle; chunk counts derive from length arithmetic with integer
+    div (exact at any corpus size)."""
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("overlap must be in [0, chunk_size)")
+    step = chunk_size - overlap
+    t = F.col(text_col)
+    n = F.length(t)
+    staged = docs.filter(n > 0).withColumn(
+        "chunk_id",
+        F.explode(F.sequence(F.lit(0), F.expr(f"(length({text_col}) - 1) div {step}"))),
+    )
+    start = F.col("chunk_id") * step
+    return staged.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("chunk_start"),
+        F.least(F.lit(chunk_size), F.length(t) - start).cast("long").alias("chunk_len"),
+        F.substring(t, start + 1, chunk_size).alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    chunk_size: int,
+    overlap: int = 0,
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB replay of chunk_documents."""
+    step = chunk_size - overlap
+    return (
+        f"WITH d AS (SELECT {id_expr} AS id, {text_expr} AS t FROM {table} "
+        f"WHERE length({text_expr}) > 0), "
+        "x AS (SELECT id, t, UNNEST(generate_series(0, "
+        f"(length(t) - 1) // {step})) AS chunk_id FROM d) "
+        "SELECT id AS doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+        f"CAST(chunk_id * {step} AS BIGINT) AS chunk_start, "
+        f"CAST(LEAST({chunk_size}, length(t) - chunk_id * {step}) AS BIGINT) AS chunk_len, "
+        f"substr(t, CAST(chunk_id * {step} + 1 AS BIGINT), {chunk_size}) AS chunk_text "
+        "FROM x"
+    )
