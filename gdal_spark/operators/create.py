@@ -387,10 +387,12 @@ def vector_create(
 
     from gdal_spark.metrics import LINEAGE_FILE, write_snapshot
 
+    fields = tuple(fields)  # a generator must survive both the mutex
+    input_layers = tuple(input_layers)  # check and the parse loop
     if (schema is not None or like is not None) and (
         geometry_field is not None
         or geometry_type is not None
-        or len(tuple(fields))
+        or len(fields)
         or crs is not None
         or fid is not None
     ):
@@ -430,7 +432,7 @@ def vector_create(
                     "in the provided template or schema."
                 )
         names = [n for n in layer_descs if not input_layers or n in input_layers]
-        if layer_name and len(names) > 1 and len(tuple(input_layers)) != 1:
+        if layer_name and len(names) > 1 and len(input_layers) != 1:
             raise ValueError(
                 "Output layer name should not be specified when there are "
                 "multiple layers in the schema."

@@ -432,7 +432,11 @@ def pack_sequences(
     window fan-out is a pure-Catalyst explode(sequence()). Window ids
     divide with integer `div`, not float `/` — at 2^53+ total tokens
     double division stops being exact and a document would silently
-    land in the wrong training sequence."""
+    land in the wrong training sequence.
+
+    Ids must be UNIQUE: the exclusive running sum is a ROWS-frame
+    window ordered by id (its SQL twin likewise), so duplicate ids
+    would make both engines' prefix sums tie-order-dependent."""
     from pyspark.sql import Window
 
     if seq_len <= 0:
@@ -557,7 +561,10 @@ def unigram_surprisal(
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     words = docs.select(F.explode(toks).alias("_w"))
     counts = words.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
-    total = counts.agg(F.sum("_c").alias("t")).first().t or 0
+    # N = total tokens, computed straight off the docs (one narrow
+    # pass) — summing `counts` instead would re-execute the whole
+    # word-count shuffle a second time just for a scalar
+    total = docs.agg(F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("t")).first().t or 0
     if total == 0:
         return docs.sparkSession.createDataFrame(
             [], f"{id_col} long, n_tokens long, n_oov long, surprisal_bits long")
