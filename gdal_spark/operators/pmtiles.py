@@ -269,66 +269,82 @@ def write_pmtiles(
 
     entries = []  # (tile_id, offset, length, run_length)
     seen: dict = {}  # payload sha -> (offset, length)
-    tile_data = bytearray()
     addressed = 0
     contents = 0
     minz, maxz = 255, 0
     import hashlib
+    import os
+    import tempfile
 
-    for row in ordered.toLocalIterator():
-        tid = int(row["tile_id"])
-        minz, maxz = min(minz, int(row["z"])), max(maxz, int(row["z"]))
-        data = _gz(bytes(row["payload"])) if compress_tiles else bytes(row["payload"])
-        key = hashlib.sha256(data).digest()
-        addressed += 1
-        if entries and key in seen and entries[-1][0] + entries[-1][3] == tid \
-                and seen[key][0] == entries[-1][1]:
-            # consecutive tile_id with identical content: extend the run
-            t, o, ln, rl = entries[-1]
-            entries[-1] = (t, o, ln, rl + 1)
-            continue
-        if key in seen:
-            off, ln = seen[key]
-        else:
-            off, ln = len(tile_data), len(data)
-            tile_data += data
-            seen[key] = (off, ln)
-            contents += 1
-        entries.append((tid, off, ln, 1))
+    # tile bytes SPILL to a sidecar file as they stream past — holding
+    # the tile-data section in a driver bytearray would break the
+    # bounded-memory contract this sink advertises (one partition +
+    # directory entries); at archive scale the section is the whole
+    # dataset
+    spill_fd, spill_path = tempfile.mkstemp(prefix="pmtiles_data_")
+    tile_bytes = 0
+    try:
+        with os.fdopen(spill_fd, "wb") as spill:
+            for row in ordered.toLocalIterator():
+                tid = int(row["tile_id"])
+                minz, maxz = min(minz, int(row["z"])), max(maxz, int(row["z"]))
+                data = _gz(bytes(row["payload"])) if compress_tiles else bytes(row["payload"])
+                key = hashlib.sha256(data).digest()
+                addressed += 1
+                if entries and key in seen and entries[-1][0] + entries[-1][3] == tid \
+                        and seen[key][0] == entries[-1][1]:
+                    # consecutive tile_id with identical content: extend the run
+                    t, o, ln, rl = entries[-1]
+                    entries[-1] = (t, o, ln, rl + 1)
+                    continue
+                if key in seen:
+                    off, ln = seen[key]
+                else:
+                    off, ln = tile_bytes, len(data)
+                    spill.write(data)
+                    tile_bytes += ln
+                    seen[key] = (off, ln)
+                    contents += 1
+                entries.append((tid, off, ln, 1))
 
-    root, leaves, _ = make_root_leaves(entries)
-    meta = _gz(json.dumps(metadata or {}, sort_keys=True).encode())
-    clustered = all(
-        entries[i][1] >= entries[i - 1][1] for i in range(1, len(entries))
-    )
-    h = {
-        "root_dir_offset": HEADER_SIZE,
-        "root_dir_bytes": len(root),
-        "json_metadata_offset": HEADER_SIZE + len(root),
-        "json_metadata_bytes": len(meta),
-        "leaf_dirs_offset": HEADER_SIZE + len(root) + len(meta),
-        "leaf_dirs_bytes": len(leaves),
-        "tile_data_offset": HEADER_SIZE + len(root) + len(meta) + len(leaves),
-        "tile_data_bytes": len(tile_data),
-        "addressed_tiles_count": addressed,
-        "tile_entries_count": len(entries),
-        "tile_contents_count": contents,
-        "clustered": clustered,
-        "internal_compression": COMPRESSION_GZIP,
-        "tile_compression": COMPRESSION_GZIP if compress_tiles else COMPRESSION_NONE,
-        "tile_type": TILETYPE_MVT,
-        "min_zoom": minz if entries else 0,
-        "max_zoom": maxz if entries else 0,
-    }
-    if bounds_e7:
-        h["min_lon_e7"], h["min_lat_e7"], h["max_lon_e7"], h["max_lat_e7"] = bounds_e7
-    with open(path, "wb") as fh:
-        fh.write(serialize_header(h))
-        fh.write(root)
-        fh.write(meta)
-        fh.write(leaves)
-        fh.write(tile_data)
-    return h
+        root, leaves, _ = make_root_leaves(entries)
+        meta = _gz(json.dumps(metadata or {}, sort_keys=True).encode())
+        clustered = all(
+            entries[i][1] >= entries[i - 1][1] for i in range(1, len(entries))
+        )
+        h = {
+            "root_dir_offset": HEADER_SIZE,
+            "root_dir_bytes": len(root),
+            "json_metadata_offset": HEADER_SIZE + len(root),
+            "json_metadata_bytes": len(meta),
+            "leaf_dirs_offset": HEADER_SIZE + len(root) + len(meta),
+            "leaf_dirs_bytes": len(leaves),
+            "tile_data_offset": HEADER_SIZE + len(root) + len(meta) + len(leaves),
+            "tile_data_bytes": tile_bytes,
+            "addressed_tiles_count": addressed,
+            "tile_entries_count": len(entries),
+            "tile_contents_count": contents,
+            "clustered": clustered,
+            "internal_compression": COMPRESSION_GZIP,
+            "tile_compression": COMPRESSION_GZIP if compress_tiles else COMPRESSION_NONE,
+            "tile_type": TILETYPE_MVT,
+            "min_zoom": minz if entries else 0,
+            "max_zoom": maxz if entries else 0,
+        }
+        if bounds_e7:
+            h["min_lon_e7"], h["min_lat_e7"], h["max_lon_e7"], h["max_lat_e7"] = bounds_e7
+        import shutil
+
+        with open(path, "wb") as fh:
+            fh.write(serialize_header(h))
+            fh.write(root)
+            fh.write(meta)
+            fh.write(leaves)
+            with open(spill_path, "rb") as sf:
+                shutil.copyfileobj(sf, fh)
+        return h
+    finally:
+        os.unlink(spill_path)
 
 
 def read_pmtiles(path: str):
