@@ -651,7 +651,23 @@ def spatial_join_cells(
     # verify_salt times, and the verify kernel never depended on
     # co-partitioning (it rebuilds edge tables per (_zfid) group per
     # Arrow batch), so correctness is unchanged.
-    dw = docs.select(F.col(doc_id_col).alias("_did"), F.col(wkt_col).alias("_dwkt"))
+    # JVM-side point strip (same rule as the broadcast join's
+    # project path :275-283): a POINT's exact test needs only its
+    # coordinates, which ARE its envelope — point rows re-join as
+    # (id, NULL, px, py), so the verify exchange carries no string
+    # payload and the Python stage parses no WKT for the majority
+    # class. Only non-point docs ship their WKT.
+    pt_jvm = (
+        (F.col("env_minx") == F.col("env_maxx"))
+        & (F.col("env_miny") == F.col("env_maxy"))
+        & F.col(wkt_col).startswith("POINT")
+    )
+    dw = docs.select(
+        F.col(doc_id_col).alias("_did"),
+        F.when(pt_jvm, F.lit(None).cast("string")).otherwise(F.col(wkt_col)).alias("_dwkt"),
+        F.col("env_minx").alias("_px"),
+        F.col("env_miny").alias("_py"),
+    )
     zw = zones.select(F.col(zone_fid_col).alias("_zfid"), F.col(zone_wkt_col).alias("_zwkt"))
     if verify_salt > 1:
         pairs = pairs.withColumn(
@@ -674,9 +690,18 @@ def spatial_join_cells(
             if not len(pdf):
                 continue
             pdf = pdf.reset_index(drop=True)
-            dbatch = parse_wkt(pdf["_dwkt"])
+            # NULL _dwkt rows are the JVM-stripped points: their
+            # coordinates ride as _px/_py and nothing parses. Only the
+            # non-point minority builds a GeomBatch (positions mapped
+            # through `sub_of`).
+            stripped = pdf["_dwkt"].isna().to_numpy()
+            px = pdf["_px"].to_numpy(np.float64)
+            py = pdf["_py"].to_numpy(np.float64)
+            sub_of = np.cumsum(~stripped) - 1  # pdf idx -> dbatch idx
+            dbatch = parse_wkt(pdf.loc[~stripped, "_dwkt"]) if (~stripped).any() else None
+            if dbatch is not None:
+                parsed_pt = (dbatch.types == GeomType.POINT) & ~dbatch.is_empty
             keep = np.zeros(len(pdf), dtype=bool)
-            is_pt = (dbatch.types == GeomType.POINT) & ~dbatch.is_empty
             # group by zone: build each zone's edge table once; the
             # point-geometry majority goes through ONE vectorized ray
             # cast per zone (same path as the broadcast join,
@@ -686,15 +711,29 @@ def spatial_join_cells(
                 rings = zbatch.polygon_rings(0)
                 edges = rings_to_edges(rings)
                 idx = grp.index.to_numpy()
-                pts = idx[is_pt[idx]]
-                if pts.size:
-                    first_ring = dbatch.part_ring_off[dbatch.geom_part_off[pts]]
-                    cidx = dbatch.ring_coord_off[first_ring]
-                    keep[pts] = points_in_edges(
-                        dbatch.coords[cidx, 0], dbatch.coords[cidx, 1], edges
+                # points: JVM-stripped ones + any parsed POINT rows
+                is_pt_row = stripped[idx]
+                if dbatch is not None:
+                    is_pt_row = is_pt_row | (
+                        ~stripped[idx] & parsed_pt[sub_of[idx]]
                     )
-                for i in idx[~is_pt[idx]]:
-                    keep[int(i)] = batch_intersects_rings(dbatch, int(i), rings, edges)
+                pts = idx[is_pt_row]
+                if pts.size:
+                    xs = px[pts].copy()
+                    ys = py[pts].copy()
+                    parsed_pts = pts[~stripped[pts]]
+                    if parsed_pts.size:
+                        si = sub_of[parsed_pts]
+                        first_ring = dbatch.part_ring_off[dbatch.geom_part_off[si]]
+                        cidx = dbatch.ring_coord_off[first_ring]
+                        rel = ~stripped[pts]
+                        xs[rel] = dbatch.coords[cidx, 0]
+                        ys[rel] = dbatch.coords[cidx, 1]
+                    keep[pts] = points_in_edges(xs, ys, edges)
+                for i in idx[~is_pt_row]:
+                    keep[int(i)] = batch_intersects_rings(
+                        dbatch, int(sub_of[int(i)]), rings, edges
+                    )
             res = pdf.loc[keep]
             yield pd.DataFrame({"doc_id": res["_did"].to_numpy(np.int64), "zone_fid": res["_zfid"].to_numpy(np.int64)})
 

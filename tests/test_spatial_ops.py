@@ -268,6 +268,27 @@ class TestCellPartitionedJoin:
         assert cell_projects and all("wkt" not in ln.lower() for ln in cell_projects)
 
 
+    def test_verify_join_strips_point_wkt(self, spark):
+        """The verify-stage doc re-join must ship POINT rows as
+        (id, NULL, px, py) — the JVM-side strip of the broadcast
+        join's project path applied to the big x big path. A
+        regression to unconditional WKT shipping re-inflates the
+        heaviest per-pair exchange with a string per point."""
+        from gdal_spark.datagen import docs_table, zones_table
+        from gdal_spark.operators.cells import BYTE20_GRID
+        from gdal_spark.operators.spatial import extract_geom, spatial_join_cells
+
+        g = extract_geom(docs_table(spark, n=50)).select(
+            "_id", "wkt", "env_minx", "env_miny", "env_maxx", "env_maxy", "geom_error"
+        )
+        out = spatial_join_cells(g, zones_table(spark), BYTE20_GRID, salt=4)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        strip = [ln for ln in plan.splitlines() if "AS _dwkt#" in ln]
+        assert strip and all(
+            "StartsWith" in ln and "null" in ln for ln in strip
+        ), strip
+
+
 class TestSpanIntegrity:
     """North-rule invariant: span sequence (kind, text, media_ref,
     order) survives every shuffle."""
