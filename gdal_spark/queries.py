@@ -9663,3 +9663,32 @@ def _o_chunk_documents() -> str:
 
 QUERIES["chunk_documents"] = q_chunk_documents
 ORACLES["chunk_documents"] = _o_chunk_documents()
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE vocabulary induction (gdal_spark/bpe.py;
+    Sennrich et al. 2016): eight merges learned from the corpus
+    word-frequency table — per iteration one map-side-combinable pair
+    count, a deterministic argmax (count desc, pair asc), and the
+    double-spaced literal-replace merge.  The oracle replays the FULL
+    training loop as a generated CTE chain (the IVF-trainer oracle
+    pattern); drift in the pair counting, the tie rule, or the greedy
+    left-to-right merge shifts every subsequent row."""
+    from gdal_spark.bpe import bpe_train
+
+    d = load(spark, sf_dir, "documents")
+    merges = bpe_train(d, 8)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "step long, left_sym string, right_sym string, pair_freq long",
+    )
+
+
+def _o_bpe_train() -> str:
+    from gdal_spark.bpe import bpe_train_sql
+
+    return bpe_train_sql(8)
+
+
+QUERIES["bpe_train"] = q_bpe_train
+ORACLES["bpe_train"] = _o_bpe_train()
