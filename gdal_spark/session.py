@@ -48,6 +48,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # Constraint propagation re-derives extra predicates from every
+        # filter conjunct; on this engine's envelope-math filters (the
+        # 4-corner inverse-geotransform trees in rasterize/tile_keys,
+        # duplicated through least/greatest) the inferred predicates
+        # re-evaluate each corner tree per row without CSE — measured
+        # 16x slower on the rasterize explode filter (5.8 s -> 0.35 s
+        # for the same stage over 2M cached rows, local[8]). The
+        # inference exists to push IsNotNull toward scans; every query
+        # here filters its null/bounds conditions explicitly, so the
+        # lost inference changes no result (the 190+-query DuckDB gate
+        # pins that) and no pushdown this engine relies on.
+        .config("spark.sql.constraintPropagation.enabled", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():
