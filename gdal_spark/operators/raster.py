@@ -685,7 +685,16 @@ def rasterize(
                 sgx = np.full(si.size, np.nan)
                 sgy = np.full(si.size, np.nan)
                 if point_fast:
-                    deg = (env[si, 0] == env[si, 2]) & (env[si, 1] == env[si, 3])
+                    # degenerate envelope AND an actual POINT: a
+                    # zero-area POLYGON/LINESTRING also has minx==maxx
+                    # but must parse — its scanline/Bresenham burn is
+                    # NOT a point burn (a zero-area polygon covers no
+                    # pixel center and burns nothing)
+                    deg = (
+                        (env[si, 0] == env[si, 2])
+                        & (env[si, 1] == env[si, 3])
+                        & pdf[wkt_col].iloc[si].str.startswith("POINT").fillna(False).to_numpy()
+                    )
                     sgx[deg] = env[si, 0][deg]
                     sgy[deg] = env[si, 1][deg]
                     wkts = wkts.copy()
@@ -723,6 +732,7 @@ def rasterize(
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
+    pt_partial_src = None  # set by the Catalyst branch's map-side combine
     if env_cols is not None and merge_alg == "add" and not burn_value_from_z:
         # -- pure-Catalyst explode (JVM-side, no Arrow crossing) --
         # With envelope columns already present and an order-free merge,
@@ -778,9 +788,21 @@ def rasterize(
 
         tx0c, tx1c = _trange(pminx, pmaxx, spec.ntiles_x)
         ty0c, ty1c = _trange(pminy, pmaxy, spec.ntiles_y)
-        deg = (F.col("_mnx") == F.col("_mxx")) & (F.col("_mny") == F.col("_mxy"))
+        # degenerate envelope AND an actual POINT (a zero-area polygon
+        # also has minx==maxx but burns nothing under the center rule —
+        # it must keep its WKT and parse)
+        deg = (
+            (F.col("_mnx") == F.col("_mxx"))
+            & (F.col("_mny") == F.col("_mxy"))
+            & F.col("_wkt").startswith("POINT")
+        )
+        explode_src = base.where(inside)
+        if salt:
+            # map-side point pre-combine (below) takes the points; only
+            # non-point shapes ride the row-per-shape shuffle
+            explode_src = explode_src.where(~deg)
         exploded = (
-            base.where(inside)
+            explode_src
             .select("*", F.explode(F.sequence(ty0c, ty1c)).alias("ty"))
             .select("*", F.explode(F.sequence(tx0c, tx1c)).alias("tx"))
             .select(
@@ -794,6 +816,26 @@ def rasterize(
                 "ord",
             )
         )
+        if salt:
+            # the point majority never enters the row-per-shape shuffle:
+            # per input partition, one Arrow pass bincounts every point
+            # into per-tile float64 partials (the classic map-side
+            # combine — ADD is the associative aggregate), and ONLY
+            # those partials (<= n_partitions x touched tiles rows, COO
+            # when sparse) reach the merge groupBy. The shuffle shrinks
+            # from one row per point to one row per (partition, tile).
+            # burn values cross as ONE PLAIN DOUBLE COLUMN PER BAND —
+            # an array<double> column materializes a Python object per
+            # row on the Arrow crossing (measured ~2x the whole
+            # stage's cost at 2M rows); scalars stay zero-copy numpy
+            pt_partial_src = base.where(inside & deg).select(
+                F.col("_mnx").alias("gx"),
+                F.col("_mny").alias("gy"),
+                *[
+                    F.element_at("burn", b + 1).alias(f"_b{b}")
+                    for b in range(spec.nbands)
+                ],
+            )
     else:
         exploded = shapes.mapInPandas(_explode, explode_schema)
 
@@ -945,7 +987,75 @@ def rasterize(
               "dtype": spec.dtype, "payload": copy_word(total.reshape(h, w), spec.dtype).tobytes()}]
         )
 
+    def _pt_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Map-side point combine: fold a whole input partition's
+        points into per-tile partials (same world_to_pixel +
+        truncation + bounds rule as _accumulate's point path, so the
+        merged result is identical). Sparse throughout — points
+        reduce to (distinct pixel, per-band sum) pairs via one sort,
+        no dense accumulator ever allocates, so per-task memory is
+        O(points in the partition) at ANY raster size and the emitted
+        partials are COO unless a tile is genuinely dense."""
+        W = spec.width
+        flats: list[np.ndarray] = []
+        wts: list[np.ndarray] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            gxv = pdf["gx"].to_numpy(dtype=np.float64)
+            gyv = pdf["gy"].to_numpy(dtype=np.float64)
+            px, py = spec.world_to_pixel(gxv, gyv)
+            ok = (px >= 0) & (px < W) & (py >= 0) & (py < spec.height)
+            sel = np.flatnonzero(ok)
+            if not sel.size:
+                continue
+            ix = px[sel].astype(np.int64)
+            iy = py[sel].astype(np.int64)
+            flats.append(iy * W + ix)
+            wts.append(
+                np.column_stack(
+                    [
+                        pdf[f"_b{b}"].to_numpy(dtype=np.float64)[sel]
+                        for b in range(spec.nbands)
+                    ]
+                )
+            )
+        if not flats:
+            return
+        flat = np.concatenate(flats)
+        wt = np.vstack(wts)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        sums = np.empty((spec.nbands, uniq.size))
+        for b in range(spec.nbands):
+            sums[b] = np.bincount(inv, weights=wt[:, b], minlength=uniq.size)
+        upy, upx = uniq // W, uniq % W
+        tkey = (upy // ts) * spec.ntiles_x + (upx // ts)
+        order = np.argsort(tkey, kind="stable")
+        tuniq, starts = np.unique(tkey[order], return_index=True)
+        bounds = np.append(starts, order.size)
+        rows = []
+        for u, k in enumerate(tuniq):
+            m = order[bounds[u]: bounds[u + 1]]
+            t_y, t_x = int(k // spec.ntiles_x), int(k % spec.ntiles_x)
+            h, w = spec.tile_shape(t_y, t_x)
+            lidx = (upy[m] - t_y * ts) * w + (upx[m] - t_x * ts)
+            for b in range(spec.nbands):
+                vals = sums[b][m]
+                if m.size * 12 < h * w * 2:
+                    payload = lidx.astype(np.int32).tobytes() + vals.tobytes()
+                    rows.append({"band": b + 1, "ty": t_y, "tx": t_x, "h": h,
+                                 "w": w, "dtype": "coo", "payload": payload})
+                else:
+                    a = np.zeros(h * w)
+                    a[lidx] = vals
+                    rows.append({"band": b + 1, "ty": t_y, "tx": t_x, "h": h,
+                                 "w": w, "dtype": "float64", "payload": a.tobytes()})
+        if rows:
+            yield pd.DataFrame(rows)
+
     partial = exploded.groupBy("ty", "tx", "salt").applyInPandas(_burn_partial, TILE_SCHEMA)
+    if pt_partial_src is not None:
+        partial = partial.unionByName(pt_partial_src.mapInPandas(_pt_partials, TILE_SCHEMA))
     return partial.groupBy("band", "ty", "tx").applyInPandas(_merge_partials, TILE_SCHEMA)
 
 

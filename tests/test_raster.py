@@ -611,13 +611,42 @@ class TestRasterizeCatalystExplode:
         slow = materialize_full(rasterize(shapes, spec, merge_alg="add"), spec)
         assert (fast == slow).all() and fast.sum() > 0
 
+    def test_degenerate_polygon_is_not_a_point(self, spark):
+        """A zero-area POLYGON has a degenerate envelope but burns
+        NOTHING under the center rule — the point fast paths must not
+        stamp a pixel for it (they key on the POINT prefix, not on the
+        envelope alone). Regression for the deg rule in both the
+        Catalyst and the numpy explode."""
+        spec = RasterSpec(8, 8, (0, 1, 0, 8, 0, -1), tile_size=4, dtype="int32")
+        rows = [
+            (0, "POLYGON((2.5 2.5,2.5 2.5,2.5 2.5,2.5 2.5))",
+             2.5, 2.5, 2.5, 2.5, [7.0]),
+            (1, "POINT (5.5 5.5)", 5.5, 5.5, 5.5, 5.5, [3.0]),
+        ]
+        shapes = spark.createDataFrame(
+            rows,
+            "fid bigint, wkt string, env_minx double, env_miny double, "
+            "env_maxx double, env_maxy double, burn_values array<double>",
+        )
+        env = ("env_minx", "env_miny", "env_maxx", "env_maxy")
+        for kwargs in ({"env_cols": env}, {}):
+            out = materialize_full(
+                rasterize(shapes, spec, merge_alg="add", **kwargs), spec)
+            assert out.sum() == 3  # only the POINT burned
+            assert out[2, 5] == 3  # row 8-1-5.5 -> y=2; x=5
+
     def test_explode_plan_is_jvm_side(self, spark):
         spec = RasterSpec(8, 8, (0, 1, 0, 8, 0, -1), tile_size=4)
         shapes = self._shapes(spark)
         env = ("env_minx", "env_miny", "env_maxx", "env_maxy")
         tiles = rasterize(shapes, spec, merge_alg="add", env_cols=env)
         plan = tiles._jdf.queryExecution().executedPlan().toString()
-        # exactly the two burn/merge stages cross into Python — the
-        # explode stage must not (FlatMapsInPandas would betray it)
+        # the burn/merge group stages cross into Python, plus exactly
+        # ONE MapInPandas: the map-side point pre-combine, which emits
+        # per-(partition, tile) partials instead of row-per-point — the
+        # shape explode itself must stay JVM-side (a second MapInPandas
+        # would betray a Python explode regression)
         assert plan.count("FlatMapGroupsInPandas") == 2
-        assert "MapInPandas" not in plan
+        assert plan.count("MapInPandas") == 1
+        # the non-point branch's tile fan-out is a JVM Generate
+        assert "Generate explode" in plan
