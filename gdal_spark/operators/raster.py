@@ -828,13 +828,23 @@ def rasterize(
             # an array<double> column materializes a Python object per
             # row on the Arrow crossing (measured ~2x the whole
             # stage's cost at 2M rows); scalars stay zero-copy numpy
+            # a missing band value must error like the array paths'
+            # IndexError, not silently poison the partial sums as the
+            # NULL->NaN element_at would (a NaN VALUE still passes —
+            # burning NaN into a float raster is legitimate)
+            def _band_burn(b: int):
+                el = F.element_at("burn", b + 1)
+                return F.when(
+                    el.isNull(),
+                    F.raise_error(F.lit(
+                        f"burn_values has no value for band {b + 1}"
+                    )).cast("double"),
+                ).otherwise(el).alias(f"_b{b}")
+
             pt_partial_src = base.where(inside & deg).select(
                 F.col("_mnx").alias("gx"),
                 F.col("_mny").alias("gy"),
-                *[
-                    F.element_at("burn", b + 1).alias(f"_b{b}")
-                    for b in range(spec.nbands)
-                ],
+                *[_band_burn(b) for b in range(spec.nbands)],
             )
     else:
         exploded = shapes.mapInPandas(_explode, explode_schema)
