@@ -564,11 +564,22 @@ def spatial_join_cells(
     Returns (doc_id, zone_fid) pairs."""
     from gdal_spark.operators.cells import Grid  # noqa: F401 (type)
 
-    # docs side: cell ids from envelope columns (JVM-side); ids only —
-    # the WKT payload re-joins after pair dedup
+    # docs side: cell ids from envelope columns (JVM-side). The
+    # exchange carries ids + the point flag + the point's coordinates
+    # (2 doubles — a POINT's coords ARE its envelope): the point
+    # majority then needs NO doc-side geometry re-join at all before
+    # the verify, only the non-point minority joins its WKT back.
+    # Shipping 17 extra bytes per candidate row removes an entire
+    # shuffle of the full doc table from the verify stage.
+    pt_jvm = (
+        (F.col("env_minx") == F.col("env_maxx"))
+        & (F.col("env_miny") == F.col("env_maxy"))
+        & F.col(wkt_col).startswith("POINT")
+    )
     d = docs.select(
         F.col(doc_id_col).alias("_did"),
         "env_minx", "env_miny", "env_maxx", "env_maxy",
+        pt_jvm.alias("_ispt"),
     ).filter(F.col("env_minx").isNotNull())
 
     def cell_range(minx, miny, maxx, maxy):
@@ -594,7 +605,10 @@ def spatial_join_cells(
             & (F.col("env_miny") >= cell_y0)
             & (F.col("env_maxy") <= cell_y0 + F.lit(grid.cell_h)),
         )
-        .select("_did", "cell", "_cont")
+        .select(
+            "_did", "cell", "_cont", "_ispt",
+            F.col("env_minx").alias("_px"), F.col("env_miny").alias("_py"),
+        )
     )
 
     # zones side: classify each covering cell boundary/interior,
@@ -629,14 +643,21 @@ def spatial_join_cells(
         joined.select(
             "_did", "_zfid",
             (F.col("_cont") & ~F.col("_boundary")).alias("_acc"),
+            "_ispt", "_px", "_py",
         )
         .groupBy("_did", "_zfid")
-        .agg(F.max("_acc").alias("_acc"))
+        .agg(
+            F.max("_acc").alias("_acc"),
+            # constant per doc — first() just carries them through
+            F.first("_ispt").alias("_ispt"),
+            F.first("_px").alias("_px"),
+            F.first("_py").alias("_py"),
+        )
     )
     accepted = agg.filter(F.col("_acc")).select(
         F.col("_did").alias("doc_id"), F.col("_zfid").alias("zone_fid")
     )
-    pairs = agg.filter(~F.col("_acc")).select("_did", "_zfid")
+    pairs = agg.filter(~F.col("_acc")).select("_did", "_zfid", "_ispt", "_px", "_py")
 
     # geometry payloads re-join by id post-dedup, and ONLY for the
     # boundary-cell candidates: each surviving doc/zone WKT crosses
@@ -651,24 +672,16 @@ def spatial_join_cells(
     # verify_salt times, and the verify kernel never depended on
     # co-partitioning (it rebuilds edge tables per (_zfid) group per
     # Arrow batch), so correctness is unchanged.
-    # JVM-side point strip (same rule as the broadcast join's
-    # project path :275-283): a POINT's exact test needs only its
-    # coordinates, which ARE its envelope — point rows re-join as
-    # (id, NULL, px, py), so the verify exchange carries no string
-    # payload and the Python stage parses no WKT for the majority
-    # class. Only non-point docs ship their WKT.
-    pt_jvm = (
-        (F.col("env_minx") == F.col("env_maxx"))
-        & (F.col("env_miny") == F.col("env_maxy"))
-        & F.col(wkt_col).startswith("POINT")
-    )
-    dw = docs.select(
-        F.col(doc_id_col).alias("_did"),
-        F.when(pt_jvm, F.lit(None).cast("string")).otherwise(F.col(wkt_col)).alias("_dwkt"),
-        F.col("env_minx").alias("_px"),
-        F.col("env_miny").alias("_py"),
+    # Only the NON-POINT minority re-joins its WKT (a POINT's verify
+    # coordinates already rode the candidate exchange as _px/_py, the
+    # same rule as the broadcast join's project path :275-283). The
+    # left join null-extends _dwkt for point pairs — the verify keys
+    # its parse-free path off exactly that NULL.
+    dwn = docs.filter(~pt_jvm).select(
+        F.col(doc_id_col).alias("_did"), F.col(wkt_col).alias("_dwkt")
     )
     zw = zones.select(F.col(zone_fid_col).alias("_zfid"), F.col(zone_wkt_col).alias("_zwkt"))
+    pairs = pairs.drop("_ispt")
     if verify_salt > 1:
         pairs = pairs.withColumn(
             "_vs", F.pmod(F.hash("_did"), F.lit(verify_salt)).cast("int")
@@ -677,9 +690,9 @@ def spatial_join_cells(
             "_vs",
             F.explode(F.array(*[F.lit(s).cast("int") for s in range(verify_salt)])),
         )
-        paired = pairs.join(dw, "_did").join(zw, ["_zfid", "_vs"]).drop("_vs")
+        paired = pairs.join(dwn, "_did", "left").join(zw, ["_zfid", "_vs"]).drop("_vs")
     else:
-        paired = pairs.join(dw, "_did").join(zw, "_zfid")
+        paired = pairs.join(dwn, "_did", "left").join(zw, "_zfid")
 
     out_schema = StructType(
         [StructField("doc_id", LongType()), StructField("zone_fid", LongType())]

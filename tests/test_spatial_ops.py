@@ -268,12 +268,13 @@ class TestCellPartitionedJoin:
         assert cell_projects and all("wkt" not in ln.lower() for ln in cell_projects)
 
 
-    def test_verify_join_strips_point_wkt(self, spark):
-        """The verify-stage doc re-join must ship POINT rows as
-        (id, NULL, px, py) — the JVM-side strip of the broadcast
-        join's project path applied to the big x big path. A
-        regression to unconditional WKT shipping re-inflates the
-        heaviest per-pair exchange with a string per point."""
+    def test_verify_point_coords_ride_candidates(self, spark):
+        """POINT pairs verify without ANY doc-side geometry re-join:
+        their coordinates (_px/_py) ride the candidate aggregation and
+        only the non-point minority's WKT joins back (a Filter with
+        NOT StartsWith(POINT) gates that source). A regression to an
+        unconditional full-doc-table join re-adds a shuffle of every
+        doc to the verify stage."""
         from gdal_spark.datagen import docs_table, zones_table
         from gdal_spark.operators.cells import BYTE20_GRID
         from gdal_spark.operators.spatial import extract_geom, spatial_join_cells
@@ -283,10 +284,17 @@ class TestCellPartitionedJoin:
         )
         out = spatial_join_cells(g, zones_table(spark), BYTE20_GRID, salt=4)
         plan = out._jdf.queryExecution().optimizedPlan().toString()
-        strip = [ln for ln in plan.splitlines() if "AS _dwkt#" in ln]
-        assert strip and all(
-            "StartsWith" in ln and "null" in ln for ln in strip
-        ), strip
+        lines = plan.splitlines()
+        # the pair aggregate carries the point coords (and never wkt)
+        aggs = [ln for ln in lines if "Aggregate [_did#" in ln]
+        assert aggs and any("first(_px#" in ln and "first(_py#" in ln for ln in aggs)
+        assert all("wkt" not in ln.lower() for ln in aggs)
+        # the doc-WKT source for the verify join is non-points only
+        assert any("NOT StartsWith(" in ln for ln in lines if "Filter" in ln)
+        # the verify stage consumes the carried coords plus the
+        # null-extended minority WKT
+        verify = [ln for ln in lines if "MapInPandas _verify" in ln]
+        assert verify and "_px#" in verify[0] and "_dwkt#" in verify[0]
 
 
 class TestSpanIntegrity:
