@@ -121,12 +121,13 @@ def stream_exact_dedup(docs_stream: "DataFrame", text_col: str = "text", id_col:
     def _dedup(key, pdfs, state: GroupState):
         seen = set(state.get[0]) if state.exists else set()
         for pdf in pdfs:
-            keep_rows = []
-            for i, h in enumerate(pdf["_h"]):
-                if int(h) not in seen:
-                    seen.add(int(h))
-                    keep_rows.append(i)
-            out = pdf.iloc[keep_rows].drop(columns=["_shard"])
+            # vectorized first-occurrence: in-batch firsts via
+            # duplicated(), cross-batch via isin(seen) — both C loops,
+            # no per-row Python (the engine-wide rule)
+            h = pdf["_h"]
+            fresh = (~h.duplicated() & ~h.isin(seen)).to_numpy()
+            out = pdf.iloc[fresh.nonzero()[0]].drop(columns=["_shard"])
+            seen.update(int(v) for v in h.to_numpy()[fresh])
             if len(out):
                 yield out
         state.update((list(seen),))
