@@ -225,6 +225,37 @@ class ZoneIndex:
         return np.concatenate(out_d), np.concatenate(out_z)
 
 
+_EDGE_STRUCT = "array<struct<x1:double,y1:double,x2:double,y2:double>>"
+
+
+def _zones_literal(zidx: "ZoneIndex"):
+    """The zone set as one literal array<struct<fid, env, edges>> —
+    the shape the whole-stage-codegen point path filters per row.
+    Edge values come from the SAME rings_to_edges tables the numpy
+    probe uses, so both paths test identical doubles."""
+    zs = []
+    for pos in range(len(zidx.fids)):
+        x1, y1, x2, y2 = zidx.edges[pos]
+        env = zidx.envs[pos]
+        if len(x1):
+            edges = F.array(*[
+                F.struct(
+                    F.lit(float(a)).alias("x1"), F.lit(float(b)).alias("y1"),
+                    F.lit(float(c)).alias("x2"), F.lit(float(d)).alias("y2"),
+                )
+                for a, b, c, d in zip(x1, y1, x2, y2)
+            ])
+        else:
+            edges = F.array().cast(_EDGE_STRUCT)
+        zs.append(F.struct(
+            F.lit(int(zidx.fids[pos])).cast("long").alias("fid"),
+            F.lit(float(env[0])).alias("minx"), F.lit(float(env[1])).alias("miny"),
+            F.lit(float(env[2])).alias("maxx"), F.lit(float(env[3])).alias("maxy"),
+            edges.alias("edges"),
+        ))
+    return F.array(*zs)
+
+
 def spatial_join(
     docs: DataFrame,
     zones: DataFrame,
@@ -262,6 +293,68 @@ def spatial_join(
     bc = spark.sparkContext.broadcast(zidx)
 
     has_env = all(c in docs.columns for c in ("env_minx", "env_miny", "env_maxx", "env_maxy"))
+
+    # -- whole-stage-codegen point path -------------------------------
+    # For small zone sets the entire even-odd ray cast compiles into
+    # Catalyst: the zone edge tables become ONE literal
+    # array<struct<fid, env, edges>> and each POINT row evaluates
+    # filter/aggregate lambdas over it — same float expression order as
+    # points_in_edges (crossing rule, strict xint > px, on-edge
+    # closure), so the match set is bit-identical — with NO Python
+    # worker, no Arrow crossing, and no serialized broadcast for the
+    # point majority. Non-points (and NULL/empty rows) keep the
+    # numpy probe. Division by zero inside the lambda is gated by a
+    # when(crosses, ...) — Spark orders NaN ABOVE all doubles, so an
+    # unguarded NaN xint would count phantom crossings numpy masks out.
+    total_edges = sum(len(e[0]) for e in zidx.edges)
+    use_jvm_points = (
+        has_env and 0 < total_edges <= 2048 and len(zidx.fids) > 0
+    )
+    if use_jvm_points:
+        pt_cond = (
+            (F.col("env_minx") == F.col("env_maxx"))
+            & (F.col("env_miny") == F.col("env_maxy"))
+            & F.col(wkt_col).startswith("POINT")
+        )
+        pt_docs = docs.filter(pt_cond)
+        docs = docs.filter(~F.coalesce(pt_cond, F.lit(False)))
+        out_cols_jvm = list(project) if project is not None else list(docs.columns)
+        px, py = F.col("env_minx"), F.col("env_miny")
+
+        def _inside(z):
+            env_ok = (
+                (px >= z["minx"]) & (px <= z["maxx"])
+                & (py >= z["miny"]) & (py <= z["maxy"])
+            )
+            def _hit(e):
+                crosses = (e["y1"] <= py) != (e["y2"] <= py)
+                xint = e["x1"] + (py - e["y1"]) * (e["x2"] - e["x1"]) / (e["y2"] - e["y1"])
+                return crosses & F.when(crosses, xint > px).otherwise(F.lit(False))
+            parity = F.size(F.filter(z["edges"], _hit)) % 2 == 1
+            def _on(e):
+                return (
+                    ((e["x2"] - e["x1"]) * (py - e["y1"])
+                     - (e["y2"] - e["y1"]) * (px - e["x1"]) == 0)
+                    & (F.least(e["x1"], e["x2"]) <= px)
+                    & (px <= F.greatest(e["x1"], e["x2"]))
+                    & (F.least(e["y1"], e["y2"]) <= py)
+                    & (py <= F.greatest(e["y1"], e["y2"]))
+                )
+            return env_ok & (parity | F.exists(z["edges"], _on))
+
+        fids = F.transform(
+            F.filter(_zones_literal(zidx), _inside), lambda z: z["fid"]
+        )
+        if first_match:
+            zf = F.array_min(fids).alias("zone_fid")
+            jvm_out = pt_docs.select(*out_cols_jvm, zf)
+            if how != "left":
+                jvm_out = jvm_out.filter(F.col("zone_fid").isNotNull())
+        else:
+            ex = F.explode_outer(fids) if how == "left" else F.explode(fids)
+            jvm_out = pt_docs.select(*out_cols_jvm, ex.alias("zone_fid"))
+    else:
+        jvm_out = None
     if project is not None:
         missing = [c for c in project if c not in docs.columns]
         if missing:
@@ -318,7 +411,8 @@ def spatial_join(
                 matched = pd.concat([matched, un], ignore_index=True)
             yield matched
 
-    return docs.mapInPandas(_probe, out_schema)
+    probed = docs.mapInPandas(_probe, out_schema)
+    return probed if jvm_out is None else probed.unionByName(jvm_out)
 
 
 def _probe_with_env(zi: "ZoneIndex", pdf: pd.DataFrame, wkt_col: str) -> tuple[np.ndarray, np.ndarray]:
