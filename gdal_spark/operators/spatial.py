@@ -659,12 +659,12 @@ def spatial_join_cells(
     from gdal_spark.operators.cells import Grid  # noqa: F401 (type)
 
     # docs side: cell ids from envelope columns (JVM-side). The
-    # exchange carries ids + the point flag + the point's coordinates
-    # (2 doubles — a POINT's coords ARE its envelope): the point
-    # majority then needs NO doc-side geometry re-join at all before
-    # the verify, only the non-point minority joins its WKT back.
-    # Shipping 17 extra bytes per candidate row removes an entire
-    # shuffle of the full doc table from the verify stage.
+    # exchange carries ids + the point's coordinates (2 doubles — a
+    # POINT's coords ARE its envelope): the point majority then needs
+    # NO doc-side geometry re-join at all before the verify, only the
+    # non-point minority joins its WKT back. Shipping 16 extra bytes
+    # per candidate row removes an entire shuffle of the full doc
+    # table from the verify stage.
     pt_jvm = (
         (F.col("env_minx") == F.col("env_maxx"))
         & (F.col("env_miny") == F.col("env_maxy"))
@@ -673,7 +673,6 @@ def spatial_join_cells(
     d = docs.select(
         F.col(doc_id_col).alias("_did"),
         "env_minx", "env_miny", "env_maxx", "env_maxy",
-        pt_jvm.alias("_ispt"),
     ).filter(F.col("env_minx").isNotNull())
 
     def cell_range(minx, miny, maxx, maxy):
@@ -700,7 +699,7 @@ def spatial_join_cells(
             & (F.col("env_maxy") <= cell_y0 + F.lit(grid.cell_h)),
         )
         .select(
-            "_did", "cell", "_cont", "_ispt",
+            "_did", "cell", "_cont",
             F.col("env_minx").alias("_px"), F.col("env_miny").alias("_py"),
         )
     )
@@ -732,32 +731,36 @@ def spatial_join_cells(
 
     # pair dedup doubles as the accept/verify split: a pair is
     # accepted outright if ANY of its candidate cells is an interior
-    # cell that contains the doc's envelope
+    # cell that contains the doc's envelope. The accepted pairs stay
+    # IN the pipeline as an _acc flag instead of forking a second
+    # DataFrame branch: a filter(_acc)/filter(~_acc) fork + union
+    # recomputes the whole explode->classify->join->agg subtree twice
+    # (Catalyst canonicalization did not reuse the exchanges —
+    # measured ReusedExchange=0, ~2x the work and the single biggest
+    # local[8]->[32] scaling killer of the r4 shape).
     agg = (
         joined.select(
             "_did", "_zfid",
             (F.col("_cont") & ~F.col("_boundary")).alias("_acc"),
-            "_ispt", "_px", "_py",
+            "_px", "_py",
         )
         .groupBy("_did", "_zfid")
         .agg(
             F.max("_acc").alias("_acc"),
             # constant per doc — first() just carries them through
-            F.first("_ispt").alias("_ispt"),
             F.first("_px").alias("_px"),
             F.first("_py").alias("_py"),
         )
     )
-    accepted = agg.filter(F.col("_acc")).select(
-        F.col("_did").alias("doc_id"), F.col("_zfid").alias("zone_fid")
-    )
-    pairs = agg.filter(~F.col("_acc")).select("_did", "_zfid", "_ispt", "_px", "_py")
 
-    # geometry payloads re-join by id post-dedup, and ONLY for the
-    # boundary-cell candidates: each surviving doc/zone WKT crosses
-    # the wire once per unverified pair (not once per covering cell x
-    # salt, and not at all for interior accepts). The zone join key is
-    # (_zfid, verify-salt): partitioning the verify stage by _zfid
+    # geometry payloads re-join by id post-dedup, and cross the Arrow
+    # boundary ONLY for the boundary-cell candidates: each surviving
+    # doc/zone WKT crosses the wire once per unverified pair (not once
+    # per covering cell x salt, and not at all for interior accepts —
+    # the post-join projection nulls their WKT JVM-side, so the join
+    # key stays the plain id with no NULL-key hot partition while the
+    # Arrow payload for accepted rows is two nulls). The zone join key
+    # is (_zfid, verify-salt): partitioning the verify stage by _zfid
     # alone caps its parallelism at the number of DISTINCT ZONES
     # TOUCHED — with a handful of hot zones most cores idle (measured:
     # 14.3 s at local[8] vs 14.6 s at local[32], zero 8->32 scaling).
@@ -771,11 +774,11 @@ def spatial_join_cells(
     # same rule as the broadcast join's project path :275-283). The
     # left join null-extends _dwkt for point pairs — the verify keys
     # its parse-free path off exactly that NULL.
+    pairs = agg
     dwn = docs.filter(~pt_jvm).select(
         F.col(doc_id_col).alias("_did"), F.col(wkt_col).alias("_dwkt")
     )
     zw = zones.select(F.col(zone_fid_col).alias("_zfid"), F.col(zone_wkt_col).alias("_zwkt"))
-    pairs = pairs.drop("_ispt")
     if verify_salt > 1:
         pairs = pairs.withColumn(
             "_vs", F.pmod(F.hash("_did"), F.lit(verify_salt)).cast("int")
@@ -787,6 +790,12 @@ def spatial_join_cells(
         paired = pairs.join(dwn, "_did", "left").join(zw, ["_zfid", "_vs"]).drop("_vs")
     else:
         paired = pairs.join(dwn, "_did", "left").join(zw, "_zfid")
+    # interior-accepted pairs need no geometry at all: null both WKTs
+    # AFTER the joins (plain-id join keys — no NULL-key hot partition)
+    # so the Arrow exchange ships them as (ids, flag, 2 nulls)
+    paired = paired.withColumn(
+        "_dwkt", F.when(~F.col("_acc"), F.col("_dwkt"))
+    ).withColumn("_zwkt", F.when(~F.col("_acc"), F.col("_zwkt")))
 
     out_schema = StructType(
         [StructField("doc_id", LongType()), StructField("zone_fid", LongType())]
@@ -797,23 +806,28 @@ def spatial_join_cells(
             if not len(pdf):
                 continue
             pdf = pdf.reset_index(drop=True)
+            acc = pdf["_acc"].to_numpy(bool)
+            # Interior-accepted rows (both WKTs nulled JVM-side) keep
+            # unconditionally and touch nothing below. Of the rest,
             # NULL _dwkt rows are the JVM-stripped points: their
             # coordinates ride as _px/_py and nothing parses. Only the
             # non-point minority builds a GeomBatch (positions mapped
             # through `sub_of`).
-            stripped = pdf["_dwkt"].isna().to_numpy()
+            parsed = pdf["_dwkt"].notna().to_numpy()
+            stripped = ~parsed & ~acc
             px = pdf["_px"].to_numpy(np.float64)
             py = pdf["_py"].to_numpy(np.float64)
-            sub_of = np.cumsum(~stripped) - 1  # pdf idx -> dbatch idx
-            dbatch = parse_wkt(pdf.loc[~stripped, "_dwkt"]) if (~stripped).any() else None
+            sub_of = np.cumsum(parsed) - 1  # pdf idx -> dbatch idx
+            dbatch = parse_wkt(pdf.loc[parsed, "_dwkt"]) if parsed.any() else None
             if dbatch is not None:
                 parsed_pt = (dbatch.types == GeomType.POINT) & ~dbatch.is_empty
-            keep = np.zeros(len(pdf), dtype=bool)
+            keep = acc.copy()
             # group by zone: build each zone's edge table once; the
             # point-geometry majority goes through ONE vectorized ray
             # cast per zone (same path as the broadcast join,
             # probe_points), only non-point rows verify pairwise
-            for _zfid, grp in pdf.groupby("_zfid", sort=False):
+            pending = pdf.loc[~acc, ["_zfid", "_zwkt"]]
+            for _zfid, grp in pending.groupby("_zfid", sort=False):
                 zbatch = parse_wkt(grp["_zwkt"].iloc[:1])
                 rings = zbatch.polygon_rings(0)
                 edges = rings_to_edges(rings)
@@ -822,7 +836,7 @@ def spatial_join_cells(
                 is_pt_row = stripped[idx]
                 if dbatch is not None:
                     is_pt_row = is_pt_row | (
-                        ~stripped[idx] & parsed_pt[sub_of[idx]]
+                        parsed[idx] & parsed_pt[sub_of[idx]]
                     )
                 pts = idx[is_pt_row]
                 if pts.size:
@@ -844,9 +858,10 @@ def spatial_join_cells(
             res = pdf.loc[keep]
             yield pd.DataFrame({"doc_id": res["_did"].to_numpy(np.int64), "zone_fid": res["_zfid"].to_numpy(np.int64)})
 
-    # accepted and verified are disjoint by construction (the groupBy
-    # made pairs unique, then split) — no final dedup needed
-    return accepted.unionByName(paired.mapInPandas(_verify, out_schema))
+    # the groupBy made pairs unique and every pair flows through the
+    # one verify stage (accepted rows as a pass-through flag) — a
+    # single linear plan, no union, nothing computed twice
+    return paired.mapInPandas(_verify, out_schema)
 
 
 def _zone_cell_classifier(grid, max_cells: int = 4_000_000):
