@@ -115,11 +115,22 @@ def bpe_apply(
     merges: list,
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Tokenize with a learned merge table: per word, the same
     double-spaced representation and the same replace per merge IN
     TRAINING ORDER, then a split back to symbols. One pure-Catalyst
-    expression chain (len(merges) literal replaces), no shuffle.
+    expression chain (len(merges) literal replaces) plus the per-doc
+    regroup shuffle.
+
+    Every input row survives: documents whose text is empty or
+    whitespace-only come back with an EMPTY token array (the grouped
+    tokens left-join back onto `docs`, coalesced to []), instead of
+    silently dropping out of the result. Pass `id_col` naming a
+    UNIQUE key to regroup by it alone; without one the regroup keys
+    on ALL columns, so fully-duplicate doc rows collapse to one
+    grouped row whose interleaved token array then fans back to each
+    duplicate — give an id column when exact duplicates matter.
 
     Note: applies merges in table order (the fast "apply like you
     trained" rule); reference BPE encoders that re-rank pairs at
@@ -132,16 +143,19 @@ def bpe_apply(
     for m in merges:
         l, r = m[0], m[1]
         rep = F.replace(rep, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+    key = [id_col] if id_col is not None else list(docs.columns)
     exploded = docs.select(
-        "*", F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_i", "_word")
+        *key, F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_i", "_word")
     ).filter(F.length("_word") > 0)
     toks = F.split(F.trim(rep), "  ")
     per_word = exploded.withColumn("_toks", toks)
-    grouped = per_word.groupBy(*docs.columns).agg(
+    grouped = per_word.groupBy(*key).agg(
         F.flatten(F.array_sort(F.collect_list(F.struct("_i", "_toks")))["_toks"])
         .alias(out_col)
     )
-    return grouped
+    return docs.join(grouped, key, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.array().cast("array<string>"))
+    )
 
 
 def bpe_train_sql(

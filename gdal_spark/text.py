@@ -434,9 +434,11 @@ def pack_sequences(
     double division stops being exact and a document would silently
     land in the wrong training sequence.
 
-    Ids must be UNIQUE: the exclusive running sum is a ROWS-frame
-    window ordered by id (its SQL twin likewise), so duplicate ids
-    would make both engines' prefix sums tie-order-dependent."""
+    Ids must be UNIQUE and NON-NULL: the exclusive running sum is a
+    ROWS-frame window ordered by id (its SQL twin likewise), so
+    duplicate ids would make both engines' prefix sums
+    tie-order-dependent; NULL-id rows are dropped before packing
+    (a NULL id cannot place deterministically in the id order)."""
     from pyspark.sql import Window
 
     if seq_len <= 0:
@@ -448,7 +450,7 @@ def pack_sequences(
     d = df.select(
         F.col(id_col).cast("long").alias("_pid"),
         F.col(weight_col).cast("long").alias("_wt"),
-    ).filter(F.col("_wt") > 0)
+    ).filter((F.col("_wt") > 0) & F.col("_pid").isNotNull())
 
     row = d.agg(F.min("_pid").alias("mn"), F.max("_pid").alias("mx")).first()
     if row is None or row.mn is None:
@@ -517,7 +519,7 @@ def pack_sequences_sql(seq_len: int, tokens_expr: str | None = None,
         f"WITH t AS (SELECT {id_expr} AS pid, {w} AS wt FROM {table}), "
         "p AS (SELECT pid, wt, CAST(COALESCE(SUM(wt) OVER (ORDER BY pid "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s "
-        "FROM t WHERE wt > 0), "
+        "FROM t WHERE wt > 0 AND pid IS NOT NULL), "
         "e AS (SELECT pid, s, CAST(s + wt AS BIGINT) AS e FROM p), "
         f"x AS (SELECT pid, s, e, UNNEST(generate_series(s // {L}, (e-1) // {L}))"
         " AS window_id FROM e) "
@@ -558,16 +560,26 @@ def unigram_surprisal(
     ships only map-combined per-doc partials, never raw tokens. Two
     shuffles total (vocab count + per-doc fold), both on bounded or
     combinable keys."""
+    # split of an empty/whitespace-only doc yields [''] — that phantom
+    # zero-length string is NOT a token (bpe._initial_words applies
+    # the same length > 0 rule): it must not enter the vocabulary,
+    # the corpus total, or any doc's token count. The explode keeps
+    # the phantom row (flagged _nz=false) so empty docs still report
+    # n_tokens=0 instead of vanishing — no extra join needed.
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    words = docs.select(F.explode(toks).alias("_w"))
+    nz_toks = F.filter(toks, lambda x: F.length(x) > 0)
+    words = docs.select(F.explode(nz_toks).alias("_w"))
     counts = words.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
     # N = total tokens, computed straight off the docs (one narrow
     # pass) — summing `counts` instead would re-execute the whole
     # word-count shuffle a second time just for a scalar
-    total = docs.agg(F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("t")).first().t or 0
+    total = docs.agg(F.sum(F.size(nz_toks)).alias("t")).first().t or 0
     if total == 0:
-        return docs.sparkSession.createDataFrame(
-            [], f"{id_col} long, n_tokens long, n_oov long, surprisal_bits long")
+        return docs.select(
+            F.col(id_col), F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("n_oov"),
+            F.lit(0).cast("long").alias("surprisal_bits"),
+        )
     vocab = counts.orderBy(F.col("_c").desc(), F.col("_w").asc()).limit(vocab_size)
     nbits = len(bin(int(total))) - 2  # bitlen(N)
     per_tok = (
@@ -575,6 +587,7 @@ def unigram_surprisal(
         .join(F.broadcast(vocab), "_w", "left")
         .select(
             "_id",
+            (F.length("_w") > 0).alias("_nz"),
             F.col("_c").isNull().cast("long").alias("_oov"),
             # bitlen(c+1) = length(bin(c+1)); OOV c=0 -> bitlen 1
             (F.lit(nbits) - F.length(F.bin(F.coalesce(F.col("_c"), F.lit(0)) + 1)))
@@ -582,9 +595,9 @@ def unigram_surprisal(
         )
     )
     return per_tok.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("_oov").alias("n_oov"),
-        F.sum("_s").alias("surprisal_bits"),
+        F.sum(F.col("_nz").cast("long")).alias("n_tokens"),
+        F.sum(F.when(F.col("_nz"), F.col("_oov")).otherwise(F.lit(0))).alias("n_oov"),
+        F.sum(F.when(F.col("_nz"), F.col("_s")).otherwise(F.lit(0))).alias("surprisal_bits"),
     ).select(
         F.col("_id").alias(id_col), "n_tokens", "n_oov", "surprisal_bits"
     )
@@ -600,13 +613,14 @@ def unigram_surprisal_sql(
     return (
         f"WITH w AS (SELECT {id_expr} AS id, "
         f"UNNEST(string_split_regex(trim({text_expr}), '\\s+')) AS tok FROM {table}), "
-        "c AS (SELECT tok, COUNT(*) AS n FROM w GROUP BY tok), "
+        "c AS (SELECT tok, COUNT(*) AS n FROM w WHERE length(tok) > 0 GROUP BY tok), "
         "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c), "
         f"v AS (SELECT tok, n FROM c ORDER BY n DESC, tok ASC LIMIT {vocab_size}) "
-        "SELECT w.id AS doc_id, COUNT(*) AS n_tokens, "
-        "CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, "
-        "CAST(SUM(length(bin(CAST((SELECT t FROM tot) AS BIGINT))) "
-        "- length(bin(CAST(COALESCE(v.n, 0) + 1 AS BIGINT)))) AS BIGINT) AS surprisal_bits "
+        "SELECT w.id AS doc_id, "
+        "CAST(SUM(CASE WHEN length(w.tok) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(CASE WHEN length(w.tok) > 0 AND v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, "
+        "CAST(SUM(CASE WHEN length(w.tok) > 0 THEN length(bin(CAST((SELECT t FROM tot) AS BIGINT))) "
+        "- length(bin(CAST(COALESCE(v.n, 0) + 1 AS BIGINT))) ELSE 0 END) AS BIGINT) AS surprisal_bits "
         "FROM w LEFT JOIN v ON w.tok = v.tok GROUP BY w.id"
     )
 
@@ -697,8 +711,12 @@ def chunk_documents(
     `chunk_size` advancing by `chunk_size - overlap`, so consecutive
     chunks share `overlap` characters (the standard RAG chunker
     shape). Chunk k covers [k*step, k*step + chunk_size); windows
-    start while strictly inside the text, so the final chunk may be
-    shorter. Empty documents produce no chunks.
+    start only while they contribute strictly-new content (start <
+    len - overlap for non-first chunks), so the final chunk may be
+    shorter but is never fully contained in its predecessor — with
+    overlap > 0 a naive "start < len" rule would emit a trailing
+    chunk of <= overlap chars that duplicates retrieval content.
+    Empty documents produce no chunks.
 
     Output: (id, chunk_id, chunk_start, chunk_len, chunk_text).
 
@@ -714,7 +732,10 @@ def chunk_documents(
     n = F.length(t)
     staged = docs.filter(n > 0).withColumn(
         "chunk_id",
-        F.explode(F.sequence(F.lit(0), F.expr(f"(length({text_col}) - 1) div {step}"))),
+        F.explode(F.sequence(
+            F.lit(0),
+            F.expr(f"greatest(length({text_col}) - 1 - {overlap}, 0) div {step}"),
+        )),
     )
     start = F.col("chunk_id") * step
     return staged.select(
@@ -739,7 +760,7 @@ def chunk_documents_sql(
         f"WITH d AS (SELECT {id_expr} AS id, {text_expr} AS t FROM {table} "
         f"WHERE length({text_expr}) > 0), "
         "x AS (SELECT id, t, UNNEST(generate_series(0, "
-        f"(length(t) - 1) // {step})) AS chunk_id FROM d) "
+        f"GREATEST(length(t) - 1 - {overlap}, 0) // {step})) AS chunk_id FROM d) "
         "SELECT id AS doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
         f"CAST(chunk_id * {step} AS BIGINT) AS chunk_start, "
         f"CAST(LEAST({chunk_size}, length(t) - chunk_id * {step}) AS BIGINT) AS chunk_len, "

@@ -17,12 +17,24 @@ class TestChunkDocuments:
     def test_exact_layout(self, spark):
         out = chunk_documents(_docs(spark, ["abcdefghij"]), 4, 1).orderBy(
             "chunk_id").collect()
-        # step 3: starts 0,3,6,9 (9 < 10)
+        # step 3: starts 0,3,6 — a start at 9 (9 >= len - overlap)
+        # would emit "j", fully contained in the chunk at 6
         assert [(r.chunk_id, r.chunk_start, r.chunk_len, r.chunk_text)
                 for r in out] == [
             (0, 0, 4, "abcd"), (1, 3, 4, "defg"), (2, 6, 4, "ghij"),
-            (3, 9, 1, "j"),
         ]
+
+    def test_no_redundant_tail(self, spark):
+        # len=10, size=5, overlap=2, step=3: old rule emitted a 1-char
+        # chunk at 9 already covered by the chunk at 6
+        out = chunk_documents(_docs(spark, ["0123456789"]), 5, 2).orderBy(
+            "chunk_id").collect()
+        assert [(r.chunk_start, r.chunk_text) for r in out] == [
+            (0, "01234"), (3, "34567"), (6, "6789"),
+        ]
+        # tail shorter than overlap still gets its own (first) chunk
+        out1 = chunk_documents(_docs(spark, ["a"]), 5, 2).collect()
+        assert [(r.chunk_start, r.chunk_text) for r in out1] == [(0, "a")]
 
     def test_no_overlap(self, spark):
         out = chunk_documents(_docs(spark, ["abcdefgh"]), 4).collect()
