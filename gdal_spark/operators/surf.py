@@ -34,13 +34,17 @@ Distributed shape:
     computes the det-Hessian layers for its own pixels +1 ring, and
     runs the 26-neighbor suppression locally — per-tile work is pure
     vectorized rectangle-sum arithmetic, no cross-tile iteration.
-  * descriptors + matching follow the reference's own in-memory
-    contract (it materializes whole images as double**): keypoint
-    collections are tiny (feature points, not pixels), so Haar
-    descriptors run over keypoints against a broadcast integral image
-    behind a cell-count guard, and the greedy exclusivity matcher —
-    inherently sequential by construction — runs on the driver over
-    the collected descriptor lists, exactly like GCP refinement.
+  * descriptors = a second fat-halo exchange: keypoints group by
+    their home integral tile, integral tiles halo-explode out to
+    desc_pad(scale) = 12s+2, and a cogroup computes each home tile's
+    64-vectors executor-side through the windowed (global-clamp)
+    rect_sum — bit-identical to whole-image descriptors, no full
+    raster on the driver at any size.
+  * matching: the greedy exclusivity matcher — inherently sequential
+    by construction (gdal_simplesurf.cpp:280-398 mutates `matched`
+    as it scans) — runs on the driver over the collected DESCRIPTOR
+    list only (feature points, not pixels), exactly like GCP
+    refinement.
 """
 
 from __future__ import annotations
@@ -310,8 +314,15 @@ def surf_keypoints(
 # descriptors + matching (reference in-memory contract)
 
 
-def set_descriptor(I: np.ndarray, H: int, W: int, y: int, x: int, scale: int) -> np.ndarray:
-    """SetDescriptor (gdal_simplesurf.cpp:237-...) literally."""
+def set_descriptor(
+    I: np.ndarray, H: int, W: int, y: int, x: int, scale: int,
+    oy: int = 0, ox: int = 0,
+) -> np.ndarray:
+    """SetDescriptor (gdal_simplesurf.cpp:237-...) literally. I may be
+    a WINDOW of the integral image whose [0,0] sits at global (oy, ox)
+    — rect_sum's clamp logic runs in global space, so windowed calls
+    are bit-identical to whole-image calls wherever the window covers
+    the touched entries (rows/cols within DESC_PAD(scale) of (y, x))."""
     haar_filter = 2 * scale
     desc_side = 20 * scale
     quad_step = desc_side // 4
@@ -327,14 +338,115 @@ def set_descriptor(I: np.ndarray, H: int, W: int, y: int, x: int, scale: int) ->
             SR, SC = np.meshgrid(sr, sc, indexing="ij")
             cr = SR + sub_step // 2 - haar_filter // 2
             cc = SC + sub_step // 2 - haar_filter // 2
-            dx = haar_x(I, H, W, cr, cc, haar_filter)
-            dy = haar_y(I, H, W, cr, cc, haar_filter)
+            dx = haar_x(I, H, W, cr, cc, haar_filter, oy, ox)
+            dy = haar_y(I, H, W, cr, cc, haar_filter, oy, ox)
             desc[count] = dx.sum()
             desc[count + 1] = dy.sum()
             desc[count + 2] = np.abs(dx).sum()
             desc[count + 3] = np.abs(dy).sum()
             count += 4
     return desc
+
+
+def desc_pad(scale: int) -> int:
+    """Integral-image rows/cols set_descriptor touches around (y, x):
+    sample centers span [y - 11s, y + 10s + s//2] (lt_row = y - 10s,
+    Haar offset -s, corner lookups at center-1 and center+2s-1), so a
+    12s+2 ring is a safe cover at any alignment."""
+    return 12 * scale + 2
+
+
+def surf_descriptors(
+    tiles: DataFrame,
+    spec: RasterSpec,
+    octave_start: int = 2,
+    octave_end: int = 2,
+    threshold: float = 0.001,
+    band: int = 1,
+    integral: DataFrame | None = None,
+    keypoints: DataFrame | None = None,
+) -> DataFrame:
+    """Distributed SetDescriptor over every keypoint — no driver-side
+    image materialization at ANY raster size. Keypoints group by their
+    home integral tile (gty, gtx); each integral tile halo-explodes to
+    the neighbor ring out to desc_pad(max scale) (the same
+    perimeter-scaled fat-halo exchange as detection); a cogroup joins
+    each home tile's keypoints with its covering window, and the
+    64-vectors compute executor-side via the windowed rect_sum (global
+    clamp semantics -> bit-identical to whole-image descriptors).
+    Returns (octave, interval, y, x, scale, radius, sign, desc)."""
+    ts = spec.tile_size
+    W, H = spec.width, spec.height
+    I_df = integral if integral is not None else integral_tiles(tiles, spec, band)
+    kp = (
+        keypoints
+        if keypoints is not None
+        else surf_keypoints(
+            tiles, spec, octave_start, octave_end, threshold, band, integral=I_df
+        )
+    )
+    pad = desc_pad(2 ** octave_end)
+    rings = (pad + ts - 1) // ts
+
+    offs = [(dy, dx) for dy in range(-rings, rings + 1) for dx in range(-rings, rings + 1)]
+    exploded = None
+    for dy, dx in offs:
+        part = I_df.select(
+            (F.col("ty") + dy).alias("gty"), (F.col("tx") + dx).alias("gtx"),
+            "ty", "tx", "h", "w", "payload",
+        ).filter(
+            (F.col("gty") >= 0) & (F.col("gty") < spec.ntiles_y)
+            & (F.col("gtx") >= 0) & (F.col("gtx") < spec.ntiles_x)
+        )
+        exploded = part if exploded is None else exploded.unionByName(part)
+
+    kpg = kp.withColumn(
+        "gty", F.floor(F.col("y") / F.lit(ts)).cast("int")
+    ).withColumn("gtx", F.floor(F.col("x") / F.lit(ts)).cast("int"))
+
+    out_schema = (
+        "octave int, interval int, y int, x int, scale int, radius int, "
+        "sign int, desc array<double>"
+    )
+    cols = ["octave", "interval", "y", "x", "scale", "radius", "sign", "desc"]
+
+    def _desc(key, kpdf: pd.DataFrame, tdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(kpdf):
+            return pd.DataFrame(columns=cols)
+        gty, gtx = int(key[0]), int(key[1])
+        y0, x0 = gty * ts, gtx * ts
+        th = min(ts, H - y0)
+        tw = min(ts, W - x0)
+        wy0, wx0 = max(0, y0 - pad), max(0, x0 - pad)
+        wy1, wx1 = min(H, y0 + th + pad), min(W, x0 + tw + pad)
+        win = np.zeros((wy1 - wy0, wx1 - wx0), dtype=np.float64)
+        for r in tdf.itertuples(index=False):
+            ry, rx = int(r.ty) * ts, int(r.tx) * ts
+            t = np.frombuffer(r.payload, dtype=np.float64).reshape(r.h, r.w)
+            sy0, sx0 = max(ry, wy0), max(rx, wx0)
+            sy1, sx1 = min(ry + int(r.h), wy1), min(rx + int(r.w), wx1)
+            if sy1 > sy0 and sx1 > sx0:
+                win[sy0 - wy0 : sy1 - wy0, sx0 - wx0 : sx1 - wx0] = t[
+                    sy0 - ry : sy1 - ry, sx0 - rx : sx1 - rx
+                ]
+        rows = []
+        for r in kpdf.itertuples(index=False):
+            d = set_descriptor(
+                win, H, W, int(r.y), int(r.x), int(r.scale), oy=wy0, ox=wx0
+            )
+            rows.append({
+                "octave": int(r.octave), "interval": int(r.interval),
+                "y": int(r.y), "x": int(r.x), "scale": int(r.scale),
+                "radius": int(r.radius), "sign": int(r.sign),
+                "desc": d.tolist(),
+            })
+        return pd.DataFrame(rows, columns=cols)
+
+    return (
+        kpg.groupBy("gty", "gtx")
+        .cogroup(exploded.groupBy("gty", "gtx"))
+        .applyInPandas(_desc, out_schema)
+    )
 
 
 def gather_feature_points(
@@ -344,28 +456,22 @@ def gather_feature_points(
     octave_end: int = 2,
     threshold: float = 0.001,
     band: int = 1,
-    max_cells: int = 1 << 26,
 ) -> list[dict]:
-    """GatherFeaturePoints: distributed detection, then descriptors
-    over the broadcast integral (images are driver-sized by the
-    reference's own double** contract; the guard enforces it).
-    Returns feature dicts in the reference's exact scan order
-    (octave, triple, row, col)."""
-    from gdal_spark.operators.raster import materialize_full
-
-    if spec.width * spec.height > max_cells:
-        raise ValueError("image exceeds the in-memory descriptor guard")
-    integral = integral_tiles(tiles, spec, band)
-    kp = surf_keypoints(
-        tiles, spec, octave_start, octave_end, threshold, band, integral=integral
+    """GatherFeaturePoints: distributed detection AND distributed
+    descriptors (surf_descriptors' fat-halo cogroup) — the only
+    driver-side state is the keypoint/descriptor list itself (feature
+    points, not pixels: bounded input to the inherently-sequential
+    greedy matcher, like GCP refinement). No image-size guard: nothing
+    materializes a full raster anywhere. Returns feature dicts in the
+    reference's exact scan order (octave, triple, row, col)."""
+    rows = surf_descriptors(
+        tiles, spec, octave_start, octave_end, threshold, band
     ).collect()
-    I = materialize_full(integral, spec)
-    H, W = spec.height, spec.width
     feats = []
-    for r in sorted(kp, key=lambda r: (r.octave, r.interval, r.y, r.x)):
-        desc = set_descriptor(I, H, W, int(r.y), int(r.x), int(r.scale))
+    for r in sorted(rows, key=lambda r: (r.octave, r.interval, r.y, r.x)):
         feats.append({"x": int(r.x), "y": int(r.y), "scale": int(r.scale),
-                      "radius": int(r.radius), "sign": int(r.sign), "desc": desc})
+                      "radius": int(r.radius), "sign": int(r.sign),
+                      "desc": np.asarray(r.desc, dtype=np.float64)})
     return feats
 
 

@@ -173,6 +173,26 @@ class TestSurf:
             ref_desc = set_descriptor(I, *img.shape, y, x, scale)
             np.testing.assert_array_equal(f["desc"], ref_desc)
 
+    def test_descriptors_distributed_multiring(self, spark):
+        # octave 2 -> scale 4 -> desc_pad 50 > ts=32: the descriptor
+        # cogroup must assemble a 2-ring halo window; parity against
+        # whole-image set_descriptor proves the windowed global-clamp
+        # path is bit-identical (no driver materialization exists in
+        # this path at any raster size — the old max_cells guard and
+        # materialize_full are gone)
+        rng = np.random.default_rng(17)
+        img = _blob_image(rng, 96, 80)
+        tiles, spec = _tiles(spark, img, 32)
+        feats = gather_feature_points(tiles, spec, 2, 2, 0.001)
+        I, want = _extract_ref(img, 2, 2, 0.001)
+        assert len(feats) == len(want) > 0
+        for f, (octv, k, y, x, scale, radius, sign) in zip(
+            feats, sorted(want, key=lambda t: (t[0], t[1], t[2], t[3]))
+        ):
+            assert (f["y"], f["x"], f["scale"], f["sign"]) == (y, x, scale, sign)
+            np.testing.assert_array_equal(
+                f["desc"], set_descriptor(I, *img.shape, y, x, scale))
+
     def test_matching_identical_images(self, spark):
         rng = np.random.default_rng(31)
         img = _blob_image(rng, 96, 96)
