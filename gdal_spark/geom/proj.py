@@ -17,6 +17,7 @@ set as the hard gate.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 
@@ -40,9 +41,50 @@ WGS84 = Ellipsoid(a=6378137.0, b=6378137.0 * (1 - 1 / 298.257223563))
 GRS80 = Ellipsoid(a=6378137.0, b=6378137.0 * (1 - 1 / 298.257222101))
 
 
+@lru_cache(maxsize=32)
+def _kruger_consts(a: float, b: float) -> tuple:
+    """Krüger n-series constants to n^6 for the exact transverse
+    Mercator (Karney 2011 "Transverse Mercator with an accuracy of a
+    few nanometers", eqs 35-36; the same series PROJ's tmerc
+    (Poder/Engsager, proj/src/projections/tmerc.cpp) evaluates): the
+    rectifying radius A and the forward (alpha) / inverse (beta)
+    coefficient tuples."""
+    f = (a - b) / a
+    n = f / (2 - f)
+    A = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)
+    alpha = (
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180
+        - 127 * n**5 / 288 + 7891 * n**6 / 37800,
+        13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440
+        + 281 * n**5 / 630 - 1983433 * n**6 / 1935360,
+        61 * n**3 / 240 - 103 * n**4 / 140 + 15061 * n**5 / 26880
+        + 167603 * n**6 / 181440,
+        49561 * n**4 / 161280 - 179 * n**5 / 168 + 6601661 * n**6 / 7257600,
+        34729 * n**5 / 80640 - 3418889 * n**6 / 1995840,
+        212378941 * n**6 / 319334400,
+    )
+    beta = (
+        n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360
+        - 81 * n**5 / 512 + 96199 * n**6 / 604800,
+        n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440 + 46 * n**5 / 105
+        - 1118711 * n**6 / 3870720,
+        17 * n**3 / 480 - 37 * n**4 / 840 - 209 * n**5 / 4480
+        + 5569 * n**6 / 90720,
+        4397 * n**4 / 161280 - 11 * n**5 / 504 - 830251 * n**6 / 7257600,
+        4583 * n**5 / 161280 - 108847 * n**6 / 3991680,
+        20648693 * n**6 / 638668800,
+    )
+    return A, alpha, beta
+
+
 @dataclass(frozen=True)
 class TransverseMercator:
-    """Snyder eqs 8-9..8-13 (forward), 8-57..8-62 (inverse)."""
+    """Exact (nanometer-class) transverse Mercator via the Krüger
+    n^6 series — Karney 2011, the algorithm PROJ's default tmerc
+    path implements (Poder/Engsager); replaced the earlier Snyder
+    8-9..8-13 truncated series whose ~0.05 mm northing error was
+    enough to flip isolated nearest-neighbor picks against the
+    reference's tile oracles."""
 
     ellipsoid: Ellipsoid
     lon0_deg: float
@@ -50,83 +92,54 @@ class TransverseMercator:
     false_easting: float = 500_000.0
     false_northing: float = 0.0
 
-    def _m(self, lat: np.ndarray) -> np.ndarray:
-        e2 = self.ellipsoid.e2
-        a = self.ellipsoid.a
-        e4, e6 = e2 * e2, e2 * e2 * e2
-        return a * (
-            (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * lat
-            - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * lat)
-            + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * lat)
-            - (35 * e6 / 3072) * np.sin(6 * lat)
-        )
-
     def forward(self, lon_deg, lat_deg):
         """(lon, lat) degrees -> (easting, northing)."""
-        e2 = self.ellipsoid.e2
-        ep2 = self.ellipsoid.ep2
-        a, k0 = self.ellipsoid.a, self.k0
+        ell = self.ellipsoid
+        A, alpha, _ = _kruger_consts(ell.a, ell.b)
+        e = np.sqrt(ell.e2)
         lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
-        dlon = np.radians(np.asarray(lon_deg, dtype=np.float64) - self.lon0_deg)
-        sin_lat, cos_lat, tan_lat = np.sin(lat), np.cos(lat), np.tan(lat)
-        N = a / np.sqrt(1 - e2 * sin_lat**2)
-        T = tan_lat**2
-        C = ep2 * cos_lat**2
-        A = dlon * cos_lat
-        M = self._m(lat)
-        M0 = self._m(np.float64(0.0))
-        x = k0 * N * (
-            A
-            + (1 - T + C) * A**3 / 6
-            + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * A**5 / 120
-        ) + self.false_easting
-        y = k0 * (
-            M
-            - M0
-            + N
-            * tan_lat
-            * (
-                A**2 / 2
-                + (5 - T + 9 * C + 4 * C**2) * A**4 / 24
-                + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * A**6 / 720
-            )
-        ) + self.false_northing
+        lon = np.radians(np.asarray(lon_deg, dtype=np.float64) - self.lon0_deg)
+        s = np.sin(lat)
+        # conformal latitude via its tangent (Karney eq 7)
+        t = np.sinh(np.arctanh(s) - e * np.arctanh(e * s))
+        cos_lon = np.cos(lon)
+        xip = np.arctan2(t, cos_lon)
+        etap = np.arcsinh(np.sin(lon) / np.sqrt(t * t + cos_lon * cos_lon))
+        xi = xip.copy()
+        eta = etap.copy()
+        for j, aj in enumerate(alpha, start=1):
+            xi = xi + aj * np.sin(2 * j * xip) * np.cosh(2 * j * etap)
+            eta = eta + aj * np.cos(2 * j * xip) * np.sinh(2 * j * etap)
+        x = self.false_easting + self.k0 * A * eta
+        y = self.false_northing + self.k0 * A * xi
         return x, y
 
     def inverse(self, x, y):
         """(easting, northing) -> (lon, lat) degrees."""
-        e2 = self.ellipsoid.e2
-        ep2 = self.ellipsoid.ep2
-        a, k0 = self.ellipsoid.a, self.k0
-        x = np.asarray(x, dtype=np.float64) - self.false_easting
-        y = np.asarray(y, dtype=np.float64) - self.false_northing
-        e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
-        M = self._m(np.float64(0.0)) + y / k0
-        mu = M / (a * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256))
-        lat1 = (
-            mu
-            + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
-            + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
-            + (151 * e1**3 / 96) * np.sin(6 * mu)
-            + (1097 * e1**4 / 512) * np.sin(8 * mu)
-        )
-        sin1, cos1, tan1 = np.sin(lat1), np.cos(lat1), np.tan(lat1)
-        C1 = ep2 * cos1**2
-        T1 = tan1**2
-        N1 = a / np.sqrt(1 - e2 * sin1**2)
-        R1 = a * (1 - e2) / (1 - e2 * sin1**2) ** 1.5
-        D = x / (N1 * k0)
-        lat = lat1 - (N1 * tan1 / R1) * (
-            D**2 / 2
-            - (5 + 3 * T1 + 10 * C1 - 4 * C1**2 - 9 * ep2) * D**4 / 24
-            + (61 + 90 * T1 + 298 * C1 + 45 * T1**2 - 252 * ep2 - 3 * C1**2) * D**6 / 720
-        )
-        lon = (
-            D
-            - (1 + 2 * T1 + C1) * D**3 / 6
-            + (5 - 2 * C1 + 28 * T1 - 3 * C1**2 + 8 * ep2 + 24 * T1**2) * D**5 / 120
-        ) / cos1
-        return np.degrees(lon) + self.lon0_deg, np.degrees(lat)
+        ell = self.ellipsoid
+        A, _, beta = _kruger_consts(ell.a, ell.b)
+        e = np.sqrt(ell.e2)
+        e2 = ell.e2
+        xi = (np.asarray(y, dtype=np.float64) - self.false_northing) / (self.k0 * A)
+        eta = (np.asarray(x, dtype=np.float64) - self.false_easting) / (self.k0 * A)
+        xip = xi.copy()
+        etap = eta.copy()
+        for j, bj in enumerate(beta, start=1):
+            xip = xip - bj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            etap = etap - bj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        cos_xip = np.cos(xip)
+        t = np.sin(xip) / np.sqrt(np.sinh(etap) ** 2 + cos_xip * cos_xip)
+        lon = np.arctan2(np.sinh(etap), cos_xip)
+        # invert the conformal-latitude tangent by Newton (quadratic
+        # convergence; 5 rounds reach machine precision from atan(t))
+        phi = np.arctan(t)
+        for _ in range(6):
+            s = np.sin(phi)
+            tau = np.sinh(np.arctanh(s) - e * np.arctanh(e * s))
+            phi = phi + (t - tau) * (1 - e2 * s * s) * np.cos(phi) / (
+                (1 - e2) * np.sqrt(1 + tau * tau)
+            )
+        return np.degrees(lon) + self.lon0_deg, np.degrees(phi)
 
 
 @dataclass(frozen=True)

@@ -703,21 +703,28 @@ def approx_scanline_coords(
     offset: float = 0.5,
 ):
     """Error-bounded approximation of the dst-pixel -> src-pixel
-    transform (GDALCreateApproxTransformer, gdaltransformer.cpp:3979;
-    GDALApproxTransform:4384 / ...Internal:4114): per dst scanline,
-    transform Start/Middle/End exactly; if the linear interpolation at
-    the middle is within max_error (Manhattan, src-pixel units) use the
-    endpoint slope for every point of the scanline (including the
-    middle — the reference overwrites it too), else subdivide. All
-    rows' SME triples go through ONE vectorized base call; only
-    rejected rows recurse. Structural deviation from the reference's
-    subdivision: halves split at the (exactly known) middle point —
-    one new exact point per level instead of the reference's three —
-    with the identical per-segment error rule.
+    transform — a faithful replica of GDALCreateApproxTransformer
+    (gdaltransformer.cpp:3979; GDALApproxTransform:4384 /
+    ...Internal:4114): per dst scanline, transform Start/Middle/End
+    exactly; if the linear interpolation at the middle is within
+    max_error (Manhattan, src-pixel units) every point of the segment
+    takes the endpoint slope (including the middle — the reference
+    overwrites it too); otherwise subdivide into [start, middle-1] and
+    [middle, end] halves, pre-transforming each half's own middle and
+    half1's end exactly (the reference's 3-point xMiddle batch), with
+    halves of <= 5 points transformed exactly point-by-point (the
+    bUseBaseTransformForHalf guards — the y-equality/x-distinctness
+    arms are vacuous on a scanline). Bit-identical subdivision and
+    interpolation arithmetic -> identical nearest-neighbor picks
+    wherever the base transform agrees.
+
+    All rows' SME triples go through ONE vectorized base call; only
+    rejected rows recurse.
 
     Returns (sx, sy) src pixel coords, same contract as
     _dst_pixel_src_coords. Opt-in: warp callers default to the exact
-    path (max_error 0) to keep nearest assignments bit-identical."""
+    path (max_error 0) to keep nearest assignments bit-identical to
+    the exact transformer."""
     ts = tms.tile_size
     res = tms.resolution(z)
     ox, oy = tms.tile_origin(z, tx, ty)
@@ -747,30 +754,63 @@ def approx_scanline_coords(
         out_sx[ok] = bx[ok, 0:1] + dX[ok, None] * dist
         out_sy[ok] = by[ok, 0:1] + dY[ok, None] * dist
 
-    def segment(row, i0, i1, t0, t1):
-        n = i1 - i0 + 1
-        if n <= 5:
-            ex, ey = base(xs[i0 : i1 + 1], np.full(n, ys[row]))
-            out_sx[row, i0 : i1 + 1] = ex
-            out_sy[row, i0 : i1 + 1] = ey
+    def exact(row, i0, i1):
+        # base-transform points i0..i1 inclusive (empty range ok)
+        if i1 < i0:
             return
+        ex, ey = base(xs[i0 : i1 + 1], np.full(i1 - i0 + 1, ys[row]))
+        out_sx[row, i0 : i1 + 1] = ex
+        out_sy[row, i0 : i1 + 1] = ey
+
+    def segment(row, i0, i1, t0, tm, t1):
+        # GDALApproxTransformInternal over points i0..i1: t0/tm/t1 are
+        # the EXACT transforms of x[i0], x[i0+(n-1)//2], x[i1]
+        n = i1 - i0 + 1
         m = i0 + (n - 1) // 2
-        tmx, tmy = base(xs[m : m + 1], ys[row : row + 1])
         ddx = (t1[0] - t0[0]) / (xs[i1] - xs[i0])
         ddy = (t1[1] - t0[1]) / (xs[i1] - xs[i0])
-        e = abs(t0[0] + ddx * (xs[m] - xs[i0]) - tmx[0]) + abs(
-            t0[1] + ddy * (xs[m] - xs[i0]) - tmy[0]
+        e = abs(t0[0] + ddx * (xs[m] - xs[i0]) - tm[0]) + abs(
+            t0[1] + ddy * (xs[m] - xs[i0]) - tm[1]
         )
         if e <= max_error:
             d = xs[i0 : i1 + 1] - xs[i0]
             out_sx[row, i0 : i1 + 1] = t0[0] + ddx * d
             out_sy[row, i0 : i1 + 1] = t0[1] + ddy * d
             return
-        segment(row, i0, m, t0, (tmx[0], tmy[0]))
-        segment(row, m, i1, (tmx[0], tmy[0]), t1)
+        nm = (n - 1) // 2  # local middle = half1 point count
+        ia = i0 + (nm - 1) // 2       # half1's middle
+        ib = i0 + nm - 1              # half1's end
+        ic = m + (n - nm - 1) // 2    # half2's middle
+        half1_exact = nm <= 5
+        half2_exact = (n - nm) <= 5
+        if not half1_exact and not half2_exact:
+            ex, ey = base(xs[[ia, ib, ic]], np.full(3, ys[row]))
+            segment(row, i0, ib, t0, (ex[0], ey[0]), (ex[1], ey[1]))
+            segment(row, m, i1, tm, (ex[2], ey[2]), t1)
+        elif not half1_exact:
+            ex, ey = base(xs[[ia, ib]], np.full(2, ys[row]))
+            segment(row, i0, ib, t0, (ex[0], ey[0]), (ex[1], ey[1]))
+            exact(row, m + 1, i1 - 1)
+            out_sx[row, m], out_sy[row, m] = tm
+            out_sx[row, i1], out_sy[row, i1] = t1
+        elif not half2_exact:
+            ex, ey = base(xs[[ic]], np.full(1, ys[row]))
+            exact(row, i0 + 1, ib)
+            out_sx[row, i0], out_sy[row, i0] = t0
+            segment(row, m, i1, tm, (ex[0], ey[0]), t1)
+        else:
+            exact(row, i0 + 1, ib)
+            exact(row, m + 1, i1 - 1)
+            out_sx[row, i0], out_sy[row, i0] = t0
+            out_sx[row, m], out_sy[row, m] = tm
+            out_sx[row, i1], out_sy[row, i1] = t1
 
     for row in np.flatnonzero(~ok):
-        segment(row, 0, w - 1, (bx[row, 0], by[row, 0]), (bx[row, 2], by[row, 2]))
+        segment(
+            row, 0, w - 1,
+            (bx[row, 0], by[row, 0]), (bx[row, 1], by[row, 1]),
+            (bx[row, 2], by[row, 2]),
+        )
     return out_sx, out_sy
 
 

@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from gdal_spark.fixtures import BYTE20, BYTE20_CHECKSUM, BYTE20_SPEC, byte20_tiles
-from gdal_spark.geom.proj import EPSG_26711, Pipeline
+from gdal_spark.geom.proj import EPSG_26711, EPSG_32611, Pipeline
 from gdal_spark.operators.raster import (
     RasterSpec,
     checksum_array,
@@ -173,12 +173,11 @@ class TestWarpKernels:
 @pytest.mark.usefixtures("spark")
 class TestTiling:
     def test_byte20_tile_key_oracle(self, spark):
-        """autotest/utilities/test_gdalalg_raster_tile.py:55-69 — the
+        """autotest/utilities/test_gdalalg_raster_tile.py:30-69 — the
         byte.tif raster tiles to EXACTLY z11/354/818 (xyz), parent
-        z10/177/409. Payload checksums differ from the reference's
-        [4160,4415] solely through the missing NAD27 datum shift
-        (documented deviation, gdal_spark/geom/proj.py); the key set
-        and coverage shape are the hard gate."""
+        z10/177/409. The key set and coverage shape over byte.tif's
+        TRUE CRS (EPSG:26711); the reference's payload constant is
+        pinned bit-exact in test_byte20_reference_checksum_oracle."""
         src = byte20_tiles(spark)
         pipe = Pipeline(src=EPSG_26711, dst="webmercator")
         tiles = raster_tile(src, BYTE20_SPEC, pipe, min_zoom=10, max_zoom=11, resampling="near").cache()
@@ -188,11 +187,33 @@ class TestTiling:
         alpha = [r for r in tiles.collect() if r.band == 2 and r.z == 11][0]
         a = np.frombuffer(alpha.payload, dtype="uint8").reshape(256, 256)
         assert 200 < (a == 255).sum() < 1000
-        # band payload stable (frozen golden of OUR kernel)
         band1 = [r for r in tiles.collect() if r.band == 1 and r.z == 11][0]
         t = np.frombuffer(band1.payload, dtype="uint8").reshape(256, 256)
-        assert checksum_array(t) == 3846
         assert t.max() == 255 and (t[a == 0] == 0).all()
+
+    def test_byte20_reference_checksum_oracle(self, spark):
+        """The reference's OWN tile-payload constant, matched
+        bit-exact: test_gdalalg_raster_tile.py:40-69 translates
+        byte.tif to outputSRS=EPSG:32611 (no datum change is involved
+        in the oracle) and tiles with the alg's DEFAULTS — resampling
+        cubic (gdalalg_raster_tile.h:245) through the 0.125-px approx
+        transformer (gdalalg_raster_tile.cpp:5165) — asserting band
+        checksums [4160, 4415] on 11/354/818.png. Reproducing it
+        needs the Kruger-exact transverse Mercator (geom/proj.py),
+        the faithful GDALApproxTransform subdivision replica
+        (operators/tiles.py), and the GWKCubic kernel."""
+        src = byte20_tiles(spark)
+        pipe = Pipeline(src=EPSG_32611, dst="webmercator")
+        tiles = raster_tile(
+            src, BYTE20_SPEC, pipe, min_zoom=11, max_zoom=11,
+            resampling="cubic", approx_error=0.125,
+        ).collect()
+        sums = {
+            r.band: checksum_array(
+                np.frombuffer(r.payload, dtype="uint8").reshape(256, 256))
+            for r in tiles
+        }
+        assert [sums[1], sums[2]] == [4160, 4415]
 
     def test_resume_anti_join(self, spark):
         src = byte20_tiles(spark)
