@@ -434,15 +434,18 @@ def nearblack_floodfill(
     :60-95; -nb is not consulted by this algorithm). The reference
     runs a scanline flood with a backtrack window; connectivity is the
     semantics, so the distributed form is the polygonize/sieve
-    2-phase: per-tile connected-component labeling + boundary strips,
-    a driver union-find across tile seams (state O(tile perimeters +
-    components), never pixels), then a broadcast fill-set and one
-    rewrite pass. Deterministic local labeling makes the second pass
-    recompute identical labels instead of shipping label rasters."""
+    2-phase: per-tile connected-component labeling, seam-strip rows
+    exchanged by (seam, position) to pair adjacent tiles' local labels
+    into a component-graph edge list, min-label propagation over that
+    graph (operators/graph.py connected_components — O(diameter)
+    rounds over labels, never pixels) with a virtual node 0 linked to
+    every border-touching label, then a fill-set join and one rewrite
+    pass. NOTHING collects to the driver at any raster size — the r4
+    driver union-find (state O(total tile perimeter)) is gone.
+    Deterministic local labeling makes the second pass recompute
+    identical labels instead of shipping label rasters."""
     if spec.dtype != "uint8":
         raise NotImplementedError("nearblack operates on Byte rasters")
-    import pickle
-
     from gdal_spark.operators.polygonize import label_components
 
     nbands = spec.nbands
@@ -484,88 +487,116 @@ def nearblack_floodfill(
         labels = label_components(np.zeros_like(nearm, dtype=np.int64), nearm, connect=4)
         return nearm, labels
 
-    # phase 1: per-tile summaries (boundary label strips + border hits)
-    def _summarize(key, pdf):
+    # node id: (tile, local label) packed into one int64 — labels from
+    # label_components are 1..(pixels in tile), so a ts*ts+1 stride
+    # keeps ids distinct and >= 1; id 0 is the virtual BORDER node
+    stride = ts * ts + 1
+
+    # phase 1: per-tile seam strips + border labels as plain rows.
+    # Each tile emits every boundary strip keyed by the SEAM it sits
+    # on ((axis, sy, sx) = the seam between (sy,sx) and its right/down
+    # neighbor) plus a side bit — adjacent tiles' strips meet in one
+    # groupBy, no driver involvement
+    def _strips(key, pdf):
         ty, tx, h, w, arr = _assemble(key, pdf)
         _, labels = _near_and_labels(arr)
-        edges = {
-            "t": labels[0, :].astype(np.int64),
-            "b": labels[h - 1, :].astype(np.int64),
-            "l": labels[:, 0].astype(np.int64),
-            "r": labels[:, w - 1].astype(np.int64),
-        }
-        border: set[int] = set()
+        base = (ty * ntx + tx) * stride
+        out = {"axis": [], "sy": [], "sx": [], "pos": [], "side": [], "nid": []}
+
+        def emit(axis, sy, sx, side, strip):
+            pos = np.flatnonzero(strip > 0)
+            if not pos.size:
+                return
+            out["axis"].append(np.full(pos.size, axis, dtype=np.int32))
+            out["sy"].append(np.full(pos.size, sy, dtype=np.int32))
+            out["sx"].append(np.full(pos.size, sx, dtype=np.int32))
+            out["pos"].append(pos.astype(np.int32))
+            out["side"].append(np.full(pos.size, side, dtype=np.int32))
+            out["nid"].append(base + strip[pos].astype(np.int64))
+
+        t = labels[0, :].astype(np.int64)
+        b = labels[h - 1, :].astype(np.int64)
+        lft = labels[:, 0].astype(np.int64)
+        r = labels[:, w - 1].astype(np.int64)
+        # vertical seams (axis 0): between (ty, sx) and (ty, sx+1)
+        if tx > 0:
+            emit(0, ty, tx - 1, 1, lft)
+        if tx < ntx - 1:
+            emit(0, ty, tx, 0, r)
+        # horizontal seams (axis 1): between (sy, tx) and (sy+1, tx)
+        if ty > 0:
+            emit(1, ty - 1, tx, 1, t)
+        if ty < nty - 1:
+            emit(1, ty, tx, 0, b)
+        # raster-border labels: axis 2 rows pair with the virtual node
+        border = np.zeros(0, dtype=np.int64)
         if ty == 0:
-            border.update(int(v) for v in edges["t"] if v > 0)
+            border = np.concatenate([border, t])
         if ty == nty - 1:
-            border.update(int(v) for v in edges["b"] if v > 0)
+            border = np.concatenate([border, b])
         if tx == 0:
-            border.update(int(v) for v in edges["l"] if v > 0)
+            border = np.concatenate([border, lft])
         if tx == ntx - 1:
-            border.update(int(v) for v in edges["r"] if v > 0)
-        blob = pickle.dumps((edges, sorted(border)))
-        return pd.DataFrame([{"ty": ty, "tx": tx, "blob": blob}])
+            border = np.concatenate([border, r])
+        border = np.unique(border[border > 0])
+        if border.size:
+            out["axis"].append(np.full(border.size, 2, dtype=np.int32))
+            out["sy"].append(np.full(border.size, ty, dtype=np.int32))
+            out["sx"].append(np.full(border.size, tx, dtype=np.int32))
+            out["pos"].append(np.arange(border.size, dtype=np.int32))
+            out["side"].append(np.zeros(border.size, dtype=np.int32))
+            out["nid"].append(base + border)
+        if not out["nid"]:
+            return pd.DataFrame(columns=["axis", "sy", "sx", "pos", "side", "nid"])
+        return pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
 
-    summaries = dense.groupBy("ty", "tx").applyInPandas(
-        _summarize, "ty int, tx int, blob binary"
-    ).collect()
+    strips = dense.groupBy("ty", "tx").applyInPandas(
+        _strips, "axis int, sy int, sx int, pos int, side int, nid long"
+    )
 
-    # driver merge: union-find over (tile, local label) across seams
-    import pickle as _p
+    # seam pairing: both sides of a seam meet on (axis, sy, sx, pos);
+    # a pair exists only where BOTH positions are near-color. Border
+    # rows (axis 2) pair with the virtual node 0.
+    from gdal_spark.operators.graph import connected_components
 
-    info = {(r["ty"], r["tx"]): _p.loads(r["blob"]) for r in summaries}
-    parent: dict[tuple[int, int, int], tuple[int, int, int]] = {}
+    seam = strips.filter(F.col("axis") < 2).groupBy("axis", "sy", "sx", "pos").agg(
+        F.max(F.when(F.col("side") == 0, F.col("nid"))).alias("src"),
+        F.max(F.when(F.col("side") == 1, F.col("nid"))).alias("dst"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull()).select("src", "dst")
+    border_edges = strips.filter(F.col("axis") == 2).select(
+        F.lit(0).cast("long").alias("src"), F.col("nid").alias("dst")
+    )
+    edges = seam.unionByName(border_edges).distinct()
 
-    def find(a):
-        root = a
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(a, a) != a:
-            parent[a], a = root, parent[a]
-        return root
+    # min-label propagation: the border component's min id IS 0, so
+    # fill nodes are exactly component == 0 (minus the virtual node)
+    comp = connected_components(edges)
+    fills = (
+        comp.filter((F.col("component") == 0) & (F.col("node") > 0))
+        .select(
+            # integer div/mod, not float division: node ids pass 2^53
+            # on large rasters and a double quotient would mis-decode
+            F.expr(f"node div {stride}").alias("_tid"),
+            F.expr(f"node % {stride}").alias("lab"),
+        )
+        .select(
+            F.expr(f"_tid div {ntx}").cast("int").alias("ty"),
+            F.expr(f"_tid % {ntx}").cast("int").alias("tx"),
+            "lab",
+        )
+    )
 
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    for (ty, tx), (edges, _) in info.items():
-        if (ty, tx + 1) in info:
-            other = info[(ty, tx + 1)][0]
-            for i in range(len(edges["r"])):
-                a, b = int(edges["r"][i]), int(other["l"][i])
-                if a > 0 and b > 0:
-                    union((ty, tx, a), (ty, tx + 1, b))
-        if (ty + 1, tx) in info:
-            other = info[(ty + 1, tx)][0]
-            for i in range(len(edges["b"])):
-                a, b = int(edges["b"][i]), int(other["t"][i])
-                if a > 0 and b > 0:
-                    union((ty, tx, a), (ty + 1, tx, b))
-
-    fill_roots = set()
-    for (ty, tx), (_, border) in info.items():
-        for lab in border:
-            fill_roots.add(find((ty, tx, lab)))
-    fill_local: dict[tuple[int, int], set[int]] = {}
-    for (ty, tx), (edges, border) in info.items():
-        labs = set(border)
-        for e in edges.values():
-            labs.update(int(v) for v in e if v > 0)
-        # interior-only components can't reach the border; only
-        # edge-visible + border labels need the root test
-        keep = {lab for lab in labs if find((ty, tx, lab)) in fill_roots}
-        if keep:
-            fill_local[(ty, tx)] = keep
-
-    bc = spark.sparkContext.broadcast(fill_local)
-
-    # phase 2: rewrite (labels recomputed deterministically)
-    def _rewrite(key, pdf):
+    # phase 2: rewrite (labels recomputed deterministically); the
+    # fill set arrives per tile through the cogroup, not a broadcast
+    def _rewrite(key, pdf, fpdf):
         ty, tx, h, w, arr = _assemble(key, pdf)
         _, labels = _near_and_labels(arr)
-        fills = bc.value.get((ty, tx), set())
-        m = np.isin(labels, sorted(fills)) if fills else np.zeros((h, w), dtype=bool)
+        fill_labs = np.unique(fpdf["lab"].to_numpy(np.int64)) if len(fpdf) else None
+        m = (
+            np.isin(labels, fill_labs)
+            if fill_labs is not None and fill_labs.size
+            else np.zeros((h, w), dtype=bool)
+        )
         arr[:, m] = rep
         rows = []
         for b in range(nbands):
@@ -577,4 +608,8 @@ def nearblack_floodfill(
                          "dtype": "uint8", "payload": alpha.tobytes()})
         return pd.DataFrame(rows)
 
-    return dense.groupBy("ty", "tx").applyInPandas(_rewrite, TILE_SCHEMA)
+    return (
+        dense.groupBy("ty", "tx")
+        .cogroup(fills.groupBy("ty", "tx"))
+        .applyInPandas(_rewrite, TILE_SCHEMA)
+    )
