@@ -226,6 +226,7 @@ def k_shortest_paths(
     src: str = "src",
     dst: str = "dst",
     weight: str = "weight",
+    edge_count: int | None = None,
 ) -> list[tuple[float, list]]:
     """K loopless shortest paths (GNMGraph::KShortestPaths,
     gnm/gnmgraph.cpp:247) via Yen's algorithm: all spur computations of
@@ -250,7 +251,12 @@ def k_shortest_paths(
     LOCAL_EDGE_GUARD = 100_000
 
     local_edges: list | None = None
-    if edges.count() <= LOCAL_EDGE_GUARD:
+    # the guard probe: an explicit caller hint skips the job entirely;
+    # otherwise a limit(GUARD+1).count() — CollectLimit short-circuits
+    # the scan at GUARD+1 rows instead of counting the whole table
+    if edge_count is None:
+        edge_count = edges.limit(LOCAL_EDGE_GUARD + 1).count()
+    if edge_count <= LOCAL_EDGE_GUARD:
         local_edges = [
             (r[0], r[1], float(r[2]))
             for r in edges.select(src, dst, weight).collect()
