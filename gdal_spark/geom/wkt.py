@@ -225,6 +225,18 @@ def _parse_one_z(s: str) -> list[list[np.ndarray]]:
     Declared-M-only coordinates are measures, not Z -> zeros.
     Linearized curves yield zeros of the stroked length (the 2D
     linearizer drops Z)."""
+    return _parse_one_extra(s, measure=False)
+
+
+def _parse_one_m(s: str) -> list[list[np.ndarray]]:
+    """M (measure) side-channel, same aligned structure as
+    _parse_one_z: the 3rd value of declared-M coordinates or the 4th
+    of ZM/4-dim ones; geometries without measures yield zeros
+    (OGRPoint::getM on an M-less geometry returns 0)."""
+    return _parse_one_extra(s, measure=True)
+
+
+def _parse_one_extra(s: str, measure: bool) -> list[list[np.ndarray]]:
     m = _TYPE_RE.match(s)
     if not m:
         raise WktError(f"unparseable WKT: {s[:60]!r}")
@@ -239,12 +251,17 @@ def _parse_one_z(s: str) -> list[list[np.ndarray]]:
     body = _NORM_RE.sub(r"\1", body)
     declared = m.group(2).upper() if m.group(2) else None
     ndim = _detect_ndim(re.sub(r"[A-Za-z]+", "", body), declared)
-    # Z is the 3rd value unless the declared token says it's a measure
-    has_z = ndim >= 3 and declared != "M"
+    if measure:
+        # M is the 4th value of ZM/4-dim coords, the 3rd of declared-M
+        col = 3 if ndim >= 4 else (2 if declared == "M" else None)
+    else:
+        # Z is the 3rd value unless the declared token says measure
+        col = 2 if (ndim >= 3 and declared != "M") else None
+    has_z = col is not None
 
     def zcol(text: str) -> np.ndarray:
         full = _coords_full(text, ndim)
-        return full[:, 2].copy() if has_z else np.zeros(len(full))
+        return full[:, col].copy() if has_z else np.zeros(len(full))
 
     if curve_target is not None:
         inner = body[1:-1]
@@ -291,6 +308,22 @@ def parse_wkt_z(strings) -> list:
             continue
         try:
             out.append(_parse_one_z(str(s)))
+        except WktError:
+            out.append(None)
+    return out
+
+
+def parse_wkt_m(strings) -> list:
+    """Per input WKT: the _parse_one_m (measure) structure; None for
+    null or unparseable rows — same alignment contract as
+    parse_wkt_z."""
+    out = []
+    for s in strings:
+        if s is None or (isinstance(s, float) and np.isnan(s)):
+            out.append(None)
+            continue
+        try:
+            out.append(_parse_one_m(str(s)))
         except WktError:
             out.append(None)
     return out

@@ -29,10 +29,12 @@ Scale design (the part that is NOT a translation):
     headers — memory bounded by one partition (same contract as the
     PMTiles / COG sinks).
 
-Z/M variants: *Z types round-trip Z (WKT `POINT Z (...)` etc.); M
-values are read-skipped (the reference's SHPReadOGRObject also drops
-M into XYZM only when the layer declares M; our geometry column is
-XY[Z]).
+Z/M variants: *Z types round-trip Z (WKT `POINT Z (...)` etc.); *M
+types and the optional trailing M block of *Z records round-trip as
+measures (WKT `POINT M (...)` / `POINT ZM (...)`), the XYM/XYZM
+dispatch of SHPReadOGRObject / SHPWriteOGRObject (shape2ogr.cpp ~280)
+under shapelib's length-based bMeasureIsUsed test. A Z-only geometry
+writes NO M block, so it reads back Z, not ZM-with-zeros.
 """
 
 from __future__ import annotations
@@ -47,7 +49,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from gdal_spark.geom.batch import GeomBatchBuilder, GeomType
-from gdal_spark.geom.wkt import parse_wkt, parse_wkt_z, to_wkt, _fmt_d
+from gdal_spark.geom.wkt import parse_wkt, parse_wkt_m, parse_wkt_z, to_wkt, _fmt_d
 
 # shapefile type codes (shapelib/shapefil.h)
 SHPT_NULL = 0
@@ -166,28 +168,52 @@ def organize_rings(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
 
 
 def decode_shp_geometry(content: bytes):
-    """Record content -> (base_type_code, parts, z_parts | None) in the
-    WKT model (parts = [part -> [ring -> (k,2)]]). M values skipped."""
+    """Record content -> (base_type_code, parts, z_parts | None,
+    m_parts | None) in the WKT model (parts = [part -> [ring ->
+    (k,2)]]). M values are read when the shape type declares them —
+    the *M types always, the *Z types when the optional trailing M
+    block is present (shapelib's bMeasureIsUsed length test;
+    shape2ogr.cpp SHPReadOGRObject sets M for XYM/XYZM the same
+    way)."""
     (code,) = struct.unpack_from("<i", content, 0)
     if code == SHPT_NULL:
-        return SHPT_NULL, [], None
+        return SHPT_NULL, [], None, None
     base = _BASE.get(code, code)
     has_z = code in _Z_TYPES
+    is_m_type = code in _M_TYPES
 
     if base == SHPT_POINT:
         x, y = struct.unpack_from("<dd", content, 4)
         z = struct.unpack_from("<d", content, 20)[0] if has_z else None
-        return base, [[np.array([[x, y]])]], ([[np.array([z])]] if has_z else None)
+        mval = None
+        if is_m_type:
+            mval = struct.unpack_from("<d", content, 20)[0]
+        elif has_z and len(content) >= 36:
+            mval = struct.unpack_from("<d", content, 28)[0]
+        return (
+            base, [[np.array([[x, y]])]],
+            ([[np.array([z])]] if has_z else None),
+            ([[np.array([mval])]] if mval is not None else None),
+        )
 
     if base == SHPT_MULTIPOINT:
         (n,) = struct.unpack_from("<i", content, 36)
         pts = np.frombuffer(content, "<f8", n * 2, 40).reshape(n, 2)
         zp = None
+        moff = None
         if has_z:
             zoff = 40 + n * 16 + 16  # points + zmin/zmax
             zs = np.frombuffer(content, "<f8", n, zoff)
             zp = [[np.array([z])] for z in zs]
-        return base, [[pts[i : i + 1]] for i in range(n)], zp
+            if len(content) >= zoff + n * 8 + 16 + n * 8:
+                moff = zoff + n * 8 + 16
+        elif is_m_type:
+            moff = 40 + n * 16 + 16
+        mp = None
+        if moff is not None:
+            ms = np.frombuffer(content, "<f8", n, moff)
+            mp = [[np.array([v])] for v in ms]
+        return base, [[pts[i : i + 1]] for i in range(n)], zp, mp
 
     if base in (SHPT_ARC, SHPT_POLYGON):
         nparts, npoints = struct.unpack_from("<ii", content, 36)
@@ -197,19 +223,37 @@ def decode_shp_geometry(content: bytes):
         ends = np.append(starts[1:], npoints)
         runs = [pts[s:e] for s, e in zip(starts, ends)]
         zruns = None
+        moff = None
         if has_z:
             zoff = coff + npoints * 16 + 16
             zs = np.frombuffer(content, "<f8", npoints, zoff)
             zruns = [zs[s:e] for s, e in zip(starts, ends)]
+            if len(content) >= zoff + npoints * 8 + 16 + npoints * 8:
+                moff = zoff + npoints * 8 + 16
+        elif is_m_type:
+            moff = coff + npoints * 16 + 16
+        mruns = None
+        if moff is not None:
+            ms = np.frombuffer(content, "<f8", npoints, moff)
+            mruns = [ms[s:e] for s, e in zip(starts, ends)]
         if base == SHPT_ARC:
-            return base, [[r] for r in runs], ([[z] for z in zruns] if zruns is not None else None)
-        # polygon: organize flat rings into shells+holes; Z polygons
-        # keep ring order (organize_rings may reorder, so Z variant
-        # uses the flat ring list as one part — matches the reference's
-        # 'Z not handled correctly' caveat, shape2ogr.cpp:289)
-        if has_z:
-            return base, [runs], [zruns]
-        return base, organize_rings(runs), None
+            return (
+                base, [[r] for r in runs],
+                ([[z] for z in zruns] if zruns is not None else None),
+                ([[v] for v in mruns] if mruns is not None else None),
+            )
+        # polygon: organize flat rings into shells+holes; Z/M polygons
+        # keep ring order (organize_rings may reorder, so measured
+        # variants use the flat ring list as one part — matches the
+        # reference's 'Z not handled correctly' caveat,
+        # shape2ogr.cpp:289)
+        if zruns is not None or mruns is not None:
+            return (
+                base, [runs],
+                [zruns] if zruns is not None else None,
+                [mruns] if mruns is not None else None,
+            )
+        return base, organize_rings(runs), None, None
     raise ValueError(f"unsupported shapefile shape type {code}")
 
 
@@ -230,31 +274,43 @@ _WKT_NAME = {
 }
 
 
-def _wkt_z(base: int, parts, zparts) -> str:
-    """Z-variant WKT (manual formatting — GeomBatch is XY)."""
-    def ring_txt(ring, zs):
+def _wkt_zm(base: int, parts, zparts, mparts) -> str:
+    """Z / M / ZM-variant WKT (manual formatting — GeomBatch is XY).
+    The extra columns print in WKT order: x y [z] [m]."""
+    tok = ("Z" if zparts is not None else "") + ("M" if mparts is not None else "")
+
+    def vals(i_part, i_ring, k):
+        out = []
+        if zparts is not None:
+            out.append(zparts[i_part][i_ring][k])
+        if mparts is not None:
+            out.append(mparts[i_part][i_ring][k])
+        return "".join(f" {_fmt_d(v)}" for v in out)
+
+    def ring_txt(i_part, i_ring, ring):
         return "(" + ", ".join(
-            f"{_fmt_d(x)} {_fmt_d(y)} {_fmt_d(z)}" for (x, y), z in zip(ring, zs)
+            f"{_fmt_d(x)} {_fmt_d(y)}" + vals(i_part, i_ring, k)
+            for k, (x, y) in enumerate(ring)
         ) + ")"
 
     if base == SHPT_POINT:
         x, y = parts[0][0][0]
-        return f"POINT Z ({_fmt_d(x)} {_fmt_d(y)} {_fmt_d(zparts[0][0][0])})"
+        return f"POINT {tok} ({_fmt_d(x)} {_fmt_d(y)}{vals(0, 0, 0)})"
     if base == SHPT_MULTIPOINT:
         items = ", ".join(
-            f"({_fmt_d(p[0][0, 0])} {_fmt_d(p[0][0, 1])} {_fmt_d(z[0][0])})"
-            for p, z in zip(parts, zparts)
+            f"({_fmt_d(p[0][0, 0])} {_fmt_d(p[0][0, 1])}{vals(i, 0, 0)})"
+            for i, p in enumerate(parts)
         )
-        return f"MULTIPOINT Z ({items})"
+        return f"MULTIPOINT {tok} ({items})"
     if base == SHPT_ARC:
         if len(parts) == 1:
-            return "LINESTRING Z " + ring_txt(parts[0][0], zparts[0][0])
-        return "MULTILINESTRING Z (" + ", ".join(
-            ring_txt(p[0], z[0]) for p, z in zip(parts, zparts)
+            return f"LINESTRING {tok} " + ring_txt(0, 0, parts[0][0])
+        return f"MULTILINESTRING {tok} (" + ", ".join(
+            ring_txt(i, 0, p[0]) for i, p in enumerate(parts)
         ) + ")"
-    # polygon Z: single part, flat rings
-    return "POLYGON Z (" + ", ".join(
-        ring_txt(r, z) for r, z in zip(parts[0], zparts[0])
+    # polygon Z/M: single part, flat rings
+    return f"POLYGON {tok} (" + ", ".join(
+        ring_txt(0, j, r) for j, r in enumerate(parts[0])
     ) + ")"
 
 
@@ -479,9 +535,9 @@ def read_shapefile(
                     off += 8 + clen * 2
                     if _bbox_skip(content):
                         continue
-                    code, parts, zparts = decode_shp_geometry(content)
-                    if zparts is not None:
-                        zrows[len(rows)] = _wkt_z(code, parts, zparts)
+                    code, parts, zparts, mparts = decode_shp_geometry(content)
+                    if zparts is not None or mparts is not None:
+                        zrows[len(rows)] = _wkt_zm(code, parts, zparts, mparts)
                         builder.add_null()
                     elif not parts:
                         builder.add_null()
@@ -559,14 +615,25 @@ def write_shapefile(
         for pdf in batches:
             batch = parse_wkt(pdf[wkt_b])
             zlists = None
+            mlists = None
             payloads, dbf_recs, codes, boxes = [], [], [], []
             for i in range(len(pdf)):
                 w = pdf[wkt_b].iloc[i]
-                if w is not None and (" Z " in str(w) or " Z(" in str(w)):
-                    if zlists is None:
+                ws = str(w) if w is not None else ""
+                has_zm = " ZM " in ws or " ZM(" in ws
+                has_z = has_zm or " Z " in ws or " Z(" in ws
+                has_m = has_zm or " M " in ws or " M(" in ws
+                if w is not None and (has_z or has_m):
+                    if has_z and zlists is None:
                         zlists = parse_wkt_z(pdf[wkt_b])
+                    if has_m and mlists is None:
+                        mlists = parse_wkt_m(pdf[wkt_b])
                     gt, parts = batch.geometry(i)
-                    payload = _encode_z_record(gt, parts, zlists[i])
+                    payload = _encode_zm_record(
+                        gt, parts,
+                        zlists[i] if has_z else None,
+                        mlists[i] if has_m else None,
+                    )
                 else:
                     gt, parts = batch.geometry(i)
                     payload = encode_shp_geometry(gt, parts)
@@ -574,7 +641,7 @@ def write_shapefile(
                 codes.append(struct.unpack_from("<i", payload, 0)[0])
                 if len(payload) > 12:
                     minx, miny = struct.unpack_from("<dd", payload, 4)
-                    if codes[-1] in (SHPT_POINT, SHPT_POINTZ):
+                    if codes[-1] in (SHPT_POINT, SHPT_POINTZ, SHPT_POINTM):
                         boxes.append((minx, miny, minx, miny))
                     else:
                         maxx, maxy = struct.unpack_from("<dd", payload, 20)
@@ -635,40 +702,77 @@ def write_shapefile(
     return {"records": nrec, "shape_type": shape_type, "bbox": tuple(bbox)}
 
 
-def _encode_z_record(gtype: GeomType, parts: list[list[np.ndarray]], zstruct) -> bytes:
-    """Encode a Z geometry: XY structure from the GeomBatch (which
-    parses Z WKT dropping Z), z values from the parallel parse_wkt_z
-    structure (same part/ring shape, z-only arrays)."""
-    if zstruct is None or not parts:
+def _encode_zm_record(
+    gtype: GeomType, parts: list[list[np.ndarray]], zstruct, mstruct
+) -> bytes:
+    """Encode a measured geometry: XY structure from the GeomBatch
+    (which parses Z/M WKT dropping the extra columns), z/m values from
+    the parallel parse_wkt_z / parse_wkt_m structures (same part/ring
+    shape, value-only arrays). zstruct -> *Z record (trailing M block
+    zero-filled, or real when mstruct rides too -> XYZM); mstruct
+    alone -> *M record (shape2ogr.cpp SHPWriteOGRObject's
+    wkbHasM/wkbHasZ type dispatch)."""
+    if (zstruct is None and mstruct is None) or not parts:
         return struct.pack("<i", SHPT_NULL)
+    has_z = zstruct is not None
     if gtype == GeomType.POINT:
         x, y = parts[0][0][0]
-        z = float(np.asarray(zstruct[0][0])[0])
-        return struct.pack("<iddd", SHPT_POINTZ, float(x), float(y), z) + struct.pack("<d", 0.0)
+        mval = float(np.asarray(mstruct[0][0])[0]) if mstruct is not None else 0.0
+        if has_z:
+            z = float(np.asarray(zstruct[0][0])[0])
+            out = struct.pack("<iddd", SHPT_POINTZ, float(x), float(y), z)
+            # the optional M slot is written ONLY when measured, so a
+            # Z-only point reads back as Z, not ZM-with-zero (OGR's
+            # SHPWriteOGRObject does the same wkbHasM dispatch)
+            return out + struct.pack("<d", mval) if mstruct is not None else out
+        return struct.pack("<iddd", SHPT_POINTM, float(x), float(y), mval)
     rings = [np.asarray(r, dtype=np.float64) for part in parts for r in part]
-    zruns = [np.asarray(z, dtype=np.float64) for part in zstruct for z in part]
     xy = np.concatenate(rings)
-    zs = np.concatenate(zruns)
+    nn = len(xy)
+    zs = (
+        np.concatenate([np.asarray(z, dtype=np.float64) for part in zstruct for z in part])
+        if has_z else None
+    )
+    ms = (
+        np.concatenate([np.asarray(v, dtype=np.float64) for part in mstruct for v in part])
+        if mstruct is not None else np.zeros(nn)
+    )
     code = {
-        GeomType.LINESTRING: SHPT_ARCZ, GeomType.MULTILINESTRING: SHPT_ARCZ,
-        GeomType.POLYGON: SHPT_POLYGONZ, GeomType.MULTIPOLYGON: SHPT_POLYGONZ,
-        GeomType.MULTIPOINT: SHPT_MULTIPOINTZ,
+        GeomType.LINESTRING: SHPT_ARCZ if has_z else SHPT_ARCM,
+        GeomType.MULTILINESTRING: SHPT_ARCZ if has_z else SHPT_ARCM,
+        GeomType.POLYGON: SHPT_POLYGONZ if has_z else SHPT_POLYGONM,
+        GeomType.MULTIPOLYGON: SHPT_POLYGONZ if has_z else SHPT_POLYGONM,
+        GeomType.MULTIPOINT: SHPT_MULTIPOINTZ if has_z else SHPT_MULTIPOINTM,
     }[gtype]
-    if code == SHPT_MULTIPOINTZ:
+
+    def m_block() -> bytes:
+        return struct.pack(
+            "<2d", float(ms.min()), float(ms.max())
+        ) + ms.astype("<f8").tobytes()
+
+    if code in (SHPT_MULTIPOINTZ, SHPT_MULTIPOINTM):
         out = struct.pack("<i4d", code, *_bbox(xy))
-        out += struct.pack("<i", len(xy)) + xy.astype("<f8").tobytes()
-        out += struct.pack("<2d", float(zs.min()), float(zs.max())) + zs.astype("<f8").tobytes()
-        return out
+        out += struct.pack("<i", nn) + xy.astype("<f8").tobytes()
+        if has_z:
+            out += struct.pack("<2d", float(zs.min()), float(zs.max())) + zs.astype("<f8").tobytes()
+            if mstruct is not None:
+                out += m_block()
+            return out
+        return out + m_block()
     out = struct.pack("<i4d", code, *_bbox(xy))
-    starts, nn = [], 0
+    starts, acc = [], 0
     for r in rings:
-        starts.append(nn)
-        nn += len(r)
+        starts.append(acc)
+        acc += len(r)
     out += struct.pack("<ii", len(rings), nn)
     out += np.asarray(starts, dtype="<i4").tobytes()
     out += xy.astype("<f8").tobytes()
-    out += struct.pack("<2d", float(zs.min()), float(zs.max())) + zs.astype("<f8").tobytes()
-    # M block (zero-filled) — readers (incl. ours) tolerate its absence,
-    # but the spec-complete record carries it
-    out += struct.pack("<2d", 0.0, 0.0) + np.zeros(nn, dtype="<f8").tobytes()
-    return out
+    if has_z:
+        out += struct.pack("<2d", float(zs.min()), float(zs.max())) + zs.astype("<f8").tobytes()
+        # trailing M block ONLY when real measures exist: writing the
+        # zero-filled optional block would make a Z-only geometry read
+        # back as ZM-with-zero under the length-based M detection
+        if mstruct is not None:
+            out += m_block()
+        return out
+    return out + m_block()

@@ -4792,16 +4792,36 @@ def q_shapefile_records(spark, sf_dir):
     def _codec(batches):
         import numpy as np
 
+        from gdal_spark.operators.shapefile import _encode_zm_record
+        from gdal_spark.geom.batch import GeomType as GT
+
         for pdf in batches:
             batch = parse_wkt(pdf["wkt"])
+            src_env = batch.envelopes()
             codes, words = [], []
+            m_words, m_vals = [], []
             builder = GeomBatchBuilder()
             for i in range(len(pdf)):
                 payload = encode_shp_geometry(*batch.geometry(i))
-                code, parts, _ = decode_shp_geometry(payload)
+                code, parts, _, _ = decode_shp_geometry(payload)
                 codes.append(code)
                 words.append(len(payload) // 2)
                 builder.add(GT_OF_CODE_MAP[code](parts), parts)
+                # measured leg: a synthetic XYM (even ids) / XYZM (odd
+                # ids) point at the doc centroid with m = doc_id % 1000
+                # round-trips the M record framing (POINTM = 14 words,
+                # POINTZ+M slot = 18) and the measure value itself
+                did = int(pdf["doc_id"].iloc[i])
+                cx = float((src_env[i, 0] + src_env[i, 2]) / 2)
+                cy = float((src_env[i, 1] + src_env[i, 3]) / 2)
+                mv = float(did % 1000)
+                pt = [[np.array([[cx, cy]])]]
+                ms = [[np.array([mv])]]
+                zs = [[np.array([1.5])]] if did % 2 else None
+                mp = _encode_zm_record(GT.POINT, pt, zs, ms)
+                _, _, _, m_back = decode_shp_geometry(mp)
+                m_words.append(len(mp) // 2)
+                m_vals.append(int(m_back[0][0][0]))
             back = builder.finish()
             env = back.envelopes()
             yield pd.DataFrame({
@@ -4813,12 +4833,15 @@ def q_shapefile_records(spark, sf_dir):
                 "maxx": env[:, 2].astype("int64"),
                 "maxy": env[:, 3].astype("int64"),
                 "area2": (2.0 * np.abs(back.areas())).astype("int64"),
+                "m_words": pd.Series(m_words, dtype="int64"),
+                "m_val": pd.Series(m_vals, dtype="int64"),
             })
 
     return g.mapInPandas(
         _codec,
         "doc_id long, shape_type long, n_words long, "
-        "minx long, miny long, maxx long, maxy long, area2 long",
+        "minx long, miny long, maxx long, maxy long, area2 long, "
+        "m_words long, m_val long",
     )
 
 
@@ -4829,7 +4852,10 @@ def _o_shapefile_records() -> str:
         "CAST(CASE WHEN is_poly THEN 64 ELSE 10 END AS BIGINT) AS n_words, "
         "CAST(gx - half AS BIGINT) AS minx, CAST(gy - half AS BIGINT) AS miny, "
         "CAST(gx + half AS BIGINT) AS maxx, CAST(gy + half AS BIGINT) AS maxy, "
-        "CAST(8 * half * half AS BIGINT) AS area2 "
+        "CAST(8 * half * half AS BIGINT) AS area2, "
+        # XYM point = 4+24 bytes = 14 words; XYZM = 4+32 = 18 words
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 14 ELSE 18 END AS BIGINT) AS m_words, "
+        "CAST(doc_id % 1000 AS BIGINT) AS m_val "
         "FROM g WHERE valid"
     )
 

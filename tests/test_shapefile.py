@@ -55,7 +55,7 @@ GT_OF_CODE = {
 def roundtrip_wkt(wkt: str) -> str:
     b = parse_wkt([wkt])
     gt, parts = b.geometry(0)
-    code, parts2, z = decode_shp_geometry(encode_shp_geometry(gt, parts))
+    code, parts2, z, m = decode_shp_geometry(encode_shp_geometry(gt, parts))
     builder = GeomBatchBuilder()
     builder.add(GT_OF_CODE[code](parts2), parts2)
     return to_wkt(builder.finish())[0]
@@ -96,13 +96,13 @@ class TestGeometryCodec:
 
     def test_null_and_empty(self):
         assert encode_shp_geometry(GeomType.POLYGON, []) == struct.pack("<i", SHPT_NULL)
-        code, parts, z = decode_shp_geometry(struct.pack("<i", SHPT_NULL))
+        code, parts, z, m = decode_shp_geometry(struct.pack("<i", SHPT_NULL))
         assert code == SHPT_NULL and parts == []
 
     def test_written_shells_are_clockwise(self):
         b = parse_wkt(["POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))"])
         payload = encode_shp_geometry(*b.geometry(0))
-        code, parts, _ = decode_shp_geometry(payload)
+        code, parts, _, _ = decode_shp_geometry(payload)
         shell, hole = parts[0][0], parts[0][1]
 
         def area2(r):
@@ -243,6 +243,33 @@ class TestSparkRoundTrip:
         back = {r["fid"]: r["wkt"] for r in read_shapefile(spark, path).collect()}
         assert back[7] == "POINT Z (1 2 7)"
         assert back[8] == "LINESTRING Z (0 0 1, 2 2 3)"
+
+    def test_m_roundtrip(self, spark, tmp_path):
+        """XYM and XYZM round-trips (shape2ogr.cpp ~280 M dispatch):
+        *M records, the optional trailing M block of *Z records, and
+        the Z-only-writes-no-M-block rule all in one layer."""
+        wkts = [
+            "POINT M (1 2 7)",
+            "POINT ZM (1 2 3 9)",
+            "LINESTRING M (0 0 5, 2 2 6)",
+            "LINESTRING ZM (0 0 1 5, 2 2 3 6)",
+            "POLYGON M ((0 0 1, 0 4 2, 4 4 3, 0 0 1))",
+            "MULTIPOINT M ((1 2 8), (3 4 9))",
+            "POINT Z (5 6 7)",  # must come back Z, not ZM-with-zero
+        ]
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(wkts)], "fid long, wkt string"
+        )
+        path = os.path.join(str(tmp_path), "measured.shp")
+        write_shapefile(df, path)
+        back = {r["fid"]: r["wkt"] for r in read_shapefile(spark, path).collect()}
+        assert back[0] == "POINT M (1 2 7)"
+        assert back[1] == "POINT ZM (1 2 3 9)"
+        assert back[2] == "LINESTRING M (0 0 5, 2 2 6)"
+        assert back[3] == "LINESTRING ZM (0 0 1 5, 2 2 3 6)"
+        assert back[4] == "POLYGON M ((0 0 1, 0 4 2, 4 4 3, 0 0 1))"
+        assert back[5] == "MULTIPOINT M ((1 2 8), (3 4 9))"
+        assert back[6] == "POINT Z (5 6 7)"
 
     def test_split_parallelism_stable(self, written, spark):
         path, _, _ = written
