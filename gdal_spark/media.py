@@ -1,16 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed by Arrow-batched UDFs.
 
-The container has no image/audio codecs, so the DECODE step is a
-deterministic fake (seeded from the payload bytes) behind the same
-interface a real decoder would have — the Spark-side contract
-(schemas, batch shapes, partitioning, mapInPandas signatures) is real
-and tested. Swap `_decode_image_stub` for PIL/libvips on a cluster
-image and nothing else changes.
+Image payloads are REAL encoded bytes: the media table synthesizes a
+deterministic pixel array per media_ref (an md5 counter chain a SQL
+oracle replays byte for byte) and encodes it as an actual PNG
+(gdal_spark/png.py — own-written stdlib-zlib codec), and the decode
+step parses that PNG back. Non-PNG payloads (the JPEG/audio/video
+kinds this container has no codec for) fall back to the deterministic
+fake decoder behind the same interface — swap it for
+PIL/turbojpeg/ffmpeg on a cluster image and nothing else changes.
 
 Reference analog: GDAL treats raster payloads as typed blocks behind
-driver decode (gcore/rasterio.cpp IReadBlock); here media payloads
-are typed binary cells behind a decode UDF.
+driver decode (gcore/rasterio.cpp IReadBlock, frmts/png/pngdataset.cpp);
+here media payloads are typed binary cells behind a decode UDF.
 """
 
 from __future__ import annotations
@@ -52,16 +54,12 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
-def _decode_image_stub(payload: bytes) -> np.ndarray:
-    """Deterministic fake decoder: (h, w, 3) uint8 derived from the
-    payload hash — pixel bytes come from an md5 counter chain so a SQL
-    oracle can replay them byte for byte (the round-2 PCG64 pixels
-    made media_features rows-only). A real build replaces this with
-    PIL/turbojpeg — NotImplementedError would be raised for unknown
-    containers."""
-    if not payload:
-        raise NotImplementedError("empty payload: no codec available in this container")
-    hx = hashlib.md5(payload).hexdigest()
+def _chain_pixels(hx: str) -> np.ndarray:
+    """(h, w, 3) uint8 from an md5 hex seed: h = 16 + seed%17,
+    w = 16 + (seed>>8)%17, pixel bytes from the md5 counter chain
+    md5(f'{hx}:{j}') — closed-form arithmetic a SQL oracle replays
+    byte for byte (the round-2 PCG64 pixels made media_features
+    rows-only)."""
     seed = int(hx[:16], 16)
     h = 16 + seed % 17
     w = 16 + (seed >> 8) % 17
@@ -70,6 +68,37 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
         hashlib.md5(f"{hx}:{j}".encode()).digest() for j in range((n + 15) // 16)
     )
     return np.frombuffer(buf[:n], dtype=np.uint8).reshape(h, w, 3)
+
+
+def synth_image(media_ref: str) -> np.ndarray:
+    """The deterministic pixel content of a media_ref: the md5 chain
+    seeded by md5(sha256_hex(ref)) — the exact pixels the
+    media_dims/media_features oracles recompute in SQL."""
+    hx = hashlib.md5(
+        hashlib.sha256(media_ref.encode()).hexdigest().encode()
+    ).hexdigest()
+    return _chain_pixels(hx)
+
+
+def _decode_image_stub(payload: bytes) -> np.ndarray:
+    """Deterministic fake decoder for payloads with no codec in this
+    container: (h, w, 3) uint8 derived from the payload hash. A real
+    build replaces this with PIL/turbojpeg — NotImplementedError would
+    be raised for unknown containers."""
+    if not payload:
+        raise NotImplementedError("empty payload: no codec available in this container")
+    return _chain_pixels(hashlib.md5(payload).hexdigest())
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """The real decode dispatch: PNG payloads (the signature test any
+    container sniffer runs) parse through the own-written codec;
+    everything else falls back to the deterministic stub."""
+    from gdal_spark.png import PNG_SIG, decode_png
+
+    if payload[:8] == PNG_SIG:
+        return decode_png(bytes(payload))
+    return _decode_image_stub(payload)
 
 
 def _resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -95,15 +124,25 @@ def _phash8(img: np.ndarray) -> int:
 
 def extract_media_table(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
     """Explode media spans into the typed media table; payload is a
-    deterministic function of media_ref (stub for a fetch from object
-    storage — at scale this is the S3A ranged read, VSI-curl analog)."""
+    REAL PNG encoding of the ref's deterministic synthetic pixels
+    (stub for a fetch from object storage — at scale this is the S3A
+    ranged read, VSI-curl analog — but the bytes are a genuine
+    container a real sniffer/decoder handles)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from gdal_spark.png import encode_png
+
+    @pandas_udf(BinaryType())
+    def _png_payload(refs: pd.Series) -> pd.Series:
+        return refs.map(lambda ref: encode_png(synth_image(ref)))
+
     media = F.filter(F.col(spans_col), lambda s: s["kind"] == F.lit("media"))
     exploded = docs.select("doc_id", F.explode(media).alias("m"))
     return exploded.select(
         "doc_id",
         F.col("m.media_ref").alias("media_ref"),
         F.lit("image").alias("media_kind"),
-        F.encode(F.sha2(F.col("m.media_ref"), 256), "utf-8").alias("payload"),
+        _png_payload(F.col("m.media_ref")).alias("payload"),
     )
 
 
@@ -116,7 +155,7 @@ def image_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                img = _decode_image_stub(bytes(r.payload))
+                img = _decode_image(bytes(r.payload))
                 luma = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
                 rows.append(
                     {
