@@ -354,6 +354,23 @@ class TestCellJoinSalt:
         plain = {(r.doc_id, r.zone_fid) for r in spatial_join_cells(docs, zones, grid).collect()}
         salted = {(r.doc_id, r.zone_fid) for r in spatial_join_cells(docs, zones, grid, salt=4).collect()}
         assert plain == salted and len(plain) > 0
+        # the shuffle plan (the 10^6-zone shape the probe would pick at
+        # scale) must return the identical set: broadcast_zones only
+        # changes exchanges, never results
+        shuffled = {
+            (r.doc_id, r.zone_fid)
+            for r in spatial_join_cells(
+                docs, zones, grid, salt=4, broadcast_zones=False
+            ).collect()
+        }
+        assert shuffled == plain
+        no_vsalt = {
+            (r.doc_id, r.zone_fid)
+            for r in spatial_join_cells(
+                docs, zones, grid, broadcast_zones=False, verify_salt=1
+            ).collect()
+        }
+        assert no_vsalt == plain
 
 
 class TestSpatialJoinProject:
