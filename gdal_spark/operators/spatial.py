@@ -808,9 +808,13 @@ def spatial_join_cells(
     # left join null-extends _dwkt for point pairs — the verify keys
     # its parse-free path off exactly that NULL.
     pairs = agg
+    # SHUFFLE_HASH, not the default sort-merge: SMJ would sort the
+    # ENTIRE pair stream by _did just to probe the non-point subset;
+    # hash-building the bounded dwn slice per partition costs
+    # O(|non-point|/nparts) memory and no sort of the fat side
     dwn = docs.filter(~pt_jvm).select(
         F.col(doc_id_col).alias("_did"), F.col(wkt_col).alias("_dwkt")
-    )
+    ).hint("SHUFFLE_HASH")
     zw = zones.select(F.col(zone_fid_col).alias("_zfid"), F.col(zone_wkt_col).alias("_zwkt"))
     if broadcast_zones:
         # zone WKTs broadcast -> the verify stage keeps the hash(_did)
