@@ -5398,6 +5398,64 @@ QUERIES["retile_checksum"] = q_retile_checksum
 ORACLES["retile_checksum"] = _o_retile_checksum()
 
 
+def q_tile_reference_checksum(spark, sf_dir):
+    """The reference's OWN published tile-payload constant, reproduced
+    bit-exact in the driver gate: byte.tif relabeled EPSG:32611 and
+    tiled with `gdal raster tile`'s defaults — cubic resampling
+    (gdalalg_raster_tile.h:245) through the 0.125-px approx
+    transformer (gdalalg_raster_tile.cpp:5165) — yields 11/354/818.png
+    with band checksums [4160, 4415]
+    (autotest/utilities/test_gdalalg_raster_tile.py:40-69). Exercises
+    the Kruger-exact transverse Mercator, the faithful
+    GDALApproxTransform subdivision replica, the GWKCubic kernel and
+    the alpha footprint end-to-end; the oracle is the reference's
+    literal constant."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.fixtures import BYTE20_SPEC, byte20_tiles
+    from gdal_spark.geom.proj import EPSG_32611, Pipeline
+    from gdal_spark.operators.tiles import raster_tile
+
+    tiles = raster_tile(
+        byte20_tiles(spark), BYTE20_SPEC, Pipeline(src=EPSG_32611, dst="webmercator"),
+        min_zoom=11, max_zoom=11, resampling="cubic", approx_error=0.125,
+    )
+
+    def _cs(batches):
+        from gdal_spark.operators.raster import checksum_array
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                t = np.frombuffer(r.payload, dtype="uint8").reshape(256, 256)
+                rows.append({
+                    "z": int(r.z), "tx": int(r.tx), "ty": int(r.ty),
+                    "band": int(r.band), "checksum": int(checksum_array(t)),
+                })
+            yield pd.DataFrame(
+                rows, columns=["z", "tx", "ty", "band", "checksum"])
+
+    return tiles.mapInPandas(
+        _cs, "z long, tx long, ty long, band long, checksum long"
+    )
+
+
+def _o_tile_reference_checksum() -> str:
+    # the reference's literal expected values:
+    # autotest/utilities/test_gdalalg_raster_tile.py:62-69
+    return (
+        "SELECT CAST(11 AS BIGINT) AS z, CAST(354 AS BIGINT) AS tx, "
+        "CAST(818 AS BIGINT) AS ty, CAST(1 AS BIGINT) AS band, "
+        "CAST(4160 AS BIGINT) AS checksum "
+        "UNION ALL SELECT 11, 354, 818, 2, 4415"
+    )
+
+
+QUERIES["tile_reference_checksum"] = q_tile_reference_checksum
+ORACLES["tile_reference_checksum"] = _o_tile_reference_checksum()
+
+
 def q_spatial_join_cells(spark, sf_dir):
     """Big x big cell-partitioned spatial join (operators/spatial.py
     spatial_join_cells): the no-broadcast 100 TB-shaped path — both
