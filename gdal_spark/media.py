@@ -184,22 +184,30 @@ FRAME_SCHEMA = StructType(
 
 
 def sample_frames(media: DataFrame, every_n: int = 4, n_frames: int = 16) -> DataFrame:
-    """Video frame sampling plumbing: emit every_n-th of n_frames fake
-    frames per video (1:N explode inside the Arrow batch — the shape a
-    real ffmpeg-backed sampler would have)."""
+    """Video frame sampling over the REAL decoded payload: this
+    container's "video" payloads are single encoded images (PNG), so
+    frame i is the deterministic vertical strip
+    [i*w // n_frames, (i+1)*w // n_frames) of the decoded pixels —
+    one real decode per payload, 1:N explode inside the Arrow batch,
+    exactly the shape a real ffmpeg-backed sampler would have (decode
+    once, emit frame slices). The strip rule is integer arithmetic a
+    SQL oracle replays (query media_frames)."""
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
+                img = _decode_image(bytes(r.payload))
+                w = img.shape[1]
                 for i in range(0, n_frames, every_n):
-                    img = _decode_image_stub(bytes(r.payload) + i.to_bytes(2, "big"))
+                    x0 = i * w // n_frames
+                    x1 = (i + 1) * w // n_frames
                     rows.append(
                         {
                             "doc_id": r.doc_id,
                             "media_ref": r.media_ref,
                             "frame_idx": i,
-                            "frame": img.tobytes(),
+                            "frame": np.ascontiguousarray(img[:, x0:x1]).tobytes(),
                         }
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])

@@ -1217,6 +1217,86 @@ QUERIES["media_dims"] = q_media_dims
 ORACLES["media_dims"] = _o_media_dims()
 
 
+def q_media_frames(spark, sf_dir):
+    """Video-frame sampling over REAL decoded payloads
+    (media.sample_frames): each PNG payload decodes once and frame i
+    is the vertical strip [i*w div 16, (i+1)*w div 16). The query
+    recomputes, per emitted frame, the pixel count and the EXACT
+    integer luma sum (299R + 587G + 114B per pixel — no float mean
+    whose summation order could differ across engines); the oracle
+    replays both from the md5 pixel chain with the same integer strip
+    bounds."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.media import extract_media_table, sample_frames
+
+    d = docs(spark, sf_dir)
+    frames = sample_frames(extract_media_table(d), every_n=4, n_frames=16)
+
+    def _stats(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(bytes(r.frame), dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+                rows.append({
+                    "doc_id": r.doc_id,
+                    "frame_idx": int(r.frame_idx),
+                    "n_px": int(arr.shape[0]),
+                    "luma_sum": int((299 * arr[:, 0] + 587 * arr[:, 1] + 114 * arr[:, 2]).sum()),
+                })
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "n_px", "luma_sum"])
+
+    out = frames.mapInPandas(
+        _stats, "doc_id string, frame_idx long, n_px long, luma_sum long"
+    )
+    return out.select(
+        F.regexp_extract("doc_id", r"(\d+)", 1).cast("bigint").alias("doc_id"),
+        "frame_idx", "n_px", "luma_sum",
+    )
+
+
+def _o_media_frames() -> str:
+    def mod17(ndigits: int) -> str:
+        return (
+            "((((SELECT SUM((strpos('0123456789abcdef', substring(hx, i, 1)) - 1) * "
+            f"(CASE WHEN ({ndigits} - i) % 2 = 0 THEN 1 ELSE -1 END)) "
+            f"FROM generate_series(1, {ndigits}) AS t(i)) % 17) + 17) % 17)"
+        )
+
+    def byte_at(p: str) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(concat(hx, ':', CAST(({p}) // 16 AS VARCHAR))), "
+            f"CAST((({p}) % 16) * 2 + 1 AS INT), 2)) AS BIGINT)"
+        )
+
+    lsum = (
+        f"299 * {byte_at('3 * k')} + 587 * {byte_at('3 * k + 1')} "
+        f"+ 114 * {byte_at('3 * k + 2')}"
+    )
+    return (
+        "WITH m AS (SELECT doc_id, 'fake://media/' || CAST((doc_id * 2654435761) % 100000 AS VARCHAR) || '.jpg' AS ref "
+        "FROM documents WHERE doc_id % 3 = 0), "
+        "hx_t AS (SELECT doc_id, md5(sha256(ref)) AS hx FROM m), "
+        f"dims AS (SELECT doc_id, hx, CAST(16 + {mod17(14)} AS BIGINT) AS w, "
+        f"CAST(16 + {mod17(16)} AS BIGINT) AS h FROM hx_t), "
+        "fr AS (SELECT doc_id, hx, w, h, unnest([0, 4, 8, 12]) AS frame_idx FROM dims), "
+        "bounds AS (SELECT doc_id, hx, w, h, frame_idx, "
+        "(frame_idx * w) // 16 AS x0, ((frame_idx + 1) * w) // 16 AS x1 FROM fr), "
+        "pix AS (SELECT doc_id, hx, w, frame_idx, x0, x1, "
+        "unnest(generate_series(0, CAST(w * h - 1 AS INT))) AS k FROM bounds) "
+        "SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, "
+        "CAST(COUNT(*) AS BIGINT) AS n_px, "
+        f"CAST(SUM({lsum}) AS BIGINT) AS luma_sum "
+        "FROM pix WHERE (k % w) >= x0 AND (k % w) < x1 "
+        "GROUP BY doc_id, frame_idx"
+    )
+
+
+QUERIES["media_frames"] = q_media_frames
+ORACLES["media_frames"] = _o_media_frames()
+
+
 def q_viewshed(spark, sf_dir):
     """Single-observer viewshed over byte20 (per-cell exact LOS,
     alg/los.cpp semantics): observer at pixel (2,2) + 2 units. The
