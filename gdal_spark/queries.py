@@ -9803,6 +9803,31 @@ QUERIES["line_quality"] = q_line_quality
 ORACLES["line_quality"] = _o_line_quality()
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance-resampling weights (text.dsir_importance_weights;
+    Xie et al. 2023): hashed bag-of-words target-vs-raw log-ratio
+    scores over the documents corpus with target = lang 'en'. Feature
+    hash = md5-prefix mod 8192 (cross-engine exact), bucket score =
+    bitlen-quantized count ratio, per-doc weight = integer sum —
+    the oracle replays every stage bit for bit."""
+    from gdal_spark.text import dsir_importance_weights
+
+    d = load(spark, sf_dir, "documents")
+    return dsir_importance_weights(d, F.col("lang") == "en").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "n_tokens", "weight"
+    )
+
+
+def _o_dsir_weights() -> str:
+    from gdal_spark.text import dsir_importance_weights_sql
+
+    return dsir_importance_weights_sql("lang = 'en'")
+
+
+QUERIES["dsir_weights"] = q_dsir_weights
+ORACLES["dsir_weights"] = _o_dsir_weights()
+
+
 def q_chunk_documents(spark, sf_dir):
     """Sliding-window chunker (text.chunk_documents): 64-char windows
     advancing by 48 (16-char overlap) over the corpus text — one row

@@ -767,3 +767,97 @@ def chunk_documents_sql(
         f"substr(t, CAST(chunk_id * {step} + 1 AS BIGINT), {chunk_size}) AS chunk_text "
         "FROM x"
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the importance log-ratio of a TARGET distribution over a RAW
+    one, both represented as hashed bag-of-words models — the paper's
+    hashed n-gram generative importance weights.
+
+    Engine-exact arithmetic: the feature hash is the first 8 hex
+    digits of md5(token) mod n_buckets (md5 is identical in every
+    engine — no Murmur/xxhash whose seeds differ), and the per-bucket
+    log-ratio log p_target(f) - log p_raw(f) is integer-quantized as
+    bitlen(target_count + 1) - bitlen(raw_count + 1) (the same
+    bitlen-as-log2 rule as unigram_surprisal; both models share the
+    denominator up to a corpus-constant shift that only translates
+    every weight, so it is dropped). A document's weight is the sum of
+    its token occurrences' bucket scores. Deterministic resampling =
+    rank by (weight desc, id asc) and keep the head — the paper's
+    Gumbel noise is a sampling detail orthogonal to the scoring.
+
+    Returns (id, n_tokens, weight) for every document with at least
+    one whitespace token.
+
+    Scale shape (100 TB): pass 1 is one map-side-combinable
+    groupBy(bucket) over token occurrences — at most n_buckets rows
+    out, which BROADCAST back; pass 2 re-joins the exploded corpus
+    map-side and folds per doc (map-combined partials only). Two
+    bounded shuffles, no all-pairs anything — the same two-pass
+    broadcast-model shape as unigram_surprisal."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.length(x) > 0
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("_id"),
+        target.cast("boolean").alias("_tgt"),
+        F.explode(toks).alias("_w"),
+    ).withColumn(
+        "_b",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.encode(F.col("_w"), "UTF-8")), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(n_buckets),
+        ),
+    )
+    counts = exploded.groupBy("_b").agg(
+        F.sum(F.col("_tgt").cast("long")).alias("_tc"),
+        F.count(F.lit(1)).alias("_rc"),
+    )
+    scores = counts.select(
+        "_b",
+        (
+            F.length(F.bin(F.col("_tc") + 1)) - F.length(F.bin(F.col("_rc") + 1))
+        ).cast("long").alias("_sc"),
+    )
+    return (
+        exploded.join(F.broadcast(scores), "_b")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_sc").alias("weight"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "weight")
+    )
+
+
+def dsir_importance_weights_sql(
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = 8192,
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB replay of dsir_importance_weights (same md5-prefix hash,
+    same bitlen quantization)."""
+    return (
+        f"WITH w AS (SELECT {id_expr} AS id, ({target_pred}) AS tgt, "
+        f"UNNEST(string_split_regex(trim({text_expr}), '\\s+')) AS tok FROM {table}), "
+        "t AS (SELECT id, tgt, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) "
+        f"% {n_buckets} AS b FROM w WHERE length(tok) > 0), "
+        "c AS (SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc, COUNT(*) AS rc "
+        "FROM t GROUP BY b), "
+        "s AS (SELECT b, CAST(length(bin(CAST(tc + 1 AS BIGINT))) "
+        "- length(bin(CAST(rc + 1 AS BIGINT))) AS BIGINT) AS sc FROM c) "
+        "SELECT t.id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(s.sc) AS BIGINT) AS weight "
+        "FROM t JOIN s USING (b) GROUP BY t.id"
+    )
