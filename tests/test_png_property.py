@@ -11,7 +11,7 @@ from gdal_spark.geom.wkt import parse_wkt, parse_wkt_m, parse_wkt_z, to_wkt
 from gdal_spark.png import decode_png, encode_png
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(
     h=st.integers(1, 24),
     w=st.integers(1, 24),
@@ -25,7 +25,7 @@ def test_png_roundtrip_any_shape(h, w, ch, seed):
     np.testing.assert_array_equal(back, img)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(
     n=st.integers(2, 12),
     seed=st.integers(0, 2**31 - 1),
