@@ -91,13 +91,19 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """The real decode dispatch: PNG payloads (the signature test any
-    container sniffer runs) parse through the own-written codec;
-    everything else falls back to the deterministic stub."""
+    """The real decode dispatch: PNG and baseline grayscale JPEG
+    payloads (the signature tests any container sniffer runs) parse
+    through the own-written codecs (gdal_spark/png.py /
+    gdal_spark/jpeg.py); everything else falls back to the
+    deterministic stub."""
+    from gdal_spark.jpeg import JPEG_SIG, decode_jpeg_gray
     from gdal_spark.png import PNG_SIG, decode_png
 
     if payload[:8] == PNG_SIG:
         return decode_png(bytes(payload))
+    if payload[:3] == JPEG_SIG:
+        g = decode_jpeg_gray(bytes(payload))
+        return np.repeat(g[:, :, None], 3, axis=2)
     return _decode_image_stub(payload)
 
 
